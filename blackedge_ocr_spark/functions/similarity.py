@@ -1,0 +1,150 @@
+"""Similarity measures between two text columns, per-row and
+shuffle-free.
+
+reference: src/services/validation/similarity_calculator.py. Every
+method runs as a single fused projection over the pair of strings —
+the natural Spark shape for the reference's pairwise comparisons:
+counter math happens inside array/map higher-order functions, so a
+1000-executor cluster scales these embarrassingly (no join, no
+shuffle). Counts are integers, so dot products and magnitudes are
+exact and independent of iteration order — bit-for-bit parity with
+the Python oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from blackedge_ocr_spark.constants import (
+    LEVENSHTEIN_REPORT_MAX,
+    LEVENSHTEIN_TRUNCATE,
+)
+from blackedge_ocr_spark.functions.text import (
+    extract_numbers,
+    key_terms,
+    normalize_for_comparison,
+    tokens,
+)
+
+
+def _c(col) -> Column:
+    return F.col(col) if isinstance(col, str) else col
+
+
+def _count_in(arr: Column, key: Column) -> Column:
+    return F.size(F.filter(arr, lambda x: x == key)).cast("double")
+
+
+def _cosine_from_multisets(a: Column, b: Column) -> Column:
+    """Cosine of the frequency vectors of two array columns
+    (reference counter cosine, similarity_calculator.py:227-258).
+    Non-shared keys contribute 0 to the dot product, so it folds over
+    the distinct-key union; magnitudes fold over each side's own keys.
+    """
+    ka = F.array_distinct(a)
+    kb = F.array_distinct(b)
+    dot = F.aggregate(
+        F.array_union(ka, kb),
+        F.lit(0.0),
+        lambda acc, k: acc + _count_in(a, k) * _count_in(b, k),
+    )
+    mag_a = F.sqrt(
+        F.aggregate(ka, F.lit(0.0), lambda acc, k: acc + F.pow(_count_in(a, k), 2))
+    )
+    mag_b = F.sqrt(
+        F.aggregate(kb, F.lit(0.0), lambda acc, k: acc + F.pow(_count_in(b, k), 2))
+    )
+    return F.when(mag_a * mag_b == 0, F.lit(0.0)).otherwise(
+        dot / (mag_a * mag_b)
+    )
+
+
+def number_frequency_similarity(a, b) -> Column:
+    """Cosine over number-frequency multisets; 1.0 when both number-free,
+    0.0 when exactly one is (similarity_calculator.py:69-107)."""
+    na, nb = extract_numbers(_c(a)), extract_numbers(_c(b))
+    return (
+        F.when((F.size(na) == 0) & (F.size(nb) == 0), F.lit(1.0))
+        .when((F.size(na) == 0) | (F.size(nb) == 0), F.lit(0.0))
+        .otherwise(_cosine_from_multisets(na, nb))
+    )
+
+
+def word_overlap_similarity(a, b) -> Column:
+    """Jaccard index over key-term sets; 1.0 both empty, 0.0 one empty
+    (similarity_calculator.py:109-143)."""
+    ta, tb = key_terms(_c(a)), key_terms(_c(b))
+    inter = F.size(F.array_intersect(ta, tb)).cast("double")
+    union = F.size(F.array_union(ta, tb)).cast("double")
+    return (
+        F.when((F.size(ta) == 0) & (F.size(tb) == 0), F.lit(1.0))
+        .when((F.size(ta) == 0) | (F.size(tb) == 0), F.lit(0.0))
+        .otherwise(inter / union)
+    )
+
+
+def wordfreq_cosine_similarity(a, b, min_length: int = 3) -> Column:
+    """Cosine of word-frequency vectors over terms of length >=3
+    (similarity_calculator.py:145-177; term/count semantics
+    content_normalizer.py:143-173)."""
+    fa = F.filter(tokens(_c(a)), lambda w: F.length(w) >= min_length)
+    fb = F.filter(tokens(_c(b)), lambda w: F.length(w) >= min_length)
+    return (
+        F.when((F.size(fa) == 0) & (F.size(fb) == 0), F.lit(1.0))
+        .when((F.size(fa) == 0) | (F.size(fb) == 0), F.lit(0.0))
+        .otherwise(_cosine_from_multisets(fa, fb))
+    )
+
+
+def levenshtein_similarity(a, b) -> Column:
+    """1 - edit_distance/max_len over comparison-normalized texts,
+    truncated at 10k chars; 1.0 if equal after truncation, 0.0 if
+    either is empty (similarity_calculator.py:179-225). Uses the
+    JVM built-in ``levenshtein`` instead of the reference's Python DP.
+    """
+    na = F.substring(normalize_for_comparison(_c(a)), 1, LEVENSHTEIN_TRUNCATE)
+    nb = F.substring(normalize_for_comparison(_c(b)), 1, LEVENSHTEIN_TRUNCATE)
+    max_len = F.greatest(F.length(na), F.length(nb)).cast("double")
+    return (
+        F.when(na == nb, F.lit(1.0))
+        .when((F.length(na) == 0) | (F.length(nb) == 0), F.lit(0.0))
+        .otherwise(F.lit(1.0) - F.levenshtein(na, nb).cast("double") / max_len)
+    )
+
+
+_METHODS = {
+    "number_frequency": number_frequency_similarity,
+    "word_overlap": word_overlap_similarity,
+    "cosine": wordfreq_cosine_similarity,
+    "levenshtein": levenshtein_similarity,
+}
+
+
+def similarity_by_method(a, b, method: str = "number_frequency") -> Column:
+    """Dispatch on method name (similarity_calculator.py:33-67)."""
+    try:
+        return _METHODS[method.lower()](a, b)
+    except KeyError:
+        raise ValueError(
+            f"Unknown similarity method: {method}. "
+            f"Valid options: {', '.join(_METHODS)}"
+        ) from None
+
+
+def similarity_report(a, b) -> Column:
+    """struct of all four scores; levenshtein null (skipped) unless
+    both raw texts are shorter than 5000 chars
+    (similarity_calculator.py:309-332)."""
+    a, b = _c(a), _c(b)
+    lev = F.when(
+        (F.length(a) < LEVENSHTEIN_REPORT_MAX)
+        & (F.length(b) < LEVENSHTEIN_REPORT_MAX),
+        levenshtein_similarity(a, b),
+    )
+    return F.struct(
+        number_frequency_similarity(a, b).alias("number_frequency"),
+        word_overlap_similarity(a, b).alias("word_overlap"),
+        wordfreq_cosine_similarity(a, b).alias("cosine"),
+        lev.alias("levenshtein"),
+    )

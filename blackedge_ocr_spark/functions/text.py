@@ -1,0 +1,125 @@
+"""Scalar text transforms as pure Spark Column expressions.
+
+Each function mirrors one scalar in the reference's normalizer
+(reference: src/services/validation/content_normalizer.py) but is
+expressed with JVM-side built-ins so the whole stage fuses into
+whole-stage codegen — no Python in the hot path.
+
+Regex parity note: the reference uses Python ``re`` where ``\\w \\b \\s``
+are Unicode-aware; Java regex defaults to ASCII classes. We compile
+with the ``(?U)`` (UNICODE_CHARACTER_CLASS) flag wherever the
+reference's behavior on non-ASCII input would otherwise diverge
+(validated against the Python oracle in tests/test_pipeline_oracle.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Python re semantics for \s / \b / \w via Java's (?U) flag.
+_WS = r"(?U)\s+"
+_EDGE_WS = r"(?U)^\s+|\s+$"
+# reference: content_normalizer.py:99
+NUMBER_PATTERN = r"-?\d+(?:,\d{3})*(?:\.\d+)?%?"
+# reference: content_normalizer.py:137 (runs over lowercased text)
+TERM_PATTERN = r"(?U)\b[a-z0-9]+\b"
+WORD_PATTERN = r"(?U)\b\w+\b"
+
+
+def _c(col) -> Column:
+    return F.col(col) if isinstance(col, str) else col
+
+
+def py_strip(col) -> Column:
+    """Python ``str.strip()`` (Unicode whitespace, both ends)."""
+    return F.regexp_replace(_c(col), _EDGE_WS, "")
+
+
+def normalize_text(col, preserve_case: bool = False) -> Column:
+    """Lowercase, line-breaks→space, collapse whitespace, strip.
+
+    reference: content_normalizer.py:26-64.
+    """
+    c = F.coalesce(_c(col), F.lit(""))
+    if not preserve_case:
+        c = F.lower(c)
+    c = F.regexp_replace(c, r"\r\n|\n|\r", " ")
+    c = F.regexp_replace(c, _WS, " ")
+    return F.trim(c)
+
+
+def extract_numbers(col) -> Column:
+    """All numbers in the text as array<double> (commas stripped,
+    trailing ``%`` dropped: ``25%`` → 25.0).
+
+    reference: content_normalizer.py:67-113.
+    """
+    c = F.coalesce(_c(col), F.lit(""))
+    matches = F.regexp_extract_all(c, F.lit(NUMBER_PATTERN), 0)
+    return F.transform(
+        matches,
+        lambda x: F.regexp_replace(
+            F.regexp_replace(x, ",", ""), r"%$", ""
+        ).cast("double"),
+    )
+
+
+def tokens(col) -> Column:
+    """``\\b[a-z0-9]+\\b`` tokens of the *normalized* text, in order,
+    with repeats — the basis for both key terms and frequencies.
+    """
+    return F.regexp_extract_all(normalize_text(col), F.lit(TERM_PATTERN), 0)
+
+
+def key_terms(col, min_length: int = 3) -> Column:
+    """Distinct normalized terms of length >= min_length, sorted for
+    deterministic array output (the reference returns a set,
+    content_normalizer.py:116-140).
+    """
+    distinct = F.array_distinct(
+        F.filter(tokens(col), lambda w: F.length(w) >= min_length)
+    )
+    return F.array_sort(distinct)
+
+
+def word_frequency(col, min_length: int = 3) -> Column:
+    """map<term, occurrences> over terms of length >= min_length.
+
+    reference: content_normalizer.py:143-173 (``\\b{term}\\b`` counting
+    over the normalized text == equality counting over the token list).
+    """
+    toks = tokens(col)
+    terms = F.array_distinct(F.filter(toks, lambda w: F.length(w) >= min_length))
+    counts = F.transform(
+        terms, lambda t: F.size(F.filter(toks, lambda x: x == t))
+    )
+    return F.map_from_arrays(terms, counts)
+
+
+def word_count(col) -> Column:
+    """Count of ``\\b\\w+\\b`` words (Unicode, Python-re parity)."""
+    c = F.coalesce(_c(col), F.lit(""))
+    return F.size(F.regexp_extract_all(c, F.lit(WORD_PATTERN), 0))
+
+
+def remove_page_breaks(col) -> Column:
+    """Strip the three page-break marker variants, collapse
+    whitespace, strip. reference: content_normalizer.py:176-196.
+    """
+    c = F.coalesce(_c(col), F.lit(""))
+    for marker in ("---PAGE-BREAK---", "---PAGE BREAK---", "[PAGE BREAK]"):
+        c = F.replace(c, F.lit(marker), F.lit(" "))
+    c = F.regexp_replace(c, _WS, " ")
+    return F.trim(c)
+
+
+def normalize_for_comparison(col) -> Column:
+    """remove_page_breaks → normalize → drop punctuation → collapse.
+
+    reference: content_normalizer.py:199-229.
+    """
+    c = normalize_text(remove_page_breaks(col))
+    c = F.regexp_replace(c, r"(?U)[^a-z0-9\s]", " ")
+    c = F.regexp_replace(c, _WS, " ")
+    return F.trim(c)

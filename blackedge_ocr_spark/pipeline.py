@@ -1,0 +1,176 @@
+"""The extract-then-validate pipeline over interleaved span documents.
+
+Spark-first re-expression of the reference's workflow lifecycle
+(reference: src/services/workflow_orchestrator.py:68-150 and the five
+handlers under src/services/workflows/): routing, extraction,
+problem detection, ordered reassembly, cross-validation, decision —
+as ONE declarative projection over
+``documents(doc_id, spans)``.
+
+Scale shape: the whole pipeline is map-side. Span ordering is an
+in-array sort, content assembly an in-array fold, similarity a
+per-row expression — zero shuffles end-to-end, so throughput scales
+linearly with executors; the only Arrow boundary is the embedded
+OCR-classify stage. Skew from mega-documents is defused by an
+explicit hash repartition on doc_id before the Arrow stage.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from blackedge_ocr_spark.constants import (
+    CONTENT_SEPARATOR,
+    PRIMARY_PROVIDER,
+    SECONDARY_PROVIDER,
+    SIMILARITY_THRESHOLD,
+    VALIDATING_WORKFLOWS,
+)
+from blackedge_ocr_spark.functions.problems import problems_array
+from blackedge_ocr_spark.functions.similarity import similarity_by_method
+from blackedge_ocr_spark.operators.ocr import ocr_classify_spans
+from blackedge_ocr_spark.operators.routing import route_workflow
+
+
+def sort_spans(spans: Column) -> Column:
+    """Order spans by offset inside the array — the reference's page
+    order (W1; reference: text_extraction_handler.py:115, join at :71).
+    In-array comparator sort: no shuffle, no window.
+    """
+    return F.array_sort(
+        spans,
+        lambda l, r: F.when(l["offset"] < r["offset"], -1)
+        .when(l["offset"] > r["offset"], 1)
+        .otherwise(0),
+    )
+
+
+def assemble_content(spans: Column) -> Column:
+    """CONTENT_SEPARATOR-joined span texts, in span order (A1;
+    reference: default_handler.py:87 et al.). Empty texts are kept,
+    like ``str.join`` over empty page contents.
+    """
+    return F.concat_ws(CONTENT_SEPARATOR, F.transform(spans, lambda s: s["text"]))
+
+
+def span_problems(spans: Column) -> Column:
+    """Per-span quality labels, pages with >=1 problem only, page order
+    (reference: problem_detector.py:36-70)."""
+    tagged = F.transform(
+        spans,
+        lambda s: F.struct(
+            s["offset"].alias("offset"),
+            problems_array(s["text"]).alias("labels"),
+        ),
+    )
+    return F.filter(tagged, lambda p: F.size(p["labels"]) > 0)
+
+
+def _map_literal(col: Column, mapping: dict, default=None) -> Column:
+    out = F.when(F.lit(False), F.lit(""))
+    for k, v in mapping.items():
+        out = out.when(col == k, F.lit(v))
+    return out.otherwise(F.lit(default))
+
+
+def extract_documents(
+    df: DataFrame,
+    query_col: str | None = "query",
+    explicit_col: str | None = None,
+    enable_validation=True,
+    similarity_method: str = "number_frequency",
+    similarity_threshold: float = SIMILARITY_THRESHOLD,
+    repartition: int | None = None,
+) -> DataFrame:
+    """documents(doc_id, spans [, query [, explicit_workflow]]) →
+    RESULT_SCHEMA rows. ``enable_validation`` may be a bool or the
+    name of a boolean column (per-request flag, reference:
+    src/api/models.py ExtractionRequest.enable_validation).
+    """
+    if repartition:
+        # Spread mega-documents before the Arrow stage: hash on doc_id
+        # balances docs across tasks; Arrow batch size (configured in
+        # session.py) bounds per-batch memory for fat span arrays.
+        df = df.repartition(repartition, "doc_id")
+
+    query = F.col(query_col) if query_col and query_col in df.columns else F.lit("")
+    explicit = explicit_col if explicit_col and explicit_col in df.columns else None
+    if isinstance(enable_validation, str):
+        validation_requested = F.col(enable_validation)
+    else:
+        validation_requested = F.lit(bool(enable_validation))
+
+    workflow = route_workflow(query, explicit)
+    provider = _map_literal(workflow, PRIMARY_PROVIDER)
+    secondary_provider = _map_literal(workflow, SECONDARY_PROVIDER)
+
+    df = (
+        df.withColumn("workflow", workflow)
+        .withColumn("provider", provider)
+        .withColumn("_sorted", sort_spans(F.col("spans")))
+    )
+
+    # Embedded extraction: text spans pass through, media spans go
+    # through the Arrow-batched OCR-classify stage (§2.14-2).
+    df = df.withColumn(
+        "out_spans", ocr_classify_spans(F.col("_sorted"), F.col("provider"))
+    )
+
+    # Validation only exists for workflows whose handler wires a
+    # secondary client (constants.VALIDATING_WORKFLOWS).
+    validating = validation_requested & F.col("workflow").isin(
+        list(VALIDATING_WORKFLOWS)
+    )
+    df = df.withColumn(
+        "_secondary_spans",
+        F.when(
+            validating,
+            ocr_classify_spans(F.col("_sorted"), secondary_provider),
+        ),
+    )
+
+    primary_content = assemble_content(F.col("out_spans"))
+    secondary_content = assemble_content(F.col("_secondary_spans"))
+    problems = span_problems(F.col("out_spans"))
+
+    df = (
+        df.withColumn("problems", problems)
+        .withColumn("_primary_content", primary_content)
+        .withColumn("_secondary_content", secondary_content)
+    )
+
+    has_problems = F.size(F.col("problems")) > 0
+    # Stage 2 similarity runs only when stage 1 found no problems
+    # (reference: validation_service.py:90-145).
+    similarity = F.when(
+        validating & ~has_problems,
+        similarity_by_method(
+            F.col("_primary_content"), F.col("_secondary_content"), similarity_method
+        ),
+    )
+    df = df.withColumn("similarity", similarity)
+
+    used_secondary = validating & (
+        has_problems | (F.col("similarity") < F.lit(similarity_threshold))
+    )
+    reason = F.when(validating & has_problems, F.lit("quality_issues")).when(
+        validating & (F.col("similarity") < F.lit(similarity_threshold)),
+        F.lit("low_similarity"),
+    )
+    content = F.when(
+        used_secondary, F.col("_secondary_content")
+    ).otherwise(F.col("_primary_content"))
+
+    return df.select(
+        "doc_id",
+        "workflow",
+        "out_spans",
+        "problems",
+        content.alias("content"),
+        F.coalesce(used_secondary, F.lit(False)).alias("used_secondary"),
+        "similarity",
+        reason.alias("reason"),
+        F.size("spans").cast("int").alias("pages"),
+        "provider",
+    )
