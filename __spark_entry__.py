@@ -1,38 +1,59 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship extract-then-validate pipeline on
+the sf0.001 corpus; ``queries()``/``oracle_sql()`` expose each
+implemented operator from SURVEY.md §2 with its DuckDB oracle.
+Spark builders live in ``blackedge_ocr_spark/queries.py``; the SQL is
+generated from the same constants in
+``blackedge_ocr_spark/sqloracle.py`` so the two sides cannot drift.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: interleaved-span extraction + validation at sf0.001."""
+    from blackedge_ocr_spark.queries import q_pipeline_extract
+
+    return q_pipeline_extract(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    from blackedge_ocr_spark import queries as q
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    out = {
+        # T* scalar transforms (SURVEY §2.3)
+        "normalize": q.q_normalize,
+        "extract_numbers": q.q_extract_numbers,
+        "key_term_freq": q.q_key_term_freq,
+        "word_frequency": q.q_word_frequency,
+        # D* problem detector (SURVEY §2.8)
+        "problem_flags": q.q_problem_flags,
+        "problems_rollup": q.q_problems_rollup,
+        # A* similarity (SURVEY §2.5)
+        "similarity_pairs": q.q_similarity_pairs,
+        # P* routing (SURVEY §2.2)
+        "routing": q.q_routing,
+        "workflow_counts": q.q_workflow_counts,
+        # pipeline stages over the interleaved span corpus (SURVEY §3.5)
+        "spansify_stats": q.q_spansify_stats,
+        "extract_content": q.q_extract_content,
+        "span_problems": q.q_span_problems,
+        "validation_decision": q.q_validation_decision,
+        "pipeline_extract": q.q_pipeline_extract,
+    }
+    return out
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from blackedge_ocr_spark.sqloracle import build_oracles
+
+    return build_oracles()

@@ -1,0 +1,80 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": <total sec>, "unit": "sec",
+   "queries": {name: sec}, "sf": ..., "docs_per_sec": ...,
+   "parallelism": ...}
+
+The flagship number is end-to-end extraction throughput (docs/sec) on
+the interleaved span corpus — the BASELINE.json metric. Each query is
+fully materialized with a noop sink (no driver collect), so the
+measurement is executor work, not toPandas serialization.
+
+Scaling evidence (local[8] vs local[32]) is produced by
+``tools/scaling_bench.py`` and recorded in BENCH/BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+# Queries benched: the flagship pipeline + the shuffle/join-bearing
+# analysis queries (one hash agg, one self-join, one rollup).
+BENCH_QUERIES = (
+    "pipeline_extract",
+    "extract_content",
+    "validation_decision",
+    "similarity_pairs",
+    "key_term_freq",
+    "problems_rollup",
+)
+
+
+def run_noop(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def main() -> None:
+    from blackedge_ocr_spark.session import build_session
+
+    import __spark_entry__ as se
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1])
+
+    spark = build_session(master=f"local[{cpus}]")
+    qs = se.queries()
+
+    n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+
+    # Warm up the JVM + Python workers once (tiny scale).
+    run_noop(qs["pipeline_extract"](spark, "/root/testdata/sf0.001"))
+
+    times: dict[str, float] = {}
+    for name in BENCH_QUERIES:
+        t0 = time.time()
+        run_noop(qs[name](spark, sf_dir))
+        times[name] = round(time.time() - t0, 3)
+
+    flagship = times["pipeline_extract"]
+    out = {
+        "metric": "e2e_extraction_seconds",
+        "value": round(sum(times.values()), 3),
+        "unit": "sec",
+        "queries": times,
+        "sf": sf,
+        "n_docs": n_docs,
+        "docs_per_sec": round(n_docs / flagship, 1) if flagship else None,
+        "parallelism": cpus,
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

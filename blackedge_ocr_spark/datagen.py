@@ -184,6 +184,11 @@ def spansify_documents(
     digits diverge between providers drop below the 0.85 threshold.
     """
     docs = spark.read.parquet(f"{sf_dir.rstrip('/')}/documents.parquet")
+    # Hash-spread docs across tasks before the fat span build: the sf
+    # corpora are single parquet splits, and downstream stages are
+    # compute-bound (Arrow UDF, similarity), so partition count — not
+    # bytes — is what determines parallel speedup here.
+    docs = docs.repartition(spark.sparkContext.defaultParallelism * 4, "doc_id")
     toks = F.split(F.col("text"), " ")
     rep = F.when(F.col("doc_id") % mega_doc_every == 0, mega_doc_factor).otherwise(1)
     toks = F.flatten(F.array_repeat(toks, rep))

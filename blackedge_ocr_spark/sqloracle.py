@@ -1,0 +1,547 @@
+"""DuckDB oracle SQL for every driver-contract query.
+
+Each ``sql_*`` function returns ANSI-ish SQL runnable by DuckDB over
+the driver's pre-registered parquet views (``documents`` etc.),
+semantically equal to the matching ``queries.q_*`` Spark DataFrame.
+SQL is *generated* from the same constants (keyword lists, labels,
+thresholds, templates) as the Spark side, so the two cannot drift.
+
+DuckDB-vs-Spark parity notes:
+- ``/`` is true division in both; int casts via ``::bigint`` mirror
+  ``.cast('long')``.
+- RE2 (DuckDB) has no backreferences, so D3 ``(.)\\1{10,}`` becomes a
+  repeat-containment scan over the distinct chars of the string
+  (newline excluded: Python ``.`` does not match ``\\n``).
+- Float outputs are rounded to 6 decimals on both sides; large text
+  payloads are compared as md5.
+"""
+
+from __future__ import annotations
+
+from blackedge_ocr_spark.constants import (
+    AZURE_DI_KEYWORDS,
+    ENCODING_ERROR_MARKERS,
+    GEMINI_KEYWORDS,
+    MAX_GIBBERISH_RATIO,
+    MAX_REPEATED_CHAR_LENGTH,
+    MIN_CONTENT_LENGTH,
+    MIN_WORD_COUNT,
+    OCR_KEYWORDS,
+    PAGE_BREAK_MARKERS,
+    PRIMARY_PROVIDER,
+    PROBLEM_LABELS,
+    SECONDARY_PROVIDER,
+    SIMILARITY_THRESHOLD,
+    TEXT_EXTRACTION_KEYWORDS,
+    VALIDATING_WORKFLOWS,
+    WF_AZURE,
+    WF_GEMINI,
+    WF_MISTRAL,
+    WF_OCR,
+    WF_TEXT,
+)
+from blackedge_ocr_spark.queries import GIBBERISH_SUFFIX, ROUTE_TEMPLATES
+
+NL = "chr(10)"
+SEP = f"{NL} || '---PAGE-BREAK---' || {NL}"  # CONTENT_SEPARATOR
+NUMPAT = r"-?\d+(?:,\d{3})*(?:\.\d+)?%?"
+TERMPAT = r"\b[a-z0-9]+\b"
+WORDPAT = r"\b\w+\b"
+
+
+def _sq(s: str) -> str:
+    """SQL single-quoted literal."""
+    return "'" + s.replace("'", "''") + "'"
+
+
+# ------------------------------------------------------- expression kit
+
+
+def norm_sql(c: str) -> str:
+    """normalize_text (T1)."""
+    return (
+        "trim(regexp_replace(regexp_replace(lower(" + c + "), "
+        r"'(\r\n|\n|\r)', ' ', 'g'), '\s+', ' ', 'g'))"
+    )
+
+
+def strip_len_sql(c: str) -> str:
+    return r"length(regexp_replace(" + c + r", '^\s+|\s+$', '', 'g'))"
+
+
+def numbers_sql(c: str) -> str:
+    """extract_numbers (T2) → list<double>."""
+    return (
+        f"list_transform(regexp_extract_all({c}, {_sq(NUMPAT)}), "
+        "x -> regexp_replace(replace(x, ',', ''), '%$', '')::double)"
+    )
+
+
+def tokens_sql(c: str, min_length: int = 0) -> str:
+    """T3 token stream over normalized text (with repeats)."""
+    toks = f"regexp_extract_all({norm_sql(c)}, {_sq(TERMPAT)})"
+    if min_length:
+        toks = f"list_filter({toks}, w -> length(w) >= {min_length})"
+    return toks
+
+
+def key_terms_sql(c: str, min_length: int = 3) -> str:
+    return f"list_sort(list_distinct({tokens_sql(c, min_length)}))"
+
+
+def word_count_sql(c: str) -> str:
+    return f"len(regexp_extract_all({c}, {_sq(WORDPAT)}))"
+
+
+def remove_page_breaks_sql(c: str) -> str:
+    for m in PAGE_BREAK_MARKERS:
+        c = f"replace({c}, {_sq(m)}, ' ')"
+    return rf"trim(regexp_replace({c}, '\s+', ' ', 'g'))"
+
+
+def normalize_for_comparison_sql(c: str) -> str:
+    c = norm_sql(remove_page_breaks_sql(c))
+    return (
+        rf"trim(regexp_replace(regexp_replace({c}, '[^a-z0-9\s]', ' ', 'g'), "
+        r"'\s+', ' ', 'g'))"
+    )
+
+
+def numeric_text_sql(doc: str, text: str) -> str:
+    """queries.numeric_text mirror."""
+    return (
+        f"{text} || ' totals ' || (({doc} * 37) % 997)::varchar"
+        f" || ' and 1,234.56 plus ' || ({doc} % 100)::varchar || '%'"
+    )
+
+
+def variant_text_sql(doc: str, text: str) -> str:
+    """queries.variant_text mirror."""
+    cases = {
+        1: f"'   ' || substr({text}, 1, 40) || '   '",
+        2: f"{text} || ' xxxxxxxxxxxxxxx'",
+        3: f"{text} || {_sq(' ' * 25)} || 'end'",
+        4: f"'TABLE:' || {NL} || 'Name | Status' || {NL} || 'Widgets | ok' || {NL} || {text}",
+        5: f"{text} || {_sq(' donâ€™t Ã© caf')}",
+        6: f"'a | b' || {NL} || 'c | d | e | f' || {NL} || 'g | h | i' || {NL} || {text}",
+        7: f"{text} || ' ' || {_sq(GIBBERISH_SUFFIX)}",
+    }
+    whens = "".join(f" WHEN {m} THEN {e}" for m, e in cases.items())
+    return f"(CASE ({doc} % 8){whens} ELSE {text} END)"
+
+
+# D1–D10 predicates ----------------------------------------------------
+
+
+def d_flags_sql(c: str) -> dict[str, str]:
+    """{label: boolean SQL} — problem_detector.py:131-330 parity."""
+    d1 = f"({strip_len_sql(c)} < {MIN_CONTENT_LENGTH})"
+    d2 = (
+        f"((contains({c}, '|') OR contains(upper({c}), 'TABLE')) "
+        rf"AND NOT regexp_matches({c}, '\d'))"
+    )
+    # D3 via repeat-containment (RE2 lacks backreferences); newline is
+    # excluded because Python '.' does not match it.
+    d3 = (
+        f"(len(list_filter(list_distinct(str_split({c}, '')), "
+        f"ch -> ch != chr(10) AND ch != '' AND contains({c}, repeat(ch, "
+        f"{MAX_REPEATED_CHAR_LENGTH + 1})))) > 0)"
+    )
+    d4 = f"({word_count_sql(c)} < {MIN_WORD_COUNT})"
+    gwords = rf"regexp_extract_all({c}, '\b[a-zA-Z]{{4,}}\b')"
+    gbad = (
+        f"len(list_filter({gwords}, w -> NOT regexp_matches(lower(w), '[aeiou]') "
+        "OR regexp_matches(lower(w), '[bcdfghjklmnpqrstvwxyz]{5,}')))"
+    )
+    d5 = (
+        f"(len({gwords}) >= 10 AND ({gbad})::double / len({gwords})::double "
+        f"> {MAX_GIBBERISH_RATIO})"
+    )
+    d6 = (
+        rf"(regexp_matches({c}, '[^\x00-\x7F]{{5,}}') "
+        rf"OR regexp_matches({c}, '�{{2,}}') "
+        rf"OR regexp_matches({c}, '[\x00-\x08\x0B\x0C\x0E-\x1F]'))"
+    )
+    tl = f"list_filter(str_split({c}, chr(10)), l -> contains(l, '|'))"
+    pc = f"list_transform({tl}, l -> len(str_split(l, '|')) - 1)"
+    d7 = f"(len({tl}) >= 2 AND len(list_distinct({pc})) > 2)"
+    triple = f"repeat(chr(10), 3)"
+    d8 = (
+        f"(regexp_matches({c}, ' {{20,}}') OR "
+        f"(length({c}) - length(replace({c}, {triple}, ''))) / 3 > 5)"
+    )
+    d9 = "(" + " OR ".join(f"contains({c}, {_sq(m)})" for m in ENCODING_ERROR_MARKERS) + ")"
+    punct = rf"len(regexp_extract_all({c}, '[.,!?;:]'))"
+    d10 = (
+        f"({word_count_sql(c)} >= 50 AND ({punct})::double "
+        f"< ({word_count_sql(c)})::double / 30.0)"
+    )
+    return dict(zip(PROBLEM_LABELS, (d1, d2, d3, d4, d5, d6, d7, d8, d9, d10)))
+
+
+def problems_list_sql(c: str) -> str:
+    """array<label> of fired checks in reference order."""
+    flags = d_flags_sql(c)
+    elems = ", ".join(
+        f"CASE WHEN {expr} THEN {_sq(label)} END" for label, expr in flags.items()
+    )
+    return f"list_filter([{elems}], x -> x IS NOT NULL)"
+
+
+# Routing --------------------------------------------------------------
+
+
+def _any_kw(q: str, kws) -> str:
+    return "(" + " OR ".join(f"contains({q}, {_sq(k)})" for k in kws) + ")"
+
+
+def route_sql(qexpr: str) -> str:
+    """workflow_router.py:68-128 priority chain."""
+    q = f"lower(coalesce({qexpr}, ''))"
+    return (
+        "(CASE"
+        f" WHEN {_any_kw(q, TEXT_EXTRACTION_KEYWORDS)} THEN {_sq(WF_TEXT)}"
+        f" WHEN {_any_kw(q, AZURE_DI_KEYWORDS)} THEN {_sq(WF_AZURE)}"
+        f" WHEN {_any_kw(q, OCR_KEYWORDS)} THEN {_sq(WF_OCR)}"
+        f" WHEN {_any_kw(q, GEMINI_KEYWORDS)} THEN {_sq(WF_GEMINI)}"
+        f" ELSE {_sq(WF_MISTRAL)} END)"
+    )
+
+
+def routed_query_sql(doc: str, text: str) -> str:
+    organic = f"array_to_string(list_slice(str_split({text}, ' '), 1, 6), ' ')"
+    whens = "".join(
+        f" WHEN {i} THEN {_sq(t)}" for i, t in enumerate(ROUTE_TEMPLATES)
+    )
+    return f"(CASE ({doc} % 6){whens} ELSE {organic} END)"
+
+
+def _case_map(key: str, mapping: dict[str, str], default: str = "NULL") -> str:
+    whens = "".join(
+        f" WHEN {key} = {_sq(k)} THEN {_sq(v)}" for k, v in mapping.items()
+    )
+    return f"(CASE{whens} ELSE {default} END)"
+
+
+# Similarity -----------------------------------------------------------
+
+
+def _count_in(arr: str, k: str = "k") -> str:
+    return f"len(list_filter({arr}, x -> x = {k}))::double"
+
+
+def cosine_multiset_sql(a: str, b: str) -> str:
+    """Counter-cosine over two list columns (names, not expressions —
+    wrap inputs in a CTE first). similarity_calculator.py:227-258."""
+    dot = (
+        f"list_sum(list_transform(list_distinct(list_concat({a}, {b})), "
+        f"k -> {_count_in(a)} * {_count_in(b)}))"
+    )
+    mag = lambda v: (
+        f"sqrt(list_sum(list_transform(list_distinct({v}), "
+        f"k -> {_count_in(v)} * {_count_in(v)})))"
+    )
+    return (
+        f"(CASE WHEN {mag(a)} * {mag(b)} = 0 THEN 0.0 "
+        f"ELSE {dot} / ({mag(a)} * {mag(b)}) END)"
+    )
+
+
+def _guarded_sim(a: str, b: str, core: str) -> str:
+    return (
+        f"(CASE WHEN len({a}) = 0 AND len({b}) = 0 THEN 1.0 "
+        f"WHEN len({a}) = 0 OR len({b}) = 0 THEN 0.0 "
+        f"ELSE {core} END)"
+    )
+
+
+def number_frequency_sim_sql(na: str, nb: str) -> str:
+    return _guarded_sim(na, nb, cosine_multiset_sql(na, nb))
+
+
+def word_overlap_sim_sql(ta: str, tb: str) -> str:
+    """Jaccard over two already-distinct term lists."""
+    core = (
+        f"len(list_filter({ta}, x -> list_contains({tb}, x)))::double / "
+        f"len(list_distinct(list_concat({ta}, {tb})))::double"
+    )
+    return _guarded_sim(ta, tb, core)
+
+
+def levenshtein_sim_sql(na: str, nb: str) -> str:
+    """Over comparison-normalized, 10k-truncated columns na/nb."""
+    return (
+        f"(CASE WHEN {na} = {nb} THEN 1.0 "
+        f"WHEN length({na}) = 0 OR length({nb}) = 0 THEN 0.0 "
+        f"ELSE 1.0 - levenshtein({na}, {nb})::double / "
+        f"greatest(length({na}), length({nb}))::double END)"
+    )
+
+
+# Embedded OCR stand-in ------------------------------------------------
+
+
+def fake_ocr_sql(provider: str, ref: str) -> str:
+    """operators/ocr.py fake_ocr_text mirror (md5-quad values)."""
+    h = f"md5({provider} || ':' || {ref})"
+    num = lambda i: f"(('0x' || substr({h}, {1 + 4 * i}, 4))::int)::varchar"
+    return (
+        f"('Extracted by ' || {provider} || ' ocr engine from ' || {ref} || "
+        f"'. The image region reports values ' || {num(0)} || ', ' || {num(1)} || "
+        f"', ' || {num(2)} || ' and ' || {num(3)} || "
+        "'. Confidence stays high for every block detected in this scan.')"
+    )
+
+
+# --------------------------------------------------- spansify CTE chain
+
+
+def spansify_cte(words_per_span: int = 40, mega_every: int = 211, mega_factor: int = 25) -> str:
+    """CTEs producing ``sp(doc_id, offset, kind, text, media_ref)`` and
+    ``docq(doc_id, query)`` — datagen.spansify_documents mirror."""
+    organic4 = "array_to_string(list_slice(str_split(d.text, ' '), 1, 4), ' ')"
+    q_whens = "".join(
+        f" WHEN {i + 1} THEN {_sq(t)}"
+        for i, t in enumerate(
+            (
+                "extract data",
+                "plain text only",
+                "smart tables and layout",
+                "scanned charts",
+                "high quality extraction",
+            )
+        )
+    )
+    wps = words_per_span
+    return f"""
+rep AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % {mega_every} = 0
+              THEN flatten(list_transform(range({mega_factor}), r -> str_split(text, ' ')))
+              ELSE str_split(text, ' ') END AS t
+  FROM documents
+),
+spanidx AS (
+  SELECT doc_id, t,
+         unnest(range(greatest(ceil(len(t) / {wps}.0)::int, 1))) AS i
+  FROM rep
+),
+sp AS (
+  SELECT doc_id, i::int AS "offset",
+    CASE ((doc_id * 7 + i) % 9)
+      WHEN 3 THEN 'image' WHEN 7 THEN 'table' ELSE 'text' END AS kind,
+    CASE ((doc_id * 7 + i) % 9)
+      WHEN 3 THEN ''
+      WHEN 7 THEN 'TABLE 1:' || {NL} || array_to_string(list_slice(t, i*{wps}+1, i*{wps}+{wps}), ' | ')
+      ELSE array_to_string(list_slice(t, i*{wps}+1, i*{wps}+{wps}), ' ') END AS text,
+    CASE WHEN ((doc_id * 7 + i) % 9) = 3
+         THEN 'm-' || doc_id::varchar || '-' || i::varchar ELSE '' END AS media_ref
+  FROM spanidx
+),
+docq AS (
+  SELECT doc_id,
+         (CASE ((doc_id % 7) + 1){q_whens}
+               WHEN 6 THEN {organic4}
+               ELSE '' END) AS query
+  FROM documents d
+)"""
+
+
+def extracted_cte(provider_expr: str = "provider") -> str:
+    """CTEs ``routed`` (doc_id, workflow, provider, secondary) and
+    ``ext`` (extracted span rows under the primary provider)."""
+    wf = route_sql("q.query")
+    pmap = _case_map("workflow", PRIMARY_PROVIDER)
+    smap = _case_map("workflow", SECONDARY_PROVIDER)
+    media_fill = (
+        "CASE WHEN sp.kind IN ('image', 'page') THEN "
+        "  CASE WHEN r.{col} = 'pdfplumber' THEN '' "
+        f"       ELSE {fake_ocr_sql('r.{col}', 'sp.media_ref')} END "
+        "ELSE sp.text END"
+    )
+    return f"""
+routed AS (
+  SELECT q.doc_id, {wf} AS workflow FROM docq q
+),
+prov AS (
+  SELECT doc_id, workflow, {pmap} AS provider, {smap} AS secondary
+  FROM routed
+),
+ext AS (
+  SELECT sp.doc_id, sp."offset", sp.kind, sp.media_ref,
+         {media_fill.format(col='provider')} AS text,
+         {media_fill.format(col='secondary')} AS sec_text
+  FROM sp JOIN prov r ON r.doc_id = sp.doc_id
+)"""
+
+
+# ------------------------------------------------------- query oracles
+
+
+def sql_normalize() -> str:
+    return f"SELECT doc_id, {norm_sql('text')} AS norm FROM documents"
+
+
+def sql_extract_numbers() -> str:
+    nums = numbers_sql(numeric_text_sql("doc_id", "text"))
+    return (
+        f"SELECT doc_id, len({nums})::bigint AS n_numbers, "
+        f"round(coalesce(list_sum({nums}), 0.0), 3) AS total FROM documents"
+    )
+
+
+def sql_key_term_freq() -> str:
+    return (
+        "SELECT term, count(*)::bigint AS n_docs FROM ("
+        f"SELECT doc_id, unnest({key_terms_sql('text')}) AS term FROM documents"
+        ") GROUP BY term"
+    )
+
+
+def sql_word_frequency() -> str:
+    return (
+        "SELECT doc_id, term, count(*)::bigint AS n FROM ("
+        f"SELECT doc_id, unnest({tokens_sql('text', 3)}) AS term FROM documents"
+        ") GROUP BY doc_id, term"
+    )
+
+
+def sql_problem_flags() -> str:
+    v = variant_text_sql("doc_id", "text")
+    flags = d_flags_sql("v")
+    cols = ", ".join(f"{expr} AS {label}" for label, expr in flags.items())
+    return (
+        f"WITH vt AS (SELECT doc_id, {v} AS v FROM documents) "
+        f"SELECT doc_id, {cols} FROM vt"
+    )
+
+
+def sql_problems_rollup() -> str:
+    v = variant_text_sql("doc_id", "text")
+    return (
+        f"WITH vt AS (SELECT doc_id, {v} AS v FROM documents) "
+        f"SELECT label, count(*)::bigint AS n_docs FROM ("
+        f"SELECT unnest({problems_list_sql('v')}) AS label FROM vt"
+        ") GROUP BY label"
+    )
+
+
+def sql_similarity_pairs() -> str:
+    ta = numeric_text_sql("a.doc_id", "a.text")
+    tb = numeric_text_sql("b.doc_id", "b.text")
+    lev_trunc = lambda c: f"substr({normalize_for_comparison_sql(c)}, 1, 10000)"
+    return f"""
+WITH pairs AS (
+  SELECT a.doc_id AS doc_id,
+         {numbers_sql(ta)} AS na, {numbers_sql(tb)} AS nb,
+         {key_terms_sql(ta)} AS ka, {key_terms_sql(tb)} AS kb,
+         {tokens_sql(ta, 3)} AS fa, {tokens_sql(tb, 3)} AS fb,
+         {lev_trunc(ta)} AS la, {lev_trunc(tb)} AS lb
+  FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
+)
+SELECT doc_id,
+  round({number_frequency_sim_sql('na', 'nb')}, 6) AS sim_number,
+  round({word_overlap_sim_sql('ka', 'kb')}, 6) AS sim_overlap,
+  round({_guarded_sim('fa', 'fb', cosine_multiset_sql('fa', 'fb'))}, 6) AS sim_cosine,
+  round({levenshtein_sim_sql('la', 'lb')}, 6) AS sim_levenshtein
+FROM pairs"""
+
+
+def sql_routing() -> str:
+    q = routed_query_sql("doc_id", "text")
+    return (
+        f"WITH r AS (SELECT doc_id, {q} AS query FROM documents) "
+        f"SELECT doc_id, query, {route_sql('query')} AS workflow FROM r"
+    )
+
+
+def sql_workflow_counts() -> str:
+    return (
+        f"SELECT workflow, count(*)::bigint AS n_docs FROM ({sql_routing()}) "
+        "GROUP BY workflow"
+    )
+
+
+def sql_spansify_stats() -> str:
+    return f"""
+WITH {spansify_cte()}
+SELECT doc_id,
+       count(*)::bigint AS n_spans,
+       count(*) FILTER (WHERE kind = 'image')::bigint AS n_images,
+       count(*) FILTER (WHERE kind = 'table')::bigint AS n_tables,
+       md5(string_agg(text, {SEP} ORDER BY "offset")) AS content_md5
+FROM sp GROUP BY doc_id"""
+
+
+def sql_extract_content() -> str:
+    return f"""
+WITH {spansify_cte()}, {extracted_cte()}
+SELECT e.doc_id, r.workflow, r.provider,
+       md5(string_agg(e.text, {SEP} ORDER BY e."offset")) AS content_md5,
+       count(*)::bigint AS pages
+FROM ext e JOIN prov r ON r.doc_id = e.doc_id
+GROUP BY e.doc_id, r.workflow, r.provider"""
+
+
+def sql_span_problems() -> str:
+    return f"""
+WITH {spansify_cte()}, {extracted_cte()}
+SELECT doc_id, "offset"::bigint AS "offset", unnest({problems_list_sql('text')}) AS label
+FROM ext"""
+
+
+def sql_validation_decision() -> str:
+    validating = ", ".join(_sq(w) for w in VALIDATING_WORKFLOWS)
+    any_problem = "(" + " OR ".join(d_flags_sql("e.text").values()) + ")"
+    return f"""
+WITH {spansify_cte()}, {extracted_cte()},
+contents AS (
+  SELECT e.doc_id,
+         string_agg(e.text, {SEP} ORDER BY e."offset") AS pc,
+         string_agg(e.sec_text, {SEP} ORDER BY e."offset") AS sc,
+         bool_or({any_problem}) AS has_problems
+  FROM ext e GROUP BY e.doc_id
+),
+decided AS (
+  SELECT c.doc_id, r.workflow,
+         (r.workflow IN ({validating})) AS validating,
+         c.has_problems,
+         CASE WHEN r.workflow IN ({validating}) AND NOT c.has_problems
+              THEN {number_frequency_sim_sql(numbers_sql('c.pc'), numbers_sql('c.sc'))}
+         END AS sim
+  FROM contents c JOIN prov r ON r.doc_id = c.doc_id
+)
+SELECT doc_id, workflow,
+  coalesce(validating AND (has_problems OR sim < {SIMILARITY_THRESHOLD}), FALSE)
+    AS used_secondary,
+  CASE WHEN validating AND has_problems THEN 'quality_issues'
+       WHEN validating AND sim < {SIMILARITY_THRESHOLD} THEN 'low_similarity'
+  END AS reason,
+  round(sim, 6) AS similarity
+FROM decided"""
+
+
+# Registry used by __spark_entry__.oracle_sql() ------------------------
+
+ORACLES: dict[str, str | None] = {}
+
+
+def build_oracles() -> dict[str, str]:
+    out = {
+        "normalize": sql_normalize(),
+        "extract_numbers": sql_extract_numbers(),
+        "key_term_freq": sql_key_term_freq(),
+        "word_frequency": sql_word_frequency(),
+        "problem_flags": sql_problem_flags(),
+        "problems_rollup": sql_problems_rollup(),
+        "similarity_pairs": sql_similarity_pairs(),
+        "routing": sql_routing(),
+        "workflow_counts": sql_workflow_counts(),
+        "spansify_stats": sql_spansify_stats(),
+        "extract_content": sql_extract_content(),
+        "span_problems": sql_span_problems(),
+        "validation_decision": sql_validation_decision(),
+        # pipeline_extract: intentionally absent → rows-only check
+        # (full-value parity is pytest's span-sequence oracle).
+    }
+    return out
