@@ -49,6 +49,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "span_problems": q.q_span_problems,
         "validation_decision": q.q_validation_decision,
         "pipeline_extract": q.q_pipeline_extract,
+        # training-data pipeline operators (analysis subpackage)
+        "dedup_exact": q.q_dedup_exact,
+        "dedup_minhash": q.q_dedup_minhash,
+        "dedup_lsh_pairs": q.q_dedup_lsh_pairs,
+        "dedup_simhash": q.q_dedup_simhash,
+        "ngram_jaccard": q.q_ngram_jaccard,
+        "ann_topk": q.q_ann_topk,
+        "ann_lsh_topk": q.q_ann_lsh_topk,
+        "embedding_neardup": q.q_embedding_neardup,
+        "lang_id": q.q_lang_id,
+        "token_counts": q.q_token_counts,
+        "quality_scores": q.q_quality_scores,
+        "fingerprints": q.q_fingerprints,
+        "media_meta": q.q_media_meta,
     }
     return out
 

@@ -1,0 +1,151 @@
+"""Similarity search over the embeddings table.
+
+Two paths:
+- ``brute_force_topk`` — exact cosine top-k: broadcast the (small)
+  query set against the full corpus, rank per query. The broadcast
+  join means NO shuffle of the big side — each executor scans its
+  embedding partitions once; only the k winners per query shuffle for
+  the final rank. This is the correct baseline shape at any scale
+  where |queries| ≪ |corpus|.
+- ``lsh_bucketed_topk`` — approximate: 16 deterministic integer
+  hyperplanes → sign-bit bucket; candidates share the query's bucket,
+  so the scan cost drops from O(n) to O(n / 2^16 · skew) per query.
+  Hyperplane weights are md5-derived integer literals baked into the
+  plan (and into the DuckDB oracle) — no per-row hashing.
+
+All arithmetic is double-precision with a fixed fold order, so Spark
+and DuckDB agree bit-for-bit before the final round(…, 6).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+N_PLANES = 8  # 256 buckets — sized so sf-scale corpora keep bucket-mates;
+              # at 10^12 vectors you'd raise this (or go multi-probe IVF)
+DEFAULT_K = 5
+QUERY_EVERY = 50  # vec_id % QUERY_EVERY == 0 → query point
+
+
+def hyperplane_weights(n_planes: int = N_PLANES, dims: int = 64) -> list[list[int]]:
+    """Deterministic integer hyperplanes: w[p][j] = md5-derived int in
+    [-32768, 32767]. Pure function of (p, j) — identical in the SQL
+    oracle."""
+    return [
+        [
+            int(hashlib.md5(f"{p}:{j}".encode()).hexdigest()[:4], 16) - 32768
+            for j in range(dims)
+        ]
+        for p in range(n_planes)
+    ]
+
+
+def _vecd(col) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.transform(c, lambda x: x.cast("double"))
+
+
+def dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    na, nb = F.sqrt(dot(a, a)), F.sqrt(dot(b, b))
+    return F.when(na * nb == 0, F.lit(0.0)).otherwise(dot(a, b) / (na * nb))
+
+
+def sign_bucket(vec: Column, weights: list[list[int]]) -> Column:
+    """Bit-string bucket: bit p = sign of <w_p, vec>."""
+    bits = []
+    for row in weights:
+        w = F.array(*[F.lit(v) for v in row])
+        proj = F.aggregate(
+            F.zip_with(vec, w, lambda x, wv: x * wv.cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        bits.append(F.when(proj > 0, F.lit("1")).otherwise(F.lit("0")))
+    return F.concat(*bits)
+
+
+def _load(spark, sf_dir: str) -> DataFrame:
+    df = spark.read.parquet(f"{sf_dir.rstrip('/')}/embeddings.parquet")
+    return df.select("vec_id", _vecd("embedding").alias("v")).repartition(
+        spark.sparkContext.defaultParallelism * 2, "vec_id"
+    )
+
+
+def brute_force_topk(
+    spark, sf_dir: str, k: int = DEFAULT_K, query_every: int = QUERY_EVERY
+) -> DataFrame:
+    """Exact cosine top-k per query vector (self excluded)."""
+    corpus = _load(spark, sf_dir)
+    queries = corpus.filter(F.col("vec_id") % query_every == 0).select(
+        F.col("vec_id").alias("q_id"), F.col("v").alias("qv")
+    )
+    scored = corpus.join(F.broadcast(queries)).filter(
+        F.col("vec_id") != F.col("q_id")
+    )
+    scored = scored.select(
+        "q_id",
+        F.col("vec_id").alias("neighbor_id"),
+        F.round(cosine(F.col("qv"), F.col("v")), 6).alias("cos"),
+    )
+    w = Window.partitionBy("q_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "rank", "neighbor_id", "cos")
+    )
+
+
+def lsh_bucketed_topk(
+    spark, sf_dir: str, k: int = DEFAULT_K, query_every: int = QUERY_EVERY
+) -> DataFrame:
+    """Approximate top-k: rank only candidates sharing the query's
+    hyperplane sign bucket. May return < k rows per query (sparse
+    buckets) — the documented recall/cost trade."""
+    weights = hyperplane_weights()
+    corpus = _load(spark, sf_dir).withColumn(
+        "bucket", sign_bucket(F.col("v"), weights)
+    )
+    queries = corpus.filter(F.col("vec_id") % query_every == 0).select(
+        F.col("vec_id").alias("q_id"), F.col("v").alias("qv"),
+        F.col("bucket").alias("qb"),
+    )
+    cand = corpus.join(
+        F.broadcast(queries), F.col("bucket") == F.col("qb")
+    ).filter(F.col("vec_id") != F.col("q_id"))
+    scored = cand.select(
+        "q_id",
+        F.col("vec_id").alias("neighbor_id"),
+        F.round(cosine(F.col("qv"), F.col("v")), 6).alias("cos"),
+    )
+    w = Window.partitionBy("q_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "rank", "neighbor_id", "cos")
+    )
+
+
+def neardup_pairs(spark, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup scan over consecutive vec_id pairs
+    (the cheap deterministic probe; bucketed variants handle scale)."""
+    e = _load(spark, sf_dir)
+    a = e.select(F.col("vec_id"), F.col("v").alias("va"))
+    b = e.select((F.col("vec_id") - 1).alias("vec_id"), F.col("v").alias("vb"))
+    j = a.join(b, "vec_id")
+    cos = F.round(cosine(F.col("va"), F.col("vb")), 6)
+    return j.select(
+        "vec_id", cos.alias("cos"), (cos >= 0.9).alias("is_neardup")
+    )

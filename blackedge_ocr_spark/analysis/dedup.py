@@ -1,0 +1,214 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram
+Jaccard.
+
+Scale shape:
+- exact dedup = one hash aggregation on md5(normalized text) — the
+  map-side partial agg collapses all duplicates before the shuffle,
+  so reduce-side traffic is O(distinct docs).
+- MinHash/LSH = per-row signature (no shuffle) → explode bands →
+  self-join on (band, key). The band join touches only docs sharing a
+  bucket — the classic sub-quadratic near-dup pattern that survives
+  10^12 docs, vs the O(n²) all-pairs scan that does not.
+- SimHash = Arrow-batched pandas UDF (numpy bit-unpack over token
+  md5s) — genuinely custom bit math, the documented UDF slow-path
+  exception; tokenization stays JVM-side.
+
+Deterministic hashing only (md5); no RNG, no wall clock.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from blackedge_ocr_spark.functions.text import normalize_for_comparison, tokens
+
+MINHASH_K = 12          # hash functions in the MinHash signature
+LSH_ROWS_PER_BAND = 3   # → 4 bands; P(candidate) = 1-(1-j^3)^4
+SHINGLE_N = 3           # word-shingle width
+
+
+def word_shingles(col, n: int = SHINGLE_N) -> Column:
+    """Overlapping n-word shingles of the normalized token stream.
+    Docs shorter than n tokens yield their full token join (one
+    shingle), so tiny docs still dedupe."""
+    toks = tokens(col)
+    joined = F.array_join(toks, " ")
+    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
+    sh = F.transform(idx, lambda i: F.array_join(F.slice(toks, i + 1, n), " "))
+    return F.when(F.size(toks) > 0, F.array_distinct(sh)).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def minhash_signature(shingles: Column, k: int = MINHASH_K) -> Column:
+    """k-wide MinHash signature: per hash function i, the lexicographic
+    min of md5(i + ':' + shingle). String-min md5 is engine-portable
+    (identical in DuckDB) and as collision-resistant as int-min."""
+    def _min_hash(i: int) -> Column:
+        prefix = f"{i}:"
+        # NB: the transform lambda must stay single-arg — a second
+        # parameter would be bound to the array index by PySpark.
+        return F.array_min(
+            F.transform(shingles, lambda s: F.md5(F.concat(F.lit(prefix), s)))
+        )
+
+    return F.array(*[_min_hash(i) for i in range(k)])
+
+
+def lsh_band_keys(sig: Column, rows_per_band: int = LSH_ROWS_PER_BAND) -> Column:
+    """array<struct<band:int, key:string>> — md5 of each signature
+    slice; docs agreeing on any band become candidates."""
+    n_bands = MINHASH_K // rows_per_band
+    bands = []
+    for b in range(n_bands):
+        parts = [sig[b * rows_per_band + r] for r in range(rows_per_band)]
+        bands.append(
+            F.struct(
+                F.lit(b).alias("band"), F.md5(F.concat(*parts)).alias("key")
+            )
+        )
+    return F.array(*bands)
+
+
+def jaccard(a: Column, b: Column) -> Column:
+    """Set Jaccard of two distinct-element arrays; 1.0 when both empty."""
+    inter = F.size(F.array_intersect(a, b)).cast("double")
+    union = F.size(F.array_union(a, b)).cast("double")
+    return (
+        F.when((F.size(a) == 0) & (F.size(b) == 0), F.lit(1.0))
+        .when(union == 0, F.lit(0.0))
+        .otherwise(inter / union)
+    )
+
+
+def with_dup_injection(docs: DataFrame, every: int = 10, id_offset: int = 1_000_000) -> DataFrame:
+    """Corpus + exact copies of every ``every``-th doc under a shifted
+    doc_id — a deterministic duplicate stratum so dedup queries have
+    true positives to find (the driver corpus is all-distinct)."""
+    dups = docs.filter(F.col("doc_id") % every == 0).withColumn(
+        "doc_id", F.col("doc_id") + id_offset
+    )
+    return docs.unionByName(dups)
+
+
+def exact_duplicates(docs: DataFrame) -> DataFrame:
+    """Group by md5 of the comparison-normalized text: one row per
+    distinct content with the keeper (min doc_id) and the group size."""
+    h = F.md5(normalize_for_comparison(F.col("text")))
+    return (
+        docs.select(F.col("doc_id"), h.alias("content_hash"))
+        .groupBy("content_hash")
+        .agg(
+            F.min("doc_id").alias("keep_doc_id"),
+            F.count("*").alias("n_docs"),
+        )
+    )
+
+
+def lsh_candidate_pairs(docs: DataFrame, min_jaccard: float = 0.5) -> DataFrame:
+    """MinHash-LSH near-duplicate pairs: signature → band buckets →
+    self-join within bucket → verify true shingle Jaccard.
+
+    The self-join shuffles on (band, key) — tiny keys, heavily
+    combinable — and only bucket-mates meet, so cost tracks the number
+    of near-dups, not n²."""
+    sh = docs.select(
+        "doc_id", word_shingles(F.col("text")).alias("shingles")
+    )
+    sig = sh.select(
+        "doc_id", "shingles", minhash_signature(F.col("shingles")).alias("sig")
+    )
+    banded = sig.select(
+        "doc_id", "shingles", F.explode(lsh_band_keys(F.col("sig"))).alias("bk")
+    ).select("doc_id", "shingles", "bk.band", "bk.key")
+
+    a = banded.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("shingles").alias("sh_a"),
+        "band",
+        "key",
+    )
+    b = banded.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("shingles").alias("sh_b"),
+        "band",
+        "key",
+    )
+    pairs = (
+        a.join(b, ["band", "key"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "sh_a", "sh_b")
+        .distinct()
+    )
+    return pairs.select(
+        "doc_a",
+        "doc_b",
+        F.round(jaccard(F.col("sh_a"), F.col("sh_b")), 6).alias("jaccard"),
+    ).filter(F.col("jaccard") >= min_jaccard)
+
+
+def ngram_jaccard_pairs(docs: DataFrame) -> DataFrame:
+    """Exact shingle Jaccard over consecutive-id pairs — the direct
+    (non-LSH) near-dup measure, used as the LSH ground truth."""
+    a = docs.select(
+        F.col("doc_id"), word_shingles(F.col("text")).alias("sh_a")
+    )
+    b = docs.select(
+        (F.col("doc_id") - 1).alias("doc_id"),
+        word_shingles(F.col("text")).alias("sh_b"),
+    )
+    return (
+        a.join(b, "doc_id")
+        .select(
+            "doc_id", F.round(jaccard(F.col("sh_a"), F.col("sh_b")), 6).alias("jaccard")
+        )
+    )
+
+
+# ----------------------------------------------------------- SimHash
+
+_SIMHASH_RET = T.StringType()
+
+
+@F.pandas_udf(_SIMHASH_RET)
+def simhash64(token_arrays: pd.Series) -> pd.Series:
+    """64-bit SimHash over a token array column, returned as a 64-char
+    '0'/'1' string (engine-portable representation).
+
+    Bit b of md5(token) = bit (3 - b%4) of hex digit b//4 — the same
+    mapping the DuckDB oracle computes digit-wise. Vectorized: one
+    numpy unpackbits per Arrow batch row."""
+    out = []
+    for toks in token_arrays:
+        toks = list(toks) if toks is not None else []
+        if not toks:
+            out.append("0" * 64)
+            continue
+        hs = np.array(
+            [
+                int(hashlib.md5(t.encode("utf-8")).hexdigest()[:16], 16)
+                for t in toks
+            ],
+            dtype=np.uint64,
+        )
+        bits = (
+            np.unpackbits(hs.view(np.uint8).reshape(-1, 8)[:, ::-1], axis=1)
+            .astype(np.int32)
+        )
+        sums = (2 * bits - 1).sum(axis=0)
+        out.append("".join("1" if s > 0 else "0" for s in sums))
+    return pd.Series(out)
+
+
+def simhash_signatures(docs: DataFrame) -> DataFrame:
+    """doc_id + 64-bit SimHash bit-string (tokens JVM-side, bit math
+    in the Arrow-batched UDF)."""
+    return docs.select(
+        "doc_id", simhash64(tokens(F.col("text"))).alias("simhash")
+    )

@@ -1,0 +1,120 @@
+"""Text-analysis operators: language ID, quality scoring, token
+counting, document fingerprinting.
+
+All pure built-in projections (whole-stage codegen, zero shuffle,
+embarrassingly parallel at any scale); every constant is shared with
+the DuckDB oracle generator.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from blackedge_ocr_spark.functions.text import normalize_text, tokens
+
+# Stopword profiles for the n-gram/stopword language heuristic.
+# Priority order breaks score ties (first strictly-greater wins).
+LANG_PROFILES: tuple[tuple[str, tuple[str, ...]], ...] = (
+    ("en", ("the", "a", "and", "of", "to", "is", "in")),
+    ("de", ("der", "die", "das", "und", "ist", "ein")),
+    ("es", ("el", "la", "los", "y", "es", "un")),
+    ("fr", ("le", "la", "les", "et", "est", "un")),
+)
+UNKNOWN_LANG = "und"
+
+# BPE-ish pre-tokenizer: letter runs, digit runs, single punctuation.
+BPE_PATTERN = r"[a-z]+|[0-9]+|[^a-z0-9\s]"
+
+FP_WINDOW = 16  # fingerprint shingle width (chars)
+FP_STRIDE = 8
+
+
+def _stop_count(toks: Column, words: tuple[str, ...]) -> Column:
+    arr = F.array(*[F.lit(w) for w in words])
+    return F.size(F.filter(toks, lambda t: F.array_contains(arr, t)))
+
+
+def lang_scores(col) -> list[tuple[str, Column]]:
+    toks = tokens(col)
+    return [(lang, _stop_count(toks, ws)) for lang, ws in LANG_PROFILES]
+
+
+def predict_lang(col) -> Column:
+    """argmax of stopword hits, profile priority order breaking ties
+    (a when-chain: the first profile whose score is positive and >=
+    every other wins); all-zero → 'und'."""
+    scores = lang_scores(col)
+    out = None
+    for i, (lang, s) in enumerate(scores):
+        cond = s > 0
+        for j, (_, o) in enumerate(scores):
+            if j != i:
+                cond = cond & (s >= o)
+        out = F.when(cond, F.lit(lang)) if out is None else out.when(cond, F.lit(lang))
+    return out.otherwise(F.lit(UNKNOWN_LANG))
+
+
+def language_id(docs: DataFrame) -> DataFrame:
+    return docs.select(
+        "doc_id", predict_lang(F.col("text")).alias("predicted_lang")
+    )
+
+
+def token_counts(docs: DataFrame) -> DataFrame:
+    """Whitespace tokens vs BPE-ish pre-tokens per doc."""
+    norm = normalize_text(F.col("text"))
+    ws = F.size(F.split(norm, " ", -1)).cast("long")
+    bpe = F.size(F.regexp_extract_all(norm, F.lit(BPE_PATTERN), 0)).cast("long")
+    return docs.select(
+        "doc_id",
+        F.when(F.length(norm) == 0, F.lit(0)).otherwise(ws).alias("ws_tokens"),
+        bpe.alias("bpe_tokens"),
+    )
+
+
+def quality_scores(docs: DataFrame) -> DataFrame:
+    """Length / word-shape / stopword quality score in [0, 1]:
+    0.5·min(words/50, 1) + 0.3·stopword_ratio + 0.2·min(mean_len/8, 1)."""
+    toks = tokens(F.col("text"))
+    n_words = F.size(toks)
+    stop = _stop_count(toks, LANG_PROFILES[0][1])
+    mean_len = F.when(
+        n_words > 0,
+        F.aggregate(
+            toks, F.lit(0.0), lambda acc, t: acc + F.length(t).cast("double")
+        )
+        / n_words.cast("double"),
+    ).otherwise(F.lit(0.0))
+    stop_ratio = F.when(
+        n_words > 0, stop.cast("double") / n_words.cast("double")
+    ).otherwise(F.lit(0.0))
+    score = (
+        0.5 * F.least(n_words.cast("double") / 50.0, F.lit(1.0))
+        + 0.3 * stop_ratio
+        + 0.2 * F.least(mean_len / 8.0, F.lit(1.0))
+    )
+    return docs.select(
+        "doc_id",
+        n_words.cast("long").alias("n_words"),
+        F.round(mean_len, 6).alias("mean_word_len"),
+        F.round(stop_ratio, 6).alias("stopword_ratio"),
+        F.round(score, 6).alias("quality"),
+    )
+
+
+def fingerprints(docs: DataFrame) -> DataFrame:
+    """Rolling-hash document fingerprint: min md5 over char
+    FP_WINDOW-grams at FP_STRIDE over the normalized text (winnowing
+    with a single global window — order-free, engine-portable)."""
+    norm = normalize_text(F.col("text"))
+    n_win = F.greatest(
+        F.ceil((F.length(norm) - F.lit(FP_WINDOW)) / F.lit(FP_STRIDE)).cast("int")
+        + 1,
+        F.lit(1),
+    )
+    hashes = F.transform(
+        F.sequence(F.lit(0), n_win - 1),
+        lambda i: F.md5(F.substring(norm, i * FP_STRIDE + 1, FP_WINDOW)),
+    )
+    return docs.select("doc_id", F.array_min(hashes).alias("fingerprint"))

@@ -320,3 +320,110 @@ def q_pipeline_extract(spark, sf_dir) -> DataFrame:
     check; full-value parity is pytest's span-sequence oracle)."""
     d = spansify_documents(spark, sf_dir)
     return extract_documents(d, query_col="query", enable_validation=True)
+
+
+# ---------------------------------------------------------------------
+# Training-data pipeline operators (analysis subpackage)
+# ---------------------------------------------------------------------
+
+
+def q_dedup_exact(spark, sf_dir) -> DataFrame:
+    """Exact dedup over the corpus + injected duplicate stratum."""
+    from blackedge_ocr_spark.analysis import dedup
+
+    corpus = dedup.with_dup_injection(
+        _docs(spark, sf_dir).select("doc_id", "text")
+    )
+    return dedup.exact_duplicates(corpus)
+
+
+def q_dedup_minhash(spark, sf_dir) -> DataFrame:
+    """Per-doc MinHash signature (compared as md5 of the signature)."""
+    from blackedge_ocr_spark.analysis import dedup
+
+    d = _docs(spark, sf_dir)
+    sh = dedup.word_shingles(F.col("text"))
+    sig = dedup.minhash_signature(sh)
+    return d.select(
+        "doc_id", F.md5(F.concat_ws("|", sig)).alias("sig_md5")
+    )
+
+
+def q_dedup_lsh_pairs(spark, sf_dir) -> DataFrame:
+    """MinHash-LSH candidate pairs with verified Jaccard >= 0.5."""
+    from blackedge_ocr_spark.analysis import dedup
+
+    corpus = dedup.with_dup_injection(
+        _docs(spark, sf_dir).select("doc_id", "text")
+    )
+    return dedup.lsh_candidate_pairs(corpus)
+
+
+def q_dedup_simhash(spark, sf_dir) -> DataFrame:
+    """64-bit SimHash signatures (Arrow-batched UDF)."""
+    from blackedge_ocr_spark.analysis import dedup
+
+    return dedup.simhash_signatures(_docs(spark, sf_dir))
+
+
+def q_ngram_jaccard(spark, sf_dir) -> DataFrame:
+    """Exact 3-gram shingle Jaccard over consecutive-id pairs."""
+    from blackedge_ocr_spark.analysis import dedup
+
+    return dedup.ngram_jaccard_pairs(_docs(spark, sf_dir))
+
+
+def q_ann_topk(spark, sf_dir) -> DataFrame:
+    """Brute-force cosine top-5 per query vector (broadcast join)."""
+    from blackedge_ocr_spark.analysis import ann
+
+    r = ann.brute_force_topk(spark, sf_dir)
+    return r.select("q_id", F.col("rank").cast("long").alias("rank"),
+                    "neighbor_id", "cos")
+
+
+def q_ann_lsh_topk(spark, sf_dir) -> DataFrame:
+    """Hyperplane-LSH bucketed approximate top-5."""
+    from blackedge_ocr_spark.analysis import ann
+
+    r = ann.lsh_bucketed_topk(spark, sf_dir)
+    return r.select("q_id", F.col("rank").cast("long").alias("rank"),
+                    "neighbor_id", "cos")
+
+
+def q_embedding_neardup(spark, sf_dir) -> DataFrame:
+    """Embedding-cosine near-dup probe over consecutive pairs."""
+    from blackedge_ocr_spark.analysis import ann
+
+    return ann.neardup_pairs(spark, sf_dir)
+
+
+def q_lang_id(spark, sf_dir) -> DataFrame:
+    from blackedge_ocr_spark.analysis import textstats
+
+    return textstats.language_id(_docs(spark, sf_dir))
+
+
+def q_token_counts(spark, sf_dir) -> DataFrame:
+    from blackedge_ocr_spark.analysis import textstats
+
+    return textstats.token_counts(_docs(spark, sf_dir))
+
+
+def q_quality_scores(spark, sf_dir) -> DataFrame:
+    from blackedge_ocr_spark.analysis import textstats
+
+    return textstats.quality_scores(_docs(spark, sf_dir))
+
+
+def q_fingerprints(spark, sf_dir) -> DataFrame:
+    from blackedge_ocr_spark.analysis import textstats
+
+    return textstats.fingerprints(_docs(spark, sf_dir))
+
+
+def q_media_meta(spark, sf_dir) -> DataFrame:
+    """Decode-stub metadata for every media span (mapInPandas)."""
+    from blackedge_ocr_spark.analysis.media import media_metadata
+
+    return media_metadata(spansify_documents(spark, sf_dir))

@@ -541,7 +541,314 @@ def build_oracles() -> dict[str, str]:
         "extract_content": sql_extract_content(),
         "span_problems": sql_span_problems(),
         "validation_decision": sql_validation_decision(),
+        # training-data pipeline operators
+        "dedup_exact": sql_dedup_exact(),
+        "dedup_minhash": sql_dedup_minhash(),
+        "dedup_lsh_pairs": sql_dedup_lsh_pairs(),
+        "dedup_simhash": sql_dedup_simhash(),
+        "ngram_jaccard": sql_ngram_jaccard(),
+        "ann_topk": sql_ann_topk(),
+        "ann_lsh_topk": sql_ann_lsh_topk(),
+        "embedding_neardup": sql_embedding_neardup(),
+        "lang_id": sql_lang_id(),
+        "token_counts": sql_token_counts(),
+        "quality_scores": sql_quality_scores(),
+        "fingerprints": sql_fingerprints(),
+        "media_meta": sql_media_meta(),
         # pipeline_extract: intentionally absent → rows-only check
         # (full-value parity is pytest's span-sequence oracle).
     }
     return out
+
+
+# ---------------------------------------------------------------------
+# Training-data pipeline oracles (analysis subpackage mirrors)
+# ---------------------------------------------------------------------
+
+DUP_CORPUS = (
+    "corpus AS (SELECT doc_id, text FROM documents "
+    "UNION ALL SELECT doc_id + 1000000, text FROM documents "
+    "WHERE doc_id % 10 = 0)"
+)
+
+
+def shingles_sql(c: str, n: int = 3) -> str:
+    """analysis.dedup.word_shingles mirror."""
+    toks = tokens_sql(c)
+    sh = (
+        f"list_distinct(list_transform(range(greatest(len({toks}) - {n}, 0) + 1), "
+        f"i -> array_to_string(list_slice({toks}, i + 1, i + {n}), ' ')))"
+    )
+    return f"(CASE WHEN len({toks}) > 0 THEN {sh} ELSE []::varchar[] END)"
+
+
+def minhash_sig_sql(sh: str, k: int = 12) -> str:
+    """analysis.dedup.minhash_signature mirror → list<varchar>."""
+    mins = ", ".join(
+        f"list_aggregate(list_transform({sh}, s -> md5('{i}:' || s)), 'min')"
+        for i in range(k)
+    )
+    return f"[{mins}]"
+
+
+def jaccard_sql(a: str, b: str) -> str:
+    """Set Jaccard over two distinct-element lists (1.0 both empty)."""
+    inter = f"len(list_filter({a}, x -> list_contains({b}, x)))::double"
+    union = f"len(list_distinct(list_concat({a}, {b})))::double"
+    return (
+        f"(CASE WHEN len({a}) = 0 AND len({b}) = 0 THEN 1.0 "
+        f"WHEN {union} = 0 THEN 0.0 ELSE {inter} / {union} END)"
+    )
+
+
+def sql_dedup_exact() -> str:
+    h = f"md5({normalize_for_comparison_sql('text')})"
+    return (
+        f"WITH {DUP_CORPUS} "
+        f"SELECT {h} AS content_hash, min(doc_id) AS keep_doc_id, "
+        "count(*)::bigint AS n_docs FROM corpus GROUP BY 1"
+    )
+
+
+def sql_dedup_minhash() -> str:
+    sig = minhash_sig_sql(shingles_sql("text"))
+    return (
+        f"SELECT doc_id, md5(array_to_string({sig}, '|')) AS sig_md5 "
+        "FROM documents"
+    )
+
+
+def sql_dedup_lsh_pairs(rows_per_band: int = 3, k: int = 12,
+                        min_jaccard: float = 0.5) -> str:
+    n_bands = k // rows_per_band
+    band_rows = " UNION ALL ".join(
+        f"SELECT doc_id, shingles, {b} AS band, "
+        f"md5(sig[{b * rows_per_band + 1}] || sig[{b * rows_per_band + 2}] || "
+        f"sig[{b * rows_per_band + 3}]) AS key FROM sig"
+        for b in range(n_bands)
+    )
+    return f"""
+WITH {DUP_CORPUS},
+sh AS (SELECT doc_id, {shingles_sql('text')} AS shingles FROM corpus),
+sig AS (SELECT doc_id, shingles, {minhash_sig_sql('shingles')} AS sig FROM sh),
+banded AS ({band_rows}),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         a.shingles AS sh_a, b.shingles AS sh_b
+  FROM banded a JOIN banded b ON a.band = b.band AND a.key = b.key
+  WHERE a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b, round({jaccard_sql('sh_a', 'sh_b')}, 6) AS jaccard
+FROM pairs WHERE round({jaccard_sql('sh_a', 'sh_b')}, 6) >= {min_jaccard}"""
+
+
+def simhash_sql(toks: str) -> str:
+    """64-char bit string; bit b = sign of sum over token md5s of
+    ±1 per (hex digit b//4, bit 3-b%4) — dedup.simhash64 mirror."""
+    hs = f"list_transform({toks}, t -> md5(t))"
+    bits = []
+    for b in range(64):
+        d, j = b // 4, 3 - (b % 4)
+        v = f"(strpos('0123456789abcdef', substr(h, {d + 1}, 1)) - 1)"
+        contrib = f"CASE WHEN (({v} >> {j}) & 1) = 1 THEN 1 ELSE -1 END"
+        s = f"list_sum(list_transform(hs, h -> {contrib}))"
+        bits.append(f"CASE WHEN {s} > 0 THEN '1' ELSE '0' END")
+    return "(" + " || ".join(bits) + ")"
+
+
+def sql_dedup_simhash() -> str:
+    return f"""
+WITH t AS (SELECT doc_id, {tokens_sql('text')} AS toks FROM documents),
+h AS (SELECT doc_id, toks, hs FROM (SELECT doc_id, toks,
+      list_transform(toks, tk -> md5(tk)) AS hs FROM t))
+SELECT doc_id,
+  CASE WHEN len(toks) = 0 THEN repeat('0', 64) ELSE {_simhash_from_hs()} END
+  AS simhash
+FROM h"""
+
+
+def _simhash_from_hs() -> str:
+    bits = []
+    for b in range(64):
+        d, j = b // 4, 3 - (b % 4)
+        v = f"(strpos('0123456789abcdef', substr(h, {d + 1}, 1)) - 1)"
+        contrib = f"CASE WHEN (({v} >> {j}) & 1) = 1 THEN 1 ELSE -1 END"
+        s = f"list_sum(list_transform(hs, h -> {contrib}))"
+        bits.append(f"CASE WHEN {s} > 0 THEN '1' ELSE '0' END")
+    return "(" + " || ".join(bits) + ")"
+
+
+def sql_ngram_jaccard() -> str:
+    return f"""
+WITH sh AS (SELECT doc_id, {shingles_sql('text')} AS s FROM documents)
+SELECT a.doc_id AS doc_id, round({jaccard_sql('a.s', 'b.s')}, 6) AS jaccard
+FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1"""
+
+
+# --- embeddings -------------------------------------------------------
+
+
+def dot_sql(a: str, b: str) -> str:
+    return (
+        f"list_sum(list_transform(range(len({a})), "
+        f"i -> {a}[i + 1] * {b}[i + 1]))"
+    )
+
+
+def cosine_sql(a: str, b: str) -> str:
+    na, nb = f"sqrt({dot_sql(a, a)})", f"sqrt({dot_sql(b, b)})"
+    return (
+        f"(CASE WHEN {na} * {nb} = 0 THEN 0.0 "
+        f"ELSE {dot_sql(a, b)} / ({na} * {nb}) END)"
+    )
+
+
+EMB = "e AS (SELECT vec_id, list_transform(embedding, x -> x::double) AS v FROM embeddings)"
+
+
+def sql_ann_topk(k: int = 5, query_every: int = 50) -> str:
+    return f"""
+WITH {EMB},
+q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id % {query_every} = 0),
+s AS (SELECT q_id, vec_id AS neighbor_id, round({cosine_sql('qv', 'v')}, 6) AS cos
+      FROM e, q WHERE vec_id != q_id)
+SELECT q_id, rank, neighbor_id, cos FROM (
+  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, neighbor_id) AS rank
+  FROM s) WHERE rank <= {k}"""
+
+
+def sql_ann_lsh_topk(k: int = 5, query_every: int = 50) -> str:
+    from blackedge_ocr_spark.analysis.ann import hyperplane_weights
+
+    planes = hyperplane_weights()
+    bits = []
+    for row in planes:
+        w = "[" + ", ".join(str(x) for x in row) + "]"
+        proj = (
+            f"list_sum(list_transform(range(len(v)), "
+            f"i -> v[i + 1] * ({w}[i + 1])::double))"
+        )
+        bits.append(f"CASE WHEN {proj} > 0 THEN '1' ELSE '0' END")
+    bucket = "(" + " || ".join(bits) + ")"
+    return f"""
+WITH {EMB},
+eb AS (SELECT vec_id, v, {bucket} AS bucket FROM e),
+q AS (SELECT vec_id AS q_id, v AS qv, bucket AS qb FROM eb WHERE vec_id % {query_every} = 0),
+s AS (SELECT q_id, vec_id AS neighbor_id, round({cosine_sql('qv', 'v')}, 6) AS cos
+      FROM eb JOIN q ON eb.bucket = q.qb WHERE vec_id != q_id)
+SELECT q_id, rank, neighbor_id, cos FROM (
+  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, neighbor_id) AS rank
+  FROM s) WHERE rank <= {k}"""
+
+
+def sql_embedding_neardup() -> str:
+    return f"""
+WITH {EMB}
+SELECT a.vec_id AS vec_id, round({cosine_sql('a.v', 'b.v')}, 6) AS cos,
+       round({cosine_sql('a.v', 'b.v')}, 6) >= 0.9 AS is_neardup
+FROM e a JOIN e b ON b.vec_id = a.vec_id + 1"""
+
+
+# --- text analysis ----------------------------------------------------
+
+
+def sql_lang_id() -> str:
+    from blackedge_ocr_spark.analysis.textstats import LANG_PROFILES, UNKNOWN_LANG
+
+    toks = tokens_sql("text")
+    score = lambda ws: (
+        "len(list_filter(toks, t -> list_contains(["
+        + ", ".join(_sq(w) for w in ws)
+        + "], t)))"
+    )
+    names = [lang for lang, _ in LANG_PROFILES]
+    scores = {lang: f"s_{lang}" for lang in names}
+    sel = ", ".join(f"{score(ws)} AS s_{lang}" for lang, ws in LANG_PROFILES)
+    whens = []
+    for lang in names:
+        conds = [f"{scores[lang]} > 0"] + [
+            f"{scores[lang]} >= {scores[o]}" for o in names if o != lang
+        ]
+        whens.append(f"WHEN {' AND '.join(conds)} THEN {_sq(lang)}")
+    case = "CASE " + " ".join(whens) + f" ELSE {_sq(UNKNOWN_LANG)} END"
+    return (
+        f"WITH t AS (SELECT doc_id, {toks} AS toks FROM documents), "
+        f"s AS (SELECT doc_id, {sel} FROM t) "
+        f"SELECT doc_id, {case} AS predicted_lang FROM s"
+    )
+
+
+def sql_token_counts() -> str:
+    from blackedge_ocr_spark.analysis.textstats import BPE_PATTERN
+
+    norm = norm_sql("text")
+    return f"""
+WITH n AS (SELECT doc_id, {norm} AS norm FROM documents)
+SELECT doc_id,
+  (CASE WHEN length(norm) = 0 THEN 0 ELSE len(str_split(norm, ' ')) END)::bigint
+    AS ws_tokens,
+  len(regexp_extract_all(norm, {_sq(BPE_PATTERN)}))::bigint AS bpe_tokens
+FROM n"""
+
+
+def sql_quality_scores() -> str:
+    from blackedge_ocr_spark.analysis.textstats import LANG_PROFILES
+
+    toks = tokens_sql("text")
+    stop = (
+        "len(list_filter(toks, t -> list_contains(["
+        + ", ".join(_sq(w) for w in LANG_PROFILES[0][1])
+        + "], t)))"
+    )
+    return f"""
+WITH t AS (SELECT doc_id, {toks} AS toks FROM documents),
+m AS (
+  SELECT doc_id, len(toks) AS n_words,
+    CASE WHEN len(toks) > 0
+         THEN list_sum(list_transform(toks, tk -> length(tk)::double)) / len(toks)::double
+         ELSE 0.0 END AS mean_word_len,
+    CASE WHEN len(toks) > 0 THEN ({stop})::double / len(toks)::double
+         ELSE 0.0 END AS stop_ratio
+  FROM t
+)
+SELECT doc_id, n_words::bigint AS n_words,
+  round(mean_word_len, 6) AS mean_word_len,
+  round(stop_ratio, 6) AS stopword_ratio,
+  round(0.5 * least(n_words::double / 50.0, 1.0) + 0.3 * stop_ratio
+        + 0.2 * least(mean_word_len / 8.0, 1.0), 6) AS quality
+FROM m"""
+
+
+def sql_fingerprints() -> str:
+    from blackedge_ocr_spark.analysis.textstats import FP_STRIDE, FP_WINDOW
+
+    norm = norm_sql("text")
+    return f"""
+WITH n AS (SELECT doc_id, {norm} AS norm FROM documents),
+w AS (SELECT doc_id, norm,
+        greatest(ceil((length(norm) - {FP_WINDOW}) / {FP_STRIDE}.0)::int + 1, 1)
+          AS n_win FROM n)
+SELECT doc_id,
+  list_aggregate(list_transform(range(n_win),
+    i -> md5(substr(norm, i * {FP_STRIDE} + 1, {FP_WINDOW}))), 'min')
+  AS fingerprint
+FROM w"""
+
+
+def sql_media_meta() -> str:
+    from blackedge_ocr_spark.analysis.media import FORMATS
+
+    q = lambda i: f"('0x' || substr(h, {1 + 4 * i}, 4))::int"
+    fmt_whens = " ".join(
+        f"WHEN {i} THEN {_sq(f)}" for i, f in enumerate(FORMATS)
+    )
+    return f"""
+WITH {spansify_cte()},
+m AS (SELECT doc_id, media_ref, md5(media_ref) AS h FROM sp
+      WHERE kind IN ('image', 'page'))
+SELECT doc_id, media_ref,
+  (320 + {q(0)} % 1600)::int AS width,
+  (240 + {q(1)} % 900)::int AS height,
+  (CASE {q(2)} % {len(FORMATS)} {fmt_whens} END) AS format,
+  (1 + {q(3)} % 30)::int AS n_frames
+FROM m"""

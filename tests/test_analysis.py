@@ -1,0 +1,131 @@
+"""Tests for the training-data pipeline operators (analysis/)."""
+
+import hashlib
+
+import pyspark.sql.functions as F
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF}/documents.parquet")
+
+
+def test_exact_dedup_finds_injected_duplicates(spark, docs):
+    from blackedge_ocr_spark.analysis import dedup
+
+    corpus = dedup.with_dup_injection(docs.select("doc_id", "text"))
+    groups = dedup.exact_duplicates(corpus)
+    dup_groups = groups.filter(F.col("n_docs") >= 2)
+    n_injected = docs.filter(F.col("doc_id") % 10 == 0).count()
+    # every injected copy forms a group of exactly 2, keeper = original
+    assert dup_groups.count() == n_injected
+    assert dup_groups.filter(F.col("n_docs") != 2).count() == 0
+    assert dup_groups.filter(F.col("keep_doc_id") >= 1_000_000).count() == 0
+
+
+def test_lsh_pairs_recover_injected_duplicates(spark, docs):
+    from blackedge_ocr_spark.analysis import dedup
+
+    corpus = dedup.with_dup_injection(docs.select("doc_id", "text"))
+    pairs = dedup.lsh_candidate_pairs(corpus).collect()
+    found = {(r["doc_a"], r["doc_b"]): r["jaccard"] for r in pairs}
+    injected = [r["doc_id"] for r in
+                docs.filter(F.col("doc_id") % 10 == 0).select("doc_id").collect()]
+    for d in injected:
+        assert found.get((d, d + 1_000_000)) == 1.0, f"missing dup pair for {d}"
+
+
+def test_simhash_matches_python_oracle(spark, docs):
+    """Bit-for-bit parity of the Arrow UDF against a direct Python
+    recompute on the same token stream."""
+    import numpy as np
+
+    from blackedge_ocr_spark.analysis import dedup
+    from blackedge_ocr_spark.functions.text import tokens
+
+    sample = (
+        docs.limit(5)
+        .select("doc_id", tokens(F.col("text")).alias("toks"))
+        .collect()
+    )
+    got = {
+        r["doc_id"]: r["simhash"]
+        for r in dedup.simhash_signatures(docs.limit(5)).collect()
+    }
+    for row in sample:
+        sums = np.zeros(64, dtype=int)
+        for t in row["toks"]:
+            v = int(hashlib.md5(t.encode()).hexdigest()[:16], 16)
+            for b in range(64):
+                bit = (v >> (63 - b)) & 1
+                sums[b] += 1 if bit else -1
+        expected = "".join("1" if s > 0 else "0" for s in sums)
+        assert got[row["doc_id"]] == expected
+
+
+def test_ann_topk_shape(spark):
+    from blackedge_ocr_spark.analysis import ann
+
+    rows = ann.brute_force_topk(spark, SF, k=5).collect()
+    by_q = {}
+    for r in rows:
+        assert r["neighbor_id"] != r["q_id"]
+        assert -1.0 <= r["cos"] <= 1.0
+        by_q.setdefault(r["q_id"], []).append(r)
+    for q, rs in by_q.items():
+        ranks = sorted(r["rank"] for r in rs)
+        assert ranks == list(range(1, len(rs) + 1))
+        ordered = sorted(rs, key=lambda r: r["rank"])
+        cos = [r["cos"] for r in ordered]
+        assert cos == sorted(cos, reverse=True)
+
+
+def test_lsh_ann_is_subset_quality(spark):
+    """Approximate neighbors are real corpus members with valid
+    cosines; every returned neighbor shares the query's bucket."""
+    from blackedge_ocr_spark.analysis import ann
+
+    approx = ann.lsh_bucketed_topk(spark, SF, k=5)
+    assert approx.filter(F.col("neighbor_id") == F.col("q_id")).count() == 0
+
+
+def test_media_meta_covers_all_media_spans(spark):
+    from blackedge_ocr_spark.analysis.media import fake_decode, media_metadata
+    from blackedge_ocr_spark.datagen import spansify_documents
+
+    d = spansify_documents(spark, SF)
+    n_media = d.select(
+        F.explode("spans").alias("s")
+    ).filter(F.col("s.kind").isin("image", "page")).count()
+    meta = media_metadata(d)
+    rows = meta.collect()
+    assert len(rows) == n_media
+    r = rows[0]
+    w, h, fmt, nf = fake_decode(r["media_ref"])
+    assert (r["width"], r["height"], r["format"], r["n_frames"]) == (w, h, fmt, nf)
+    assert 320 <= r["width"] < 1920 and 240 <= r["height"] < 1140
+
+
+def test_lang_id_and_quality(spark, docs):
+    from blackedge_ocr_spark.analysis import textstats
+
+    langs = textstats.language_id(docs).collect()
+    assert {r["predicted_lang"] for r in langs} <= {"en", "de", "es", "fr", "und"}
+    q = textstats.quality_scores(docs).collect()
+    for r in q:
+        assert 0.0 <= r["quality"] <= 1.0
+        assert r["n_words"] > 0
+
+
+def test_fingerprint_deterministic_and_shift_sensitive(spark, docs):
+    from blackedge_ocr_spark.analysis import textstats
+
+    a = {r["doc_id"]: r["fingerprint"]
+         for r in textstats.fingerprints(docs.limit(20)).collect()}
+    b = {r["doc_id"]: r["fingerprint"]
+         for r in textstats.fingerprints(docs.limit(20)).collect()}
+    assert a == b
+    assert all(len(v) == 32 for v in a.values())
