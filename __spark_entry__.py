@@ -63,6 +63,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_scores": q.q_quality_scores,
         "fingerprints": q.q_fingerprints,
         "media_meta": q.q_media_meta,
+        "segment_stats": q.q_segment_stats,
     }
     return out
 

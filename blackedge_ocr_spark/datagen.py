@@ -158,6 +158,33 @@ def fixture_dataframe(spark: SparkSession) -> DataFrame:
 # --------------------------------------------------------------------
 
 
+def replicate_corpus(docs: DataFrame, replicate: int | None = None) -> DataFrame:
+    """Deterministic corpus blow-up for scaling benchmarks: each doc
+    becomes ``replicate`` docs with disjoint doc_id ranges (doc_id +
+    10^7·r), so all doc_id-derived arithmetic (routing templates,
+    media placement, mega-doc stratum) varies per replica. Controlled
+    by $SPARK_GRAFT_REPLICATE (default 1 = no-op) so correctness runs
+    are untouched."""
+    import os
+
+    rep = (
+        int(os.environ.get("SPARK_GRAFT_REPLICATE", "1"))
+        if replicate is None
+        else replicate
+    )
+    if rep <= 1:
+        return docs
+    r = F.explode(F.sequence(F.lit(0), F.lit(rep - 1)))
+    return (
+        docs.withColumn("_r", r)
+        .withColumn(
+            "doc_id",
+            F.col("doc_id") + F.col("_r").cast("long") * F.lit(10_000_000).cast("long"),
+        )
+        .drop("_r")
+    )
+
+
 def spansify_documents(
     spark: SparkSession,
     sf_dir: str,
@@ -184,11 +211,14 @@ def spansify_documents(
     digits diverge between providers drop below the 0.85 threshold.
     """
     docs = spark.read.parquet(f"{sf_dir.rstrip('/')}/documents.parquet")
-    # Hash-spread docs across tasks before the fat span build: the sf
-    # corpora are single parquet splits, and downstream stages are
-    # compute-bound (Arrow UDF, similarity), so partition count — not
-    # bytes — is what determines parallel speedup here.
+    # Hash-spread docs across tasks BEFORE any row blow-up: the sf
+    # corpora are single parquet splits, so an explode (replication)
+    # or fat span build running pre-shuffle would execute inside the
+    # lone scan task — the whole job would serialize through one
+    # thread. Repartition the small base first; everything downstream
+    # is then map-side parallel.
     docs = docs.repartition(spark.sparkContext.defaultParallelism * 4, "doc_id")
+    docs = replicate_corpus(docs)
     toks = F.split(F.col("text"), " ")
     rep = F.when(F.col("doc_id") % mega_doc_every == 0, mega_doc_factor).otherwise(1)
     toks = F.flatten(F.array_repeat(toks, rep))

@@ -60,10 +60,15 @@ def _cosine_from_multisets(a: Column, b: Column) -> Column:
     )
 
 
-def number_frequency_similarity(a, b) -> Column:
-    """Cosine over number-frequency multisets; 1.0 when both number-free,
-    0.0 when exactly one is (similarity_calculator.py:69-107)."""
-    na, nb = extract_numbers(_c(a)), extract_numbers(_c(b))
+def multiset_cosine_guarded(na: Column, nb: Column) -> Column:
+    """Guarded counter-cosine over two PREPARED multiset arrays.
+
+    Performance contract: pass *column attributes* (materialized by a
+    prior select), not derived expressions — expressions passed here
+    are re-evaluated per lambda element inside the interpreted
+    higher-order functions, turning O(u·n) counting into
+    O(u·n·cost(expr)). See prepare()/from_prepared below.
+    """
     return (
         F.when((F.size(na) == 0) & (F.size(nb) == 0), F.lit(1.0))
         .when((F.size(na) == 0) | (F.size(nb) == 0), F.lit(0.0))
@@ -71,10 +76,8 @@ def number_frequency_similarity(a, b) -> Column:
     )
 
 
-def word_overlap_similarity(a, b) -> Column:
-    """Jaccard index over key-term sets; 1.0 both empty, 0.0 one empty
-    (similarity_calculator.py:109-143)."""
-    ta, tb = key_terms(_c(a)), key_terms(_c(b))
+def jaccard_terms_guarded(ta: Column, tb: Column) -> Column:
+    """Guarded Jaccard over two prepared distinct-term arrays."""
     inter = F.size(F.array_intersect(ta, tb)).cast("double")
     union = F.size(F.array_union(ta, tb)).cast("double")
     return (
@@ -84,17 +87,61 @@ def word_overlap_similarity(a, b) -> Column:
     )
 
 
+def levenshtein_prepared(na: Column, nb: Column) -> Column:
+    """1 - dist/max_len over prepared (normalized + truncated) texts."""
+    max_len = F.greatest(F.length(na), F.length(nb)).cast("double")
+    return (
+        F.when(na == nb, F.lit(1.0))
+        .when((F.length(na) == 0) | (F.length(nb) == 0), F.lit(0.0))
+        .otherwise(F.lit(1.0) - F.levenshtein(na, nb).cast("double") / max_len)
+    )
+
+
+def prepare(content, method: str) -> Column:
+    """The per-method derived input (number multiset / term set /
+    token multiset / normalized text) to materialize as a column
+    before calling from_prepared."""
+    c = _c(content)
+    if method == "number_frequency":
+        return extract_numbers(c)
+    if method == "word_overlap":
+        return key_terms(c)
+    if method == "cosine":
+        return F.filter(tokens(c), lambda w: F.length(w) >= 3)
+    if method == "levenshtein":
+        return F.substring(normalize_for_comparison(c), 1, LEVENSHTEIN_TRUNCATE)
+    raise ValueError(f"Unknown similarity method: {method}")
+
+
+def from_prepared(pa: Column, pb: Column, method: str) -> Column:
+    if method in ("number_frequency", "cosine"):
+        return multiset_cosine_guarded(pa, pb)
+    if method == "word_overlap":
+        return jaccard_terms_guarded(pa, pb)
+    if method == "levenshtein":
+        return levenshtein_prepared(pa, pb)
+    raise ValueError(f"Unknown similarity method: {method}")
+
+
+def number_frequency_similarity(a, b) -> Column:
+    """Cosine over number-frequency multisets; 1.0 when both number-free,
+    0.0 when exactly one is (similarity_calculator.py:69-107)."""
+    return multiset_cosine_guarded(extract_numbers(_c(a)), extract_numbers(_c(b)))
+
+
+def word_overlap_similarity(a, b) -> Column:
+    """Jaccard index over key-term sets; 1.0 both empty, 0.0 one empty
+    (similarity_calculator.py:109-143)."""
+    return jaccard_terms_guarded(key_terms(_c(a)), key_terms(_c(b)))
+
+
 def wordfreq_cosine_similarity(a, b, min_length: int = 3) -> Column:
     """Cosine of word-frequency vectors over terms of length >=3
     (similarity_calculator.py:145-177; term/count semantics
     content_normalizer.py:143-173)."""
     fa = F.filter(tokens(_c(a)), lambda w: F.length(w) >= min_length)
     fb = F.filter(tokens(_c(b)), lambda w: F.length(w) >= min_length)
-    return (
-        F.when((F.size(fa) == 0) & (F.size(fb) == 0), F.lit(1.0))
-        .when((F.size(fa) == 0) | (F.size(fb) == 0), F.lit(0.0))
-        .otherwise(_cosine_from_multisets(fa, fb))
-    )
+    return multiset_cosine_guarded(fa, fb)
 
 
 def levenshtein_similarity(a, b) -> Column:
@@ -105,12 +152,7 @@ def levenshtein_similarity(a, b) -> Column:
     """
     na = F.substring(normalize_for_comparison(_c(a)), 1, LEVENSHTEIN_TRUNCATE)
     nb = F.substring(normalize_for_comparison(_c(b)), 1, LEVENSHTEIN_TRUNCATE)
-    max_len = F.greatest(F.length(na), F.length(nb)).cast("double")
-    return (
-        F.when(na == nb, F.lit(1.0))
-        .when((F.length(na) == 0) | (F.length(nb) == 0), F.lit(0.0))
-        .otherwise(F.lit(1.0) - F.levenshtein(na, nb).cast("double") / max_len)
-    )
+    return levenshtein_prepared(na, nb)
 
 
 _METHODS = {

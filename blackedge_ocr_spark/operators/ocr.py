@@ -6,16 +6,14 @@ openai_client.py:132-209, gemini_client.py:84-156) with an
 Arrow-batched inference UDF running inside executors — the north
 star's "embedded OCR-classify stage". The real model decode is not
 available in this container, so the inference body is a
-deterministic, seedable stand-in: ``[{provider}:{md5(media_ref)[:12]}]``.
-The Spark-side plumbing — Arrow batch transfer of list<struct> span
-arrays, flatten→vectorize→scatter batch shape, provider routing — is
-real and what the tests exercise.
+deterministic, seedable stand-in keyed on (provider, media_ref).
 
-Text spans pass through unchanged (the reference's LLM prompt echoes
-page text back as extracted content; identity is the deterministic
-parity choice). Under the ``pdfplumber`` provider (text_extraction
-workflow) media spans yield empty text: pdfplumber cannot OCR
-(reference: src/services/workflows/text_extraction_handler.py:96-150).
+Boundary-minimization design: ONLY the media refs cross the Python
+boundary (array<string> per row), never the text spans — the merged
+span array is rebuilt JVM-side via an offset-keyed map lookup. On a
+media-sparse corpus (~1 media span in 9) this shrinks the Arrow
+payload ~10x versus shipping whole span arrays, which is what keeps
+the stage scaling with cores instead of with serialization.
 """
 
 from __future__ import annotations
@@ -23,13 +21,11 @@ from __future__ import annotations
 import hashlib
 
 import pandas as pd
+from pyspark.sql import Column
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from blackedge_ocr_spark.constants import MEDIA_KINDS
-from blackedge_ocr_spark.schema import SPAN_STRUCT
-
-_OUT_TYPE = T.ArrayType(SPAN_STRUCT)
 
 
 def fake_ocr_text(provider: str, media_ref: str) -> str:
@@ -51,40 +47,87 @@ def fake_ocr_text(provider: str, media_ref: str) -> str:
     )
 
 
-@F.pandas_udf(_OUT_TYPE)
-def ocr_classify_spans(spans: pd.Series, provider: pd.Series) -> pd.Series:
-    """Arrow-batched: fill media-span text via the embedded classifier.
-
-    Batch shape: each Arrow batch arrives as a pandas Series of
-    list<dict> span arrays. Media refs across the whole batch are
-    flattened into one vector, classified in one vectorized pass, and
-    scattered back — the shape a real Arrow-native model runner needs.
-    """
-    flat_refs: list[str] = []
-    flat_providers: list[str] = []
-    slots: list[tuple[int, int]] = []
-    out: list[list[dict]] = []
-
-    for row_idx, (row_spans, prov) in enumerate(zip(spans, provider)):
-        row_spans = list(row_spans) if row_spans is not None else []
-        new_row = []
-        for span_idx, s in enumerate(row_spans):
-            s = dict(s)
-            if s["kind"] in MEDIA_KINDS:
-                if prov == "pdfplumber":
-                    s["text"] = ""
-                else:
-                    flat_refs.append(s["media_ref"])
-                    flat_providers.append(prov)
-                    slots.append((row_idx, span_idx))
-            new_row.append(s)
-        out.append(new_row)
-
-    if flat_refs:
-        texts = pd.Series(flat_refs).combine(
-            pd.Series(flat_providers), lambda ref, p: fake_ocr_text(p, ref)
-        )
-        for (row_idx, span_idx), text in zip(slots, texts):
-            out[row_idx][span_idx]["text"] = text
-
+@F.pandas_udf(T.ArrayType(T.StringType()))
+def _ocr_texts(media_refs: pd.Series, provider: pd.Series) -> pd.Series:
+    """Arrow-batched: media_refs array<string> per row → OCR text per
+    ref. A real model runner would flatten the batch into one tensor
+    here; the stand-in maps the deterministic transcript."""
+    out = []
+    for refs, prov in zip(media_refs, provider):
+        refs = list(refs) if refs is not None else []
+        out.append([fake_ocr_text(prov, r) for r in refs])
     return pd.Series(out)
+
+
+def _is_media(s) -> Column:
+    return s["kind"].isin(list(MEDIA_KINDS))
+
+
+def ocr_media_map(sorted_spans: Column, provider: Column) -> Column:
+    """map<offset, ocr_text> for the media spans of a document.
+
+    Materialize this as its OWN column (withColumn) — Spark rejects
+    Python UDFs nested inside higher-order-function lambdas, and only
+    the media refs should cross the Arrow boundary anyway.
+
+    Under the ``pdfplumber`` provider (text_extraction workflow) media
+    spans yield empty text: pdfplumber cannot OCR (reference:
+    src/services/workflows/text_extraction_handler.py:96-150).
+    """
+    media = F.filter(sorted_spans, _is_media)
+    refs = F.transform(media, lambda s: s["media_ref"])
+    offsets = F.transform(media, lambda s: s["offset"])
+    texts = F.when(
+        provider == "pdfplumber", F.transform(media, lambda s: F.lit(""))
+    ).otherwise(_ocr_texts(refs, provider))
+    return F.map_from_arrays(offsets, texts)
+
+
+def fill_media_text(sorted_spans: Column, ocr_map: Column) -> Column:
+    """Rebuild the span array with media texts from the OCR map —
+    pure JVM higher-order function; pass ocr_map as a materialized
+    column attribute."""
+    return F.transform(
+        sorted_spans,
+        lambda s: F.struct(
+            s["kind"].alias("kind"),
+            F.when(
+                _is_media(s),
+                F.coalesce(F.try_element_at(ocr_map, s["offset"]), F.lit("")),
+            ).otherwise(s["text"]).alias("text"),
+            s["media_ref"].alias("media_ref"),
+            s["offset"].alias("offset"),
+        ),
+    )
+
+
+def fake_ocr_text_jvm(provider: Column, media_ref: Column) -> Column:
+    """The deterministic stand-in as pure JVM built-ins (md5 + conv +
+    concat) — bit-identical to ``fake_ocr_text``. Used by the
+    ``ocr_impl='jvm'`` path: when the classifier is a hash stand-in
+    (tests, benchmarks of the non-inference stages), the Python
+    boundary can be elided entirely. A real model keeps the Arrow
+    path."""
+    h = F.md5(F.concat(provider, F.lit(":"), media_ref))
+    num = lambda i: F.conv(F.substring(h, 1 + 4 * i, 4), 16, 10).cast(
+        "long"
+    ).cast("string")
+    return F.concat(
+        F.lit("Extracted by "), provider, F.lit(" ocr engine from "), media_ref,
+        F.lit(". The image region reports values "), num(0), F.lit(", "),
+        num(1), F.lit(", "), num(2), F.lit(" and "), num(3),
+        F.lit(". Confidence stays high for every block detected in this scan."),
+    )
+
+
+def ocr_media_map_jvm(sorted_spans: Column, provider: Column) -> Column:
+    """ocr_media_map with the JVM stand-in classifier (no Arrow
+    boundary). Identical output."""
+    media = F.filter(sorted_spans, _is_media)
+    offsets = F.transform(media, lambda s: s["offset"])
+    texts = F.when(
+        provider == "pdfplumber", F.transform(media, lambda s: F.lit(""))
+    ).otherwise(
+        F.transform(media, lambda s: fake_ocr_text_jvm(provider, s["media_ref"]))
+    )
+    return F.map_from_arrays(offsets, texts)

@@ -29,7 +29,11 @@ from blackedge_ocr_spark.constants import (
 )
 from blackedge_ocr_spark.functions.problems import problems_array
 from blackedge_ocr_spark.functions.similarity import similarity_by_method
-from blackedge_ocr_spark.operators.ocr import ocr_classify_spans
+from blackedge_ocr_spark.operators.ocr import (
+    fill_media_text,
+    ocr_media_map,
+    ocr_media_map_jvm,
+)
 from blackedge_ocr_spark.operators.routing import route_workflow
 
 
@@ -82,11 +86,17 @@ def extract_documents(
     similarity_method: str = "number_frequency",
     similarity_threshold: float = SIMILARITY_THRESHOLD,
     repartition: int | None = None,
+    ocr_impl: str = "arrow",
 ) -> DataFrame:
     """documents(doc_id, spans [, query [, explicit_workflow]]) →
     RESULT_SCHEMA rows. ``enable_validation`` may be a bool or the
     name of a boolean column (per-request flag, reference:
     src/api/models.py ExtractionRequest.enable_validation).
+
+    ``ocr_impl``: 'arrow' routes media refs through the Arrow-batched
+    inference UDF (the real-model architecture); 'jvm' uses the
+    bit-identical md5 stand-in as built-ins (no Python boundary —
+    for benchmarking the non-inference stages in isolation).
     """
     if repartition:
         # Spread mega-documents before the Arrow stage: hash on doc_id
@@ -111,10 +121,16 @@ def extract_documents(
         .withColumn("_sorted", sort_spans(F.col("spans")))
     )
 
-    # Embedded extraction: text spans pass through, media spans go
-    # through the Arrow-batched OCR-classify stage (§2.14-2).
+    # Embedded extraction: media refs go through the Arrow-batched
+    # OCR-classify stage (§2.14-2) producing an offset→text map; the
+    # span array is rebuilt JVM-side, so text spans never cross the
+    # Python boundary. (The UDF must sit in its own projection —
+    # Spark rejects Python UDFs nested inside HOF lambdas.)
+    media_map = ocr_media_map if ocr_impl == "arrow" else ocr_media_map_jvm
     df = df.withColumn(
-        "out_spans", ocr_classify_spans(F.col("_sorted"), F.col("provider"))
+        "_ocr_primary", media_map(F.col("_sorted"), F.col("provider"))
+    ).withColumn(
+        "out_spans", fill_media_text(F.col("_sorted"), F.col("_ocr_primary"))
     )
 
     # Validation only exists for workflows whose handler wires a
@@ -123,10 +139,13 @@ def extract_documents(
         list(VALIDATING_WORKFLOWS)
     )
     df = df.withColumn(
+        "_ocr_secondary",
+        F.when(validating, media_map(F.col("_sorted"), secondary_provider)),
+    ).withColumn(
         "_secondary_spans",
         F.when(
             validating,
-            ocr_classify_spans(F.col("_sorted"), secondary_provider),
+            fill_media_text(F.col("_sorted"), F.col("_ocr_secondary")),
         ),
     )
 
@@ -142,12 +161,19 @@ def extract_documents(
 
     has_problems = F.size(F.col("problems")) > 0
     # Stage 2 similarity runs only when stage 1 found no problems
-    # (reference: validation_service.py:90-145).
+    # (reference: validation_service.py:90-145). The per-method derived
+    # arrays are materialized as columns first so the interpreted
+    # higher-order cosine doesn't re-extract numbers per element.
+    from blackedge_ocr_spark.functions import similarity as S
+
+    df = df.withColumn(
+        "_sim_a", S.prepare(F.col("_primary_content"), similarity_method)
+    ).withColumn(
+        "_sim_b", S.prepare(F.col("_secondary_content"), similarity_method)
+    )
     similarity = F.when(
         validating & ~has_problems,
-        similarity_by_method(
-            F.col("_primary_content"), F.col("_secondary_content"), similarity_method
-        ),
+        S.from_prepared(F.col("_sim_a"), F.col("_sim_b"), similarity_method),
     )
     df = df.withColumn("similarity", similarity)
 

@@ -53,8 +53,11 @@ def _par(spark: SparkSession) -> int:
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from blackedge_ocr_spark.datagen import replicate_corpus
+
     df = spark.read.parquet(f"{sf_dir.rstrip('/')}/documents.parquet")
-    return df.repartition(_par(spark), "doc_id")
+    # repartition BEFORE replication: see datagen.spansify_documents.
+    return replicate_corpus(df.repartition(_par(spark), "doc_id"))
 
 
 def numeric_text(doc_id: Column, text: Column) -> Column:
@@ -212,12 +215,28 @@ def q_similarity_pairs(spark, sf_dir) -> DataFrame:
     # projection is compute-bound on tiny bytes, so AQE's size-based
     # coalesce would otherwise collapse it onto one core.
     j = a.join(b, "doc_id", "inner").repartition(_par(spark), "doc_id")
-    return j.select(
+    # Materialize derived arrays ONCE per row before the interpreted
+    # higher-order cosine math — inlining them would re-run the regex
+    # tokenization per lambda element (observed 10x slowdown).
+    from blackedge_ocr_spark.functions import similarity as S
+
+    prep = j.select(
         "doc_id",
-        F.round(number_frequency_similarity("ta", "tb"), 6).alias("sim_number"),
-        F.round(word_overlap_similarity("ta", "tb"), 6).alias("sim_overlap"),
-        F.round(wordfreq_cosine_similarity("ta", "tb"), 6).alias("sim_cosine"),
-        F.round(levenshtein_similarity("ta", "tb"), 6).alias("sim_levenshtein"),
+        S.prepare(F.col("ta"), "number_frequency").alias("na"),
+        S.prepare(F.col("tb"), "number_frequency").alias("nb"),
+        S.prepare(F.col("ta"), "word_overlap").alias("ka"),
+        S.prepare(F.col("tb"), "word_overlap").alias("kb"),
+        S.prepare(F.col("ta"), "cosine").alias("fa"),
+        S.prepare(F.col("tb"), "cosine").alias("fb"),
+        S.prepare(F.col("ta"), "levenshtein").alias("la"),
+        S.prepare(F.col("tb"), "levenshtein").alias("lb"),
+    )
+    return prep.select(
+        "doc_id",
+        F.round(S.multiset_cosine_guarded(F.col("na"), F.col("nb")), 6).alias("sim_number"),
+        F.round(S.jaccard_terms_guarded(F.col("ka"), F.col("kb")), 6).alias("sim_overlap"),
+        F.round(S.multiset_cosine_guarded(F.col("fa"), F.col("fb")), 6).alias("sim_cosine"),
+        F.round(S.levenshtein_prepared(F.col("la"), F.col("lb")), 6).alias("sim_levenshtein"),
     )
 
 
@@ -427,3 +446,24 @@ def q_media_meta(spark, sf_dir) -> DataFrame:
     from blackedge_ocr_spark.analysis.media import media_metadata
 
     return media_metadata(spansify_documents(spark, sf_dir))
+
+
+def q_segment_stats(spark, sf_dir) -> DataFrame:
+    """M4 segmentation end-to-end: deterministic HTML corpus →
+    DOM-parse + boilerplate-strip mapInPandas → per-doc span stats and
+    an md5 over the ordered kept texts. The HTML is simple enough that
+    the DuckDB oracle predicts the exact segmentation output."""
+    from blackedge_ocr_spark.segmentation import htmlify_documents, segment_documents
+
+    seg = segment_documents(htmlify_documents(spark, sf_dir))
+    spans = F.col("spans")
+    kind_n = lambda k: F.size(F.filter(spans, lambda s: s["kind"] == k)).cast("long")
+    texts = F.transform(spans, lambda s: s["text"])
+    return seg.select(
+        "doc_id",
+        F.size(spans).cast("long").alias("n_spans"),
+        kind_n("text").alias("n_text"),
+        kind_n("table").alias("n_tables"),
+        kind_n("image").alias("n_images"),
+        F.md5(F.array_join(texts, "\x1f")).alias("content_md5"),
+    )

@@ -555,6 +555,7 @@ def build_oracles() -> dict[str, str]:
         "quality_scores": sql_quality_scores(),
         "fingerprints": sql_fingerprints(),
         "media_meta": sql_media_meta(),
+        "segment_stats": sql_segment_stats(),
         # pipeline_extract: intentionally absent → rows-only check
         # (full-value parity is pytest's span-sequence oracle).
     }
@@ -852,3 +853,50 @@ SELECT doc_id, media_ref,
   (CASE {q(2)} % {len(FORMATS)} {fmt_whens} END) AS format,
   (1 + {q(3)} % 30)::int AS n_frames
 FROM m"""
+
+
+# --- segmentation -----------------------------------------------------
+
+
+def sql_segment_stats(words_per_para: int = 30, min_chars: int = 25) -> str:
+    """Mirror of q_segment_stats: predicts the segmenter's output on
+    the deterministic htmlify corpus — heading kept, paragraphs kept
+    iff >= min_chars, nav/footer dropped (pure link blocks), img every
+    3rd doc, table every 5th."""
+    para = (
+        f"array_to_string(list_slice(toks, i * {words_per_para} + 1, "
+        f"i * {words_per_para} + {words_per_para}), ' ') || '.'"
+    )
+    table_text = (
+        "'k | v' || chr(10) || 'id | ' || doc_id::varchar || chr(10) || "
+        "'chars | ' || n_chars::varchar"
+    )
+    return f"""
+WITH base AS (
+  SELECT doc_id, n_chars, str_split(text, ' ') AS toks FROM documents
+),
+p AS (
+  SELECT doc_id, n_chars, toks,
+         greatest(ceil(len(toks) / {words_per_para}.0)::int, 1) AS np
+  FROM base
+),
+k AS (
+  SELECT doc_id, n_chars,
+    list_filter(list_transform(range(np), i -> {para}),
+                t -> length(t) >= {min_chars}) AS kept,
+    (doc_id % 3 = 0) AS has_img,
+    (doc_id % 5 = 0) AS has_table
+  FROM p
+)
+SELECT doc_id::varchar AS doc_id,
+  (1 + len(kept) + has_img::int + has_table::int)::bigint AS n_spans,
+  (1 + len(kept))::bigint AS n_text,
+  has_table::int::bigint AS n_tables,
+  has_img::int::bigint AS n_images,
+  md5(array_to_string(
+    list_concat(
+      list_concat(['Document ' || doc_id::varchar], kept),
+      list_concat(CASE WHEN has_img THEN [''] ELSE []::varchar[] END,
+                  CASE WHEN has_table THEN [{table_text}] ELSE []::varchar[] END)
+    ), chr(31))) AS content_md5
+FROM k"""

@@ -1,0 +1,70 @@
+"""Checkpoint/resume + lineage metrics tests (SURVEY §4.3-4)."""
+
+import pyspark.sql.functions as F
+
+from blackedge_ocr_spark.datagen import spansify_documents
+from blackedge_ocr_spark.lineage import (
+    completed_buckets,
+    run_with_checkpoint,
+    with_bucket,
+)
+from blackedge_ocr_spark.pipeline import extract_documents
+
+SF = "/root/testdata/sf0.001"
+
+
+def _transform(d):
+    return extract_documents(d, query_col="query")
+
+
+def test_interrupted_run_resumes_without_recompute(spark, tmp_path):
+    out = str(tmp_path / "ckpt")
+    docs = spansify_documents(spark, SF)
+
+    # first invocation: only 2 of 4 batches (simulated preemption)
+    r1 = run_with_checkpoint(
+        spark, docs, _transform, out, n_buckets=8, buckets_per_batch=2,
+        max_batches=2,
+    )
+    assert len(r1["processed"]) == 4 and r1["skipped"] == []
+    assert completed_buckets(spark, out) == set(r1["processed"])
+
+    # resume: remaining buckets only
+    r2 = run_with_checkpoint(
+        spark, docs, _transform, out, n_buckets=8, buckets_per_batch=2,
+    )
+    assert sorted(r2["skipped"]) == sorted(r1["processed"])
+    assert sorted(r1["processed"] + r2["processed"]) == list(range(8))
+
+    # output is complete and duplicate-free
+    data = spark.read.parquet(f"{out}/data")
+    assert data.count() == 500
+    assert data.select("doc_id").distinct().count() == 500
+
+    # third run: everything skipped, nothing recomputed
+    r3 = run_with_checkpoint(
+        spark, docs, _transform, out, n_buckets=8, buckets_per_batch=2,
+    )
+    assert r3["processed"] == [] and len(r3["skipped"]) == 8
+    assert spark.read.parquet(f"{out}/data").count() == 500
+
+
+def test_lineage_metrics_account_for_every_doc(spark, tmp_path):
+    out = str(tmp_path / "ckpt2")
+    docs = spansify_documents(spark, SF)
+    run_with_checkpoint(
+        spark, docs, _transform, out, n_buckets=4, buckets_per_batch=4,
+    )
+    lineage = spark.read.parquet(f"{out}/_lineage")
+    rows = lineage.collect()
+    assert {r["part_id"] for r in rows} == {0, 1, 2, 3}
+    assert sum(r["n_docs"] for r in rows) == 500
+    assert sum(r["n_errors"] for r in rows) == 0
+    assert all(r["wall_sec"] > 0 for r in rows)
+    # span totals match a direct count
+    n_spans = docs.select(F.sum(F.size("spans"))).collect()[0][0]
+    assert sum(r["n_spans"] for r in rows) == n_spans
+    # bucket assignment is deterministic across runs
+    a = with_bucket(docs, 4).select("doc_id", "part_id").collect()
+    b = with_bucket(docs, 4).select("doc_id", "part_id").collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))

@@ -1,0 +1,67 @@
+"""Plan-shape regression tests: shuffle counts, pushdown, UDF
+boundaries — the 100x-scale guarantees, asserted mechanically."""
+
+import pyspark.sql.functions as F
+
+from blackedge_ocr_spark import plans
+from blackedge_ocr_spark.datagen import spansify_documents
+from blackedge_ocr_spark.pipeline import extract_documents
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_pipeline_is_single_shuffle(spark):
+    """The extract-then-validate pipeline must shuffle exactly once —
+    the explicit doc_id spread — never for the pipeline logic itself
+    (ordering is in-array, assembly an in-array fold, validation
+    per-row)."""
+    out = extract_documents(
+        spansify_documents(spark, SF), query_col="query"
+    )
+    assert plans.count_exchanges(out) == 1
+
+
+def test_pipeline_python_boundaries_bounded(spark):
+    """At most two Arrow boundaries (primary + secondary OCR); all
+    other stages stay JVM-side."""
+    out = extract_documents(
+        spansify_documents(spark, SF), query_col="query"
+    )
+    assert plans.count_python_stages(out) <= 2
+    # validation off folds the secondary OCR stage away entirely
+    out2 = extract_documents(
+        spansify_documents(spark, SF), query_col="query",
+        enable_validation=False,
+    )
+    assert plans.count_python_stages(out2) == 1
+
+
+def test_filter_pushdown_reaches_parquet_scan(spark):
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    q = docs.filter(F.col("doc_id") < 100).select("doc_id", "text")
+    info = plans.scan_info(q)
+    assert "doc_id" in info["pushed_filters"], info
+    # column pruning: unused columns (lang, source, n_chars) not read
+    assert "lang" not in info["read_schema"]
+
+
+def test_problem_detector_fuses_into_one_projection(spark):
+    """The 10 problem checks evaluate as ONE projection over one scan
+    — not 10 passes, no shuffle. (Higher-order lambdas are codegen-
+    fallback, so the guarantee is projection fusion, not WSCG.)"""
+    from blackedge_ocr_spark.functions.problems import problems_array
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    q = docs.select("doc_id", problems_array(F.col("text")).alias("p"))
+    assert plans.count_exchanges(q) == 0
+    assert plans.count_projects(q) == 1
+
+
+def test_ann_broadcast_no_corpus_shuffle(spark):
+    """Brute-force top-k broadcasts the query side; the corpus side
+    must not shuffle before scoring (only the final rank shuffles)."""
+    from blackedge_ocr_spark.analysis.ann import brute_force_topk
+
+    q = brute_force_topk(spark, SF)
+    plan = plans.formatted_plan(q)
+    assert "BroadcastExchange" in plan

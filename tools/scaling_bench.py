@@ -1,0 +1,116 @@
+"""Multi-parallelism scaling measurement → BENCH/BASELINE.md.
+
+The north rule's two-cluster-size criterion (N vs 4N executors,
+efficiency >= 0.8) is evidenced per the driver note by running the
+same job on the same input at two local parallelism levels.
+
+This box exposes 32 SMT threads over ~16 physical cores (a pure-CPU
+md5 burn shows per-thread throughput dropping ~1.7x between 1-way and
+32-way), so the honest N vs 4N pairing is local[2] -> local[8] (both
+within physical cores); local[32] is reported as the max-throughput
+configuration with the SMT ceiling documented.
+
+Usage: python tools/scaling_bench.py [sf_dir] [reps]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+
+HERE = os.path.dirname(os.path.abspath(__file__))
+REPO = os.path.dirname(HERE)
+
+# Per-query corpus blow-up (SPARK_GRAFT_REPLICATE): sized so executor
+# work dominates the ~5-7 s fixed driver cost (plan compile + Python
+# worker spin-up) — similarity_pairs is ~20x costlier per doc.
+QUERIES = {"pipeline_extract": 192, "extract_content": 768,
+           "similarity_pairs": 24}
+LEVELS = (2, 8, 32)
+PAIR = (2, 8)  # the N vs 4N criterion pair (physical cores)
+
+
+def run_one(cpus: int, sf_dir: str, query: str, reps: int) -> dict:
+    env = dict(os.environ, SPARK_GRAFT_REPLICATE=str(QUERIES[query]))
+    out = subprocess.run(
+        [sys.executable, os.path.join(HERE, "_bench_runner.py"),
+         str(cpus), sf_dir, query, str(reps)],
+        capture_output=True, text=True, check=True, cwd=REPO, env=env,
+    )
+    return json.loads(out.stdout.strip().splitlines()[-1])
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    reps = int(sys.argv[2]) if len(sys.argv) > 2 else 2
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+
+    results: dict[str, dict[int, dict]] = {}
+    for query in QUERIES:
+        results[query] = {}
+        for cpus in LEVELS:
+            r = run_one(cpus, sf_dir, query, reps)
+            results[query][cpus] = r
+            print(json.dumps(r), flush=True)
+
+    header = "| query | n_docs | " + " | ".join(
+        f"t(local[{c}]) s" for c in LEVELS
+    ) + " | docs/s max | speedup 2→8 | efficiency 2→8 | speedup 8→32 |"
+    sep = "|" + "---|" * (len(LEVELS) + 5)
+    lines = [
+        "# BENCH/BASELINE — measured scaling evidence",
+        "",
+        f"Same input (sf{sf}, `{sf_dir}`, deterministically replicated",
+        "per-query via SPARK_GRAFT_REPLICATE), same code, three local",
+        "parallelism levels. The N vs 4N executor criterion",
+        "(BASELINE.json, efficiency >= 0.8) is evidenced by local[2] ->",
+        "local[8]: this sandbox exposes 32 SMT threads over ~16 physical",
+        "cores (a pure-CPU md5 burn loses ~40% per-thread throughput at",
+        "32-way), so 8 -> 32 cannot physically reach 4x and is reported",
+        "for throughput context only.",
+        "",
+        header,
+        sep,
+    ]
+    effs = []
+    for query in QUERIES:
+        rs = results[query]
+        a, b, c = (rs[l] for l in LEVELS)
+        speed28 = a["sec"] / b["sec"]
+        eff28 = speed28 / (8 / 2)
+        speed832 = b["sec"] / c["sec"]
+        tp_max = max(r["n_docs"] / r["sec"] for r in rs.values())
+        effs.append((query, eff28))
+        cells = " | ".join(f"{rs[l]['sec']:.2f}" for l in LEVELS)
+        lines.append(
+            f"| {query} | {a['n_docs']} | {cells} | {tp_max:.0f} "
+            f"| {speed28:.2f}x | {eff28:.2f} | {speed832:.2f}x |"
+        )
+    fl = results["pipeline_extract"]
+    best = max(fl.values(), key=lambda r: r["n_docs"] / r["sec"])
+    lines += [
+        "",
+        f"Flagship (`pipeline_extract`) peak throughput: "
+        f"{best['n_docs'] / best['sec']:.0f} docs/sec at "
+        f"local[{best['cpus']}], sf{sf} corpus x{QUERIES['pipeline_extract']}.",
+        "",
+        "Measurement protocol: fresh JVM per (level, query); warmup run",
+        f"at sf0.001 before timing; best of {reps} reps; noop sink (no",
+        "driver collect). Host noise note: this VM shows bursty steal",
+        "time; best-of-N damps but does not eliminate it.",
+        "",
+    ]
+    os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
+    path = os.path.join(REPO, "BENCH", "BASELINE.md")
+    with open(path, "w") as f:
+        f.write("\n".join(lines))
+    print(f"wrote {path}")
+    for q, e in effs:
+        status = "OK" if e >= 0.8 else "BELOW TARGET"
+        print(f"{q}: efficiency(2->8) {e:.2f} [{status}]")
+
+
+if __name__ == "__main__":
+    main()
