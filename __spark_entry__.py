@@ -64,6 +64,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprints": q.q_fingerprints,
         "media_meta": q.q_media_meta,
         "segment_stats": q.q_segment_stats,
+        "azure_layout": q.q_azure_layout,
+        "ingest_validate": q.q_ingest_validate,
     }
     return out
 

@@ -467,3 +467,112 @@ def q_segment_stats(spark, sf_dir) -> DataFrame:
         kind_n("image").alias("n_images"),
         F.md5(F.array_join(texts, "\x1f")).alias("content_md5"),
     )
+
+
+# ---------------------------------------------------------------------
+# Layout-JSON parse + ingest-boundary queries
+# ---------------------------------------------------------------------
+
+_LINES_PER_PAGE = 3
+_WORDS_PER_LINE = 10
+
+
+def _layout_json(doc_id: Column, text: Column) -> Column:
+    """Deterministic Azure-DI-shaped analyzeResult JSON per doc: pages
+    listed in REVERSE order (W2 sort must fix), 10-word lines, 3 lines
+    per page, a 2x2 table on page 1 for every 4th doc with cells
+    listed scrambled (T9 sort must fix)."""
+    toks = F.split(text, " ")
+    n_lines = F.greatest(
+        F.ceil(F.size(toks) / F.lit(_WORDS_PER_LINE)).cast("int"), F.lit(1)
+    )
+    n_pages = F.ceil(n_lines / F.lit(_LINES_PER_PAGE)).cast("int")
+
+    def page(p):
+        line = lambda j: F.struct(
+            F.array_join(
+                F.slice(
+                    toks,
+                    (p * _LINES_PER_PAGE + j) * _WORDS_PER_LINE + 1,
+                    _WORDS_PER_LINE,
+                ),
+                " ",
+            ).alias("content")
+        )
+        lines = F.transform(
+            F.sequence(
+                F.lit(0),
+                F.least(F.lit(_LINES_PER_PAGE - 1), n_lines - p * _LINES_PER_PAGE - 1),
+            ),
+            line,
+        )
+        return F.struct((p + 1).cast("int").alias("pageNumber"), lines.alias("lines"))
+
+    pages = F.reverse(F.transform(F.sequence(F.lit(0), n_pages - 1), page))
+    cell = lambda r, c, content: F.struct(
+        F.lit(r).cast("int").alias("rowIndex"),
+        F.lit(c).cast("int").alias("columnIndex"),
+        content.alias("content"),
+    )
+    table = F.struct(
+        F.array(F.struct(F.lit(1).cast("int").alias("pageNumber"))).alias(
+            "boundingRegions"
+        ),
+        F.array(  # scrambled cell order
+            cell(1, 1, doc_id.cast("string")),
+            cell(0, 0, F.lit("k")),
+            cell(1, 0, F.lit("id")),
+            cell(0, 1, F.lit("v")),
+        ).alias("cells"),
+    )
+    tables = F.when(doc_id % 4 == 0, F.array(table))
+    return F.to_json(
+        F.struct(
+            F.struct(pages.alias("pages"), tables.alias("tables")).alias(
+                "analyzeResult"
+            )
+        )
+    )
+
+
+def q_azure_layout(spark, sf_dir) -> DataFrame:
+    """S7-S9/T9/T10/W2/J3: JSON layout payload → from_json parse →
+    page texts with pivoted tables, page order restored."""
+    from blackedge_ocr_spark.functions.layout import parse_layout_json
+
+    d = _docs(spark, sf_dir)
+    doc_json = _layout_json(F.col("doc_id"), F.col("text"))
+    parsed = parse_layout_json(doc_json)
+    texts = F.transform(parsed, lambda x: x["text"])
+    return d.select(
+        "doc_id",
+        F.size(parsed).cast("long").alias("n_pages"),
+        F.md5(F.array_join(texts, "\x1f")).alias("content_md5"),
+    )
+
+
+def q_ingest_validate(spark, sf_dir) -> DataFrame:
+    """S1/S2/S5/S6 + P3/P4: base64 round-trip, %PDF- header gate,
+    size cap, filename sanitizing."""
+    from blackedge_ocr_spark.functions import ingest
+
+    d = _docs(spark, sf_dir)
+    payload = F.when(
+        F.col("doc_id") % 5 == 0, F.concat(F.lit("NOTPDF "), F.col("text"))
+    ).otherwise(F.concat(F.lit("%PDF-1.7 "), F.col("text")))
+    filename = F.concat(
+        F.lit("doc:"), F.col("doc_id").cast("string"), F.lit("?*.pdf")
+    )
+    staged = d.select(
+        "doc_id",
+        ingest.encode_payload(payload).alias("b64"),
+        filename.alias("filename"),
+    )
+    decoded = ingest.decode_payload(F.col("b64"))
+    return staged.select(
+        "doc_id",
+        ingest.is_pdf_header(decoded).alias("valid_header"),
+        ingest.within_size_cap(decoded).alias("valid_size"),
+        ingest.sanitize_filename(F.col("filename")).alias("safe_filename"),
+        F.md5(decoded.cast("string")).alias("payload_md5"),
+    )

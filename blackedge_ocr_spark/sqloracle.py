@@ -556,6 +556,8 @@ def build_oracles() -> dict[str, str]:
         "fingerprints": sql_fingerprints(),
         "media_meta": sql_media_meta(),
         "segment_stats": sql_segment_stats(),
+        "azure_layout": sql_azure_layout(),
+        "ingest_validate": sql_ingest_validate(),
         # pipeline_extract: intentionally absent → rows-only check
         # (full-value parity is pytest's span-sequence oracle).
     }
@@ -900,3 +902,50 @@ SELECT doc_id::varchar AS doc_id,
                   CASE WHEN has_table THEN [{table_text}] ELSE []::varchar[] END)
     ), chr(31))) AS content_md5
 FROM k"""
+
+
+# --- layout + ingest --------------------------------------------------
+
+
+def sql_azure_layout(lines_per_page: int = 3, words_per_line: int = 10) -> str:
+    """Mirror of q_azure_layout: expected page texts computed directly
+    (the JSON round-trip is Spark-side machinery; semantics are what
+    is compared)."""
+    lpp, wpl = lines_per_page, words_per_line
+    line_text = (
+        f"array_to_string(list_slice(toks, (pg*{lpp}+j)*{wpl}+1, "
+        f"(pg*{lpp}+j)*{wpl}+{wpl}), ' ')"
+    )
+    page_text = (
+        f"array_to_string(list_transform("
+        f"range(least({lpp}, n_lines - pg*{lpp})), j -> {line_text}), chr(10))"
+        f" || CASE WHEN pg = 0 AND doc_id % 4 = 0 THEN "
+        f"chr(10) || 'TABLE:' || chr(10) || 'k | v' || chr(10) || 'id | ' || doc_id::varchar "
+        f"ELSE '' END"
+    )
+    return f"""
+WITH base AS (SELECT doc_id, str_split(text, ' ') AS toks FROM documents),
+n AS (SELECT doc_id, toks,
+        greatest(ceil(len(toks) / {wpl}.0)::int, 1) AS n_lines FROM base),
+p AS (SELECT doc_id, toks, n_lines,
+        ceil(n_lines / {lpp}.0)::int AS n_pages FROM n)
+SELECT doc_id, n_pages::bigint AS n_pages,
+  md5(array_to_string(list_transform(range(n_pages), pg -> {page_text}),
+      chr(31))) AS content_md5
+FROM p"""
+
+
+def sql_ingest_validate() -> str:
+    payload = (
+        "(CASE WHEN doc_id % 5 = 0 THEN 'NOTPDF ' || text "
+        "ELSE '%PDF-1.7 ' || text END)"
+    )
+    fname = "'doc:' || doc_id::varchar || '?*.pdf'"
+    return f"""
+SELECT doc_id,
+  starts_with({payload}, '%PDF-') AS valid_header,
+  length({payload}) <= 50 * 1024 * 1024 AS valid_size,
+  substr(regexp_replace({fname}, '[/\\:*?"<>|]', '_', 'g'), 1, 255)
+    AS safe_filename,
+  md5({payload}) AS payload_md5
+FROM documents"""

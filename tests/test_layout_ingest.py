@@ -1,0 +1,76 @@
+"""Layout-JSON parse + ingest utility unit vectors."""
+
+import json
+
+import pyspark.sql.functions as F
+
+from blackedge_ocr_spark.functions.ingest import (
+    decode_payload,
+    encode_payload,
+    is_pdf_header,
+    sanitize_filename,
+)
+from blackedge_ocr_spark.functions.layout import parse_layout_json
+
+
+def _doc(pages, tables=None):
+    return json.dumps({"analyzeResult": {"pages": pages, "tables": tables}})
+
+
+def test_pages_sorted_and_lines_joined(spark):
+    raw = _doc(
+        [
+            {"pageNumber": 2, "lines": [{"content": "second"}]},
+            {"pageNumber": 1, "lines": [{"content": "first a"}, {"content": "first b"}]},
+        ]
+    )
+    df = spark.createDataFrame([(raw,)], "j string")
+    out = df.select(parse_layout_json(F.col("j")).alias("p")).collect()[0]["p"]
+    assert [(s["offset"], s["text"]) for s in out] == [
+        (0, "first a\nfirst b"),
+        (1, "second"),
+    ]
+
+
+def test_table_pivot_attaches_to_page(spark):
+    """Cells scrambled, rows/cols re-sorted, None cell → '' —
+    reference azure_di_client.py:327-368 semantics."""
+    raw = _doc(
+        [
+            {"pageNumber": 1, "lines": [{"content": "page one"}]},
+            {"pageNumber": 2, "lines": [{"content": "page two"}]},
+        ],
+        [
+            {
+                "boundingRegions": [{"pageNumber": 2}],
+                "cells": [
+                    {"rowIndex": 1, "columnIndex": 1, "content": "d"},
+                    {"rowIndex": 0, "columnIndex": 1, "content": "b"},
+                    {"rowIndex": 0, "columnIndex": 0, "content": "a"},
+                    {"rowIndex": 1, "columnIndex": 0, "content": None},
+                ],
+            }
+        ],
+    )
+    df = spark.createDataFrame([(raw,)], "j string")
+    out = df.select(parse_layout_json(F.col("j")).alias("p")).collect()[0]["p"]
+    assert out[0]["text"] == "page one"
+    assert out[1]["text"] == "page two\nTABLE:\na | b\n | d"
+
+
+def test_base64_roundtrip_and_header(spark):
+    df = spark.createDataFrame(
+        [("%PDF-1.7 payload",), ("not a pdf",)], "p string"
+    )
+    out = df.select(
+        decode_payload(encode_payload(F.col("p"))).cast("string").alias("rt"),
+        is_pdf_header(decode_payload(encode_payload(F.col("p")))).alias("ok"),
+    ).collect()
+    assert [r["rt"] for r in out] == ["%PDF-1.7 payload", "not a pdf"]
+    assert [r["ok"] for r in out] == [True, False]
+
+
+def test_filename_sanitizer(spark):
+    df = spark.createDataFrame([('a/b\\c:d*e?f"g<h>i|j.pdf',)], "f string")
+    got = df.select(sanitize_filename(F.col("f")).alias("s")).collect()[0]["s"]
+    assert got == "a_b_c_d_e_f_g_h_i_j.pdf"
