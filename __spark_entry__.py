@@ -66,6 +66,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "segment_stats": q.q_segment_stats,
         "azure_layout": q.q_azure_layout,
         "ingest_validate": q.q_ingest_validate,
+        "simhash_pairs": q.q_simhash_pairs,
+        "routing_errors": q.q_routing_errors,
     }
     return out
 

@@ -32,6 +32,11 @@ BENCH_QUERIES = (
     "similarity_pairs",
     "key_term_freq",
     "problems_rollup",
+    "segment_stats",
+    "azure_layout",
+    "dedup_lsh_pairs",
+    "dedup_simhash",
+    "ann_topk",
 )
 
 

@@ -46,16 +46,31 @@ def word_shingles(col, n: int = SHINGLE_N) -> Column:
     )
 
 
-def minhash_signature(shingles: Column, k: int = MINHASH_K) -> Column:
-    """k-wide MinHash signature: per hash function i, the lexicographic
-    min of md5(i + ':' + shingle). String-min md5 is engine-portable
-    (identical in DuckDB) and as collision-resistant as int-min."""
+def shingle_hashes(shingles: Column) -> Column:
+    """64 hex chars per shingle (two md5s) — materialize as a column
+    once; the k signature rows are cheap windows over it instead of k
+    fresh md5s per shingle (~6x less hashing). Engine-portable."""
+    # NB: transform lambdas must stay single-arg — a second parameter
+    # would be bound to the array index by PySpark.
+    return F.transform(
+        shingles,
+        lambda s: F.concat(
+            F.md5(F.concat(F.lit("a:"), s)), F.md5(F.concat(F.lit("b:"), s))
+        ),
+    )
+
+
+def minhash_signature(hashes: Column, k: int = MINHASH_K) -> Column:
+    """k-wide MinHash signature over prepared shingle hashes: function
+    i = lexicographic min of the 16-char window at offset 4i of each
+    64-char hash. Windows overlap (correlated), which only softens
+    LSH recall — candidates are verified with true Jaccard, so
+    correctness is unaffected; the DuckDB oracle uses the identical
+    scheme."""
     def _min_hash(i: int) -> Column:
-        prefix = f"{i}:"
-        # NB: the transform lambda must stay single-arg — a second
-        # parameter would be bound to the array index by PySpark.
+        start = 1 + 4 * i
         return F.array_min(
-            F.transform(shingles, lambda s: F.md5(F.concat(F.lit(prefix), s)))
+            F.transform(hashes, lambda h: F.substring(h, start, 16))
         )
 
     return F.array(*[_min_hash(i) for i in range(k)])
@@ -120,9 +135,9 @@ def lsh_candidate_pairs(docs: DataFrame, min_jaccard: float = 0.5) -> DataFrame:
     of near-dups, not n²."""
     sh = docs.select(
         "doc_id", word_shingles(F.col("text")).alias("shingles")
-    )
+    ).withColumn("hs", shingle_hashes(F.col("shingles")))
     sig = sh.select(
-        "doc_id", "shingles", minhash_signature(F.col("shingles")).alias("sig")
+        "doc_id", "shingles", minhash_signature(F.col("hs")).alias("sig")
     )
     banded = sig.select(
         "doc_id", "shingles", F.explode(lsh_band_keys(F.col("sig"))).alias("bk")
@@ -212,3 +227,57 @@ def simhash_signatures(docs: DataFrame) -> DataFrame:
     return docs.select(
         "doc_id", simhash64(tokens(F.col("text"))).alias("simhash")
     )
+
+
+def simhash_near_pairs(
+    docs: DataFrame, max_hamming: int = 6, bands: int = 4
+) -> DataFrame:
+    """SimHash near-duplicate pairs via band buckets: split the 64-bit
+    signature into ``bands`` 16-bit bands; docs sharing any band are
+    candidates (a pair within Hamming distance 6 of a 4-band split
+    must agree exactly on >=1 band — pigeonhole); verify true Hamming
+    distance on candidates only. Sub-quadratic like MinHash-LSH, but
+    over the bit signature."""
+    from pyspark.sql import functions as F
+
+    sigs = simhash_signatures(docs)
+    width = 64 // bands
+    banded = sigs.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.substring("simhash", b * width + 1, width).alias("key"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select("doc_id", "simhash", "bk.band", "bk.key")
+    a = banded.select(
+        F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sig_a"),
+        "band", "key",
+    )
+    b = banded.select(
+        F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sig_b"),
+        "band", "key",
+    )
+    pairs = (
+        a.join(b, ["band", "key"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "sig_a", "sig_b")
+        .distinct()
+    )
+    hamming = F.size(
+        F.filter(
+            F.sequence(F.lit(0), F.lit(63)),
+            lambda i: F.substring(F.col("sig_a"), 1, 64).substr(i + 1, F.lit(1))
+            != F.substring(F.col("sig_b"), 1, 64).substr(i + 1, F.lit(1)),
+        )
+    )
+    return pairs.select(
+        "doc_a", "doc_b", hamming.cast("long").alias("hamming")
+    ).filter(F.col("hamming") <= max_hamming)

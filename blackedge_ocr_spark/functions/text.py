@@ -57,11 +57,15 @@ def extract_numbers(col) -> Column:
     """
     c = F.coalesce(_c(col), F.lit(""))
     matches = F.regexp_extract_all(c, F.lit(NUMBER_PATTERN), 0)
+    # + 0.0 folds IEEE -0.0 into 0.0: Python dict keys merge the two
+    # zeros (the reference's Counter semantics) but Spark's array
+    # distinct/union are binary — normalize at the source.
     return F.transform(
         matches,
         lambda x: F.regexp_replace(
             F.regexp_replace(x, ",", ""), r"%$", ""
-        ).cast("double"),
+        ).cast("double")
+        + F.lit(0.0),
     )
 
 

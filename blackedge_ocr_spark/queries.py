@@ -361,9 +361,12 @@ def q_dedup_minhash(spark, sf_dir) -> DataFrame:
     from blackedge_ocr_spark.analysis import dedup
 
     d = _docs(spark, sf_dir)
-    sh = dedup.word_shingles(F.col("text"))
-    sig = dedup.minhash_signature(sh)
-    return d.select(
+    staged = d.select(
+        "doc_id",
+        dedup.shingle_hashes(dedup.word_shingles(F.col("text"))).alias("hs"),
+    )
+    sig = dedup.minhash_signature(F.col("hs"))
+    return staged.select(
         "doc_id", F.md5(F.concat_ws("|", sig)).alias("sig_md5")
     )
 
@@ -575,4 +578,42 @@ def q_ingest_validate(spark, sf_dir) -> DataFrame:
         ingest.within_size_cap(decoded).alias("valid_size"),
         ingest.sanitize_filename(F.col("filename")).alias("safe_filename"),
         F.md5(decoded.cast("string")).alias("payload_md5"),
+    )
+
+
+def q_simhash_pairs(spark, sf_dir) -> DataFrame:
+    """SimHash banded near-dup pairs (hamming <= 6) over the corpus +
+    injected duplicate stratum."""
+    from blackedge_ocr_spark.analysis import dedup
+
+    corpus = dedup.with_dup_injection(
+        _docs(spark, sf_dir).select("doc_id", "text")
+    )
+    return dedup.simhash_near_pairs(corpus)
+
+
+def q_routing_errors(spark, sf_dir) -> DataFrame:
+    """P2 error path: explicit workflow strings (valid aliases, junk,
+    blanks) → resolved workflow or NULL + error_kind — the dataflow
+    analog of the reference's ValueError (workflow_types.py:58-66)."""
+    from blackedge_ocr_spark.operators.routing import route_workflow
+
+    d = _docs(spark, sf_dir)
+    explicit = F.element_at(
+        F.array(
+            F.lit("AZURE-DI "), F.lit("text"), F.lit("bogus_flow"),
+            F.lit(""), F.lit("  gemini  "), F.lit("default"), F.lit("ocr"),
+        ),
+        (F.pmod(F.col("doc_id"), F.lit(7)) + 1).cast("int"),
+    )
+    staged = d.select("doc_id", explicit.alias("explicit_workflow"))
+    wf = route_workflow(F.lit("extract data"), "explicit_workflow")
+    has_explicit = F.trim(F.col("explicit_workflow")) != ""
+    return staged.select(
+        "doc_id",
+        "explicit_workflow",
+        wf.alias("workflow"),
+        F.when(has_explicit & wf.isNull(), F.lit("invalid_workflow")).alias(
+            "error_kind"
+        ),
     )

@@ -70,10 +70,11 @@ def strip_len_sql(c: str) -> str:
 
 
 def numbers_sql(c: str) -> str:
-    """extract_numbers (T2) → list<double>."""
+    """extract_numbers (T2) → list<double>. `+ 0.0` folds -0.0 → 0.0
+    (Counter-key merge parity, see functions/text.py)."""
     return (
         f"list_transform(regexp_extract_all({c}, {_sq(NUMPAT)}), "
-        "x -> regexp_replace(replace(x, ',', ''), '%$', '')::double)"
+        "x -> regexp_replace(replace(x, ',', ''), '%$', '')::double + 0.0)"
     )
 
 
@@ -558,6 +559,8 @@ def build_oracles() -> dict[str, str]:
         "segment_stats": sql_segment_stats(),
         "azure_layout": sql_azure_layout(),
         "ingest_validate": sql_ingest_validate(),
+        "simhash_pairs": sql_simhash_pairs(),
+        "routing_errors": sql_routing_errors(),
         # pipeline_extract: intentionally absent → rows-only check
         # (full-value parity is pytest's span-sequence oracle).
     }
@@ -585,10 +588,16 @@ def shingles_sql(c: str, n: int = 3) -> str:
     return f"(CASE WHEN len({toks}) > 0 THEN {sh} ELSE []::varchar[] END)"
 
 
-def minhash_sig_sql(sh: str, k: int = 12) -> str:
-    """analysis.dedup.minhash_signature mirror → list<varchar>."""
+def shingle_hashes_sql(sh: str) -> str:
+    """analysis.dedup.shingle_hashes mirror → list<varchar(64)>."""
+    return f"list_transform({sh}, s -> md5('a:' || s) || md5('b:' || s))"
+
+
+def minhash_sig_sql(hs: str, k: int = 12) -> str:
+    """analysis.dedup.minhash_signature mirror (windowed scheme) over
+    a prepared shingle-hash list column."""
     mins = ", ".join(
-        f"list_aggregate(list_transform({sh}, s -> md5('{i}:' || s)), 'min')"
+        f"list_aggregate(list_transform({hs}, h -> substr(h, {1 + 4 * i}, 16)), 'min')"
         for i in range(k)
     )
     return f"[{mins}]"
@@ -614,11 +623,11 @@ def sql_dedup_exact() -> str:
 
 
 def sql_dedup_minhash() -> str:
-    sig = minhash_sig_sql(shingles_sql("text"))
-    return (
-        f"SELECT doc_id, md5(array_to_string({sig}, '|')) AS sig_md5 "
-        "FROM documents"
-    )
+    return f"""
+WITH hs AS (SELECT doc_id, {shingle_hashes_sql(shingles_sql('text'))} AS hs
+            FROM documents)
+SELECT doc_id, md5(array_to_string({minhash_sig_sql('hs')}, '|')) AS sig_md5
+FROM hs"""
 
 
 def sql_dedup_lsh_pairs(rows_per_band: int = 3, k: int = 12,
@@ -633,7 +642,9 @@ def sql_dedup_lsh_pairs(rows_per_band: int = 3, k: int = 12,
     return f"""
 WITH {DUP_CORPUS},
 sh AS (SELECT doc_id, {shingles_sql('text')} AS shingles FROM corpus),
-sig AS (SELECT doc_id, shingles, {minhash_sig_sql('shingles')} AS sig FROM sh),
+hs AS (SELECT doc_id, shingles,
+       {shingle_hashes_sql('shingles')} AS hs FROM sh),
+sig AS (SELECT doc_id, shingles, {minhash_sig_sql('hs')} AS sig FROM hs),
 banded AS ({band_rows}),
 pairs AS (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
@@ -949,3 +960,61 @@ SELECT doc_id,
     AS safe_filename,
   md5({payload}) AS payload_md5
 FROM documents"""
+
+
+# --- simhash pairs + routing errors ----------------------------------
+
+
+def sql_simhash_pairs(max_hamming: int = 6, bands: int = 4) -> str:
+    width = 64 // bands
+    hamming = (
+        "len(list_filter(range(64), i -> "
+        "substr(sa, i + 1, 1) != substr(sb, i + 1, 1)))::bigint"
+    )
+    return f"""
+WITH {DUP_CORPUS},
+t AS (SELECT doc_id, {tokens_sql('text')} AS toks FROM corpus),
+h AS (SELECT doc_id,
+        CASE WHEN len(toks) = 0 THEN repeat('0', 64)
+             ELSE {_simhash_from_hs()} END AS simhash
+      FROM (SELECT doc_id, toks, list_transform(toks, tk -> md5(tk)) AS hs
+            FROM t)),
+bx AS (SELECT doc_id, simhash, unnest(range({bands})) AS band FROM h),
+banded AS (SELECT doc_id, simhash,
+                  band, substr(simhash, band * {width} + 1, {width}) AS key
+           FROM bx),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         a.simhash AS sa, b.simhash AS sb
+  FROM banded a JOIN banded b ON a.band = b.band AND a.key = b.key
+  WHERE a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b, hamming FROM (
+  SELECT doc_a, doc_b, {hamming} AS hamming FROM pairs
+) WHERE hamming <= {max_hamming}"""
+
+
+def sql_routing_errors() -> str:
+    from blackedge_ocr_spark.constants import WORKFLOW_ALIASES, WORKFLOWS
+
+    cases = ("'AZURE-DI '", "'text'", "'bogus_flow'", "''",
+             "'  gemini  '", "'default'", "'ocr'")
+    whens = "".join(
+        f" WHEN {i + 1} THEN {c}" for i, c in enumerate(cases)
+    )
+    explicit = f"(CASE (doc_id % 7) + 1{whens} END)"
+    mapping = dict(WORKFLOW_ALIASES)
+    for wf in WORKFLOWS:
+        mapping.setdefault(wf, wf)
+    alias_whens = "".join(
+        f" WHEN {_sq(a)} THEN {_sq(t)}" for a, t in mapping.items()
+    )
+    resolved = f"(CASE lower(trim(explicit_workflow)){alias_whens} END)"
+    return f"""
+WITH e AS (SELECT doc_id, {explicit} AS explicit_workflow FROM documents)
+SELECT doc_id, explicit_workflow,
+  CASE WHEN trim(explicit_workflow) != '' THEN {resolved}
+       ELSE 'mistral' END AS workflow,
+  CASE WHEN trim(explicit_workflow) != '' AND {resolved} IS NULL
+       THEN 'invalid_workflow' END AS error_kind
+FROM e"""

@@ -1,0 +1,139 @@
+"""Randomized Spark-vs-Python-oracle parity over adversarial strings.
+
+One seeded corpus of 300 nasty strings (pipes, newlines, mojibake,
+unicode, digit soup, long runs) is pushed through the Spark column
+implementations AND the pure-Python oracle; every operator must agree
+exactly. This is the guard against Java-regex-vs-Python-re divergence
+(SURVEY §7 hard part b).
+"""
+
+import random
+import string
+
+import pyspark.sql.functions as F
+import pytest
+
+from blackedge_ocr_spark import oracle
+from blackedge_ocr_spark.functions.problems import problems_array
+from blackedge_ocr_spark.functions.similarity import (
+    levenshtein_similarity,
+    number_frequency_similarity,
+    word_overlap_similarity,
+    wordfreq_cosine_similarity,
+)
+from blackedge_ocr_spark.functions.text import (
+    extract_numbers,
+    key_terms,
+    normalize_for_comparison,
+    normalize_text,
+    remove_page_breaks,
+)
+
+_ALPHABETS = (
+    string.ascii_letters + "     ",
+    string.ascii_lowercase + " |.\n",
+    string.digits + " ,.%-$",
+    "xyz \n\t",
+    "abc âé€™Ã©�中文 ",
+    "bcdfg aeiou \n|",
+)
+_SNIPPETS = (
+    "TABLE 1:\nA | B\n1 | 2",
+    "---PAGE-BREAK---",
+    "[PAGE BREAK]",
+    "â€™ donÃ© â€œx",
+    "xxxxxxxxxxxxxxxx",
+    "   \n\n\n\n\n\n\n\n\n\n\n\n\n\n\n\n\n\n   ",
+    "Price: $1,234.56 up 25% from -3.5",
+    "a | b | c\nd | e\nf | g | h | i",
+)
+
+
+def _random_corpus(n=300, seed=1337):
+    rng = random.Random(seed)
+    docs = []
+    for i in range(n):
+        parts = []
+        for _ in range(rng.randint(1, 6)):
+            if rng.random() < 0.3:
+                parts.append(rng.choice(_SNIPPETS))
+            else:
+                alpha = rng.choice(_ALPHABETS)
+                parts.append(
+                    "".join(rng.choice(alpha) for _ in range(rng.randint(0, 120)))
+                )
+        docs.append((i, " ".join(parts)))
+    return docs
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    docs = _random_corpus()
+    df = spark.createDataFrame(docs, "id long, text string")
+    return docs, df
+
+
+def test_text_transforms_match_oracle(corpus):
+    docs, df = corpus
+    got = {
+        r["id"]: r
+        for r in df.select(
+            "id",
+            normalize_text("text").alias("norm"),
+            remove_page_breaks("text").alias("nopb"),
+            normalize_for_comparison("text").alias("cmp"),
+            extract_numbers("text").alias("nums"),
+            key_terms("text").alias("terms"),
+        ).collect()
+    }
+    for i, text in docs:
+        r = got[i]
+        assert r["norm"] == oracle.normalize_text(text), (i, text)
+        assert r["nopb"] == oracle.remove_page_breaks(text), (i, text)
+        assert r["cmp"] == oracle.normalize_for_comparison(text), (i, text)
+        assert r["nums"] == oracle.extract_numbers(text), (i, text)
+        assert sorted(r["terms"]) == sorted(oracle.extract_key_terms(text)), (i, text)
+
+
+def test_problem_detector_matches_oracle(corpus):
+    docs, df = corpus
+    got = {
+        r["id"]: list(r["p"])
+        for r in df.select("id", problems_array(F.col("text")).alias("p")).collect()
+    }
+    for i, text in docs:
+        assert got[i] == oracle.detect_problems(text), (i, repr(text)[:200])
+
+
+def test_similarities_match_oracle(corpus):
+    docs, df = corpus
+    # pair doc i with doc i+1
+    a = df.select(F.col("id"), F.col("text").alias("ta"))
+    b = df.select((F.col("id") - 1).alias("id"), F.col("text").alias("tb"))
+    j = a.join(b, "id")
+    got = {
+        r["id"]: r
+        for r in j.select(
+            "id",
+            number_frequency_similarity("ta", "tb").alias("nf"),
+            word_overlap_similarity("ta", "tb").alias("wo"),
+            wordfreq_cosine_similarity("ta", "tb").alias("co"),
+            levenshtein_similarity("ta", "tb").alias("lv"),
+        ).collect()
+    }
+    by_id = dict(docs)
+    for i in range(len(docs) - 1):
+        ta, tb = by_id[i], by_id[i + 1]
+        r = got[i]
+        assert r["nf"] == pytest.approx(
+            oracle.number_frequency_similarity(ta, tb), abs=1e-9
+        ), i
+        assert r["wo"] == pytest.approx(
+            oracle.word_overlap_similarity(ta, tb), abs=1e-9
+        ), i
+        assert r["co"] == pytest.approx(
+            oracle.wordfreq_cosine_similarity(ta, tb), abs=1e-9
+        ), i
+        assert r["lv"] == pytest.approx(
+            oracle.levenshtein_similarity(ta, tb), abs=1e-9
+        ), i
