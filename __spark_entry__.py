@@ -68,6 +68,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ingest_validate": q.q_ingest_validate,
         "simhash_pairs": q.q_simhash_pairs,
         "routing_errors": q.q_routing_errors,
+        "dedup_apply": q.q_dedup_apply,
+        "corpus_curation": q.q_corpus_curation,
     }
     return out
 

@@ -617,3 +617,50 @@ def q_routing_errors(spark, sf_dir) -> DataFrame:
             "error_kind"
         ),
     )
+
+
+def q_dedup_apply(spark, sf_dir) -> DataFrame:
+    """Apply exact dedup: keep one doc per content group (left-semi
+    shape on (hash, keeper)). Survivor count == distinct contents;
+    every dropped doc has a surviving twin."""
+    from blackedge_ocr_spark.analysis import dedup
+    from blackedge_ocr_spark.functions.text import normalize_for_comparison
+
+    corpus = dedup.with_dup_injection(
+        _docs(spark, sf_dir).select("doc_id", "text")
+    )
+    groups = dedup.exact_duplicates(corpus)
+    hashed = corpus.select(
+        "doc_id", F.md5(normalize_for_comparison(F.col("text"))).alias("content_hash")
+    )
+    survivors = hashed.join(
+        groups.select("content_hash", "keep_doc_id"),
+        (hashed["content_hash"] == groups["content_hash"])
+        & (hashed["doc_id"] == groups["keep_doc_id"]),
+        "left_semi",
+    )
+    return survivors.select("doc_id")
+
+
+def q_corpus_curation(spark, sf_dir) -> DataFrame:
+    """End-to-end curation: language == en AND zero quality problems
+    AND quality score >= 0.5 → survivors per source. The composed
+    filter a 100 TB training-data job runs before tokenization."""
+    from blackedge_ocr_spark.analysis import textstats
+    from blackedge_ocr_spark.functions.problems import problems_array
+
+    d = _docs(spark, sf_dir)
+    toks_ok = F.size(problems_array(F.col("text"))) == 0
+    lang = textstats.predict_lang(F.col("text"))
+    q = textstats.quality_scores(d).select("doc_id", "quality")
+    staged = d.join(q, "doc_id").select(
+        "doc_id", "source",
+        (toks_ok & (lang == "en") & (F.col("quality") >= 0.5)).alias("keep"),
+    )
+    return (
+        staged.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.col("keep").cast("long")).alias("n_kept"),
+        )
+    )

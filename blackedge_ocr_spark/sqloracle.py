@@ -561,6 +561,8 @@ def build_oracles() -> dict[str, str]:
         "ingest_validate": sql_ingest_validate(),
         "simhash_pairs": sql_simhash_pairs(),
         "routing_errors": sql_routing_errors(),
+        "dedup_apply": sql_dedup_apply(),
+        "corpus_curation": sql_corpus_curation(),
         # pipeline_extract: intentionally absent → rows-only check
         # (full-value parity is pytest's span-sequence oracle).
     }
@@ -1018,3 +1020,62 @@ SELECT doc_id, explicit_workflow,
   CASE WHEN trim(explicit_workflow) != '' AND {resolved} IS NULL
        THEN 'invalid_workflow' END AS error_kind
 FROM e"""
+
+
+def sql_dedup_apply() -> str:
+    h = f"md5({normalize_for_comparison_sql('text')})"
+    return f"""
+WITH {DUP_CORPUS},
+hashed AS (SELECT doc_id, {h} AS content_hash FROM corpus),
+groups AS (SELECT content_hash, min(doc_id) AS keep_doc_id
+           FROM hashed GROUP BY content_hash)
+SELECT h.doc_id FROM hashed h
+JOIN groups g ON h.content_hash = g.content_hash
+            AND h.doc_id = g.keep_doc_id"""
+
+
+def sql_corpus_curation() -> str:
+    from blackedge_ocr_spark.analysis.textstats import LANG_PROFILES, UNKNOWN_LANG
+
+    flags = d_flags_sql("text")
+    clean = "NOT (" + " OR ".join(flags.values()) + ")"
+    toks = tokens_sql("text")
+    score = lambda ws: (
+        "len(list_filter(toks, t -> list_contains(["
+        + ", ".join(_sq(w) for w in ws)
+        + "], t)))"
+    )
+    names = [lang for lang, _ in LANG_PROFILES]
+    sel = ", ".join(f"{score(ws)} AS s_{lang}" for lang, ws in LANG_PROFILES)
+    whens = []
+    for lang in names:
+        conds = [f"s_{lang} > 0"] + [
+            f"s_{lang} >= s_{o}" for o in names if o != lang
+        ]
+        whens.append(f"WHEN {' AND '.join(conds)} THEN {_sq(lang)}")
+    lang_case = "CASE " + " ".join(whens) + f" ELSE {_sq(UNKNOWN_LANG)} END"
+    stop_en = score(LANG_PROFILES[0][1])
+    return f"""
+WITH t AS (SELECT doc_id, source, text, {toks} AS toks FROM documents),
+s AS (SELECT doc_id, source, text, toks, {sel} FROM t),
+m AS (
+  SELECT doc_id, source, text,
+    ({lang_case}) AS lang_pred,
+    len(toks) AS n_words,
+    CASE WHEN len(toks) > 0
+         THEN list_sum(list_transform(toks, tk -> length(tk)::double)) / len(toks)::double
+         ELSE 0.0 END AS mean_word_len,
+    CASE WHEN len(toks) > 0 THEN ({stop_en})::double / len(toks)::double
+         ELSE 0.0 END AS stop_ratio
+  FROM s
+),
+k AS (
+  SELECT doc_id, source,
+    (({clean}) AND lang_pred = 'en' AND
+     round(0.5 * least(n_words::double / 50.0, 1.0) + 0.3 * stop_ratio
+           + 0.2 * least(mean_word_len / 8.0, 1.0), 6) >= 0.5) AS keep
+  FROM m
+)
+SELECT source, count(*)::bigint AS n_docs,
+       coalesce(sum(keep::int), 0)::bigint AS n_kept
+FROM k GROUP BY source"""
