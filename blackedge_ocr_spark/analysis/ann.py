@@ -7,11 +7,12 @@ Two paths:
   embedding partitions once; only the k winners per query shuffle for
   the final rank. This is the correct baseline shape at any scale
   where |queries| ≪ |corpus|.
-- ``lsh_bucketed_topk`` — approximate: 16 deterministic integer
-  hyperplanes → sign-bit bucket; candidates share the query's bucket,
-  so the scan cost drops from O(n) to O(n / 2^16 · skew) per query.
-  Hyperplane weights are md5-derived integer literals baked into the
-  plan (and into the DuckDB oracle) — no per-row hashing.
+- ``lsh_bucketed_topk`` — approximate: N_PLANES deterministic integer
+  hyperplanes → sign-bit bucket; candidates come from the query's own
+  bucket plus all Hamming-1 probe buckets, so the scan cost drops from
+  O(n) to O(n · (N_PLANES+1) / 2^N_PLANES) per query. Hyperplane
+  weights are md5-derived integer literals baked into the plan (and
+  into the DuckDB oracle) — no per-row hashing.
 
 All arithmetic is double-precision with a fixed fold order, so Spark
 and DuckDB agree bit-for-bit before the final round(…, 6).
@@ -24,8 +25,11 @@ import hashlib
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-N_PLANES = 8  # 256 buckets — sized so sf-scale corpora keep bucket-mates;
-              # at 10^12 vectors you'd raise this (or go multi-probe IVF)
+N_PLANES = 6  # 64 buckets; with Hamming-1 multi-probe a query scans
+              # ~7/64 ≈ 11% of the corpus. More planes = faster + lower
+              # recall; at 10^12 vectors raise planes AND probe radius
+              # (or switch to IVF centroids). Tuned for recall at the
+              # sf test scale.
 DEFAULT_K = 5
 QUERY_EVERY = 50  # vec_id % QUERY_EVERY == 0 → query point
 
@@ -106,11 +110,29 @@ def brute_force_topk(
     )
 
 
+def _flip_bit(bucket: Column, i: int) -> Column:
+    flipped = F.when(
+        F.substring(bucket, i + 1, 1) == "0", F.lit("1")
+    ).otherwise(F.lit("0"))
+    return F.concat(
+        F.substring(bucket, 1, i), flipped,
+        F.substring(bucket, i + 2, N_PLANES),
+    )
+
+
+def probe_buckets(bucket: Column) -> Column:
+    """Multi-probe LSH: the query's own bucket plus every bucket at
+    Hamming distance 1 (flip each sign bit) — the standard recall
+    boost that keeps the scan sub-linear (N_PLANES+1 buckets instead
+    of the single exact one)."""
+    return F.array(bucket, *[_flip_bit(bucket, i) for i in range(N_PLANES)])
+
+
 def lsh_bucketed_topk(
     spark, sf_dir: str, k: int = DEFAULT_K, query_every: int = QUERY_EVERY
 ) -> DataFrame:
-    """Approximate top-k: rank only candidates sharing the query's
-    hyperplane sign bucket. May return < k rows per query (sparse
+    """Approximate top-k: rank only candidates in the query's probe
+    buckets (own + Hamming-1). May return < k rows per query (sparse
     buckets) — the documented recall/cost trade."""
     weights = hyperplane_weights()
     corpus = _load(spark, sf_dir).withColumn(
@@ -118,7 +140,7 @@ def lsh_bucketed_topk(
     )
     queries = corpus.filter(F.col("vec_id") % query_every == 0).select(
         F.col("vec_id").alias("q_id"), F.col("v").alias("qv"),
-        F.col("bucket").alias("qb"),
+        F.explode(probe_buckets(F.col("bucket"))).alias("qb"),
     )
     cand = corpus.join(
         F.broadcast(queries), F.col("bucket") == F.col("qb")

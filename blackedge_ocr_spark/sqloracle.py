@@ -734,7 +734,7 @@ SELECT q_id, rank, neighbor_id, cos FROM (
 
 
 def sql_ann_lsh_topk(k: int = 5, query_every: int = 50) -> str:
-    from blackedge_ocr_spark.analysis.ann import hyperplane_weights
+    from blackedge_ocr_spark.analysis.ann import N_PLANES, hyperplane_weights
 
     planes = hyperplane_weights()
     bits = []
@@ -746,10 +746,18 @@ def sql_ann_lsh_topk(k: int = 5, query_every: int = 50) -> str:
         )
         bits.append(f"CASE WHEN {proj} > 0 THEN '1' ELSE '0' END")
     bucket = "(" + " || ".join(bits) + ")"
+    flips = ", ".join(
+        f"substr(qb0, 1, {i}) || (CASE substr(qb0, {i + 1}, 1) "
+        f"WHEN '0' THEN '1' ELSE '0' END) || substr(qb0, {i + 2}, {N_PLANES})"
+        for i in range(N_PLANES)
+    )
+    probes = f"list_concat([qb0], [{flips}])"
     return f"""
 WITH {EMB},
 eb AS (SELECT vec_id, v, {bucket} AS bucket FROM e),
-q AS (SELECT vec_id AS q_id, v AS qv, bucket AS qb FROM eb WHERE vec_id % {query_every} = 0),
+q0 AS (SELECT vec_id AS q_id, v AS qv, bucket AS qb0 FROM eb
+       WHERE vec_id % {query_every} = 0),
+q AS (SELECT q_id, qv, unnest({probes}) AS qb FROM q0),
 s AS (SELECT q_id, vec_id AS neighbor_id, round({cosine_sql('qv', 'v')}, 6) AS cos
       FROM eb JOIN q ON eb.bucket = q.qb WHERE vec_id != q_id)
 SELECT q_id, rank, neighbor_id, cos FROM (

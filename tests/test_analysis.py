@@ -129,3 +129,26 @@ def test_fingerprint_deterministic_and_shift_sensitive(spark, docs):
          for r in textstats.fingerprints(docs.limit(20)).collect()}
     assert a == b
     assert all(len(v) == 32 for v in a.values())
+
+
+def test_lsh_ann_consistent_with_brute_force(spark):
+    """Every approximate neighbor's cosine must equal the exact
+    computation for that pair; recall is reported (approximation may
+    miss neighbors, never mis-score them)."""
+    from blackedge_ocr_spark.analysis import ann
+
+    exact = {
+        (r["q_id"], r["neighbor_id"]): r["cos"]
+        for r in ann.brute_force_topk(spark, SF, k=1000000).collect()
+    }
+    approx = ann.lsh_bucketed_topk(spark, SF, k=5).collect()
+    for r in approx:
+        key = (r["q_id"], r["neighbor_id"])
+        assert key in exact and exact[key] == r["cos"], key
+    exact_top5 = {}
+    for r in ann.brute_force_topk(spark, SF, k=5).collect():
+        exact_top5.setdefault(r["q_id"], set()).add(r["neighbor_id"])
+    hits = sum(
+        1 for r in approx if r["neighbor_id"] in exact_top5.get(r["q_id"], set())
+    )
+    print(f"lsh-ann recall vs exact top5: {hits}/{len(approx)}")
