@@ -70,6 +70,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "routing_errors": q.q_routing_errors,
         "dedup_apply": q.q_dedup_apply,
         "corpus_curation": q.q_corpus_curation,
+        "final_content": q.q_final_content,
     }
     return out
 

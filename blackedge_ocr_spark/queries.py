@@ -664,3 +664,17 @@ def q_corpus_curation(spark, sf_dir) -> DataFrame:
             F.sum(F.col("keep").cast("long")).alias("n_kept"),
         )
     )
+
+
+def q_final_content(spark, sf_dir) -> DataFrame:
+    """The flagship's FINAL content (post-validation swap) as md5 —
+    with extract_content (primary md5), span_problems and
+    validation_decision this makes every RESULT_SCHEMA field
+    oracle-checked."""
+    d = spansify_documents(spark, sf_dir)
+    r = extract_documents(d, query_col="query", enable_validation=True)
+    return r.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "used_secondary",
+        F.md5(F.col("content")).alias("content_md5"),
+    )

@@ -563,6 +563,7 @@ def build_oracles() -> dict[str, str]:
         "routing_errors": sql_routing_errors(),
         "dedup_apply": sql_dedup_apply(),
         "corpus_curation": sql_corpus_curation(),
+        "final_content": sql_final_content(),
         # pipeline_extract: intentionally absent → rows-only check
         # (full-value parity is pytest's span-sequence oracle).
     }
@@ -1087,3 +1088,33 @@ k AS (
 SELECT source, count(*)::bigint AS n_docs,
        coalesce(sum(keep::int), 0)::bigint AS n_kept
 FROM k GROUP BY source"""
+
+
+def sql_final_content() -> str:
+    """Full extract-then-validate chain, final content as md5."""
+    validating = ", ".join(_sq(w) for w in VALIDATING_WORKFLOWS)
+    any_problem = "(" + " OR ".join(d_flags_sql("e.text").values()) + ")"
+    return f"""
+WITH {spansify_cte()}, {extracted_cte()},
+contents AS (
+  SELECT e.doc_id,
+         string_agg(e.text, {SEP} ORDER BY e."offset") AS pc,
+         string_agg(e.sec_text, {SEP} ORDER BY e."offset") AS sc,
+         bool_or({any_problem}) AS has_problems
+  FROM ext e GROUP BY e.doc_id
+),
+decided AS (
+  SELECT c.doc_id, c.pc, c.sc,
+         (r.workflow IN ({validating})) AS validating,
+         c.has_problems,
+         CASE WHEN r.workflow IN ({validating}) AND NOT c.has_problems
+              THEN {number_frequency_sim_sql(numbers_sql('c.pc'), numbers_sql('c.sc'))}
+         END AS sim
+  FROM contents c JOIN prov r ON r.doc_id = c.doc_id
+)
+SELECT doc_id,
+  coalesce(validating AND (has_problems OR sim < {SIMILARITY_THRESHOLD}), FALSE)
+    AS used_secondary,
+  md5(CASE WHEN coalesce(validating AND (has_problems OR sim < {SIMILARITY_THRESHOLD}), FALSE)
+           THEN sc ELSE pc END) AS content_md5
+FROM decided"""
