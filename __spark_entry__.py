@@ -71,6 +71,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_apply": q.q_dedup_apply,
         "corpus_curation": q.q_corpus_curation,
         "final_content": q.q_final_content,
+        "similarity_report": q.q_similarity_report,
     }
     return out
 

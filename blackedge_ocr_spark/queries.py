@@ -678,3 +678,47 @@ def q_final_content(spark, sf_dir) -> DataFrame:
         "used_secondary",
         F.md5(F.col("content")).alias("content_md5"),
     )
+
+
+def q_similarity_report(spark, sf_dir) -> DataFrame:
+    """A9 — the four-method report with the levenshtein skip guard:
+    null unless BOTH raw texts are < 5000 chars (reference
+    similarity_calculator.py:309-332). Long docs are synthesized by
+    repeating every 7th doc's text 20x."""
+    from blackedge_ocr_spark.constants import LEVENSHTEIN_REPORT_MAX
+    from blackedge_ocr_spark.functions import similarity as S
+
+    d = _docs(spark, sf_dir)
+    grown = F.when(
+        F.col("doc_id") % 7 == 0,
+        F.concat_ws(" ", F.array_repeat(F.col("text"), 20)),
+    ).otherwise(F.col("text"))
+    a = d.select("doc_id", numeric_text(F.col("doc_id"), grown).alias("ta"))
+    b = d.select(
+        (F.col("doc_id") - 1).alias("doc_id"),
+        numeric_text(F.col("doc_id"), grown).alias("tb"),
+    )
+    j = a.join(b, "doc_id").repartition(_par(spark), "doc_id")
+    prep = j.select(
+        "doc_id", "ta", "tb",
+        S.prepare(F.col("ta"), "number_frequency").alias("na"),
+        S.prepare(F.col("tb"), "number_frequency").alias("nb"),
+        S.prepare(F.col("ta"), "word_overlap").alias("ka"),
+        S.prepare(F.col("tb"), "word_overlap").alias("kb"),
+        S.prepare(F.col("ta"), "cosine").alias("fa"),
+        S.prepare(F.col("tb"), "cosine").alias("fb"),
+        S.prepare(F.col("ta"), "levenshtein").alias("la"),
+        S.prepare(F.col("tb"), "levenshtein").alias("lb"),
+    )
+    lev = F.when(
+        (F.length("ta") < LEVENSHTEIN_REPORT_MAX)
+        & (F.length("tb") < LEVENSHTEIN_REPORT_MAX),
+        S.levenshtein_prepared(F.col("la"), F.col("lb")),
+    )
+    return prep.select(
+        "doc_id",
+        F.round(S.multiset_cosine_guarded(F.col("na"), F.col("nb")), 6).alias("number_frequency"),
+        F.round(S.jaccard_terms_guarded(F.col("ka"), F.col("kb")), 6).alias("word_overlap"),
+        F.round(S.multiset_cosine_guarded(F.col("fa"), F.col("fb")), 6).alias("cosine"),
+        F.round(lev, 6).alias("levenshtein"),
+    )

@@ -564,6 +564,7 @@ def build_oracles() -> dict[str, str]:
         "dedup_apply": sql_dedup_apply(),
         "corpus_curation": sql_corpus_curation(),
         "final_content": sql_final_content(),
+        "similarity_report": sql_similarity_report(),
         # pipeline_extract: intentionally absent → rows-only check
         # (full-value parity is pytest's span-sequence oracle).
     }
@@ -1118,3 +1119,35 @@ SELECT doc_id,
   md5(CASE WHEN coalesce(validating AND (has_problems OR sim < {SIMILARITY_THRESHOLD}), FALSE)
            THEN sc ELSE pc END) AS content_md5
 FROM decided"""
+
+
+def sql_similarity_report() -> str:
+    from blackedge_ocr_spark.constants import LEVENSHTEIN_REPORT_MAX
+
+    grown = (
+        "(CASE WHEN doc_id % 7 = 0 THEN "
+        "array_to_string(list_transform(range(20), r -> text), ' ') "
+        "ELSE text END)"
+    )
+    ta = numeric_text_sql("a.doc_id", f"a.g")
+    tb = numeric_text_sql("b.doc_id", f"b.g")
+    lev_trunc = lambda c: f"substr({normalize_for_comparison_sql(c)}, 1, 10000)"
+    m = LEVENSHTEIN_REPORT_MAX
+    return f"""
+WITH g AS (SELECT doc_id, {grown} AS g FROM documents),
+pairs AS (
+  SELECT a.doc_id AS doc_id,
+         length({ta}) AS len_a, length({tb}) AS len_b,
+         {numbers_sql(ta)} AS na, {numbers_sql(tb)} AS nb,
+         {key_terms_sql(ta)} AS ka, {key_terms_sql(tb)} AS kb,
+         {tokens_sql(ta, 3)} AS fa, {tokens_sql(tb, 3)} AS fb,
+         {lev_trunc(ta)} AS la, {lev_trunc(tb)} AS lb
+  FROM g a JOIN g b ON b.doc_id = a.doc_id + 1
+)
+SELECT doc_id,
+  round({number_frequency_sim_sql('na', 'nb')}, 6) AS number_frequency,
+  round({word_overlap_sim_sql('ka', 'kb')}, 6) AS word_overlap,
+  round({_guarded_sim('fa', 'fb', cosine_multiset_sql('fa', 'fb'))}, 6) AS cosine,
+  round(CASE WHEN len_a < {m} AND len_b < {m}
+             THEN {levenshtein_sim_sql('la', 'lb')} END, 6) AS levenshtein
+FROM pairs"""
