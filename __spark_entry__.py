@@ -72,6 +72,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_curation": q.q_corpus_curation,
         "final_content": q.q_final_content,
         "similarity_report": q.q_similarity_report,
+        "event_rollup": q.q_event_rollup,
     }
     return out
 

@@ -722,3 +722,27 @@ def q_similarity_report(spark, sf_dir) -> DataFrame:
         F.round(S.multiset_cosine_guarded(F.col("fa"), F.col("fb")), 6).alias("cosine"),
         F.round(lev, 6).alias("levenshtein"),
     )
+
+
+def q_event_rollup(spark, sf_dir) -> DataFrame:
+    """Hour-windowed event aggregation with JSON props extraction —
+    the batch form of the engine's streaming rollup (window().start
+    aligns with epoch hours in both engines). Hash agg on (window,
+    type): partial map-side combine keeps the shuffle O(windows x
+    types) regardless of event count."""
+    e = spark.read.parquet(f"{sf_dir.rstrip('/')}/events.parquet")
+    e = e.repartition(_par(spark), "event_id")
+    w = F.window(F.col("ts"), "1 hour")
+    return (
+        e.groupBy(
+            F.date_format(w["start"], "yyyy-MM-dd HH:mm:ss").alias("hour"),
+            "event_type",
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 3).alias("total_value"),
+            F.sum(
+                F.get_json_object(F.col("props"), "$.k").cast("long")
+            ).alias("sum_k"),
+        )
+    )

@@ -565,6 +565,7 @@ def build_oracles() -> dict[str, str]:
         "corpus_curation": sql_corpus_curation(),
         "final_content": sql_final_content(),
         "similarity_report": sql_similarity_report(),
+        "event_rollup": sql_event_rollup(),
         # pipeline_extract: intentionally absent → rows-only check
         # (full-value parity is pytest's span-sequence oracle).
     }
@@ -1151,3 +1152,13 @@ SELECT doc_id,
   round(CASE WHEN len_a < {m} AND len_b < {m}
              THEN {levenshtein_sim_sql('la', 'lb')} END, 6) AS levenshtein
 FROM pairs"""
+
+
+def sql_event_rollup() -> str:
+    return """
+SELECT strftime(time_bucket(INTERVAL '1 hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+       event_type,
+       count(*)::bigint AS n_events,
+       round(sum(value), 3) AS total_value,
+       sum(json_extract(props, '$.k')::bigint)::bigint AS sum_k
+FROM events GROUP BY 1, 2"""

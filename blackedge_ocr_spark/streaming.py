@@ -115,3 +115,61 @@ def _spansify_batch(docs: DataFrame) -> DataFrame:
         spans.alias("spans"),
         F.lit("extract data").alias("query"),
     )
+
+
+EVENTS_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType(), True),
+        T.StructField("ts", T.TimestampType(), True),
+        T.StructField("user_id", T.LongType(), True),
+        T.StructField("event_type", T.StringType(), True),
+        T.StructField("value", T.DoubleType(), True),
+        T.StructField("props", T.StringType(), True),
+    ]
+)
+
+
+def stream_event_rollup(
+    spark: SparkSession,
+    input_dir: str,
+    output_dir: str,
+    checkpoint_dir: str,
+    watermark: str = "1 hour",
+    available_now: bool = True,
+):
+    """Watermarked hour-window event aggregation as a stream: late
+    events inside the watermark fold into their window; windows emit
+    (append mode) only once the watermark passes their end, so the
+    sink sees each window exactly once. State is bounded by
+    (watermark / window) x |event_type| — the Structured Streaming
+    shape for the engine's metrics rollups."""
+    from pyspark.sql import functions as F
+
+    events = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 2)
+        .parquet(input_dir)
+    )
+    agg = (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window(F.col("ts"), "1 hour"), F.col("event_type"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 3).alias("total_value"),
+        )
+        .select(
+            F.date_format(F.col("window.start"), "yyyy-MM-dd HH:mm:ss").alias("hour"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+    writer = (
+        agg.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", output_dir)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

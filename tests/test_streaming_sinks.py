@@ -51,3 +51,40 @@ def test_json_response_shape(spark):
         assert isinstance(doc["content"], str)
         assert doc["metadata"]["pages"] >= 1
         assert all(s["page_number"] >= 1 for s in doc["sections"])
+
+
+def test_stream_event_rollup_watermarked(spark, tmp_path):
+    """Windows fully below the final watermark emit exactly once and
+    match the batch aggregation; the not-yet-final tail is withheld."""
+    from blackedge_ocr_spark.streaming import stream_event_rollup
+
+    inp = tmp_path / "ev"
+    inp.mkdir()
+    shutil.copy(f"{SF}/events.parquet", inp / "e0.parquet")
+
+    q = stream_event_rollup(
+        spark, str(inp), str(tmp_path / "evout"), str(tmp_path / "evckpt")
+    )
+    q.awaitTermination(300)
+    got = {
+        (r["hour"], r["event_type"]): (r["n_events"], r["total_value"])
+        for r in spark.read.parquet(str(tmp_path / "evout")).collect()
+    }
+    assert got, "no finalized windows emitted"
+
+    batch = spark.read.parquet(f"{SF}/events.parquet")
+    exp = {
+        (r["hour"], r["event_type"]): (r["n_events"], r["total_value"])
+        for r in batch.groupBy(
+            F.date_format(F.window("ts", "1 hour")["start"],
+                          "yyyy-MM-dd HH:mm:ss").alias("hour"),
+            "event_type",
+        )
+        .agg(F.count("*").alias("n_events"),
+             F.round(F.sum("value"), 3).alias("total_value"))
+        .collect()
+    }
+    for key, vals in got.items():
+        assert exp[key] == vals, key
+    # withheld tail = windows newer than (max ts - watermark)
+    assert len(got) < len(exp)
