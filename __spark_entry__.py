@@ -21,9 +21,9 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: interleaved-span extraction + validation at sf0.001."""
-    from blackedge_ocr_spark.queries import q_pipeline_extract
+    from blackedge_ocr_spark.queries import q_pipeline_extract_full
 
-    return q_pipeline_extract(spark, "/root/testdata/sf0.001")
+    return q_pipeline_extract_full(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

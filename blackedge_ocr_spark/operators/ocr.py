@@ -63,6 +63,26 @@ def _is_media(s) -> Column:
     return s["kind"].isin(list(MEDIA_KINDS))
 
 
+def _first_per_offset(media: Column) -> Column:
+    """Keep only the first media span of each offset run.
+
+    The documents(doc_id, spans) schema does not enforce offset
+    uniqueness, and ``map_from_arrays`` under Spark's default
+    ``spark.sql.mapKeyDedupPolicy=EXCEPTION`` fails at runtime on a
+    duplicate key — so an externally supplied document with two media
+    spans at one offset must be disambiguated here. The input is
+    offset-sorted, so duplicates are adjacent: element i survives iff
+    it is first or differs from its predecessor (O(n), in-array).
+    ``fill_media_text`` then gives every span at that offset the first
+    ref's OCR text — documented first-wins semantics.
+    """
+    return F.filter(
+        media,
+        lambda s, i: (i == F.lit(0))
+        | (s["offset"] != F.element_at(media, F.greatest(i, F.lit(1)))["offset"]),
+    )
+
+
 def ocr_media_map(sorted_spans: Column, provider: Column) -> Column:
     """map<offset, ocr_text> for the media spans of a document.
 
@@ -72,13 +92,19 @@ def ocr_media_map(sorted_spans: Column, provider: Column) -> Column:
 
     Under the ``pdfplumber`` provider (text_extraction workflow) media
     spans yield empty text: pdfplumber cannot OCR (reference:
-    src/services/workflows/text_extraction_handler.py:96-150).
+    src/services/workflows/text_extraction_handler.py:96-150). The
+    refs fed to the inference UDF are gated to empty for that branch —
+    the UDF itself is hoisted out of CASE WHEN and always runs, so
+    cost is controlled by emptying its input, not wrapping its output.
     """
-    media = F.filter(sorted_spans, _is_media)
-    refs = F.transform(media, lambda s: s["media_ref"])
+    media = _first_per_offset(F.filter(sorted_spans, _is_media))
+    is_plumber = provider == "pdfplumber"
+    refs = F.when(
+        is_plumber, F.array().cast("array<string>")
+    ).otherwise(F.transform(media, lambda s: s["media_ref"]))
     offsets = F.transform(media, lambda s: s["offset"])
     texts = F.when(
-        provider == "pdfplumber", F.transform(media, lambda s: F.lit(""))
+        is_plumber, F.transform(media, lambda s: F.lit(""))
     ).otherwise(_ocr_texts(refs, provider))
     return F.map_from_arrays(offsets, texts)
 
@@ -123,7 +149,7 @@ def fake_ocr_text_jvm(provider: Column, media_ref: Column) -> Column:
 def ocr_media_map_jvm(sorted_spans: Column, provider: Column) -> Column:
     """ocr_media_map with the JVM stand-in classifier (no Arrow
     boundary). Identical output."""
-    media = F.filter(sorted_spans, _is_media)
+    media = _first_per_offset(F.filter(sorted_spans, _is_media))
     offsets = F.transform(media, lambda s: s["offset"])
     texts = F.when(
         provider == "pdfplumber", F.transform(media, lambda s: F.lit(""))

@@ -138,9 +138,18 @@ def extract_documents(
     validating = validation_requested & F.col("workflow").isin(
         list(VALIDATING_WORKFLOWS)
     )
+    # Gate the UDF's INPUT, not its output: Spark hoists Python UDFs
+    # out of CASE WHEN into an unconditional ArrowEvalPython stage, so
+    # `F.when(validating, media_map(...))` would still run secondary
+    # inference for every row. Feeding non-validating rows an empty
+    # span array makes their Arrow batch entries empty (zero media
+    # refs → zero model calls), which is the real cost gate.
+    gated_spans = F.when(validating, F.col("_sorted")).otherwise(
+        F.slice(F.col("_sorted"), 1, 0)
+    )
     df = df.withColumn(
         "_ocr_secondary",
-        F.when(validating, media_map(F.col("_sorted"), secondary_provider)),
+        F.when(validating, media_map(gated_spans, secondary_provider)),
     ).withColumn(
         "_secondary_spans",
         F.when(

@@ -334,11 +334,58 @@ def q_validation_decision(spark, sf_dir) -> DataFrame:
     )
 
 
-def q_pipeline_extract(spark, sf_dir) -> DataFrame:
-    """Flagship: the complete RESULT_SCHEMA output (rows-only driver
-    check; full-value parity is pytest's span-sequence oracle)."""
+def q_pipeline_extract_full(spark, sf_dir) -> DataFrame:
+    """Flagship: the complete RESULT_SCHEMA output with nested span and
+    problem arrays — the surface entry() and pytest consume."""
     d = spansify_documents(spark, sf_dir)
     return extract_documents(d, query_col="query", enable_validation=True)
+
+
+def q_pipeline_extract(spark, sf_dir) -> DataFrame:
+    """Flagship contract projection: every column scalar, so the
+    driver's canonicalizer can sort/hash it (arrays are unhashable in
+    its pandas path — CORRECTNESS_r01 `pipeline_extract.err`).
+
+    ``spans_md5`` is md5 over the (kind, text, media_ref, offset)
+    sequence in span order — i.e. the north rule's span-sequence
+    equality invariant, oracle-checked per document; ``problems_md5``
+    and ``content_md5`` hash the problem rollup and final content the
+    same way. Field separators are the ASCII unit/record separators so
+    no document text can alias the serialization.
+    """
+    r = q_pipeline_extract_full(spark, sf_dir)
+    span_ser = F.concat_ws(
+        "\x1e",
+        F.transform(
+            F.col("out_spans"),
+            lambda s: F.concat_ws(
+                "\x1f", s["kind"], s["text"], s["media_ref"],
+                s["offset"].cast("string"),
+            ),
+        ),
+    )
+    prob_ser = F.concat_ws(
+        ";",
+        F.transform(
+            F.col("problems"),
+            lambda p: F.concat(
+                p["offset"].cast("string"), F.lit(":"),
+                F.array_join(p["labels"], ","),
+            ),
+        ),
+    )
+    return r.select(
+        "doc_id",
+        "workflow",
+        "provider",
+        F.md5(span_ser).alias("spans_md5"),
+        F.md5(prob_ser).alias("problems_md5"),
+        F.md5("content").alias("content_md5"),
+        "used_secondary",
+        F.round("similarity", 6).alias("similarity"),
+        "reason",
+        F.col("pages").cast("bigint").alias("pages"),
+    )
 
 
 # ---------------------------------------------------------------------

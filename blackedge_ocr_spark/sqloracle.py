@@ -522,6 +522,58 @@ SELECT doc_id, workflow,
 FROM decided"""
 
 
+def sql_pipeline_extract() -> str:
+    """Flagship composite oracle: the full extract-then-validate chain
+    with the span SEQUENCE itself hashed (kind, text, media_ref,
+    offset in span order — the north rule's per-row invariant), plus
+    the problem rollup, final content, decision and metadata. Mirrors
+    queries.q_pipeline_extract's serialization byte-for-byte (unit /
+    record separator chr(31)/chr(30))."""
+    validating = ", ".join(_sq(w) for w in VALIDATING_WORKFLOWS)
+    span_ser = (
+        "kind || chr(31) || text || chr(31) || media_ref || chr(31) "
+        '|| "offset"::varchar'
+    )
+    prob_ser = (
+        'CASE WHEN len(probs) > 0 THEN "offset"::varchar || \':\' '
+        "|| array_to_string(probs, ',') END"
+    )
+    return f"""
+WITH {spansify_cte()}, {extracted_cte()},
+spanrows AS (
+  SELECT e.*, {problems_list_sql('e.text')} AS probs FROM ext e
+),
+agg AS (
+  SELECT doc_id,
+    md5(string_agg({span_ser}, chr(30) ORDER BY "offset")) AS spans_md5,
+    md5(coalesce(string_agg({prob_ser}, ';' ORDER BY "offset"), '')) AS problems_md5,
+    string_agg(text, {SEP} ORDER BY "offset") AS pc,
+    string_agg(sec_text, {SEP} ORDER BY "offset") AS sc,
+    bool_or(len(probs) > 0) AS has_problems,
+    count(*)::bigint AS pages
+  FROM spanrows GROUP BY doc_id
+),
+decided AS (
+  SELECT a.*, r.workflow, r.provider,
+    (r.workflow IN ({validating})) AS validating,
+    CASE WHEN r.workflow IN ({validating}) AND NOT a.has_problems
+         THEN {number_frequency_sim_sql(numbers_sql('a.pc'), numbers_sql('a.sc'))}
+    END AS sim
+  FROM agg a JOIN prov r ON r.doc_id = a.doc_id
+)
+SELECT doc_id, workflow, provider, spans_md5, problems_md5,
+  md5(CASE WHEN coalesce(validating AND (has_problems OR sim < {SIMILARITY_THRESHOLD}), FALSE)
+           THEN sc ELSE pc END) AS content_md5,
+  coalesce(validating AND (has_problems OR sim < {SIMILARITY_THRESHOLD}), FALSE)
+    AS used_secondary,
+  round(sim, 6) AS similarity,
+  CASE WHEN validating AND has_problems THEN 'quality_issues'
+       WHEN validating AND sim < {SIMILARITY_THRESHOLD} THEN 'low_similarity'
+  END AS reason,
+  pages
+FROM decided"""
+
+
 # Registry used by __spark_entry__.oracle_sql() ------------------------
 
 ORACLES: dict[str, str | None] = {}
@@ -566,8 +618,7 @@ def build_oracles() -> dict[str, str]:
         "final_content": sql_final_content(),
         "similarity_report": sql_similarity_report(),
         "event_rollup": sql_event_rollup(),
-        # pipeline_extract: intentionally absent → rows-only check
-        # (full-value parity is pytest's span-sequence oracle).
+        "pipeline_extract": sql_pipeline_extract(),
     }
     return out
 
