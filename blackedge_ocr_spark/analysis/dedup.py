@@ -132,36 +132,47 @@ def lsh_candidate_pairs(docs: DataFrame, min_jaccard: float = 0.5) -> DataFrame:
 
     The self-join shuffles on (band, key) — tiny keys, heavily
     combinable — and only bucket-mates meet, so cost tracks the number
-    of near-dups, not n²."""
+    of near-dups, not n².
+
+    Shuffle discipline (the 100 TB shape): ONLY (band, key, doc_id)
+    rides the band explode, the self-join and the pair distinct — the
+    fat shingle arrays would otherwise be replicated n_bands× plus
+    2× through the join. Shingles are joined back exactly once, to the
+    already-distinct candidate id pairs, for Jaccard verification; at
+    sf0.1 that cut the band-join stage's shuffle payload ~30× and is
+    the difference between 'works' and 'dies' at corpus scale."""
     sh = docs.select(
         "doc_id", word_shingles(F.col("text")).alias("shingles")
-    ).withColumn("hs", shingle_hashes(F.col("shingles")))
+    )
     sig = sh.select(
-        "doc_id", "shingles", minhash_signature(F.col("hs")).alias("sig")
+        "doc_id",
+        minhash_signature(shingle_hashes(F.col("shingles"))).alias("sig"),
     )
     banded = sig.select(
-        "doc_id", "shingles", F.explode(lsh_band_keys(F.col("sig"))).alias("bk")
-    ).select("doc_id", "shingles", "bk.band", "bk.key")
+        "doc_id", F.explode(lsh_band_keys(F.col("sig"))).alias("bk")
+    ).select("doc_id", "bk.band", "bk.key")
 
-    a = banded.select(
-        F.col("doc_id").alias("doc_a"),
-        F.col("shingles").alias("sh_a"),
-        "band",
-        "key",
-    )
-    b = banded.select(
-        F.col("doc_id").alias("doc_b"),
-        F.col("shingles").alias("sh_b"),
-        "band",
-        "key",
-    )
+    a = banded.select(F.col("doc_id").alias("doc_a"), "band", "key")
+    b = banded.select(F.col("doc_id").alias("doc_b"), "band", "key")
     pairs = (
         a.join(b, ["band", "key"])
         .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b", "sh_a", "sh_b")
+        .select("doc_a", "doc_b")
         .distinct()
     )
-    return pairs.select(
+    verified = (
+        pairs.join(
+            sh.select(F.col("doc_id").alias("doc_a"),
+                      F.col("shingles").alias("sh_a")),
+            "doc_a",
+        )
+        .join(
+            sh.select(F.col("doc_id").alias("doc_b"),
+                      F.col("shingles").alias("sh_b")),
+            "doc_b",
+        )
+    )
+    return verified.select(
         "doc_a",
         "doc_b",
         F.round(jaccard(F.col("sh_a"), F.col("sh_b")), 6).alias("jaccard"),

@@ -13,8 +13,10 @@ the Python oracle.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from blackedge_ocr_spark.constants import (
     LEVENSHTEIN_REPORT_MAX,
@@ -58,6 +60,54 @@ def _cosine_from_multisets(a: Column, b: Column) -> Column:
     return F.when(mag_a * mag_b == 0, F.lit(0.0)).otherwise(
         dot / (mag_a * mag_b)
     )
+
+
+def multiset_cosine_arrow(pa: Column, pb: Column) -> Column:
+    """Counter-cosine over two prepared multiset arrays as an
+    Arrow-batched pandas UDF — O(|a|+|b|) per row via hash counting.
+
+    The JVM higher-order-function variant rescans the full array for
+    every distinct element (O(u·n) — ~10⁸ comparisons per row on
+    10k-term documents), so the word-frequency method uses this path;
+    the number-frequency method keeps the JVM expression (few
+    elements, no Python boundary in the flagship pipeline).
+
+    Bit-identical to ``multiset_cosine_guarded``: counts are integers,
+    so dot and magnitudes are exact in float64 regardless of iteration
+    order, and the final sqrt/multiply/divide are the same
+    correctly-rounded IEEE ops the JVM performs.
+    """
+    return _multiset_cosine_udf(pa, pb)
+
+
+@F.pandas_udf(T.DoubleType())
+def _multiset_cosine_udf(a: "pd.Series", b: "pd.Series") -> "pd.Series":
+    import math
+    from collections import Counter
+
+    out = []
+    for xa, xb in zip(a, b):
+        if xa is None or xb is None:
+            out.append(None)
+            continue
+        xa, xb = list(xa), list(xb)
+        if not xa and not xb:
+            out.append(1.0)
+            continue
+        if not xa or not xb:
+            out.append(0.0)
+            continue
+        ca, cb = Counter(xa), Counter(xb)
+        dot = 0.0
+        for k, va in ca.items():
+            vb = cb.get(k)
+            if vb:
+                dot += float(va) * float(vb)
+        mag_a = math.sqrt(sum(float(v) * float(v) for v in ca.values()))
+        mag_b = math.sqrt(sum(float(v) * float(v) for v in cb.values()))
+        prod = mag_a * mag_b
+        out.append(0.0 if prod == 0 else dot / prod)
+    return pd.Series(out, dtype="float64")
 
 
 def multiset_cosine_guarded(na: Column, nb: Column) -> Column:
@@ -114,8 +164,10 @@ def prepare(content, method: str) -> Column:
 
 
 def from_prepared(pa: Column, pb: Column, method: str) -> Column:
-    if method in ("number_frequency", "cosine"):
+    if method == "number_frequency":
         return multiset_cosine_guarded(pa, pb)
+    if method == "cosine":
+        return multiset_cosine_arrow(pa, pb)
     if method == "word_overlap":
         return jaccard_terms_guarded(pa, pb)
     if method == "levenshtein":
@@ -141,7 +193,7 @@ def wordfreq_cosine_similarity(a, b, min_length: int = 3) -> Column:
     content_normalizer.py:143-173)."""
     fa = F.filter(tokens(_c(a)), lambda w: F.length(w) >= min_length)
     fb = F.filter(tokens(_c(b)), lambda w: F.length(w) >= min_length)
-    return multiset_cosine_guarded(fa, fb)
+    return multiset_cosine_arrow(fa, fb)
 
 
 def levenshtein_similarity(a, b) -> Column:
