@@ -219,6 +219,21 @@ def spansify_documents(
     # is then map-side parallel.
     docs = docs.repartition(spark.sparkContext.defaultParallelism * 4, "doc_id")
     docs = replicate_corpus(docs)
+    return spansify_frame(docs, words_per_span, mega_doc_every, mega_doc_factor)
+
+
+def spansify_frame(
+    docs: DataFrame,
+    words_per_span: int = 40,
+    mega_doc_every: int = 211,
+    mega_doc_factor: int = 25,
+) -> DataFrame:
+    """The span-construction columns of ``spansify_documents`` over an
+    already-loaded documents(doc_id, text, …) DataFrame — ONE codepath
+    shared by the batch reader above and the streaming micro-batch
+    head (streaming._spansify_batch), so the two produce identical
+    spans (mega-doc stratum, scrambled storage and the 7-way query
+    template cycle included)."""
     toks = F.split(F.col("text"), " ")
     rep = F.when(F.col("doc_id") % mega_doc_every == 0, mega_doc_factor).otherwise(1)
     toks = F.flatten(F.array_repeat(toks, rep))

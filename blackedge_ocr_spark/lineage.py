@@ -13,7 +13,10 @@ Streaming state, per SURVEY §4.3-4:
   ``{output}/data/part_id=N/`` (Hive-partitioned parquet — the
   Iceberg-partition stand-in available in this container) and is
   acknowledged by appending one lineage row per bucket to
-  ``{output}/_lineage/``.
+  ``{output}/_lineage/``. The data publish uses dynamic partition
+  overwrite, so a kill BETWEEN data write and lineage ack is safe:
+  the rerun replaces the unacked bucket's partitions instead of
+  appending a second copy.
 - On rerun, buckets already present in the lineage manifest are
   skipped *before* any compute (partition pruning via an isin filter
   on the bucket column), so a killed job resumes where it stopped.
@@ -95,13 +98,25 @@ def run_with_checkpoint(
         part = docs.filter(F.col("part_id").isin(bucket_ids))
         result = transform(part.drop("part_id"))
         result = with_bucket(result, n_buckets)
-        result.write.mode("append").partitionBy("part_id").parquet(
-            f"{output}/data"
-        )
+        # Idempotent publish (crash between data write and lineage ack):
+        # dynamic partition overwrite replaces exactly the part_id
+        # partitions this batch produces, so re-running an unacked
+        # bucket swaps in a fresh copy instead of appending duplicates.
+        # Acked buckets are never revisited (pruned above), so their
+        # partitions are never touched again.
+        result.write.mode("overwrite").option(
+            "partitionOverwriteMode", "dynamic"
+        ).partitionBy("part_id").parquet(f"{output}/data")
         wall = time.time() - t0
 
+        # Metrics come from the files just written — auditing the
+        # actual sink contents — rather than re-executing the whole
+        # transform (including its Arrow OCR stage) a second time.
+        written = spark.read.parquet(f"{output}/data").filter(
+            F.col("part_id").isin(bucket_ids)
+        )
         metrics = (
-            result.groupBy("part_id")
+            written.groupBy("part_id")
             .agg(
                 F.count("*").alias("n_docs"),
                 F.sum(F.size("out_spans")).alias("n_spans"),

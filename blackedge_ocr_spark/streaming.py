@@ -77,44 +77,14 @@ def stream_extract(
 
 
 def _spansify_batch(docs: DataFrame) -> DataFrame:
-    """Columnar spansify over an in-memory micro-batch (same
-    arithmetic as datagen.spansify_documents, minus the file read)."""
-    from pyspark.sql import functions as F
+    """Columnar spansify over an in-memory micro-batch — the SAME
+    span-construction plan as the batch reader (datagen.spansify_frame:
+    mega-doc stratum, scrambled storage, 7-way query template cycle),
+    so a corpus streamed file-by-file produces byte-identical spans to
+    the batch path."""
+    from blackedge_ocr_spark.datagen import spansify_frame
 
-    toks = F.split(F.col("text"), " ")
-    wps = F.lit(40)
-    n_spans = F.greatest(F.ceil(F.size(toks) / wps).cast("int"), F.lit(1))
-
-    def make_span(i):
-        words = F.slice(toks, i * wps + 1, 40)
-        mode = F.pmod(F.col("doc_id") * 7 + i, F.lit(9))
-        kind = (
-            F.when(mode == 3, F.lit("image"))
-            .when(mode == 7, F.lit("table"))
-            .otherwise(F.lit("text"))
-        )
-        media_ref = F.when(
-            mode == 3,
-            F.concat(F.lit("m-"), F.col("doc_id").cast("string"),
-                     F.lit("-"), i.cast("string")),
-        ).otherwise(F.lit(""))
-        text = (
-            F.when(mode == 3, F.lit(""))
-            .when(mode == 7,
-                  F.concat(F.lit("TABLE 1:\n"), F.array_join(words, " | ")))
-            .otherwise(F.array_join(words, " "))
-        )
-        return F.struct(
-            kind.alias("kind"), text.alias("text"),
-            media_ref.alias("media_ref"), i.cast("int").alias("offset"),
-        )
-
-    spans = F.transform(F.sequence(F.lit(0), n_spans - 1), make_span)
-    return docs.select(
-        F.col("doc_id").cast("string").alias("doc_id"),
-        spans.alias("spans"),
-        F.lit("extract data").alias("query"),
-    )
+    return spansify_frame(docs)
 
 
 EVENTS_SCHEMA = T.StructType(
@@ -136,6 +106,7 @@ def stream_event_rollup(
     checkpoint_dir: str,
     watermark: str = "1 hour",
     available_now: bool = True,
+    max_files_per_trigger: int = 2,
 ):
     """Watermarked hour-window event aggregation as a stream: late
     events inside the watermark fold into their window; windows emit
@@ -147,7 +118,7 @@ def stream_event_rollup(
 
     events = (
         spark.readStream.schema(EVENTS_SCHEMA)
-        .option("maxFilesPerTrigger", 2)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
         .parquet(input_dir)
     )
     agg = (

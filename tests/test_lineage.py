@@ -49,6 +49,35 @@ def test_interrupted_run_resumes_without_recompute(spark, tmp_path):
     assert spark.read.parquet(f"{out}/data").count() == 500
 
 
+def test_midbatch_crash_leaves_no_duplicates(spark, tmp_path):
+    """Kill BETWEEN data write and lineage ack: a partial bucket 0 is
+    on disk with no manifest row. The rerun must replace it (dynamic
+    partition overwrite), not append a second copy."""
+    out = str(tmp_path / "ckpt3")
+    docs = spansify_documents(spark, SF)
+    b = with_bucket(docs, 4)
+
+    partial = b.filter(
+        (F.col("part_id") == 0) & (F.col("doc_id").cast("long") % 2 == 0)
+    )
+    crashed = with_bucket(_transform(partial.drop("part_id")), 4)
+    crashed.write.mode("overwrite").option(
+        "partitionOverwriteMode", "dynamic"
+    ).partitionBy("part_id").parquet(f"{out}/data")
+    assert spark.read.parquet(f"{out}/data").count() > 0
+    assert completed_buckets(spark, out) == set()  # never acked
+
+    r = run_with_checkpoint(
+        spark, docs, _transform, out, n_buckets=4, buckets_per_batch=2
+    )
+    assert sorted(r["processed"]) == [0, 1, 2, 3] and r["skipped"] == []
+    data = spark.read.parquet(f"{out}/data")
+    assert data.count() == 500
+    assert data.select("doc_id").distinct().count() == 500
+    lineage = spark.read.parquet(f"{out}/_lineage")
+    assert lineage.groupBy().sum("n_docs").collect()[0][0] == 500
+
+
 def test_lineage_metrics_account_for_every_doc(spark, tmp_path):
     out = str(tmp_path / "ckpt2")
     docs = spansify_documents(spark, SF)

@@ -36,6 +36,137 @@ def test_stream_extract_available_now(spark, tmp_path):
     assert spark.read.parquet(str(tmp_path / "out")).count() == 500
 
 
+def test_stream_batch_span_parity(spark, tmp_path):
+    """The streamed micro-batch path shares spansify_frame with the
+    batch reader, so per-doc span sequences, workflows and final
+    content must be byte-identical to the batch pipeline (mega-doc
+    stratum, scrambled storage and query templates included)."""
+    from blackedge_ocr_spark.queries import q_pipeline_extract_full
+    from blackedge_ocr_spark.streaming import stream_extract
+
+    inp = tmp_path / "in"
+    inp.mkdir()
+    shutil.copy(f"{SF}/documents.parquet", inp / "batch0.parquet")
+    q = stream_extract(
+        spark, str(inp), str(tmp_path / "out"), str(tmp_path / "ckpt"),
+        available_now=True,
+    )
+    q.awaitTermination(300)
+
+    def fingerprint(df):
+        return {
+            r["doc_id"]: (r["w"], r["s"], r["c"])
+            for r in df.select(
+                "doc_id",
+                F.col("workflow").alias("w"),
+                F.md5(F.to_json("out_spans")).alias("s"),
+                F.md5("content").alias("c"),
+            ).collect()
+        }
+
+    streamed = fingerprint(spark.read.parquet(str(tmp_path / "out")))
+    batch = fingerprint(q_pipeline_extract_full(spark, SF))
+    assert streamed == batch
+
+
+def test_event_rollup_drops_past_watermark(spark, tmp_path):
+    """Out-of-order events across micro-batches: an event older than
+    the advanced watermark is dropped (its already-emitted window is
+    untouched); a late event still inside the watermark folds into its
+    window; the unfinished tail window is withheld."""
+    import os
+    import time as _t
+
+    from blackedge_ocr_spark.streaming import stream_event_rollup
+
+    inp = tmp_path / "ev"
+    inp.mkdir()
+
+    def write(name, rows, age_sec):
+        df = spark.createDataFrame(
+            [(i, ts, 1, "click", v, "{}") for i, (ts, v) in enumerate(rows)],
+            "event_id long, ts string, user_id long, event_type string, "
+            "value double, props string",
+        ).select(
+            "event_id", F.to_timestamp("ts").alias("ts"), "user_id",
+            "event_type", "value", "props",
+        ).coalesce(1)
+        stage = str(tmp_path / f"stage_{name}")
+        df.write.mode("overwrite").parquet(stage)
+        part = next(
+            os.path.join(r, f)
+            for r, _, fs in os.walk(stage) for f in fs
+            if f.endswith(".parquet")
+        )
+        dest = str(inp / name)
+        shutil.copy(part, dest)
+        # FileStreamSource orders by modification time: age the first
+        # batch so the two files land in separate triggers.
+        now = _t.time()
+        os.utime(dest, (now - age_sec, now - age_sec))
+
+    # Spark keeps TWO watermarks per batch: the late-row filter uses
+    # the watermark as of the batch's start, eviction/emission the one
+    # computed during it. A row is therefore dropped only when it
+    # arrives after the batch that evicted its window's state — hence
+    # three files in three triggers:
+    # batch 0: one event per hour 00..10 → watermark after: 09:30
+    write(
+        "e1.parquet",
+        [(f"2026-01-01 {h:02d}:30:00", 1.0) for h in range(11)],
+        age_sec=240,
+    )
+    # batch 1: advancer; hours 00..08 emit + evict (end <= 09:30);
+    # watermark after: 11:30
+    write("e2.parquet", [("2026-01-01 12:30:00", 1.0)], age_sec=120)
+    # batch 2: 03:15 is two batches late — hour 03 already evicted →
+    # DROPPED; 11:45's window is still open → folds into hour 11;
+    # 14:30 advances the watermark to 13:30 so hours 09..12 finalize
+    # while hour 14 stays withheld.
+    write(
+        "e3.parquet",
+        [("2026-01-01 03:15:00", 100.0),
+         ("2026-01-01 11:45:00", 5.0),
+         ("2026-01-01 14:30:00", 1.0)],
+        age_sec=0,
+    )
+
+    q = stream_event_rollup(
+        spark, str(inp), str(tmp_path / "evout"), str(tmp_path / "evckpt"),
+        max_files_per_trigger=1,
+    )
+    q.awaitTermination(300)
+    dropped = sum(
+        so.get("numRowsDroppedByWatermark", 0)
+        for p in q.recentProgress
+        for so in p["stateOperators"]
+    )
+
+    def read_stable():
+        prev = None
+        for _ in range(10):
+            got = {
+                r["hour"]: (r["n_events"], r["total_value"])
+                for r in spark.read.parquet(str(tmp_path / "evout")).collect()
+            }
+            if got == prev:
+                return got
+            prev = got
+            _t.sleep(1)
+        return prev
+
+    got = read_stable()
+    assert dropped == 1                              # exactly the 03:15 row
+    assert got["2026-01-01 03:00:00"] == (1, 1.0)    # dropped row not folded
+    assert got["2026-01-01 11:00:00"] == (1, 5.0)    # open-window late fold
+    assert got["2026-01-01 12:00:00"] == (1, 1.0)
+    assert "2026-01-01 14:00:00" not in got          # tail withheld
+    assert len(got) == 13                            # hours 00..12
+    for h in list(range(11)):
+        if h not in (11, 12):
+            assert got[f"2026-01-01 {h:02d}:00:00"] == (1, 1.0)
+
+
 def test_json_response_shape(spark):
     from blackedge_ocr_spark.datagen import spansify_documents
     from blackedge_ocr_spark.pipeline import extract_documents
