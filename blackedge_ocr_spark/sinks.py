@@ -6,11 +6,14 @@ writable to any sink. S10 (ZIP with per-page files,
 response_builder.py:73-138) has no file-per-page analog at table
 scale; its information content (full content + per-section texts +
 metadata + validation report) is preserved as typed columns in the
-same row. S11 (error response) is the nullable ``error`` column
-convention.
+same row, and ``doc_bundle``/``write_bundle_zip`` materialize one
+document's archive for a human, file-for-file. S11 (error response)
+is the nullable ``error`` column convention.
 """
 
 from __future__ import annotations
+
+import json
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -57,6 +60,98 @@ def json_response(result: DataFrame) -> DataFrame:
         )
     )
     return result.select("doc_id", response.alias("response"))
+
+
+def doc_bundle(result: DataFrame, doc_id: str) -> dict[str, str]:
+    """One document's ZIP-archive contents as {filename: text} —
+    field-for-field what the reference's build_zip_response packs
+    (response_builder.py:73-188): full_content.md, page_NNNN.md per
+    section (1-indexed, zero-padded), metadata.json,
+    validation_report.json when validation ran, and the generated
+    README.md. Driver-side single-row materialization is the point —
+    this is the human-facing escape hatch from the table
+    representation, not a distributed sink.
+    """
+    rows = result.filter(F.col("doc_id") == doc_id).limit(1).collect()
+    if not rows:
+        raise KeyError(f"doc_id not found: {doc_id}")
+    r = rows[0]
+
+    metadata = {
+        "workflow": r["workflow"],
+        "provider": r["provider"],
+        "pages": r["pages"],
+        "used_secondary": r["used_secondary"],
+    }
+    files: dict[str, str] = {"full_content.md": r["content"]}
+    for s in r["out_spans"]:
+        files[f"page_{s['offset'] + 1:04d}.md"] = s["text"]
+    files["metadata.json"] = json.dumps(metadata, indent=2)
+
+    validation = None
+    if r["used_secondary"] or r["similarity"] is not None:
+        validation = {
+            "used_secondary": r["used_secondary"],
+            "similarity": r["similarity"],
+            "reason": r["reason"],
+            "problem_pages": [
+                {"page": p["offset"], "problems": list(p["labels"])}
+                for p in r["problems"]
+            ],
+        }
+        files["validation_report.json"] = json.dumps(validation, indent=2)
+
+    files["README.md"] = _bundle_readme(
+        metadata, r["content"], len(r["out_spans"]), validation
+    )
+    return files
+
+
+def _bundle_readme(metadata, content, n_sections, validation) -> str:
+    """README text mirroring response_builder._generate_readme:141-188."""
+    readme = f"""# PDF Extraction Results
+
+## Summary
+- **Workflow**: {metadata.get("workflow", "Unknown")}
+- **Provider**: {metadata.get("provider", "Unknown")}
+- **Pages Processed**: {metadata.get("pages", "Unknown")}
+- **Content Length**: {len(content):,} characters
+
+## Files Included
+
+- `full_content.md`: Complete extracted text from all pages
+- `metadata.json`: Extraction metadata and processing information
+"""
+    if n_sections:
+        readme += (
+            f"- `page_NNNN.md`: Individual page content ({n_sections} files)\n"
+        )
+    if validation:
+        readme += (
+            "- `validation_report.json`: Validation and quality check results\n"
+        )
+        if validation.get("used_secondary"):
+            reason = validation.get("reason") or "unknown reason"
+            readme += (
+                "\n⚠️ **Note**: Secondary extraction was used due to "
+                f"{reason}\n"
+            )
+    readme += "\n## Metadata Details\n\n"
+    for key, value in metadata.items():
+        if key not in ("workflow", "provider", "pages"):
+            readme += f"- **{key}**: {value}\n"
+    return readme
+
+
+def write_bundle_zip(result: DataFrame, doc_id: str, path: str) -> None:
+    """Materialize ``doc_bundle`` as an actual .zip on local disk
+    (ZIP_DEFLATED, like the reference's in-memory archive)."""
+    import zipfile
+
+    files = doc_bundle(result, doc_id)
+    with zipfile.ZipFile(path, "w", zipfile.ZIP_DEFLATED) as zf:
+        for name, text in files.items():
+            zf.writestr(name, text)
 
 
 def write_results(result: DataFrame, path: str, partition_col: str | None = None) -> None:

@@ -184,6 +184,71 @@ def test_json_response_shape(spark):
         assert all(s["page_number"] >= 1 for s in doc["sections"])
 
 
+def test_doc_bundle_matches_reference_zip_layout(spark, tmp_path):
+    """doc_bundle emits the reference ZIP's exact file list
+    (response_builder.py:73-188): full_content.md + page_NNNN.md per
+    section + metadata.json + validation_report.json + README.md —
+    sections from the PRIMARY extraction even when secondary content
+    is served, like the reference's WorkflowResult."""
+    import zipfile
+
+    from blackedge_ocr_spark.constants import CONTENT_SEPARATOR
+    from blackedge_ocr_spark.datagen import fixture_dataframe
+    from blackedge_ocr_spark.pipeline import extract_documents
+    from blackedge_ocr_spark.sinks import doc_bundle, write_bundle_zip
+
+    result = extract_documents(
+        fixture_dataframe(spark), query_col="query",
+        explicit_col="explicit_workflow",
+    ).cache()
+
+    # d020: text + image + page spans, mistral routing; provider hash
+    # digits diverge on media → low similarity → secondary served.
+    b = doc_bundle(result, "d020")
+    assert set(b) == {
+        "full_content.md", "page_0001.md", "page_0002.md", "page_0003.md",
+        "metadata.json", "validation_report.json", "README.md",
+    }
+    meta = json.loads(b["metadata.json"])
+    assert meta["workflow"] == "mistral"
+    assert meta["provider"] == "mistral"
+    assert meta["pages"] == 3
+    assert meta["used_secondary"] is True
+    val = json.loads(b["validation_report.json"])
+    assert val["used_secondary"] is True
+    assert val["reason"] == "low_similarity"
+    # page files are the primary sections, 1-indexed and zero-padded
+    row = result.filter(F.col("doc_id") == "d020").collect()[0]
+    assert b["page_0002.md"] == row["out_spans"][1]["text"]
+    # full_content is the SERVED (secondary) content — differs from the
+    # primary page files for this doc, as in the reference
+    assert b["full_content.md"] == row["content"]
+    assert b["full_content.md"] != CONTENT_SEPARATOR.join(
+        s["text"] for s in row["out_spans"]
+    )
+    # README mirrors _generate_readme
+    assert "- **Workflow**: mistral" in b["README.md"]
+    assert "- **Pages Processed**: 3" in b["README.md"]
+    assert "`page_NNNN.md`: Individual page content (3 files)" in b["README.md"]
+    assert (
+        "⚠️ **Note**: Secondary extraction was used due to low_similarity"
+        in b["README.md"]
+    )
+    assert "- **used_secondary**: True" in b["README.md"]
+
+    # the zip writer round-trips the same file list
+    zpath = str(tmp_path / "d020.zip")
+    write_bundle_zip(result, "d020", zpath)
+    with zipfile.ZipFile(zpath) as zf:
+        assert set(zf.namelist()) == set(b)
+        assert zf.read("full_content.md").decode("utf-8") == b["full_content.md"]
+
+    # text_extraction doc: never validates → no validation_report.json
+    b28 = doc_bundle(result, "d028")
+    assert "validation_report.json" not in b28
+    assert "`validation_report.json`" not in b28["README.md"]
+
+
 def test_stream_event_rollup_watermarked(spark, tmp_path):
     """Windows fully below the final watermark emit exactly once and
     match the batch aggregation; the not-yet-final tail is withheld."""
