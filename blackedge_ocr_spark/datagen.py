@@ -233,10 +233,20 @@ def spansify_frame(
     shared by the batch reader above and the streaming micro-batch
     head (streaming._spansify_batch), so the two produce identical
     spans (mega-doc stratum, scrambled storage and the 7-way query
-    template cycle included)."""
-    toks = F.split(F.col("text"), " ")
+    template cycle included).
+
+    The token array is materialized as a COLUMN before the span
+    transform: expressions referenced inside higher-order-function
+    lambdas are re-evaluated per element, so an inline
+    ``split(text)`` would re-tokenize the whole document once per
+    span — O(spans x words), which turned a 1000x mega-document into
+    a 28-second quadratic task. With the select barrier the build is
+    linear in document length (BENCH/SKEW.md measures both)."""
     rep = F.when(F.col("doc_id") % mega_doc_every == 0, mega_doc_factor).otherwise(1)
-    toks = F.flatten(F.array_repeat(toks, rep))
+    docs = docs.withColumn(
+        "_toks", F.flatten(F.array_repeat(F.split(F.col("text"), " "), rep))
+    )
+    toks = F.col("_toks")
     wps = F.lit(words_per_span)
     n_spans = F.greatest(F.ceil(F.size(toks) / wps).cast("int"), F.lit(1))
 

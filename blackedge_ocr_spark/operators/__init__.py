@@ -2,4 +2,10 @@ from blackedge_ocr_spark.operators.routing import (  # noqa: F401
     explicit_workflow_col,
     route_workflow,
 )
-from blackedge_ocr_spark.operators.ocr import fill_media_text, ocr_media_map  # noqa: F401
+from blackedge_ocr_spark.operators.ocr import (  # noqa: F401
+    fill_media_text,
+    filter_media,
+    first_per_offset,
+    materialization_fence,
+    ocr_media_map,
+)

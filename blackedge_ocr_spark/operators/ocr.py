@@ -59,11 +59,50 @@ def _ocr_texts(media_refs: pd.Series, provider: pd.Series) -> pd.Series:
     return pd.Series(out)
 
 
+@F.pandas_udf(T.MapType(T.IntegerType(), T.StringType()))
+def _ocr_text_map(
+    offsets: pd.Series, media_refs: pd.Series, provider: pd.Series
+) -> pd.Series:
+    """Arrow-batched OCR-classify returning the offset→text map
+    DIRECTLY, so the map reaches ``fill_media_text`` as an
+    ArrowEvalPython output attribute. That placement is the point: a
+    JVM-side ``map_from_arrays`` column gets inlined into the fill
+    lambda by projection collapsing and is then rebuilt once per span
+    element — quadratic in span count (a 2,500-span mega-document
+    spent 15 s in that one row). A UDF output cannot be inlined.
+
+    Under ``pdfplumber`` every media offset maps to empty text
+    (pdfplumber cannot OCR; reference:
+    src/services/workflows/text_extraction_handler.py:96-150) and no
+    model would be invoked for the batch entry.
+    """
+    out = []
+    for offs, refs, prov in zip(offsets, media_refs, provider):
+        offs = list(offs) if offs is not None else []
+        refs = list(refs) if refs is not None else []
+        if prov == "pdfplumber":
+            out.append({int(o): "" for o in offs})
+        else:
+            out.append(
+                {int(o): fake_ocr_text(prov, r) for o, r in zip(offs, refs)}
+            )
+    return pd.Series(out)
+
+
 def _is_media(s) -> Column:
     return s["kind"].isin(list(MEDIA_KINDS))
 
 
-def _first_per_offset(media: Column) -> Column:
+def filter_media(sorted_spans: Column) -> Column:
+    """The media spans of a sorted span array. Materialize the result
+    as a column before passing it to ``first_per_offset`` /
+    ``ocr_media_map`` — both index into it per element, and an inlined
+    filter expression would be re-evaluated per element (quadratic in
+    span count; see ``materialization_fence``)."""
+    return F.filter(sorted_spans, _is_media)
+
+
+def first_per_offset(media: Column) -> Column:
     """Keep only the first media span of each offset run.
 
     The documents(doc_id, spans) schema does not enforce offset
@@ -72,9 +111,13 @@ def _first_per_offset(media: Column) -> Column:
     duplicate key — so an externally supplied document with two media
     spans at one offset must be disambiguated here. The input is
     offset-sorted, so duplicates are adjacent: element i survives iff
-    it is first or differs from its predecessor (O(n), in-array).
-    ``fill_media_text`` then gives every span at that offset the first
-    ref's OCR text — documented first-wins semantics.
+    it is first or differs from its predecessor. ``fill_media_text``
+    then gives every span at that offset the first ref's OCR text —
+    documented first-wins semantics.
+
+    ``media`` MUST be a materialized column attribute: the lambda
+    indexes back into it (element_at), so an inlined expression would
+    be recomputed per element.
     """
     return F.filter(
         media,
@@ -83,30 +126,31 @@ def _first_per_offset(media: Column) -> Column:
     )
 
 
-def ocr_media_map(sorted_spans: Column, provider: Column) -> Column:
-    """map<offset, ocr_text> for the media spans of a document.
+def materialization_fence(col: Column) -> Column:
+    """Stop CollapseProject from inlining a non-cheap column into a
+    downstream higher-order-function lambda, where it would be
+    re-evaluated PER ARRAY ELEMENT (measured: a 2,500-span document's
+    fill stage rebuilt the offset→text map 2,500 times — 15 s for one
+    row). ``when(isNotNull(c), c)`` references the producing alias
+    twice, which makes its projection non-collapsible, so downstream
+    lambdas see a plain attribute. Value-wise an identity.
+    """
+    return F.when(col.isNotNull(), col)
+
+
+def ocr_media_map(media_spans: Column, provider: Column) -> Column:
+    """map<offset, ocr_text> for the (pre-filtered, offset-deduped)
+    media spans of a document, produced INSIDE the Arrow UDF.
 
     Materialize this as its OWN column (withColumn) — Spark rejects
     Python UDFs nested inside higher-order-function lambdas, and only
-    the media refs should cross the Arrow boundary anyway.
-
-    Under the ``pdfplumber`` provider (text_extraction workflow) media
-    spans yield empty text: pdfplumber cannot OCR (reference:
-    src/services/workflows/text_extraction_handler.py:96-150). The
-    refs fed to the inference UDF are gated to empty for that branch —
-    the UDF itself is hoisted out of CASE WHEN and always runs, so
-    cost is controlled by emptying its input, not wrapping its output.
+    offsets + media refs should cross the Arrow boundary anyway. The
+    map being a UDF output (not a JVM map_from_arrays) is what keeps
+    ``fill_media_text`` linear: see ``_ocr_text_map``.
     """
-    media = _first_per_offset(F.filter(sorted_spans, _is_media))
-    is_plumber = provider == "pdfplumber"
-    refs = F.when(
-        is_plumber, F.array().cast("array<string>")
-    ).otherwise(F.transform(media, lambda s: s["media_ref"]))
-    offsets = F.transform(media, lambda s: s["offset"])
-    texts = F.when(
-        is_plumber, F.transform(media, lambda s: F.lit(""))
-    ).otherwise(_ocr_texts(refs, provider))
-    return F.map_from_arrays(offsets, texts)
+    offsets = F.transform(media_spans, lambda s: s["offset"])
+    refs = F.transform(media_spans, lambda s: s["media_ref"])
+    return _ocr_text_map(offsets, refs, provider)
 
 
 def fill_media_text(sorted_spans: Column, ocr_map: Column) -> Column:
@@ -146,14 +190,15 @@ def fake_ocr_text_jvm(provider: Column, media_ref: Column) -> Column:
     )
 
 
-def ocr_media_map_jvm(sorted_spans: Column, provider: Column) -> Column:
+def ocr_media_map_jvm(media_spans: Column, provider: Column) -> Column:
     """ocr_media_map with the JVM stand-in classifier (no Arrow
-    boundary). Identical output."""
-    media = _first_per_offset(F.filter(sorted_spans, _is_media))
-    offsets = F.transform(media, lambda s: s["offset"])
+    boundary). Identical output; same pre-filtered input contract."""
+    offsets = F.transform(media_spans, lambda s: s["offset"])
     texts = F.when(
-        provider == "pdfplumber", F.transform(media, lambda s: F.lit(""))
+        provider == "pdfplumber", F.transform(media_spans, lambda s: F.lit(""))
     ).otherwise(
-        F.transform(media, lambda s: fake_ocr_text_jvm(provider, s["media_ref"]))
+        F.transform(
+            media_spans, lambda s: fake_ocr_text_jvm(provider, s["media_ref"])
+        )
     )
     return F.map_from_arrays(offsets, texts)

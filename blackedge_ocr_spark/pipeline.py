@@ -31,6 +31,9 @@ from blackedge_ocr_spark.functions.problems import problems_array
 from blackedge_ocr_spark.functions.similarity import similarity_by_method
 from blackedge_ocr_spark.operators.ocr import (
     fill_media_text,
+    filter_media,
+    first_per_offset,
+    materialization_fence,
     ocr_media_map,
     ocr_media_map_jvm,
 )
@@ -126,11 +129,25 @@ def extract_documents(
     # span array is rebuilt JVM-side, so text spans never cross the
     # Python boundary. (The UDF must sit in its own projection —
     # Spark rejects Python UDFs nested inside HOF lambdas.)
+    #
+    # Every array/map consumed inside a downstream HOF lambda is
+    # staged as a column and fenced (materialization_fence): inlined
+    # expressions are re-evaluated per array element, which turns the
+    # fill stage quadratic in span count — a 2,500-span mega-document
+    # cost 15 s/row before, linear after (BENCH/SKEW.md).
     media_map = ocr_media_map if ocr_impl == "arrow" else ocr_media_map_jvm
-    df = df.withColumn(
-        "_ocr_primary", media_map(F.col("_sorted"), F.col("provider"))
-    ).withColumn(
-        "out_spans", fill_media_text(F.col("_sorted"), F.col("_ocr_primary"))
+    df = (
+        df.withColumn("_media", filter_media(F.col("_sorted")))
+        .withColumn("_media", first_per_offset(F.col("_media")))
+        .withColumn(
+            "_ocr_primary", media_map(F.col("_media"), F.col("provider"))
+        )
+        .withColumn(
+            "_ocr_primary", materialization_fence(F.col("_ocr_primary"))
+        )
+        .withColumn(
+            "out_spans", fill_media_text(F.col("_sorted"), F.col("_ocr_primary"))
+        )
     )
 
     # Validation only exists for workflows whose handler wires a
@@ -142,20 +159,31 @@ def extract_documents(
     # out of CASE WHEN into an unconditional ArrowEvalPython stage, so
     # `F.when(validating, media_map(...))` would still run secondary
     # inference for every row. Feeding non-validating rows an empty
-    # span array makes their Arrow batch entries empty (zero media
+    # media array makes their Arrow batch entries empty (zero media
     # refs → zero model calls), which is the real cost gate.
-    gated_spans = F.when(validating, F.col("_sorted")).otherwise(
-        F.slice(F.col("_sorted"), 1, 0)
-    )
-    df = df.withColumn(
-        "_ocr_secondary",
-        F.when(validating, media_map(gated_spans, secondary_provider)),
-    ).withColumn(
-        "_secondary_spans",
-        F.when(
-            validating,
-            fill_media_text(F.col("_sorted"), F.col("_ocr_secondary")),
-        ),
+    df = (
+        df.withColumn(
+            "_media_sec",
+            F.when(validating, F.col("_media")).otherwise(
+                F.slice(F.col("_media"), 1, 0)
+            ),
+        )
+        .withColumn(
+            "_ocr_secondary",
+            F.when(
+                validating, media_map(F.col("_media_sec"), secondary_provider)
+            ),
+        )
+        .withColumn(
+            "_ocr_secondary", materialization_fence(F.col("_ocr_secondary"))
+        )
+        .withColumn(
+            "_secondary_spans",
+            F.when(
+                validating,
+                fill_media_text(F.col("_sorted"), F.col("_ocr_secondary")),
+            ),
+        )
     )
 
     primary_content = assemble_content(F.col("out_spans"))

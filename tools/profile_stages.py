@@ -23,7 +23,13 @@ def main() -> None:
     from pyspark.sql import functions as F
 
     from blackedge_ocr_spark.datagen import spansify_documents
-    from blackedge_ocr_spark.operators.ocr import fill_media_text, ocr_media_map
+    from blackedge_ocr_spark.operators.ocr import (
+        fill_media_text,
+        filter_media,
+        first_per_offset,
+        materialization_fence,
+        ocr_media_map,
+    )
     from blackedge_ocr_spark.pipeline import extract_documents, sort_spans, span_problems
     from blackedge_ocr_spark.session import build_session
 
@@ -41,9 +47,14 @@ def main() -> None:
     b = base.withColumn("_sorted", sort_spans(F.col("spans")))
     b = b.withColumn("problems", span_problems(F.col("_sorted")))
     t("B_jvm_problems", b)
-    c = base.withColumn("_sorted", sort_spans(F.col("spans"))).withColumn(
-        "_m", ocr_media_map(F.col("_sorted"), F.lit("mistral"))
-    ).withColumn("out", fill_media_text(F.col("_sorted"), F.col("_m")))
+    c = (
+        base.withColumn("_sorted", sort_spans(F.col("spans")))
+        .withColumn("_media", filter_media(F.col("_sorted")))
+        .withColumn("_media", first_per_offset(F.col("_media")))
+        .withColumn("_m", ocr_media_map(F.col("_media"), F.lit("mistral")))
+        .withColumn("_m", materialization_fence(F.col("_m")))
+        .withColumn("out", fill_media_text(F.col("_sorted"), F.col("_m")))
+    )
     t("C_one_ocr", c)
     d = extract_documents(base, query_col="query")
     t("D_full_arrow", d)
