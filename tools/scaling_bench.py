@@ -132,6 +132,15 @@ def main() -> None:
     ]
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
     path = os.path.join(REPO, "BENCH", "BASELINE.md")
+    # Preserve hand-written appendix sections (fat-doc cosine table
+    # etc.) below the marker across regenerations.
+    marker = "<!-- appendix: preserved across regeneration -->"
+    appendix = ""
+    if os.path.exists(path):
+        old = open(path).read()
+        if marker in old:
+            appendix = old.split(marker, 1)[1]
+    lines += [marker + appendix]
     with open(path, "w") as f:
         f.write("\n".join(lines))
     print(f"wrote {path}")
