@@ -57,6 +57,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard": q.q_ngram_jaccard,
         "ann_topk": q.q_ann_topk,
         "ann_lsh_topk": q.q_ann_lsh_topk,
+        "ann_ivf_topk": q.q_ann_ivf_topk,
         "embedding_neardup": q.q_embedding_neardup,
         "lang_id": q.q_lang_id,
         "token_counts": q.q_token_counts,

@@ -160,6 +160,85 @@ def lsh_bucketed_topk(
     )
 
 
+CENTROID_EVERY = 37  # deterministic IVF "training": every 37th vector
+PROBE_LISTS = 3      # clusters probed per query
+
+
+def ivf_topk(
+    spark,
+    sf_dir: str,
+    k: int = DEFAULT_K,
+    query_every: int = QUERY_EVERY,
+    centroid_every: int = CENTROID_EVERY,
+    probe: int = PROBE_LISTS,
+) -> DataFrame:
+    """IVF (inverted-file) approximate top-k — the documented scale
+    path beyond hyperplane LSH: partition the corpus into C centroid
+    lists, probe only the ``probe`` closest lists per query, rank
+    candidates exactly.
+
+    Scale shape: centroid assignment is MAP-SIDE — the (small, sorted)
+    centroid array rides a 1-row broadcast cross join and each vector
+    folds over it once; the corpus never shuffles. Candidate scan cost
+    is ~probe/C of the corpus per query. A production system would
+    k-means the centroids and store ``cid`` as a partition column so
+    probes become partition pruning; here centroids are every
+    ``centroid_every``-th vector, deterministically, so the DuckDB
+    oracle reproduces the exact assignment (ties broken toward the
+    lowest centroid id via first-max position).
+    """
+    corpus = _load(spark, sf_dir)
+    cents = corpus.filter(F.col("vec_id") % centroid_every == 0).select(
+        F.col("vec_id").alias("cid"), F.col("v").alias("cv")
+    )
+    carr = cents.agg(
+        F.array_sort(
+            F.collect_list(F.struct(F.col("cid"), F.col("cv")))
+        ).alias("cents")
+    )
+    # _sims is materialized as a column: it is consumed by two
+    # expressions (argmax + probe ranking), and an inlined version
+    # would recompute every centroid cosine per reference.
+    scored = corpus.join(F.broadcast(carr)).withColumn(
+        "_sims",
+        F.transform(F.col("cents"), lambda c: cosine(F.col("v"), c["cv"])),
+    )
+    best = F.array_position(F.col("_sims"), F.array_max(F.col("_sims")))
+    assigned = scored.withColumn(
+        "cid", F.element_at(F.col("cents"), best.cast("int"))["cid"]
+    ).select("vec_id", "v", "cid")
+
+    ranked = F.array_sort(
+        F.zip_with(
+            F.col("_sims"),
+            F.col("cents"),
+            lambda s, c: F.struct((-s).alias("ns"), c["cid"].alias("cid")),
+        )
+    )
+    probes = F.transform(F.slice(ranked, 1, probe), lambda r: r["cid"])
+    queries = scored.filter(F.col("vec_id") % query_every == 0).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("v").alias("qv"),
+        F.explode(probes).alias("cid"),
+    )
+    cand = assigned.join(F.broadcast(queries), "cid").filter(
+        F.col("vec_id") != F.col("q_id")
+    )
+    out = cand.select(
+        "q_id",
+        F.col("vec_id").alias("neighbor_id"),
+        F.round(cosine(F.col("qv"), F.col("v")), 6).alias("cos"),
+    )
+    w = Window.partitionBy("q_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        out.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "rank", "neighbor_id", "cos")
+    )
+
+
 def neardup_pairs(spark, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup scan over consecutive vec_id pairs
     (the cheap deterministic probe; bucketed variants handle scale)."""

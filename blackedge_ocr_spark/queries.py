@@ -460,6 +460,15 @@ def q_ann_lsh_topk(spark, sf_dir) -> DataFrame:
                     "neighbor_id", "cos")
 
 
+def q_ann_ivf_topk(spark, sf_dir) -> DataFrame:
+    """IVF (centroid-list) approximate top-5, probe=3 lists."""
+    from blackedge_ocr_spark.analysis import ann
+
+    r = ann.ivf_topk(spark, sf_dir)
+    return r.select("q_id", F.col("rank").cast("long").alias("rank"),
+                    "neighbor_id", "cos")
+
+
 def q_embedding_neardup(spark, sf_dir) -> DataFrame:
     """Embedding-cosine near-dup probe over consecutive pairs."""
     from blackedge_ocr_spark.analysis import ann

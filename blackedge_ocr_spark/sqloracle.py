@@ -602,6 +602,7 @@ def build_oracles() -> dict[str, str]:
         "ngram_jaccard": sql_ngram_jaccard(),
         "ann_topk": sql_ann_topk(),
         "ann_lsh_topk": sql_ann_lsh_topk(),
+        "ann_ivf_topk": sql_ann_ivf_topk(),
         "embedding_neardup": sql_embedding_neardup(),
         "lang_id": sql_lang_id(),
         "token_counts": sql_token_counts(),
@@ -816,6 +817,43 @@ s AS (SELECT q_id, vec_id AS neighbor_id, round({cosine_sql('qv', 'v')}, 6) AS c
       FROM eb JOIN q ON eb.bucket = q.qb WHERE vec_id != q_id)
 SELECT q_id, rank, neighbor_id, cos FROM (
   SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, neighbor_id) AS rank
+  FROM s) WHERE rank <= {k}"""
+
+
+def sql_ann_ivf_topk(
+    k: int = 5, query_every: int = 50, centroid_every: int = 37,
+    probe: int = 3,
+) -> str:
+    """analysis.ann.ivf_topk mirror: deterministic centroids (every
+    37th vector, sorted by cid), first-max assignment, probe the 3
+    closest lists, exact cosine re-rank."""
+    sims = f"list_transform(cents, c -> {cosine_sql('v', 'c.cv')})"
+    return f"""
+WITH {EMB},
+centroids AS (SELECT vec_id AS cid, v AS cv FROM e
+              WHERE vec_id % {centroid_every} = 0),
+carr AS (SELECT list(struct_pack(cid := cid, cv := cv) ORDER BY cid)
+         AS cents FROM centroids),
+scored AS (SELECT vec_id, v, cents, {sims} AS sims FROM e, carr),
+assigned AS (
+  SELECT vec_id, v,
+         (cents[list_position(sims, list_max(sims))]).cid AS cid
+  FROM scored),
+qp AS (
+  SELECT vec_id AS q_id, v AS qv,
+         unnest(list_transform(
+           list_sort(list_transform(range(len(sims)),
+             i -> struct_pack(ns := -sims[i + 1], cid := (cents[i + 1]).cid)
+           ))[1:{probe}],
+           s -> s.cid)) AS cid
+  FROM scored WHERE vec_id % {query_every} = 0),
+s AS (SELECT q_id, a.vec_id AS neighbor_id,
+             round({cosine_sql('qv', 'a.v')}, 6) AS cos
+      FROM assigned a JOIN qp ON a.cid = qp.cid
+      WHERE a.vec_id != qp.q_id)
+SELECT q_id, rank, neighbor_id, cos FROM (
+  SELECT *, row_number() OVER (PARTITION BY q_id
+            ORDER BY cos DESC, neighbor_id) AS rank
   FROM s) WHERE rank <= {k}"""
 
 

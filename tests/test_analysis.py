@@ -92,6 +92,36 @@ def test_lsh_ann_is_subset_quality(spark):
     assert approx.filter(F.col("neighbor_id") == F.col("q_id")).count() == 0
 
 
+def test_ivf_ann_consistent_with_brute_force(spark):
+    """IVF neighbors are exactly scored (cosine equals the exact
+    pairwise value) and every query gets ranked, gap-free results;
+    recall vs exact top-5 is reported."""
+    from blackedge_ocr_spark.analysis import ann
+
+    exact = {
+        (r["q_id"], r["neighbor_id"]): r["cos"]
+        for r in ann.brute_force_topk(spark, SF, k=1000000).collect()
+    }
+    approx = ann.ivf_topk(spark, SF, k=5).collect()
+    assert approx, "ivf returned nothing"
+    by_q = {}
+    for r in approx:
+        key = (r["q_id"], r["neighbor_id"])
+        assert key in exact and exact[key] == r["cos"], key
+        by_q.setdefault(r["q_id"], []).append(r["rank"])
+    for q, ranks in by_q.items():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1))
+    exact_top5 = {}
+    for r in ann.brute_force_topk(spark, SF, k=5).collect():
+        exact_top5.setdefault(r["q_id"], set()).add(r["neighbor_id"])
+    hits = sum(
+        1 for r in approx if r["neighbor_id"] in exact_top5.get(r["q_id"], set())
+    )
+    print(f"ivf-ann recall vs exact top5: {hits}/{len(approx)}")
+    # probing 3 of ~2-14 lists must beat random: require >= 40% recall
+    assert hits >= 0.4 * len(approx)
+
+
 def test_media_meta_covers_all_media_spans(spark):
     from blackedge_ocr_spark.analysis.media import fake_decode, media_metadata
     from blackedge_ocr_spark.datagen import spansify_documents
