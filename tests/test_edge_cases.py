@@ -58,3 +58,30 @@ def test_single_media_span_doc(spark):
     out = extract_documents(df, query_col="query").collect()[0]
     assert out["out_spans"][0]["text"].startswith("Extracted by mistral")
     assert out["pages"] == 1
+
+
+def test_duplicate_media_offsets_first_wins(spark):
+    """Two media spans sharing an offset must not raise under the
+    default mapKeyDedupPolicy=EXCEPTION (the documents schema does not
+    enforce offset uniqueness): the map keeps the FIRST ref per offset
+    and every span at that offset receives its text."""
+    spans = [
+        ("text", "intro words here", "", 0),
+        ("image", "", "m-dup-a", 1),
+        ("image", "", "m-dup-b", 1),  # same offset, different ref
+        ("text", "closing words here", "", 2),
+    ]
+    df = _df(spark, [("dup1", spans, "", None)])
+    out = extract_documents(df, query_col="query").collect()[0]
+    media_texts = [
+        s["text"] for s in out["out_spans"] if s["kind"] == "image"
+    ]
+    assert len(media_texts) == 2
+    # first-wins: both spans at offset 1 carry ref m-dup-a's transcript
+    assert all("m-dup-a" in t for t in media_texts)
+    assert out["pages"] == 4
+    # jvm variant behaves identically
+    out2 = extract_documents(df, query_col="query", ocr_impl="jvm").collect()[0]
+    assert [s["text"] for s in out2["out_spans"]] == [
+        s["text"] for s in out["out_spans"]
+    ]
