@@ -6,6 +6,5 @@ from blackedge_ocr_spark.operators.ocr import (  # noqa: F401
     fill_media_text,
     filter_media,
     first_per_offset,
-    materialization_fence,
     ocr_media_map,
 )

@@ -98,7 +98,11 @@ def filter_media(sorted_spans: Column) -> Column:
     as a column before passing it to ``first_per_offset`` /
     ``ocr_media_map`` — both index into it per element, and an inlined
     filter expression would be re-evaluated per element (quadratic in
-    span count; see ``materialization_fence``)."""
+    span count). NB: a `when(isNotNull(c), c)` double-reference
+    "fence" does NOT reliably prevent that inlining (later rewrites
+    collapse it anyway — measured); only genuine attribute producers
+    (a prior projection the optimizer must keep, or a Python UDF
+    output) are safe to index from inside lambdas."""
     return F.filter(sorted_spans, _is_media)
 
 
@@ -124,18 +128,6 @@ def first_per_offset(media: Column) -> Column:
         lambda s, i: (i == F.lit(0))
         | (s["offset"] != F.element_at(media, F.greatest(i, F.lit(1)))["offset"]),
     )
-
-
-def materialization_fence(col: Column) -> Column:
-    """Stop CollapseProject from inlining a non-cheap column into a
-    downstream higher-order-function lambda, where it would be
-    re-evaluated PER ARRAY ELEMENT (measured: a 2,500-span document's
-    fill stage rebuilt the offset→text map 2,500 times — 15 s for one
-    row). ``when(isNotNull(c), c)`` references the producing alias
-    twice, which makes its projection non-collapsible, so downstream
-    lambdas see a plain attribute. Value-wise an identity.
-    """
-    return F.when(col.isNotNull(), col)
 
 
 def ocr_media_map(media_spans: Column, provider: Column) -> Column:

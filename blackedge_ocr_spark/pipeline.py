@@ -33,7 +33,6 @@ from blackedge_ocr_spark.operators.ocr import (
     fill_media_text,
     filter_media,
     first_per_offset,
-    materialization_fence,
     ocr_media_map,
     ocr_media_map_jvm,
 )
@@ -130,20 +129,20 @@ def extract_documents(
     # Python boundary. (The UDF must sit in its own projection —
     # Spark rejects Python UDFs nested inside HOF lambdas.)
     #
-    # Every array/map consumed inside a downstream HOF lambda is
-    # staged as a column and fenced (materialization_fence): inlined
-    # expressions are re-evaluated per array element, which turns the
-    # fill stage quadratic in span count — a 2,500-span mega-document
-    # cost 15 s/row before, linear after (BENCH/SKEW.md).
+    # Every array consumed inside a downstream HOF lambda is staged
+    # as a column first: inlined expressions are re-evaluated per
+    # array element, which turns the fill stage quadratic in span
+    # count — a 2,500-span mega-document cost 15 s/row before, linear
+    # after (BENCH/SKEW.md). The OCR map comes back as a UDF output
+    # attribute ('arrow') precisely so the optimizer CANNOT inline it
+    # into the fill lambda; the 'jvm' stand-in accepts the per-element
+    # map rebuild (bench-only path, documented).
     media_map = ocr_media_map if ocr_impl == "arrow" else ocr_media_map_jvm
     df = (
         df.withColumn("_media", filter_media(F.col("_sorted")))
         .withColumn("_media", first_per_offset(F.col("_media")))
         .withColumn(
             "_ocr_primary", media_map(F.col("_media"), F.col("provider"))
-        )
-        .withColumn(
-            "_ocr_primary", materialization_fence(F.col("_ocr_primary"))
         )
         .withColumn(
             "out_spans", fill_media_text(F.col("_sorted"), F.col("_ocr_primary"))
@@ -173,9 +172,6 @@ def extract_documents(
             F.when(
                 validating, media_map(F.col("_media_sec"), secondary_provider)
             ),
-        )
-        .withColumn(
-            "_ocr_secondary", materialization_fence(F.col("_ocr_secondary"))
         )
         .withColumn(
             "_secondary_spans",

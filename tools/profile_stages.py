@@ -27,7 +27,6 @@ def main() -> None:
         fill_media_text,
         filter_media,
         first_per_offset,
-        materialization_fence,
         ocr_media_map,
     )
     from blackedge_ocr_spark.pipeline import extract_documents, sort_spans, span_problems
@@ -52,7 +51,6 @@ def main() -> None:
         .withColumn("_media", filter_media(F.col("_sorted")))
         .withColumn("_media", first_per_offset(F.col("_media")))
         .withColumn("_m", ocr_media_map(F.col("_media"), F.lit("mistral")))
-        .withColumn("_m", materialization_fence(F.col("_m")))
         .withColumn("out", fill_media_text(F.col("_sorted"), F.col("_m")))
     )
     t("C_one_ocr", c)
