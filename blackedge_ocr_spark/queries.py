@@ -235,7 +235,9 @@ def q_similarity_pairs(spark, sf_dir) -> DataFrame:
         "doc_id",
         F.round(S.multiset_cosine_guarded(F.col("na"), F.col("nb")), 6).alias("sim_number"),
         F.round(S.jaccard_terms_guarded(F.col("ka"), F.col("kb")), 6).alias("sim_overlap"),
-        F.round(S.multiset_cosine_guarded(F.col("fa"), F.col("fb")), 6).alias("sim_cosine"),
+        # word-frequency cosine: Arrow hash counting (bit-identical to
+        # the JVM fold, linear instead of O(distinct x length))
+        F.round(S.multiset_cosine_arrow(F.col("fa"), F.col("fb")), 6).alias("sim_cosine"),
         F.round(S.levenshtein_prepared(F.col("la"), F.col("lb")), 6).alias("sim_levenshtein"),
     )
 
@@ -775,7 +777,7 @@ def q_similarity_report(spark, sf_dir) -> DataFrame:
         "doc_id",
         F.round(S.multiset_cosine_guarded(F.col("na"), F.col("nb")), 6).alias("number_frequency"),
         F.round(S.jaccard_terms_guarded(F.col("ka"), F.col("kb")), 6).alias("word_overlap"),
-        F.round(S.multiset_cosine_guarded(F.col("fa"), F.col("fb")), 6).alias("cosine"),
+        F.round(S.multiset_cosine_arrow(F.col("fa"), F.col("fb")), 6).alias("cosine"),
         F.round(lev, 6).alias("levenshtein"),
     )
 
