@@ -15,6 +15,7 @@ from blackedge_ocr_spark.functions.problems import (  # noqa: F401
 )
 from blackedge_ocr_spark.functions.similarity import (  # noqa: F401
     levenshtein_similarity,
+    multiset_cosine_arrow,
     number_frequency_similarity,
     similarity_by_method,
     similarity_report,
