@@ -74,6 +74,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "final_content": q.q_final_content,
         "similarity_report": q.q_similarity_report,
         "event_rollup": q.q_event_rollup,
+        "user_sessions": q.q_user_sessions,
     }
     return out
 

@@ -782,6 +782,38 @@ def q_similarity_report(spark, sf_dir) -> DataFrame:
     )
 
 
+SESSION_GAP_SEC = 1800  # 30-min inactivity closes a session
+
+
+def q_user_sessions(spark, sf_dir) -> DataFrame:
+    """Gap-based sessionization (30-min inactivity closes a session):
+    lag → new-session flag → running-sum session id → hash agg. The
+    batch twin of the stateful streaming operator
+    (streaming.stream_sessionize, applyInPandasWithState); both
+    produce identical closed sessions (pytest parity). Shuffle shape:
+    ONE exchange on user_id serves both the window and the
+    aggregation (same partitioning), and the agg combines map-side.
+    """
+    e = spark.read.parquet(f"{sf_dir.rstrip('/')}/events.parquet")
+    e = e.repartition(_par(spark), "user_id")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    new_s = F.when(gap.isNull() | (gap > SESSION_GAP_SEC), 1).otherwise(0)
+    sid = F.sum(new_s).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    staged = e.select(
+        "user_id", "ts", "value", "event_id", sid.alias("sid")
+    )
+    return staged.groupBy("user_id", "sid").agg(
+        F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss").alias(
+            "session_start"
+        ),
+        F.count("*").cast("bigint").alias("n_events"),
+        F.round(F.sum("value"), 3).alias("total_value"),
+    ).select("user_id", "session_start", "n_events", "total_value")
+
+
 def q_event_rollup(spark, sf_dir) -> DataFrame:
     """Hour-windowed event aggregation with JSON props extraction —
     the batch form of the engine's streaming rollup (window().start

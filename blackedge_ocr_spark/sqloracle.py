@@ -619,6 +619,7 @@ def build_oracles() -> dict[str, str]:
         "final_content": sql_final_content(),
         "similarity_report": sql_similarity_report(),
         "event_rollup": sql_event_rollup(),
+        "user_sessions": sql_user_sessions(),
         "pipeline_extract": sql_pipeline_extract(),
     }
     return out
@@ -1241,6 +1242,33 @@ SELECT doc_id,
   round(CASE WHEN len_a < {m} AND len_b < {m}
              THEN {levenshtein_sim_sql('la', 'lb')} END, 6) AS levenshtein
 FROM pairs"""
+
+
+def sql_user_sessions() -> str:
+    """queries.q_user_sessions mirror: 30-min-gap sessionization via
+    lag → flag → running sum → group."""
+    from blackedge_ocr_spark.queries import SESSION_GAP_SEC
+
+    return f"""
+WITH lagged AS (
+  SELECT user_id, ts, value, event_id,
+    CASE WHEN lag(ts) OVER w IS NULL
+              OR epoch(ts) - epoch(lag(ts) OVER w) > {SESSION_GAP_SEC}
+         THEN 1 ELSE 0 END AS new_s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sids AS (
+  SELECT user_id, ts, value,
+    sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS UNBOUNDED PRECEDING) AS sid
+  FROM lagged
+)
+SELECT user_id,
+       strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+       count(*)::bigint AS n_events,
+       round(sum(value), 3) AS total_value
+FROM sids GROUP BY user_id, sid"""
 
 
 def sql_event_rollup() -> str:

@@ -99,6 +99,103 @@ EVENTS_SCHEMA = T.StructType(
 )
 
 
+SESSION_OUTPUT_SCHEMA = (
+    "user_id long, session_start string, n_events bigint, total_value double"
+)
+SESSION_STATE_SCHEMA = "start double, last double, n bigint, total double"
+
+
+def stream_sessionize(
+    spark: SparkSession,
+    input_dir: str,
+    output_dir: str,
+    checkpoint_dir: str,
+    gap_sec: int = 1800,
+    watermark: str = "10 minutes",
+    available_now: bool = True,
+    max_files_per_trigger: int = 1,
+):
+    """Custom STATEFUL streaming operator via ``applyInPandasWithState``:
+    gap-based user sessionization. A session closes either when a later
+    event of the same user arrives past the gap (emitted in-batch) or
+    when the event-time watermark passes last_event + gap (emitted by
+    state timeout) — so the sink receives exactly the CLOSED sessions,
+    each once, and state is bounded by |active users|.
+
+    The batch twin is ``queries.q_user_sessions`` (lag → running-sum
+    session id → agg); closed sessions agree between the two (pytest
+    parity). Late events below the watermark are dropped by the
+    stateful operator, mirroring the rollup's semantics.
+    """
+    import datetime
+
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    events = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(input_dir)
+    )
+
+    def _fmt(epoch: float) -> str:
+        return datetime.datetime.fromtimestamp(
+            epoch, tz=datetime.timezone.utc
+        ).strftime("%Y-%m-%d %H:%M:%S")
+
+    def sessionize(key, pdf_iter, state: GroupState):
+        (user_id,) = key
+        closed: list[tuple] = []
+        if state.hasTimedOut:
+            start, last, n, total = state.get
+            closed.append((user_id, _fmt(start), int(n), float(total)))
+            state.remove()
+        else:
+            rows = pd.concat(list(pdf_iter), ignore_index=True)
+            rows = rows.sort_values(["ts", "event_id"])
+            if state.exists:
+                start, last, n, total = state.get
+            else:
+                start = last = None
+                n, total = 0, 0.0
+            for ts, v in zip(rows["ts"], rows["value"]):
+                t = ts.timestamp()
+                if start is None:
+                    start, last, n, total = t, t, 1, float(v)
+                elif t - last > gap_sec:
+                    closed.append((user_id, _fmt(start), int(n), float(total)))
+                    start, last, n, total = t, t, 1, float(v)
+                else:
+                    last, n, total = t, n + 1, total + float(v)
+            state.update((float(start), float(last), int(n), float(total)))
+            state.setTimeoutTimestamp(int((last + gap_sec) * 1000))
+        yield pd.DataFrame(
+            closed,
+            columns=["user_id", "session_start", "n_events", "total_value"],
+        )
+
+    sessions = (
+        events.withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            sessionize,
+            SESSION_OUTPUT_SCHEMA,
+            SESSION_STATE_SCHEMA,
+            "append",
+            GroupStateTimeout.EventTimeTimeout,
+        )
+    )
+    writer = (
+        sessions.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", output_dir)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def stream_event_rollup(
     spark: SparkSession,
     input_dir: str,

@@ -184,6 +184,97 @@ def test_json_response_shape(spark):
         assert all(s["page_number"] >= 1 for s in doc["sections"])
 
 
+def test_stream_sessionize_matches_batch_closed_sessions(spark, tmp_path):
+    """applyInPandasWithState sessionization: gap-closed sessions emit
+    in-batch, watermark-timeout closes the rest; the sink holds exactly
+    the CLOSED sessions and they match the batch lag/running-sum
+    sessionization; the still-open tail session is withheld."""
+    import os
+    import time as _t
+
+    from blackedge_ocr_spark.streaming import stream_sessionize
+
+    inp = tmp_path / "sev"
+    inp.mkdir()
+
+    def write(name, rows, age_sec):
+        df = spark.createDataFrame(
+            [(i, ts, uid, "click", v, "{}")
+             for i, (uid, ts, v) in enumerate(rows)],
+            "event_id long, ts string, user_id long, event_type string, "
+            "value double, props string",
+        ).select(
+            "event_id", F.to_timestamp("ts").alias("ts"), "user_id",
+            "event_type", "value", "props",
+        ).coalesce(1)
+        stage = str(tmp_path / f"sstage_{name}")
+        df.write.mode("overwrite").parquet(stage)
+        part = next(
+            os.path.join(r, f)
+            for r, _, fs in os.walk(stage) for f in fs
+            if f.endswith(".parquet")
+        )
+        dest = str(inp / name)
+        shutil.copy(part, dest)
+        now = _t.time()
+        os.utime(dest, (now - age_sec, now - age_sec))
+
+    # user 1: two events 10 min apart (one session), then a 50-min gap
+    # opens a second session — the first closes IN-BATCH via the gap.
+    # user 2: one early event (will close via watermark timeout).
+    write(
+        "s1.parquet",
+        [(1, "2026-01-01 00:00:00", 1.5),
+         (1, "2026-01-01 00:10:00", 2.5),
+         (1, "2026-01-01 01:00:00", 4.0),
+         (2, "2026-01-01 00:05:00", 8.0)],
+        age_sec=120,
+    )
+    # user 2 again at 05:00: advances the watermark to 04:50 (10-min
+    # delay), which times out every earlier session; its own session
+    # stays open (04:50 < 05:30) and must NOT be emitted.
+    write("s2.parquet", [(2, "2026-01-01 05:00:00", 16.0)], age_sec=0)
+
+    q = stream_sessionize(
+        spark, str(inp), str(tmp_path / "sout"), str(tmp_path / "sckpt")
+    )
+    q.awaitTermination(300)
+
+    def read_stable():
+        prev = None
+        for _ in range(10):
+            got = sorted(
+                (r["user_id"], r["session_start"], r["n_events"],
+                 r["total_value"])
+                for r in spark.read.parquet(str(tmp_path / "sout")).collect()
+            )
+            if got == prev:
+                return got
+            prev = got
+            _t.sleep(1)
+        return prev
+
+    got = read_stable()
+    assert got == [
+        (1, "2026-01-01 00:00:00", 2, 4.0),   # gap-closed in batch 0
+        (1, "2026-01-01 01:00:00", 1, 4.0),   # watermark timeout
+        (2, "2026-01-01 00:05:00", 1, 8.0),   # watermark timeout
+    ]
+    # parity with the batch sessionization, restricted to closed
+    # sessions (the batch path also reports the open 05:00 tail)
+    ev_dir = str(tmp_path / "batch_ev")
+    spark.read.parquet(str(inp)).write.mode("overwrite").parquet(
+        f"{ev_dir}/events.parquet"
+    )
+    from blackedge_ocr_spark.queries import q_user_sessions
+
+    batch = sorted(
+        (r["user_id"], r["session_start"], r["n_events"], r["total_value"])
+        for r in q_user_sessions(spark, ev_dir).collect()
+    )
+    assert batch == got + [(2, "2026-01-01 05:00:00", 1, 16.0)]
+
+
 def test_doc_bundle_matches_reference_zip_layout(spark, tmp_path):
     """doc_bundle emits the reference ZIP's exact file list
     (response_builder.py:73-188): full_content.md + page_NNNN.md per
