@@ -65,3 +65,13 @@ def test_ann_broadcast_no_corpus_shuffle(spark):
     q = brute_force_topk(spark, SF)
     plan = plans.formatted_plan(q)
     assert "BroadcastExchange" in plan
+
+
+def test_user_sessions_single_exchange(spark):
+    """Sessionization must shuffle exactly once on user_id: the
+    window's hash partitioning satisfies the downstream (user_id, sid)
+    aggregation's clustered distribution, so no second exchange."""
+    from blackedge_ocr_spark.queries import q_user_sessions
+
+    q = q_user_sessions(spark, SF)
+    assert plans.count_exchanges(q) == 1
