@@ -64,6 +64,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_scores": q.q_quality_scores,
         "fingerprints": q.q_fingerprints,
         "media_meta": q.q_media_meta,
+        "media_features": q.q_media_features,
+        "media_resize": q.q_media_resize,
+        "frame_sample": q.q_frame_sample,
         "segment_stats": q.q_segment_stats,
         "azure_layout": q.q_azure_layout,
         "ingest_validate": q.q_ingest_validate,

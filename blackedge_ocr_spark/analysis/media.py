@@ -68,10 +68,10 @@ def _decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         yield out
 
 
-def media_metadata(docs_spans: DataFrame) -> DataFrame:
-    """documents(doc_id, spans) → one typed metadata row per media
-    span, via Arrow-batched mapInPandas."""
-    media = (
+def media_spans(docs_spans: DataFrame) -> DataFrame:
+    """documents(doc_id, spans) → one (doc_id, media_ref) row per
+    media span — the shared explode front of every media operator."""
+    return (
         docs_spans.select(
             F.col("doc_id").cast("long").alias("doc_id"),
             F.explode("spans").alias("s"),
@@ -79,4 +79,130 @@ def media_metadata(docs_spans: DataFrame) -> DataFrame:
         .filter(F.col("s.kind").isin(list(MEDIA_KINDS)))
         .select("doc_id", F.col("s.media_ref").alias("media_ref"))
     )
-    return media.mapInPandas(_decode_batches, MEDIA_META_SCHEMA)
+
+
+def media_metadata(docs_spans: DataFrame) -> DataFrame:
+    """documents(doc_id, spans) → one typed metadata row per media
+    span, via Arrow-batched mapInPandas."""
+    return media_spans(docs_spans).mapInPandas(
+        _decode_batches, MEDIA_META_SCHEMA
+    )
+
+
+FEATURE_DIM = 16
+
+MEDIA_FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("media_ref", T.StringType(), False),
+        T.StructField(
+            "features", T.ArrayType(T.DoubleType(), False), False
+        ),
+    ]
+)
+
+
+def fake_features(media_ref: str, dim: int = FEATURE_DIM) -> list[float]:
+    """Deterministic stand-in for a vision-model embedding of one
+    media payload: dim values in [0, 1), each an md5-derived quad of
+    (ref, index) — mirrored exactly by the DuckDB oracle. A real
+    implementation decodes the binary and runs the encoder here; the
+    Arrow batch shape (one array<double> per row) is the real one."""
+    return [
+        int(hashlib.md5(f"{media_ref}:{i}".encode()).hexdigest()[:4], 16)
+        / 65535.0
+        for i in range(dim)
+    ]
+
+
+def _feature_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"].values,
+                "media_ref": pdf["media_ref"].values,
+                "features": [fake_features(r) for r in pdf["media_ref"]],
+            }
+        )
+
+
+def media_features(docs_spans: DataFrame) -> DataFrame:
+    """Feature extraction over media spans: explode → Arrow-batched
+    mapInPandas → (doc_id, media_ref, features array<double>). The
+    output feeds the ANN operators (analysis.ann) directly; no
+    shuffle — a pure map stage like the decode."""
+    return media_spans(docs_spans).mapInPandas(
+        _feature_batches, MEDIA_FEATURES_SCHEMA
+    )
+
+
+def media_resize(
+    docs_spans: DataFrame, target_w: int = 512, target_h: int = 512
+) -> DataFrame:
+    """Fit-within resize planning for media spans: scale = min(tw/w,
+    th/h, 1) on the decoded dimensions, floor to pixels (min 1), and a
+    derived output handle. The dimension arithmetic is pure JVM
+    expression over the metadata — only the decode (and, in a real
+    deployment, the pixel resample writing the new payload) needs
+    Python, which is the right cost split at scale."""
+    meta = media_metadata(docs_spans)
+    scale = F.least(
+        F.lit(float(target_w)) / F.col("width").cast("double"),
+        F.lit(float(target_h)) / F.col("height").cast("double"),
+        F.lit(1.0),
+    )
+    out_w = F.greatest(
+        F.floor(F.col("width").cast("double") * scale), F.lit(1)
+    ).cast("int")
+    out_h = F.greatest(
+        F.floor(F.col("height").cast("double") * scale), F.lit(1)
+    ).cast("int")
+    return meta.select(
+        "doc_id",
+        "media_ref",
+        "width",
+        "height",
+        out_w.alias("out_w"),
+        out_h.alias("out_h"),
+        F.concat(
+            F.lit("resized-"), F.col("media_ref"), F.lit("-"),
+            out_w.cast("string"), F.lit("x"), out_h.cast("string"),
+        ).alias("resized_ref"),
+    )
+
+
+def frame_sample(docs_spans: DataFrame, n: int = 4) -> DataFrame:
+    """Evenly-spaced frame sampling for multi-frame media: take
+    min(n, n_frames) frames at indices floor(k * n_frames / n) and
+    emit one row per sampled frame with a per-frame handle. Pure JVM
+    sequence/transform over the metadata — the frame DECODE would be
+    the Python stage, sampling is not."""
+    meta = media_metadata(docs_spans)
+    take = F.least(F.lit(n), F.col("n_frames"))
+    idx = F.transform(
+        F.sequence(F.lit(0), take - 1),
+        # <= n frames: take them all; otherwise evenly spaced (the
+        # guard also prevents duplicate indices from the floor)
+        lambda k: F.when(F.col("n_frames") <= n, k.cast("int")).otherwise(
+            F.floor(
+                k.cast("double")
+                * F.col("n_frames").cast("double")
+                / F.lit(float(n))
+            ).cast("int")
+        ),
+    )
+    return (
+        meta.select(
+            "doc_id", "media_ref", "n_frames",
+            F.explode(idx).alias("frame_idx"),
+        )
+        .select(
+            "doc_id",
+            "media_ref",
+            F.col("frame_idx").cast("long").alias("frame_idx"),
+            F.concat(
+                F.col("media_ref"), F.lit("#f"),
+                F.col("frame_idx").cast("string"),
+            ).alias("frame_ref"),
+        )
+    )

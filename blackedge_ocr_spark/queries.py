@@ -509,6 +509,38 @@ def q_media_meta(spark, sf_dir) -> DataFrame:
     return media_metadata(spansify_documents(spark, sf_dir))
 
 
+def q_media_features(spark, sf_dir) -> DataFrame:
+    """Feature-extraction plumbing: Arrow-batched embedding stub per
+    media span; the vector is exposed as an md5 over its 16 recovered
+    integer quads (array columns are unhashable for the driver)."""
+    from blackedge_ocr_spark.analysis.media import media_features
+
+    feats = media_features(spansify_documents(spark, sf_dir))
+    ints = F.transform(
+        F.col("features"),
+        lambda f: F.round(f * 65535.0).cast("int").cast("string"),
+    )
+    return feats.select(
+        "doc_id", "media_ref",
+        F.md5(F.concat_ws(",", ints)).alias("features_md5"),
+    )
+
+
+def q_media_resize(spark, sf_dir) -> DataFrame:
+    """Fit-within resize planning (512x512) over decoded dimensions —
+    JVM arithmetic above the decode stub."""
+    from blackedge_ocr_spark.analysis.media import media_resize
+
+    return media_resize(spansify_documents(spark, sf_dir))
+
+
+def q_frame_sample(spark, sf_dir) -> DataFrame:
+    """Evenly-spaced frame sampling (4 frames) for multi-frame media."""
+    from blackedge_ocr_spark.analysis.media import frame_sample
+
+    return frame_sample(spansify_documents(spark, sf_dir))
+
+
 def q_segment_stats(spark, sf_dir) -> DataFrame:
     """M4 segmentation end-to-end: deterministic HTML corpus →
     DOM-parse + boilerplate-strip mapInPandas → per-doc span stats and

@@ -609,6 +609,9 @@ def build_oracles() -> dict[str, str]:
         "quality_scores": sql_quality_scores(),
         "fingerprints": sql_fingerprints(),
         "media_meta": sql_media_meta(),
+        "media_features": sql_media_features(),
+        "media_resize": sql_media_resize(),
+        "frame_sample": sql_frame_sample(),
         "segment_stats": sql_segment_stats(),
         "azure_layout": sql_azure_layout(),
         "ingest_validate": sql_ingest_validate(),
@@ -969,6 +972,52 @@ SELECT doc_id, media_ref,
   (CASE {q(2)} % {len(FORMATS)} {fmt_whens} END) AS format,
   (1 + {q(3)} % 30)::int AS n_frames
 FROM m"""
+
+
+def sql_media_features(dim: int = 16) -> str:
+    """analysis.media.fake_features mirror: quad i of md5(ref:i),
+    compared as md5 over the integer sequence."""
+    quad = (
+        "('0x' || substr(md5(media_ref || ':' || i::varchar), 1, 4))::int"
+    )
+    ints = f"list_transform(range({dim}), i -> ({quad})::varchar)"
+    return f"""
+WITH {spansify_cte()},
+m AS (SELECT doc_id, media_ref FROM sp WHERE kind IN ('image', 'page'))
+SELECT doc_id, media_ref,
+       md5(array_to_string({ints}, ',')) AS features_md5
+FROM m"""
+
+
+def sql_media_resize(target_w: int = 512, target_h: int = 512) -> str:
+    """analysis.media.media_resize mirror over the decode-stub dims."""
+    return f"""
+WITH meta AS ({sql_media_meta()}),
+s AS (SELECT *, least({target_w}.0 / width, {target_h}.0 / height, 1.0)
+             AS scale FROM meta)
+SELECT doc_id, media_ref, width, height,
+  greatest(floor(width * scale), 1)::int AS out_w,
+  greatest(floor(height * scale), 1)::int AS out_h,
+  'resized-' || media_ref || '-' || greatest(floor(width * scale), 1)::int
+    || 'x' || greatest(floor(height * scale), 1)::int AS resized_ref
+FROM s"""
+
+
+def sql_frame_sample(n: int = 4) -> str:
+    """analysis.media.frame_sample mirror: all frames when
+    n_frames <= n, else evenly spaced floor(k * n_frames / n)."""
+    idx = (
+        f"CASE WHEN n_frames <= {n} THEN k "
+        f"ELSE floor(k * n_frames / {n}.0)::int END"
+    )
+    return f"""
+WITH meta AS ({sql_media_meta()}),
+ks AS (SELECT doc_id, media_ref, n_frames,
+              unnest(range(least({n}, n_frames))) AS k FROM meta)
+SELECT doc_id, media_ref,
+       ({idx})::bigint AS frame_idx,
+       media_ref || '#f' || ({idx})::varchar AS frame_ref
+FROM ks"""
 
 
 # --- segmentation -----------------------------------------------------

@@ -139,6 +139,52 @@ def test_media_meta_covers_all_media_spans(spark):
     assert 320 <= r["width"] < 1920 and 240 <= r["height"] < 1140
 
 
+def test_media_feature_resize_frame_plumbing(spark):
+    """Feature vectors have the fixed dim in [0,1); resize fits within
+    the target box preserving aspect ratio; frame sampling takes all
+    frames when few, evenly spaced distinct indices when many."""
+    from blackedge_ocr_spark.analysis.media import (
+        FEATURE_DIM,
+        fake_decode,
+        frame_sample,
+        media_features,
+        media_resize,
+    )
+    from blackedge_ocr_spark.datagen import spansify_documents
+
+    d = spansify_documents(spark, SF)
+    feats = media_features(d).limit(20).collect()
+    assert feats
+    for r in feats:
+        assert len(r["features"]) == FEATURE_DIM
+        assert all(0.0 <= v < 1.0 for v in r["features"])
+
+    rs = media_resize(d, 512, 512).limit(50).collect()
+    for r in rs:
+        assert 1 <= r["out_w"] <= 512 and 1 <= r["out_h"] <= 512
+        if r["width"] > 512 or r["height"] > 512:  # downscaled
+            ratio_in = r["width"] / r["height"]
+            ratio_out = r["out_w"] / r["out_h"]
+            assert abs(ratio_in - ratio_out) / ratio_in < 0.02
+        else:  # never upscale
+            assert (r["out_w"], r["out_h"]) == (r["width"], r["height"])
+        assert r["resized_ref"] == (
+            f"resized-{r['media_ref']}-{r['out_w']}x{r['out_h']}"
+        )
+
+    fr = frame_sample(d, 4).collect()
+    by_ref = {}
+    for r in fr:
+        by_ref.setdefault(r["media_ref"], []).append(r["frame_idx"])
+    for ref, idxs in by_ref.items():
+        n_frames = fake_decode(ref)[3]
+        assert len(idxs) == min(4, n_frames)
+        assert len(set(idxs)) == len(idxs)  # no duplicate frames
+        assert all(0 <= i < n_frames for i in idxs)
+        if n_frames <= 4:
+            assert sorted(idxs) == list(range(n_frames))
+
+
 def test_lang_id_and_quality(spark, docs):
     from blackedge_ocr_spark.analysis import textstats
 
