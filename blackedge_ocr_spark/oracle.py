@@ -42,7 +42,13 @@ from blackedge_ocr_spark.constants import (
 
 # ---------------------------------------------------------------- text
 
-_NUM_RE = re.compile(r"-?\d+(?:,\d{3})*(?:\.\d+)?%?")
+# (?a) pins \d to ASCII — a DOCUMENTED deviation from the Python
+# reference, whose unicode \d also matches exotic numerals like 𝟏𝟐
+# (Nd category). Java regex and RE2 (\d = [0-9]) cannot match those
+# without also breaking value conversion, so the engine, the DuckDB
+# oracle and this model all agree on ASCII-digit semantics; \b/\w/\s
+# stay unicode on every side via Java's (?U).
+_NUM_RE = re.compile(r"(?a)-?\d+(?:,\d{3})*(?:\.\d+)?%?")
 _TERM_RE = re.compile(r"\b[a-z0-9]+\b")
 _WORD_RE = re.compile(r"\b\w+\b")
 
@@ -119,7 +125,7 @@ def detect_problems(content: str) -> list[str]:
     if len(content.strip()) < MIN_CONTENT_LENGTH:
         labels.append("low_content_density")
     has_table = "|" in content or "TABLE" in content.upper()
-    if has_table and not re.search(r"\d", content):
+    if has_table and not re.search(r"(?a)\d", content):  # ASCII \d, see _NUM_RE
         labels.append("missing_numbers")
     if re.search(r"(.)\1{%d,}" % MAX_REPEATED_CHAR_LENGTH, content):
         labels.append("repeated_characters")

@@ -36,6 +36,7 @@ _ALPHABETS = (
     "xyz \n\t",
     "abc âé€™Ã©�中文 ",
     "bcdfg aeiou \n|",
+    "mix 😀𝄞\U0001F680 astral ",  # surrogate-pair stress
 )
 _SNIPPETS = (
     "TABLE 1:\nA | B\n1 | 2",
@@ -46,6 +47,8 @@ _SNIPPETS = (
     "   \n\n\n\n\n\n\n\n\n\n\n\n\n\n\n\n\n\n   ",
     "Price: $1,234.56 up 25% from -3.5",
     "a | b | c\nd | e\nf | g | h | i",
+    "bold 𝟏𝟐 arabic ١٢٣ devanagari १२ beside 12.5",  # non-ASCII Nd digits
+    "café résumé naïve 😀 touché",
 )
 
 
