@@ -196,16 +196,23 @@ def extract_documents(
     # Stage 2 similarity runs only when stage 1 found no problems
     # (reference: validation_service.py:90-145). The per-method derived
     # arrays are materialized as columns first so the interpreted
-    # higher-order cosine doesn't re-extract numbers per element.
+    # higher-order cosine doesn't re-extract numbers per element —
+    # and GATED at the input, so rows that skip validation never pay
+    # the regex extraction (JVM methods) or the Arrow transfer
+    # ('cosine' method, whose UDF is hoisted out of CASE WHEN like any
+    # Python UDF and sees null inputs for gated rows).
     from blackedge_ocr_spark.functions import similarity as S
 
+    sim_gate = validating & ~has_problems
     df = df.withColumn(
-        "_sim_a", S.prepare(F.col("_primary_content"), similarity_method)
+        "_sim_a",
+        F.when(sim_gate, S.prepare(F.col("_primary_content"), similarity_method)),
     ).withColumn(
-        "_sim_b", S.prepare(F.col("_secondary_content"), similarity_method)
+        "_sim_b",
+        F.when(sim_gate, S.prepare(F.col("_secondary_content"), similarity_method)),
     )
     similarity = F.when(
-        validating & ~has_problems,
+        sim_gate,
         S.from_prepared(F.col("_sim_a"), F.col("_sim_b"), similarity_method),
     )
     df = df.withColumn("similarity", similarity)
