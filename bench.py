@@ -61,11 +61,19 @@ def main() -> None:
     # Warm up the JVM + Python workers once (tiny scale).
     run_noop(qs["pipeline_extract"](spark, "/root/testdata/sf0.001"))
 
+    # Best of 2 passes per query: this VM shows bursty steal time that
+    # can 3x a single measurement; the minimum is the least-noise
+    # estimate of the engine's actual cost.
+    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2"))
     times: dict[str, float] = {}
     for name in BENCH_QUERIES:
-        t0 = time.time()
-        run_noop(qs[name](spark, sf_dir))
-        times[name] = round(time.time() - t0, 3)
+        best = None
+        for _ in range(reps):
+            t0 = time.time()
+            run_noop(qs[name](spark, sf_dir))
+            sec = time.time() - t0
+            best = sec if best is None else min(best, sec)
+        times[name] = round(best, 3)
 
     flagship = times["pipeline_extract"]
     out = {
