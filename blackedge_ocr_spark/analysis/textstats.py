@@ -94,12 +94,22 @@ def quality_scores(docs: DataFrame) -> DataFrame:
         + 0.3 * stop_ratio
         + 0.2 * F.least(mean_len / 8.0, F.lit(1.0))
     )
+    # floor(x*1e6 + 0.5)/1e6 instead of round(x, 6): Spark rounds the
+    # exact decimal expansion of the double (HALF_UP on BigDecimal)
+    # while DuckDB rounds after an inexact multiply, so a value near a
+    # .5 boundary (seen at sf0.1) flips between the two. Spelling the
+    # multiply-floor out makes both engines run the SAME IEEE ops on
+    # the same double — bit-identical by construction (values are
+    # non-negative here).
+    def r6(c):
+        return F.floor(c * 1e6 + F.lit(0.5)) / 1e6
+
     return docs.select(
         "doc_id",
         n_words.cast("long").alias("n_words"),
-        F.round(mean_len, 6).alias("mean_word_len"),
-        F.round(stop_ratio, 6).alias("stopword_ratio"),
-        F.round(score, 6).alias("quality"),
+        r6(mean_len).alias("mean_word_len"),
+        r6(stop_ratio).alias("stopword_ratio"),
+        r6(score).alias("quality"),
     )
 
 

@@ -45,8 +45,15 @@ from blackedge_ocr_spark.queries import GIBBERISH_SUFFIX, ROUTE_TEMPLATES
 NL = "chr(10)"
 SEP = f"{NL} || '---PAGE-BREAK---' || {NL}"  # CONTENT_SEPARATOR
 NUMPAT = r"-?\d+(?:,\d{3})*(?:\.\d+)?%?"
-TERMPAT = r"\b[a-z0-9]+\b"
-WORDPAT = r"\b\w+\b"
+# RE2's \w and \b are ASCII-only, but the Spark side uses Java's (?U)
+# unicode classes (functions/text.py) — on corpora with non-ASCII
+# words the two disagree (caught at sf0.1). The mirror relies on the
+# equivalence: (?U)\b\w+\b extracts exactly the MAXIMAL runs of word
+# characters, and (?U)\b[a-z0-9]+\b extracts exactly those runs that
+# consist ENTIRELY of [a-z0-9] — both expressible in RE2 as a unicode
+# run match plus a full-match filter, no lookaround needed.
+WORDRUN = r"[\p{L}\p{M}\p{Nd}\p{Pc}]+"  # ≈ Java (?U)\w run
+TERMPAT = r"^[a-z0-9]+$"               # filter over WORDRUN runs
 
 
 def _sq(s: str) -> str:
@@ -80,7 +87,8 @@ def numbers_sql(c: str) -> str:
 
 def tokens_sql(c: str, min_length: int = 0) -> str:
     """T3 token stream over normalized text (with repeats)."""
-    toks = f"regexp_extract_all({norm_sql(c)}, {_sq(TERMPAT)})"
+    runs = f"regexp_extract_all({norm_sql(c)}, {_sq(WORDRUN)})"
+    toks = f"list_filter({runs}, w -> regexp_matches(w, {_sq(TERMPAT)}))"
     if min_length:
         toks = f"list_filter({toks}, w -> length(w) >= {min_length})"
     return toks
@@ -91,7 +99,7 @@ def key_terms_sql(c: str, min_length: int = 3) -> str:
 
 
 def word_count_sql(c: str) -> str:
-    return f"len(regexp_extract_all({c}, {_sq(WORDPAT)}))"
+    return f"len(regexp_extract_all({c}, {_sq(WORDRUN)}))"
 
 
 def remove_page_breaks_sql(c: str) -> str:
@@ -149,7 +157,10 @@ def d_flags_sql(c: str) -> dict[str, str]:
         f"{MAX_REPEATED_CHAR_LENGTH + 1})))) > 0)"
     )
     d4 = f"({word_count_sql(c)} < {MIN_WORD_COUNT})"
-    gwords = rf"regexp_extract_all({c}, '\b[a-zA-Z]{{4,}}\b')"
+    gwords = (
+        f"list_filter(regexp_extract_all({c}, {_sq(WORDRUN)}), "
+        "w -> regexp_matches(w, '^[a-zA-Z]{4,}$'))"
+    )
     gbad = (
         f"len(list_filter({gwords}, w -> NOT regexp_matches(lower(w), '[aeiou]') "
         "OR regexp_matches(lower(w), '[bcdfghjklmnpqrstvwxyz]{5,}')))"
@@ -932,10 +943,11 @@ m AS (
   FROM t
 )
 SELECT doc_id, n_words::bigint AS n_words,
-  round(mean_word_len, 6) AS mean_word_len,
-  round(stop_ratio, 6) AS stopword_ratio,
-  round(0.5 * least(n_words::double / 50.0, 1.0) + 0.3 * stop_ratio
-        + 0.2 * least(mean_word_len / 8.0, 1.0), 6) AS quality
+  floor(mean_word_len * 1000000 + 0.5) / 1000000 AS mean_word_len,
+  floor(stop_ratio * 1000000 + 0.5) / 1000000 AS stopword_ratio,
+  floor((0.5 * least(n_words::double / 50.0, 1.0) + 0.3 * stop_ratio
+         + 0.2 * least(mean_word_len / 8.0, 1.0)) * 1000000 + 0.5)
+    / 1000000 AS quality
 FROM m"""
 
 
