@@ -160,3 +160,23 @@ def write_results(result: DataFrame, path: str, partition_col: str | None = None
     if partition_col:
         w = w.partitionBy(partition_col)
     w.parquet(path)
+
+
+def write_bucketed(
+    df: DataFrame, table: str, n_buckets: int = 16, key: str = "doc_id"
+) -> None:
+    """Catalog-managed bucketed table (hash-bucketed + sorted on the
+    join key). Two tables bucketed the same way join WITHOUT any
+    exchange — the shuffle is paid once at write time instead of on
+    every join, which is the 100 TB pattern for repeatedly-joined
+    extraction outputs (results ⋈ problems ⋈ lineage on doc_id).
+    Asserted by ``test_plans.py::test_bucketed_join_has_no_exchange``.
+    Maps 1:1 onto Iceberg's bucket partition transform (README ADR-1).
+    """
+    (
+        df.write.mode("overwrite")
+        .format("parquet")
+        .bucketBy(n_buckets, key)
+        .sortBy(key)
+        .saveAsTable(table)
+    )

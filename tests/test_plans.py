@@ -67,6 +67,34 @@ def test_ann_broadcast_no_corpus_shuffle(spark):
     assert "BroadcastExchange" in plan
 
 
+def test_bucketed_join_has_no_exchange(spark):
+    """Two tables bucketed+sorted on doc_id must sort-merge join with
+    ZERO exchanges (bucket-co-located), while the same join over plain
+    parquet shuffles both sides — the write-once/join-many trade."""
+    from blackedge_ocr_spark.datagen import spansify_documents
+    from blackedge_ocr_spark.sinks import write_bucketed
+
+    docs = spansify_documents(spark, SF)
+    left = docs.select("doc_id", "query")
+    right = docs.select("doc_id", F.size("spans").alias("n_spans"))
+
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        write_bucketed(left, "bkt_left", 8)
+        write_bucketed(right, "bkt_right", 8)
+        j = spark.table("bkt_left").join(spark.table("bkt_right"), "doc_id")
+        assert plans.count_exchanges(j) == 0, plans.formatted_plan(j)
+
+        # control: identical join over unbucketed parquet shuffles
+        plain = left.join(right.withColumnRenamed("n_spans", "m"), "doc_id")
+        assert plans.count_exchanges(plain) >= 1
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        spark.sql("DROP TABLE IF EXISTS bkt_left")
+        spark.sql("DROP TABLE IF EXISTS bkt_right")
+
+
 def test_user_sessions_single_exchange(spark):
     """Sessionization must shuffle exactly once on user_id: the
     window's hash partitioning satisfies the downstream (user_id, sid)
