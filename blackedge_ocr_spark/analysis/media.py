@@ -179,8 +179,15 @@ def frame_sample(docs_spans: DataFrame, n: int = 4) -> DataFrame:
     the Python stage, sampling is not."""
     meta = media_metadata(docs_spans)
     take = F.least(F.lit(n), F.col("n_frames"))
+    # sequence(0, -1) is DESCENDING [0, -1] in Spark — a 0-frame row
+    # would emit two bogus frames where the oracle (range(0)) emits
+    # none. fake_decode currently guarantees n_frames >= 1, but the
+    # schema doesn't, so guard explicitly.
+    seq = F.when(take > 0, F.sequence(F.lit(0), take - 1)).otherwise(
+        F.array().cast("array<int>")
+    )
     idx = F.transform(
-        F.sequence(F.lit(0), take - 1),
+        seq,
         # <= n frames: take them all; otherwise evenly spaced (the
         # guard also prevents duplicate indices from the floor)
         lambda k: F.when(F.col("n_frames") <= n, k.cast("int")).otherwise(

@@ -73,10 +73,22 @@ def token_counts(docs: DataFrame) -> DataFrame:
     )
 
 
-def quality_scores(docs: DataFrame) -> DataFrame:
-    """Length / word-shape / stopword quality score in [0, 1]:
-    0.5·min(words/50, 1) + 0.3·stopword_ratio + 0.2·min(mean_len/8, 1)."""
-    toks = tokens(F.col("text"))
+def _r6(c: Column) -> Column:
+    # floor(x*1e6 + 0.5)/1e6 instead of round(x, 6): Spark rounds the
+    # exact decimal expansion of the double (HALF_UP on BigDecimal)
+    # while DuckDB rounds after an inexact multiply, so a value near a
+    # .5 boundary (seen at sf0.1) flips between the two. Spelling the
+    # multiply-floor out makes both engines run the SAME IEEE ops on
+    # the same double — bit-identical by construction (values are
+    # non-negative here).
+    return F.floor(c * 1e6 + F.lit(0.5)) / 1e6
+
+
+def _quality_exprs(col) -> tuple[Column, Column, Column, Column]:
+    """(n_words, mean_len, stop_ratio, score) as raw expressions over
+    one text column — shared by the per-doc report and the inline
+    curation predicate (which therefore needs no join)."""
+    toks = tokens(col)
     n_words = F.size(toks)
     stop = _stop_count(toks, LANG_PROFILES[0][1])
     mean_len = F.when(
@@ -94,22 +106,26 @@ def quality_scores(docs: DataFrame) -> DataFrame:
         + 0.3 * stop_ratio
         + 0.2 * F.least(mean_len / 8.0, F.lit(1.0))
     )
-    # floor(x*1e6 + 0.5)/1e6 instead of round(x, 6): Spark rounds the
-    # exact decimal expansion of the double (HALF_UP on BigDecimal)
-    # while DuckDB rounds after an inexact multiply, so a value near a
-    # .5 boundary (seen at sf0.1) flips between the two. Spelling the
-    # multiply-floor out makes both engines run the SAME IEEE ops on
-    # the same double — bit-identical by construction (values are
-    # non-negative here).
-    def r6(c):
-        return F.floor(c * 1e6 + F.lit(0.5)) / 1e6
+    return n_words, mean_len, stop_ratio, score
 
+
+def quality_col(col) -> Column:
+    """The r6-rounded composite quality score as a single inline
+    column expression — lets downstream filters stay on the scan
+    (zero shuffle) instead of joining quality_scores() back."""
+    return _r6(_quality_exprs(col)[3])
+
+
+def quality_scores(docs: DataFrame) -> DataFrame:
+    """Length / word-shape / stopword quality score in [0, 1]:
+    0.5·min(words/50, 1) + 0.3·stopword_ratio + 0.2·min(mean_len/8, 1)."""
+    n_words, mean_len, stop_ratio, score = _quality_exprs(F.col("text"))
     return docs.select(
         "doc_id",
         n_words.cast("long").alias("n_words"),
-        r6(mean_len).alias("mean_word_len"),
-        r6(stop_ratio).alias("stopword_ratio"),
-        r6(score).alias("quality"),
+        _r6(mean_len).alias("mean_word_len"),
+        _r6(stop_ratio).alias("stopword_ratio"),
+        _r6(score).alias("quality"),
     )
 
 

@@ -14,8 +14,10 @@ reference's behavior on non-ASCII input would otherwise diverge
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 # Python re semantics for \s / \b / \w via Java's (?U) flag.
 _WS = r"(?U)\s+"
@@ -92,13 +94,35 @@ def word_frequency(col, min_length: int = 3) -> Column:
 
     reference: content_normalizer.py:143-173 (``\\b{term}\\b`` counting
     over the normalized text == equality counting over the token list).
+
+    Tokenization stays JVM-side (Java ``(?U)`` regex — identical to
+    every other term consumer); only the hash count crosses the Arrow
+    boundary. The count is O(tokens) per row — the earlier
+    higher-order-function formulation rescanned the token array once
+    per distinct term (O(distinct x tokens): ~10^9 comparisons on a
+    100k-token/10k-term document) and, being a UDF-free expression,
+    was exposed to CollapseProject re-inlining. A pandas-UDF output is
+    an attribute and can never be inlined into a lambda.
+
+    For relational (doc_id, term, n) output prefer
+    ``queries.q_word_frequency``'s explode + groupBy — zero Python,
+    map-side combinable.
     """
-    toks = tokens(col)
-    terms = F.array_distinct(F.filter(toks, lambda w: F.length(w) >= min_length))
-    counts = F.transform(
-        terms, lambda t: F.size(F.filter(toks, lambda x: x == t))
-    )
-    return F.map_from_arrays(terms, counts)
+    toks = F.filter(tokens(col), lambda w: F.length(w) >= min_length)
+    return _word_counter_udf(toks)
+
+
+@F.pandas_udf(T.MapType(T.StringType(), T.IntegerType()))
+def _word_counter_udf(toks: "pd.Series") -> "pd.Series":
+    from collections import Counter
+
+    out = []
+    for arr in toks:
+        if arr is None:
+            out.append(None)
+        else:
+            out.append(dict(Counter(list(arr))))
+    return pd.Series(out)
 
 
 def word_count(col) -> Column:

@@ -80,6 +80,57 @@ def _map_literal(col: Column, mapping: dict, default=None) -> Column:
     return out.otherwise(F.lit(default))
 
 
+def _chunked(arr: Column, size: int) -> Column:
+    """array<x> → array<array<x>> of ``size``-sized slices (last one
+    ragged). ``arr`` must be a materialized column attribute — the
+    lambda indexes back into it per element."""
+    n = F.ceil(F.size(arr) / F.lit(size)).cast("int")
+    return F.transform(
+        F.sequence(F.lit(0), F.greatest(n, F.lit(1)) - 1),
+        lambda i: F.slice(arr, i * size + 1, size),
+    )
+
+
+def _ocr_map_chunked(
+    df: DataFrame,
+    media_col: str,
+    provider: Column,
+    media_map,
+    chunk: int,
+    out_col: str,
+) -> DataFrame:
+    """Mega-document straggler defense: split one document's media
+    array into ``chunk``-sized slices, explode them to rows, shuffle
+    on (doc_id, chunk_idx) so the slices of ONE document land in
+    DIFFERENT tasks, run the Arrow OCR stage per slice, and regroup
+    with map_concat (offsets are pre-deduped by first_per_offset, so
+    keys never collide).
+
+    Returns (doc_id, ``out_col``: map<int,string>) for exactly the
+    rows of ``df``. Without this, a 100k-media document is one Arrow
+    batch entry in one task — the whole stage waits on it; with it,
+    p99 task time is bounded by ``chunk`` model calls (BENCH/SKEW.md).
+    The extra shuffle moves only (doc_id, media slice) for the mega
+    minority, and the map ride back is offset→text only.
+    """
+    chunks = df.select(
+        "doc_id",
+        provider.alias("_prov"),
+        F.posexplode(_chunked(F.col(media_col), chunk)).alias("_ci", "_mchunk"),
+    ).repartition("doc_id", "_ci")
+    pmaps = chunks.select(
+        "doc_id", media_map(F.col("_mchunk"), F.col("_prov")).alias("_pmap")
+    )
+    empty = F.map_from_arrays(
+        F.array().cast("array<int>"), F.array().cast("array<string>")
+    )
+    return pmaps.groupBy("doc_id").agg(
+        F.aggregate(
+            F.collect_list("_pmap"), empty, lambda a, m: F.map_concat(a, m)
+        ).alias(out_col)
+    )
+
+
 def extract_documents(
     df: DataFrame,
     query_col: str | None = "query",
@@ -89,6 +140,7 @@ def extract_documents(
     similarity_threshold: float = SIMILARITY_THRESHOLD,
     repartition: int | None = None,
     ocr_impl: str = "arrow",
+    mega_media_chunk: int | None = None,
 ) -> DataFrame:
     """documents(doc_id, spans [, query [, explicit_workflow]]) →
     RESULT_SCHEMA rows. ``enable_validation`` may be a bool or the
@@ -99,6 +151,14 @@ def extract_documents(
     inference UDF (the real-model architecture); 'jvm' uses the
     bit-identical md5 stand-in as built-ins (no Python boundary —
     for benchmarking the non-inference stages in isolation).
+
+    ``mega_media_chunk``: when set, documents with more than this many
+    media spans take a split-process-reassemble OCR path (explode into
+    chunks, infer per chunk across tasks, map_concat back — see
+    ``_ocr_map_chunked``) instead of one Arrow batch entry in one
+    task. Output is IDENTICAL (pytest parity); the default keeps the
+    zero-shuffle single-projection plan. Size it to the per-task model
+    budget — e.g. 256 on a cluster where one model call is ~50 ms.
     """
     if repartition:
         # Spread mega-documents before the Arrow stage: hash on doc_id
@@ -138,21 +198,57 @@ def extract_documents(
     # into the fill lambda; the 'jvm' stand-in accepts the per-element
     # map rebuild (bench-only path, documented).
     media_map = ocr_media_map if ocr_impl == "arrow" else ocr_media_map_jvm
-    df = (
-        df.withColumn("_media", filter_media(F.col("_sorted")))
-        .withColumn("_media", first_per_offset(F.col("_media")))
-        .withColumn(
-            "_ocr_primary", media_map(F.col("_media"), F.col("provider"))
-        )
-        .withColumn(
-            "out_spans", fill_media_text(F.col("_sorted"), F.col("_ocr_primary"))
-        )
+    df = df.withColumn("_media", filter_media(F.col("_sorted"))).withColumn(
+        "_media", first_per_offset(F.col("_media"))
     )
 
     # Validation only exists for workflows whose handler wires a
     # secondary client (constants.VALIDATING_WORKFLOWS).
     validating = validation_requested & F.col("workflow").isin(
         list(VALIDATING_WORKFLOWS)
+    )
+
+    if mega_media_chunk:
+        # Straggler defense: docs above the media threshold get their
+        # OCR maps from the chunked split path and feed the direct UDF
+        # an EMPTY array (input gating — a CASE WHEN around the UDF
+        # would be hoisted and still run it). The join back is
+        # broadcast: mega docs are by definition the skewed minority.
+        is_mega = F.size(F.col("_media")) > mega_media_chunk
+        mega = df.filter(is_mega)
+        maps = _ocr_map_chunked(
+            mega, "_media", F.col("provider"), media_map,
+            mega_media_chunk, "_ocr_mega_pri",
+        ).join(
+            _ocr_map_chunked(
+                mega.filter(validating), "_media", secondary_provider,
+                media_map, mega_media_chunk, "_ocr_mega_sec",
+            ),
+            "doc_id",
+            "left",
+        )
+        df = df.join(F.broadcast(maps), "doc_id", "left")
+        gated_media = F.when(~is_mega, F.col("_media")).otherwise(
+            F.slice(F.col("_media"), 1, 0)
+        )
+    else:
+        is_mega = F.lit(False)
+        gated_media = F.col("_media")
+
+    df = (
+        df.withColumn("_media_pri", gated_media)
+        .withColumn(
+            "_ocr_direct", media_map(F.col("_media_pri"), F.col("provider"))
+        )
+        .withColumn(
+            "_ocr_primary",
+            F.when(is_mega, F.col("_ocr_mega_pri")).otherwise(F.col("_ocr_direct"))
+            if mega_media_chunk
+            else F.col("_ocr_direct"),
+        )
+        .withColumn(
+            "out_spans", fill_media_text(F.col("_sorted"), F.col("_ocr_primary"))
+        )
     )
     # Gate the UDF's INPUT, not its output: Spark hoists Python UDFs
     # out of CASE WHEN into an unconditional ArrowEvalPython stage, so
@@ -163,15 +259,20 @@ def extract_documents(
     df = (
         df.withColumn(
             "_media_sec",
-            F.when(validating, F.col("_media")).otherwise(
+            F.when(validating & ~is_mega, F.col("_media")).otherwise(
                 F.slice(F.col("_media"), 1, 0)
             ),
         )
         .withColumn(
+            "_ocr_sec_direct", media_map(F.col("_media_sec"), secondary_provider)
+        )
+        .withColumn(
             "_ocr_secondary",
-            F.when(
-                validating, media_map(F.col("_media_sec"), secondary_provider)
-            ),
+            F.when(validating & is_mega, F.col("_ocr_mega_sec")).when(
+                validating, F.col("_ocr_sec_direct")
+            )
+            if mega_media_chunk
+            else F.when(validating, F.col("_ocr_sec_direct")),
         )
         .withColumn(
             "_secondary_spans",

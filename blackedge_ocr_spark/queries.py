@@ -157,11 +157,21 @@ def q_key_term_freq(spark, sf_dir) -> DataFrame:
 
 
 def q_word_frequency(spark, sf_dir) -> DataFrame:
-    """T4 — per-doc term counts (map explode; no shuffle)."""
+    """T4 — per-doc term counts as explode + hash agg: zero Python,
+    O(tokens) per row, and the shuffle is map-side combinable (the
+    exchange carries O(distinct (doc, term)) rows, not raw tokens).
+    The map-returning API (functions.text.word_frequency) stays
+    available and is now an Arrow hash counter — both are linear; the
+    old per-term array rescan was O(distinct x tokens) per row."""
+    from blackedge_ocr_spark.functions.text import tokens
+
     d = _docs(spark, sf_dir)
-    return d.select(
-        "doc_id", F.explode(word_frequency("text")).alias("term", "n")
-    ).select("doc_id", "term", F.col("n").cast("long").alias("n"))
+    terms = F.filter(tokens("text"), lambda w: F.length(w) >= 3)
+    return (
+        d.select("doc_id", F.explode(terms).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("n"))
+    )
 
 
 # ---------------------------------------------------------------------
@@ -742,13 +752,19 @@ def q_corpus_curation(spark, sf_dir) -> DataFrame:
     d = _docs(spark, sf_dir)
     toks_ok = F.size(problems_array(F.col("text"))) == 0
     lang = textstats.predict_lang(F.col("text"))
-    q = textstats.quality_scores(d).select("doc_id", "quality")
-    staged = d.join(q, "doc_id").select(
-        "doc_id", "source",
-        (toks_ok & (lang == "en") & (F.col("quality") >= 0.5)).alias("keep"),
+    # quality inline on the scan (quality_col is a pure per-row
+    # expression) — the round-2 version joined quality_scores(d) back
+    # on doc_id, shuffling the full corpus twice for zero information.
+    # Now: one scan, fused projection, single map-side-combinable agg
+    # on source. Zero exchanges before the final agg.
+    keep = (
+        toks_ok
+        & (lang == "en")
+        & (textstats.quality_col(F.col("text")) >= 0.5)
     )
     return (
-        staged.groupBy("source")
+        d.select("source", keep.alias("keep"))
+        .groupBy("source")
         .agg(
             F.count("*").alias("n_docs"),
             F.sum(F.col("keep").cast("long")).alias("n_kept"),
@@ -829,8 +845,18 @@ def q_user_sessions(spark, sf_dir) -> DataFrame:
     e = spark.read.parquet(f"{sf_dir.rstrip('/')}/events.parquet")
     e = e.repartition(_par(spark), "user_id")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
-    new_s = F.when(gap.isNull() | (gap > SESSION_GAP_SEC), 1).otherwise(0)
+    # Gap in INTEGER microseconds — round-2 used unix_timestamp, which
+    # truncates to whole seconds and could sessionize differently from
+    # the DuckDB oracle (fractional epoch) and the streaming twin near
+    # the 1800 s threshold. unix_micros vs epoch_us vs pandas ts.value
+    # are all exact integers: the three implementations now agree by
+    # construction, not by luck of the data. (ts is TIMESTAMP_NTZ; the
+    # cast to TIMESTAMP is identity because the session tz is UTC.)
+    ep = F.unix_micros(F.col("ts").cast("timestamp"))
+    gap = ep - F.lag(ep).over(w)
+    new_s = F.when(
+        gap.isNull() | (gap > F.lit(SESSION_GAP_SEC * 1_000_000).cast("long")), 1
+    ).otherwise(0)
     sid = F.sum(new_s).over(
         w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
@@ -853,7 +879,14 @@ def q_event_rollup(spark, sf_dir) -> DataFrame:
     type): partial map-side combine keeps the shuffle O(windows x
     types) regardless of event count."""
     e = spark.read.parquet(f"{sf_dir.rstrip('/')}/events.parquet")
-    e = e.repartition(_par(spark), "event_id")
+    # The groupBy below combines map-side, so pre-shuffling raw events
+    # is pure waste at scale (the round-2 unconditional repartition
+    # moved O(n) rows to buy nothing). Widen only when the scan itself
+    # is split-starved — the sf test parquet is ONE split; a 100 TB
+    # scan yields thousands of splits and this branch never fires.
+    par = spark.sparkContext.defaultParallelism
+    if e.rdd.getNumPartitions() < par:
+        e = e.repartition(par)
     w = F.window(F.col("ts"), "1 hour")
     return (
         e.groupBy(

@@ -52,7 +52,16 @@ NUMPAT = r"-?\d+(?:,\d{3})*(?:\.\d+)?%?"
 # characters, and (?U)\b[a-z0-9]+\b extracts exactly those runs that
 # consist ENTIRELY of [a-z0-9] — both expressible in RE2 as a unicode
 # run match plus a full-match filter, no lookaround needed.
-WORDRUN = r"[\p{L}\p{M}\p{Nd}\p{Pc}]+"  # ≈ Java (?U)\w run
+# ≈ Java (?U)\w run. Java's UNICODE_CHARACTER_CLASS \w is
+# [\p{Alpha}\p{M}\p{Digit}\p{Pc}\p{Join_Control}]; the class below
+# adds \p{Nl} (letter-numbers, e.g. Roman numerals) and the two
+# Join_Control characters (ZWNJ U+200C / ZWJ U+200D) that the
+# round-2 mirror missed. Residual documented gap: Other_Alphabetic
+# characters OUTSIDE L/M/Nl (e.g. circled letters U+24B6, category
+# So) are \w in Java but not matched here — none are producible by
+# the corpus generator, and tests/test_random_parity.py fuzzes the
+# Nl/ZWJ cases explicitly.
+WORDRUN = r"[\p{L}\p{M}\p{Nd}\p{Nl}\p{Pc}\x{200C}\x{200D}]+"
 TERMPAT = r"^[a-z0-9]+$"               # filter over WORDRUN runs
 
 
@@ -1314,7 +1323,7 @@ def sql_user_sessions() -> str:
 WITH lagged AS (
   SELECT user_id, ts, value, event_id,
     CASE WHEN lag(ts) OVER w IS NULL
-              OR epoch(ts) - epoch(lag(ts) OVER w) > {SESSION_GAP_SEC}
+              OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > {SESSION_GAP_SEC * 1_000_000}
          THEN 1 ELSE 0 END AS new_s
   FROM events
   WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)

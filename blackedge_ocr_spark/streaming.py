@@ -138,17 +138,29 @@ def stream_sessionize(
         .parquet(input_dir)
     )
 
-    def _fmt(epoch: float) -> str:
+    def _fmt(epoch_us: float) -> str:
         return datetime.datetime.fromtimestamp(
-            epoch, tz=datetime.timezone.utc
+            epoch_us / 1e6, tz=datetime.timezone.utc
         ).strftime("%Y-%m-%d %H:%M:%S")
+
+    def _r3(x: float) -> float:
+        # Spark's round(col, 3) = HALF_UP over the exact decimal
+        # expansion of the double; Python's built-in round is
+        # banker's. Mirror Spark so the twins agree on .5 ties.
+        import decimal
+
+        return float(
+            decimal.Decimal(x).quantize(
+                decimal.Decimal("0.001"), rounding=decimal.ROUND_HALF_UP
+            )
+        )
 
     def sessionize(key, pdf_iter, state: GroupState):
         (user_id,) = key
         closed: list[tuple] = []
         if state.hasTimedOut:
             start, last, n, total = state.get
-            closed.append((user_id, _fmt(start), int(n), float(total)))
+            closed.append((user_id, _fmt(start), int(n), _r3(float(total))))
             state.remove()
         else:
             rows = pd.concat(list(pdf_iter), ignore_index=True)
@@ -158,17 +170,25 @@ def stream_sessionize(
             else:
                 start = last = None
                 n, total = 0, 0.0
+            # Integer microseconds (pandas ts.value is ns) — exact gap
+            # comparison, same integer semantics as the batch twin's
+            # unix_micros and the oracle's epoch_us. State holds the
+            # micros in doubles: exact up to 2^53 us (~year 287396).
+            gap_us = gap_sec * 1_000_000
             for ts, v in zip(rows["ts"], rows["value"]):
-                t = ts.timestamp()
+                t = ts.value // 1000
                 if start is None:
                     start, last, n, total = t, t, 1, float(v)
-                elif t - last > gap_sec:
-                    closed.append((user_id, _fmt(start), int(n), float(total)))
+                elif t - last > gap_us:
+                    # round to 3 decimals on close — the batch twin's
+                    # contract (q_user_sessions: round(sum(value), 3))
+                    closed.append((user_id, _fmt(start), int(n), _r3(float(total))))
                     start, last, n, total = t, t, 1, float(v)
                 else:
                     last, n, total = t, n + 1, total + float(v)
             state.update((float(start), float(last), int(n), float(total)))
-            state.setTimeoutTimestamp(int((last + gap_sec) * 1000))
+            # timeout is in epoch MILLIseconds
+            state.setTimeoutTimestamp(int(last + gap_us) // 1000)
         yield pd.DataFrame(
             closed,
             columns=["user_id", "session_start", "n_events", "total_value"],

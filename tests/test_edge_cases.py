@@ -85,3 +85,34 @@ def test_duplicate_media_offsets_first_wins(spark):
     assert [s["text"] for s in out2["out_spans"]] == [
         s["text"] for s in out["out_spans"]
     ]
+
+def test_mega_media_chunk_parity(spark):
+    """The split-process-reassemble OCR path (mega_media_chunk) must be
+    invisible in the output: a monster doc with many media spans —
+    including a duplicate offset (first-wins) and a validating
+    workflow — produces byte-identical rows with and without it, and
+    small docs below the threshold are untouched."""
+    mega_spans = []
+    for i in range(97):
+        if i % 3 == 0:
+            mega_spans.append(("image", "", f"m-big-{i}", i))
+        else:
+            mega_spans.append(("text", f"body text number {i} with words", "", i))
+    # duplicate offset vs the image span already at offset 0 —
+    # exercises first-wins dedup ahead of the chunk split
+    mega_spans.append(("image", "", "m-dup-late", 0))
+    rows = [
+        ("mega1", mega_spans, "extract data", None),          # validates (mistral)
+        ("mega2", mega_spans[:60], "plain text only", None),  # text_extraction: never validates
+        ("small", [("image", "", "m-sm-0", 0), ("text", "tiny body", "", 1)], "extract data", None),
+        ("empty", [], "extract data", None),
+    ]
+    df = _df(spark, rows)
+    cols = ["doc_id", "content", "used_secondary", "similarity", "reason", "pages", "provider"]
+    base = {r["doc_id"]: r for r in extract_documents(df, query_col="query").select(*cols).collect()}
+    split = {r["doc_id"]: r for r in extract_documents(
+        df, query_col="query", mega_media_chunk=8
+    ).select(*cols).collect()}
+    assert base.keys() == split.keys()
+    for k in base:
+        assert base[k] == split[k], k
