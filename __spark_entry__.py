@@ -58,6 +58,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk": q.q_ann_topk,
         "ann_lsh_topk": q.q_ann_lsh_topk,
         "ann_ivf_topk": q.q_ann_ivf_topk,
+        "ann_recall": q.q_ann_recall,
         "embedding_neardup": q.q_embedding_neardup,
         "lang_id": q.q_lang_id,
         "token_counts": q.q_token_counts,
@@ -78,6 +79,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "similarity_report": q.q_similarity_report,
         "event_rollup": q.q_event_rollup,
         "user_sessions": q.q_user_sessions,
+        "user_sessions_2p": q.q_user_sessions_2p,
     }
     return out
 

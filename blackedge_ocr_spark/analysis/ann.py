@@ -239,6 +239,53 @@ def ivf_topk(
     )
 
 
+def recall_vs_exact(
+    spark, sf_dir: str, k: int = DEFAULT_K, query_every: int = QUERY_EVERY
+) -> DataFrame:
+    """recall@k of the approximate paths against the exact baseline —
+    the number a user actually tunes N_PLANES / probe by. One row per
+    method: (method, n_queries, hits, recall) where recall =
+    hits / (n_queries * k), micro-averaged.
+
+    Shape: the union of both approximate results left-semi-joins the
+    exact top-k on (q_id, neighbor_id) — the join sides are O(queries
+    * k), never the corpus, so the recall audit costs no more than the
+    searches themselves. Integer hit counts make the ratio exact in
+    both engines; the r6 floor-round keeps the final double
+    bit-identical to the DuckDB oracle.
+    """
+    exact = brute_force_topk(spark, sf_dir, k, query_every).select(
+        "q_id", "neighbor_id"
+    )
+    approx = (
+        lsh_bucketed_topk(spark, sf_dir, k, query_every)
+        .select(F.lit("lsh").alias("method"), "q_id", "neighbor_id")
+        .unionByName(
+            ivf_topk(spark, sf_dir, k, query_every).select(
+                F.lit("ivf").alias("method"), "q_id", "neighbor_id"
+            )
+        )
+    )
+    hits = (
+        approx.join(exact, ["q_id", "neighbor_id"], "left_semi")
+        .groupBy("method")
+        .agg(F.count("*").alias("hits"))
+    )
+    nq = exact.agg(F.countDistinct("q_id").alias("n_queries"))
+    recall = (
+        F.floor(
+            F.col("hits").cast("double")
+            / (F.col("n_queries") * F.lit(k)).cast("double")
+            * 1e6
+            + F.lit(0.5)
+        )
+        / 1e6
+    )
+    return hits.crossJoin(F.broadcast(nq)).select(
+        "method", "n_queries", "hits", recall.alias("recall")
+    )
+
+
 def neardup_pairs(spark, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup scan over consecutive vec_id pairs
     (the cheap deterministic probe; bucketed variants handle scale)."""

@@ -141,6 +141,7 @@ def extract_documents(
     repartition: int | None = None,
     ocr_impl: str = "arrow",
     mega_media_chunk: int | None = None,
+    ocr_burn: int = 0,
 ) -> DataFrame:
     """documents(doc_id, spans [, query [, explicit_workflow]]) →
     RESULT_SCHEMA rows. ``enable_validation`` may be a bool or the
@@ -159,6 +160,9 @@ def extract_documents(
     task. Output is IDENTICAL (pytest parity); the default keeps the
     zero-shuffle single-projection plan. Size it to the per-task model
     budget — e.g. 256 on a cluster where one model call is ~50 ms.
+
+    ``ocr_burn``: bench-only per-page latency emulation for the md5
+    stand-in (see ``operators.ocr.fake_ocr_text``); 0 = production.
     """
     if repartition:
         # Spread mega-documents before the Arrow stage: hash on doc_id
@@ -197,7 +201,10 @@ def extract_documents(
     # attribute ('arrow') precisely so the optimizer CANNOT inline it
     # into the fill lambda; the 'jvm' stand-in accepts the per-element
     # map rebuild (bench-only path, documented).
-    media_map = ocr_media_map if ocr_impl == "arrow" else ocr_media_map_jvm
+    if ocr_impl == "arrow":
+        media_map = lambda m, p: ocr_media_map(m, p, burn=ocr_burn)
+    else:
+        media_map = ocr_media_map_jvm
     df = df.withColumn("_media", filter_media(F.col("_sorted"))).withColumn(
         "_media", first_per_offset(F.col("_media"))
     )

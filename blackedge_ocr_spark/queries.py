@@ -481,6 +481,21 @@ def q_ann_ivf_topk(spark, sf_dir) -> DataFrame:
                     "neighbor_id", "cos")
 
 
+def q_ann_recall(spark, sf_dir) -> DataFrame:
+    """recall@5 of the LSH and IVF paths vs the exact baseline —
+    quantifies the approximation the other ann queries only assert
+    self-consistency on; the metric N_PLANES/probe get tuned by."""
+    from blackedge_ocr_spark.analysis import ann
+
+    r = ann.recall_vs_exact(spark, sf_dir)
+    return r.select(
+        "method",
+        F.col("n_queries").cast("long").alias("n_queries"),
+        F.col("hits").cast("long").alias("hits"),
+        "recall",
+    )
+
+
 def q_embedding_neardup(spark, sf_dir) -> DataFrame:
     """Embedding-cosine near-dup probe over consecutive pairs."""
     from blackedge_ocr_spark.analysis import ann
@@ -870,6 +885,74 @@ def q_user_sessions(spark, sf_dir) -> DataFrame:
         F.count("*").cast("bigint").alias("n_events"),
         F.round(F.sum("value"), 3).alias("total_value"),
     ).select("user_id", "session_start", "n_events", "total_value")
+
+
+SESSION_BUCKET_US = 3_600 * 1_000_000  # phase-1 time bucket (1 hour)
+
+
+def q_user_sessions_2p(spark, sf_dir) -> DataFrame:
+    """Two-phase sessionization — the hot-user skew defense for
+    q_user_sessions. Phase 1 sessionizes WITHIN (user_id, hour-bucket)
+    partitions, so a bot with 10^7 events spreads across tasks instead
+    of serializing one window sort; its output is pre-sessions
+    (start, end, n, total) — one row per burst, usually orders of
+    magnitude fewer than events. Phase 2 merges adjacent pre-sessions
+    whose boundary gap is <= the threshold, which reconstructs the
+    single-phase sessions EXACTLY: phase 1 only ever splits at real
+    session breaks or at bucket edges, and phase 2 re-joins exactly
+    the bucket-edge splits. Oracle: the very same sql_user_sessions
+    the single-phase query checks against — equality by oracle, not
+    by construction argument alone. Worst case (every event its own
+    session) degrades to the single-phase cost, never worse than
+    events; best case (the skewed bot) is bounded by
+    O(events/bucket) per task.
+    """
+    e = spark.read.parquet(f"{sf_dir.rstrip('/')}/events.parquet")
+    ep = F.unix_micros(F.col("ts").cast("timestamp"))
+    gap_us = F.lit(SESSION_GAP_SEC * 1_000_000).cast("long")
+    e = e.withColumn("_ep", ep).withColumn(
+        "_bkt", F.floor(F.col("_ep") / F.lit(SESSION_BUCKET_US))
+    )
+    e = e.repartition(_par(spark), "user_id", "_bkt")
+
+    w1 = Window.partitionBy("user_id", "_bkt").orderBy("ts", "event_id")
+    g1 = F.col("_ep") - F.lag("_ep").over(w1)
+    new1 = F.when(g1.isNull() | (g1 > gap_us), 1).otherwise(0)
+    sid1 = F.sum(new1).over(
+        w1.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    pre = (
+        e.select("user_id", "_bkt", "ts", "value", "_ep", sid1.alias("_sid1"))
+        .groupBy("user_id", "_bkt", "_sid1")
+        .agg(
+            F.min("_ep").alias("_start_us"),
+            F.max("_ep").alias("_end_us"),
+            F.min("ts").alias("_start_ts"),
+            F.count("*").alias("_n"),
+            F.sum("value").alias("_total"),
+        )
+    )
+
+    w2 = Window.partitionBy("user_id").orderBy("_start_us", "_end_us")
+    g2 = F.col("_start_us") - F.lag("_end_us").over(w2)
+    new2 = F.when(g2.isNull() | (g2 > gap_us), 1).otherwise(0)
+    sid2 = F.sum(new2).over(
+        w2.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        pre.select(
+            "user_id", "_start_ts", "_n", "_total", sid2.alias("_sid")
+        )
+        .groupBy("user_id", "_sid")
+        .agg(
+            F.date_format(F.min("_start_ts"), "yyyy-MM-dd HH:mm:ss").alias(
+                "session_start"
+            ),
+            F.sum("_n").cast("bigint").alias("n_events"),
+            F.round(F.sum("_total"), 3).alias("total_value"),
+        )
+        .select("user_id", "session_start", "n_events", "total_value")
+    )
 
 
 def q_event_rollup(spark, sf_dir) -> DataFrame:

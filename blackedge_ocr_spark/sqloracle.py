@@ -623,6 +623,7 @@ def build_oracles() -> dict[str, str]:
         "ann_topk": sql_ann_topk(),
         "ann_lsh_topk": sql_ann_lsh_topk(),
         "ann_ivf_topk": sql_ann_ivf_topk(),
+        "ann_recall": sql_ann_recall(),
         "embedding_neardup": sql_embedding_neardup(),
         "lang_id": sql_lang_id(),
         "token_counts": sql_token_counts(),
@@ -643,6 +644,7 @@ def build_oracles() -> dict[str, str]:
         "similarity_report": sql_similarity_report(),
         "event_rollup": sql_event_rollup(),
         "user_sessions": sql_user_sessions(),
+        "user_sessions_2p": sql_user_sessions(),
         "pipeline_extract": sql_pipeline_extract(),
     }
     return out
@@ -879,6 +881,28 @@ SELECT q_id, rank, neighbor_id, cos FROM (
   SELECT *, row_number() OVER (PARTITION BY q_id
             ORDER BY cos DESC, neighbor_id) AS rank
   FROM s) WHERE rank <= {k}"""
+
+
+def sql_ann_recall(k: int = 5) -> str:
+    """ann.recall_vs_exact mirror: micro-averaged recall@k of lsh/ivf
+    against the exact baseline. The three top-k queries are reused
+    verbatim as derived tables (nested WITH), so any future tuning of
+    planes/probes stays in one place."""
+    return f"""
+WITH exact AS (SELECT q_id, neighbor_id FROM ({sql_ann_topk(k)})),
+lsh AS (SELECT q_id, neighbor_id FROM ({sql_ann_lsh_topk(k)})),
+ivf AS (SELECT q_id, neighbor_id FROM ({sql_ann_ivf_topk(k)})),
+u AS (SELECT 'lsh' AS method, q_id, neighbor_id FROM lsh
+      UNION ALL
+      SELECT 'ivf' AS method, q_id, neighbor_id FROM ivf),
+hits AS (SELECT method, count(*)::bigint AS hits
+         FROM u SEMI JOIN exact USING (q_id, neighbor_id)
+         GROUP BY method),
+nq AS (SELECT count(DISTINCT q_id)::bigint AS n_queries FROM exact)
+SELECT method, n_queries, hits,
+       floor(hits::double / (n_queries * {k})::double * 1e6 + 0.5) / 1e6
+         AS recall
+FROM hits, nq"""
 
 
 def sql_embedding_neardup() -> str:

@@ -140,3 +140,58 @@ def test_similarities_match_oracle(corpus):
         assert r["lv"] == pytest.approx(
             oracle.levenshtein_similarity(ta, tb), abs=1e-9
         ), i
+
+def test_wordrun_duckdb_mirror_fuzz(spark):
+    """Java (?U)\\w (engine) vs the RE2 WORDRUN mirror (DuckDB oracle)
+    on the characters the round-2 class missed: letter-numbers
+    (\\p{Nl}: Roman numerals), join controls (ZWNJ/ZWJ), plus marks,
+    connector punctuation and non-ASCII digits. Covers word_count
+    (raw text) and tokens/key_terms (normalized text)."""
+    import duckdb
+    import pandas as pd
+
+    from blackedge_ocr_spark.functions.text import key_terms, tokens, word_count
+    from blackedge_ocr_spark.sqloracle import key_terms_sql, tokens_sql, word_count_sql
+
+    seeds = [
+        "plain words only",
+        "roman Ⅻ and ⅰⅱⅲ numerals",          # Nl
+        "zw‌nj inside a word",             # ZWNJ joins the run
+        "zw‍join and tail‍",          # ZWJ, trailing
+        "under_score_words stay joined",        # Pc
+        "étude mark ḿixed",         # combining acute (M)
+        "arabic ١٢٣ digits and देवनागरी",        # Nd beyond ASCII, Devanagari
+        "mixed Ⅻ‌x12 a_b‍Ⅲ soup",
+        "",
+        "‌‍",                         # join controls alone
+    ]
+    rng = random.Random(4242)
+    docs = [(i, s) for i, s in enumerate(seeds)]
+    pieces = [p for s in seeds if s for p in s.split(" ")]
+    for i in range(len(seeds), 120):
+        docs.append(
+            (i, " ".join(rng.choice(pieces) for _ in range(rng.randint(1, 8))))
+        )
+
+    df = spark.createDataFrame(docs, "id long, text string")
+    got = {
+        r["id"]: r
+        for r in df.select(
+            "id",
+            word_count("text").alias("wc"),
+            tokens("text").alias("toks"),
+            key_terms("text").alias("kt"),
+        ).collect()
+    }
+
+    con = duckdb.connect()
+    con.register("documents", pd.DataFrame(docs, columns=["id", "text"]))
+    want = con.sql(
+        f"SELECT id, {word_count_sql('text')} AS wc, "
+        f"{tokens_sql('text')} AS toks, {key_terms_sql('text')} AS kt "
+        "FROM documents"
+    ).fetchall()
+    for i, wc, toks, kt in want:
+        assert got[i]["wc"] == wc, (i, docs[i][1])
+        assert list(got[i]["toks"]) == list(toks), (i, docs[i][1])
+        assert sorted(got[i]["kt"]) == sorted(kt), (i, docs[i][1])

@@ -135,6 +135,116 @@ def main() -> int:
         run("skew1000x + spread (shipped)", monster=True, spread=True),
         run("skew1000x + naive (no repartition)", monster=True, spread=False),
     ]
+
+    # ---- scenario group 2: media-monster OCR (mega_media_chunk) ----
+    # One document with MEDIA_MONSTER media spans, everyone else ~10.
+    # SPARK_GRAFT_OCR_BURN emulates per-page model latency (~1 ms) so
+    # the inference stage dominates like it would with a real model;
+    # without it the md5 stand-in finishes 20k pages in ~50 ms and no
+    # partitioning strategy is measurable.
+    media_monster = int(os.environ.get("SPARK_GRAFT_MEDIA_MONSTER", "20000"))
+    # Threaded as an explicit UDF-closure parameter (ocr_burn), NOT an
+    # env mutation — worker env is frozen once the first daemon spins
+    # up, so os.environ changes here never reach executors.
+    ocr_burn = int(os.environ.get("SPARK_GRAFT_OCR_BURN", "1000"))
+
+    def media_corpus():
+        d = spark.range(0, 512, 1, cpus * 4).select(
+            F.col("id").cast("string").alias("doc_id"),
+            F.lit("extract data").alias("query"),
+        )
+        n = F.when(F.col("doc_id") == "7", media_monster).otherwise(10)
+        spans = F.transform(
+            F.sequence(F.lit(0), n.cast("int") - 1),
+            lambda i: F.struct(
+                F.when((F.col("doc_id") == "7") | (i % 3 == 0), "image")
+                .otherwise("text")
+                .alias("kind"),
+                F.when(
+                    (F.col("doc_id") == "7") | (i % 3 == 0), ""
+                )
+                .otherwise(F.concat(F.lit("plain body words number "), i))
+                .alias("text"),
+                F.when(
+                    (F.col("doc_id") == "7") | (i % 3 == 0),
+                    F.concat(F.lit("m-"), F.col("doc_id"), F.lit("-"), i),
+                )
+                .otherwise("")
+                .alias("media_ref"),
+                i.cast("int").alias("offset"),
+            ),
+        )
+        return d.select("doc_id", spans.alias("spans"), "query")
+
+    def run_media(name: str, chunk: int | None) -> dict:
+        mark = last_stage_id(ui, app_id)
+        t0 = time.time()
+        out = extract_documents(
+            media_corpus(), query_col="query", mega_media_chunk=chunk,
+            ocr_burn=ocr_burn,
+        )
+        out.write.format("noop").mode("overwrite").save()
+        wall = time.time() - t0
+        stats = scenario_stats(ui, app_id, mark)
+        row = {"scenario": name, "wall_s": round(wall, 2), **{
+            k: round(v, 2) if isinstance(v, float) else v
+            for k, v in stats.items()
+        }}
+        print(json.dumps(row))
+        return row
+
+    media_rows = [
+        run_media(f"media-monster {media_monster}x, one row (shipped default)", None),
+        run_media(f"media-monster {media_monster}x, mega_media_chunk=256", 256),
+    ]
+
+    # ---- scenario group 3: hot-user sessionization (two-phase) ----
+    import tempfile
+
+    from blackedge_ocr_spark import queries as Q
+
+    bot_n = int(os.environ.get("SPARK_GRAFT_BOT_EVENTS", "2000000"))
+    ev_dir = tempfile.mkdtemp(prefix="skew_events_")
+    base_ev = spark.range(0, bot_n, 1, cpus * 4).select(
+        F.col("id").alias("event_id"),
+        # 97% of events belong to bot user 0, bursts of 200 events
+        # 1 s apart then a 1-hour gap; the rest spread over 4k users.
+        F.when(F.col("id") % 32 != 0, F.lit(0))
+        .otherwise(F.pmod(F.col("id"), F.lit(4096)))
+        .alias("user_id"),
+        F.timestamp_micros(
+            (
+                F.lit(1_700_000_000_000_000)
+                + (F.col("id") / F.lit(200)).cast("long") * F.lit(3_600_000_000)
+                + F.pmod(F.col("id"), F.lit(200)) * F.lit(1_000_000)
+            ).cast("long")
+        ).cast("timestamp_ntz").alias("ts"),
+        F.lit("click").alias("event_type"),
+        (F.pmod(F.col("id"), F.lit(97)) / F.lit(10.0)).alias("value"),
+        F.lit('{"k": 1}').alias("props"),
+    )
+    base_ev.write.mode("overwrite").parquet(f"{ev_dir}/events.parquet")
+
+    def run_sessions(name: str, fn) -> dict:
+        mark = last_stage_id(ui, app_id)
+        t0 = time.time()
+        fn(spark, ev_dir).write.format("noop").mode("overwrite").save()
+        wall = time.time() - t0
+        stats = scenario_stats(ui, app_id, mark)
+        row = {"scenario": name, "wall_s": round(wall, 2), **{
+            k: round(v, 2) if isinstance(v, float) else v
+            for k, v in stats.items()
+        }}
+        print(json.dumps(row))
+        return row
+
+    sess_rows = [
+        run_sessions(f"bot-user {bot_n} events, single-phase", Q.q_user_sessions),
+        run_sessions(f"bot-user {bot_n} events, two-phase", Q.q_user_sessions_2p),
+    ]
+    n_a = Q.q_user_sessions(spark, ev_dir).count()
+    n_b = Q.q_user_sessions_2p(spark, ev_dir).count()
+    print(f"session-count parity: single={n_a} two-phase={n_b}")
     spark.stop()
 
     n_docs = None
@@ -157,6 +267,49 @@ def main() -> int:
             f"| {r['p50_s']} | {r['p99_s']} | {r['max_s']} |"
         )
     md += [
+        "",
+        "## OCR inference skew: one media-monster document",
+        "",
+        f"512 docs, doc 7 carries {media_monster} media spans (everyone",
+        "else 10); per-page model latency emulated at ~1 ms via",
+        "SPARK_GRAFT_OCR_BURN (the md5 stand-in alone finishes 20k pages",
+        "in ~50 ms — nothing to defend against). Default path = the",
+        "monster is ONE Arrow batch entry in one task; chunked path =",
+        "mega_media_chunk=256 splits it into 256-ref slices shuffled",
+        "across tasks and map_concats the OCR map back (output",
+        "byte-identical, tests/test_edge_cases.py).",
+        "",
+        "| scenario | wall s | tasks | task p50 s | task p99 s | task max s |",
+        "|---|---|---|---|---|---|",
+    ]
+    for r in media_rows:
+        md.append(
+            f"| {r['scenario']} | {r['wall_s']} | {r['n_tasks']} "
+            f"| {r['p50_s']} | {r['p99_s']} | {r['max_s']} |"
+        )
+    md += [
+        "",
+        "## Sessionization skew: one bot user",
+        "",
+        f"{bot_n} events, ~97% from one bot user (1 s bursts, hourly",
+        "gaps), rest across 4k users. Single-phase sessionization sorts",
+        "the whole bot timeline in ONE window task; the two-phase",
+        "variant (q_user_sessions_2p) pre-sessionizes within",
+        "(user, hour-bucket) partitions and merges boundary sessions —",
+        "same output (both hash-match sql_user_sessions in",
+        "CORRECTNESS), bounded task size.",
+        "",
+        "| scenario | wall s | tasks | task p50 s | task p99 s | task max s |",
+        "|---|---|---|---|---|---|",
+    ]
+    for r in sess_rows:
+        md.append(
+            f"| {r['scenario']} | {r['wall_s']} | {r['n_tasks']} "
+            f"| {r['p50_s']} | {r['p99_s']} | {r['max_s']} |"
+        )
+    md += [
+        "",
+        "## Reading the flagship table",
         "",
         "Reading: the shipped pipeline's hash spread on doc_id plus",
         "linear per-row stages keep the task tail bounded — the monster",
