@@ -44,12 +44,39 @@ def run_noop(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
+def _resolve_sf_dir() -> str:
+    """$SPARK_GRAFT_SF_DIR wins; otherwise bench at sf1 — a
+    deterministic 10x scale-up of the driver's sf0.1 testdata
+    (tools/make_sf.py, generated once into .data/sf1). Sub-5 s
+    sf0.1 queries are noise-dominated even best-of-2; one order of
+    magnitude up makes the shuffle-bearing queries measurable. Falls
+    back to sf0.1 if generation is unavailable."""
+    env = os.environ.get("SPARK_GRAFT_SF_DIR")
+    if env:
+        return env
+    src = "/root/testdata/sf0.1"
+    here = os.path.dirname(os.path.abspath(__file__))
+    sf1 = os.path.join(here, ".data", "sf1")
+    if not os.path.exists(os.path.join(sf1, "documents.parquet")):
+        import subprocess
+
+        try:
+            subprocess.run(
+                [sys.executable, os.path.join(here, "tools", "make_sf.py"),
+                 src, sf1, "10"],
+                check=True, capture_output=True, timeout=600,
+            )
+        except Exception:
+            return src
+    return sf1
+
+
 def main() -> None:
     from blackedge_ocr_spark.session import build_session
 
     import __spark_entry__ as se
 
-    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf_dir = _resolve_sf_dir()
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1])
 

@@ -30,7 +30,9 @@ from blackedge_ocr_spark.constants import (
 from blackedge_ocr_spark.functions.problems import problems_array
 from blackedge_ocr_spark.functions.similarity import similarity_by_method
 from blackedge_ocr_spark.operators.ocr import (
+    _is_media as _is_media_span,
     fill_media_text,
+    fill_media_text_mega,
     filter_media,
     first_per_offset,
     ocr_media_map,
@@ -97,37 +99,54 @@ def _ocr_map_chunked(
     provider: Column,
     media_map,
     chunk: int,
-    out_col: str,
+    maps_col: str,
 ) -> DataFrame:
     """Mega-document straggler defense: split one document's media
     array into ``chunk``-sized slices, explode them to rows, shuffle
     on (doc_id, chunk_idx) so the slices of ONE document land in
-    DIFFERENT tasks, run the Arrow OCR stage per slice, and regroup
-    with map_concat (offsets are pre-deduped by first_per_offset, so
-    keys never collide).
+    DIFFERENT tasks, run the Arrow OCR stage per slice, and regroup.
 
-    Returns (doc_id, ``out_col``: map<int,string>) for exactly the
-    rows of ``df``. Without this, a 100k-media document is one Arrow
-    batch entry in one task — the whole stage waits on it; with it,
-    p99 task time is bounded by ``chunk`` model calls (BENCH/SKEW.md).
-    The extra shuffle moves only (doc_id, media slice) for the mega
-    minority, and the map ride back is offset→text only.
+    Returns (doc_id, ``maps_col``: array<map<int,string>> in chunk
+    order) for exactly the rows of ``df`` — NOT one merged map: a
+    JVM merge (aggregate + map_concat) re-copies the accumulator per
+    fold step, O(chunks²·chunk); the downstream Arrow fill merges the
+    chunk dicts in Python in one O(entries) pass instead.
+
+    Without this path, a 100k-media document is one Arrow batch entry
+    in one task — the whole stage waits on it; with it, p99 task time
+    is bounded by ``chunk`` model calls (BENCH/SKEW.md). The extra
+    shuffle moves only (doc_id, media slice) for the mega minority,
+    and the ride back is offset→text only.
     """
+    # EXPLICIT partition count: chunk rows are tiny (refs only), so
+    # AQE's small-partition coalescing would glue every chunk back
+    # into ONE task (measured: the whole monster's model work
+    # serialized again, 14 s task) — a user-specified repartition N
+    # is exempt from coalescing. Sized to spread chunks one-ish per
+    # core slot; model cost per task stays ~chunks_per_task × chunk.
+    npart = df.sparkSession.sparkContext.defaultParallelism * 4
     chunks = df.select(
         "doc_id",
         provider.alias("_prov"),
         F.posexplode(_chunked(F.col(media_col), chunk)).alias("_ci", "_mchunk"),
-    ).repartition("doc_id", "_ci")
+    ).repartition(npart, "doc_id", "_ci")
     pmaps = chunks.select(
-        "doc_id", media_map(F.col("_mchunk"), F.col("_prov")).alias("_pmap")
+        "doc_id",
+        "_ci",
+        media_map(F.col("_mchunk"), F.col("_prov")).alias("_pmap"),
     )
-    empty = F.map_from_arrays(
-        F.array().cast("array<int>"), F.array().cast("array<string>")
+    # comparator sort (structs holding maps are not naturally
+    # orderable); map_keys order == insertion order == offset order
+    agg = pmaps.groupBy("doc_id").agg(
+        F.array_sort(
+            F.collect_list(F.struct(F.col("_ci").alias("ci"), F.col("_pmap").alias("m"))),
+            lambda l, r: F.when(l["ci"] < r["ci"], -1)
+            .when(l["ci"] > r["ci"], 1)
+            .otherwise(0),
+        ).alias("_chunks")
     )
-    return pmaps.groupBy("doc_id").agg(
-        F.aggregate(
-            F.collect_list("_pmap"), empty, lambda a, m: F.map_concat(a, m)
-        ).alias(out_col)
+    return agg.select(
+        "doc_id", F.transform("_chunks", lambda c: c["m"]).alias(maps_col)
     )
 
 
@@ -155,7 +174,7 @@ def extract_documents(
 
     ``mega_media_chunk``: when set, documents with more than this many
     media spans take a split-process-reassemble OCR path (explode into
-    chunks, infer per chunk across tasks, map_concat back — see
+    chunks, infer per chunk across tasks, merge in the Arrow fill — see
     ``_ocr_map_chunked``) instead of one Arrow batch entry in one
     task. Output is IDENTICAL (pytest parity); the default keeps the
     zero-shuffle single-projection plan. Size it to the per-task model
@@ -221,15 +240,35 @@ def extract_documents(
         # an EMPTY array (input gating — a CASE WHEN around the UDF
         # would be hoisted and still run it). The join back is
         # broadcast: mega docs are by definition the skewed minority.
-        is_mega = F.size(F.col("_media")) > mega_media_chunk
+        #
+        # _is_mega counts media in the RAW spans array, NOT in _media:
+        # a Filter predicate cannot reference projection outputs, so
+        # pushdown would substitute _media's full derivation into the
+        # condition — and first_per_offset's self-referencing lambda
+        # then re-evaluates filter_media(sort_spans(spans)) PER
+        # ELEMENT, O(n² log n) on every row (thread-dumped: ArraySort
+        # under ArrayFilter inside the filter predicate). The raw
+        # count is a single O(n) pass, and pre-dedup vs post-dedup
+        # only shifts which path borderline docs take — both paths
+        # are byte-identical. It is a MATERIALIZED, multi-referenced
+        # column: a once-referenced boolean expression would be
+        # inlined into the fill transform by projection collapsing and
+        # re-evaluated per span element — O(spans·spans) on a mega
+        # row (thread-dumped as ArrayFilter/In under the fill lambda,
+        # ~100 s on a 20k-media document with the model cost at zero).
+        df = df.withColumn(
+            "_is_mega",
+            F.size(F.filter(F.col("spans"), _is_media_span)) > mega_media_chunk,
+        )
+        is_mega = F.col("_is_mega")
         mega = df.filter(is_mega)
         maps = _ocr_map_chunked(
             mega, "_media", F.col("provider"), media_map,
-            mega_media_chunk, "_ocr_mega_pri",
+            mega_media_chunk, "_maps_pri",
         ).join(
             _ocr_map_chunked(
                 mega.filter(validating), "_media", secondary_provider,
-                media_map, mega_media_chunk, "_ocr_mega_sec",
+                media_map, mega_media_chunk, "_maps_sec",
             ),
             "doc_id",
             "left",
@@ -242,53 +281,64 @@ def extract_documents(
         is_mega = F.lit(False)
         gated_media = F.col("_media")
 
-    df = (
-        df.withColumn("_media_pri", gated_media)
-        .withColumn(
-            "_ocr_direct", media_map(F.col("_media_pri"), F.col("provider"))
-        )
-        .withColumn(
-            "_ocr_primary",
-            F.when(is_mega, F.col("_ocr_mega_pri")).otherwise(F.col("_ocr_direct"))
-            if mega_media_chunk
-            else F.col("_ocr_direct"),
-        )
-        .withColumn(
-            "out_spans", fill_media_text(F.col("_sorted"), F.col("_ocr_primary"))
-        )
+    df = df.withColumn("_media_pri", gated_media).withColumn(
+        "_ocr_direct", media_map(F.col("_media_pri"), F.col("provider"))
     )
+    # The fill branches OUTSIDE the transform (CASE WHEN picks one
+    # whole-array fill per row, lazily): the mega branch reads the
+    # Arrow-filled spans, the normal branch the direct UDF map. The
+    # mega fill is itself a Python UDF with a GATED INPUT (non-mega
+    # rows ship empty arrays — the UDF is hoisted out of the CASE and
+    # runs for every row, but empty batch entries cost nothing); no
+    # JVM fill survives a 20k-entry map in one row, see
+    # operators.ocr._fill_spans_arrow.
+    out_spans_col = fill_media_text(F.col("_sorted"), F.col("_ocr_direct"))
+    if mega_media_chunk:
+        df = df.withColumn(
+            "_mega_filled_pri",
+            fill_media_text_mega(
+                F.when(is_mega, F.col("_sorted")).otherwise(
+                    F.slice(F.col("_sorted"), 1, 0)
+                ),
+                F.col("_maps_pri"),
+            ),
+        )
+        out_spans_col = F.when(
+            is_mega, F.col("_mega_filled_pri")
+        ).otherwise(out_spans_col)
+    df = df.withColumn("out_spans", out_spans_col)
+
     # Gate the UDF's INPUT, not its output: Spark hoists Python UDFs
     # out of CASE WHEN into an unconditional ArrowEvalPython stage, so
     # `F.when(validating, media_map(...))` would still run secondary
     # inference for every row. Feeding non-validating rows an empty
     # media array makes their Arrow batch entries empty (zero media
     # refs → zero model calls), which is the real cost gate.
-    df = (
-        df.withColumn(
-            "_media_sec",
-            F.when(validating & ~is_mega, F.col("_media")).otherwise(
-                F.slice(F.col("_media"), 1, 0)
-            ),
-        )
-        .withColumn(
-            "_ocr_sec_direct", media_map(F.col("_media_sec"), secondary_provider)
-        )
-        .withColumn(
-            "_ocr_secondary",
-            F.when(validating & is_mega, F.col("_ocr_mega_sec")).when(
-                validating, F.col("_ocr_sec_direct")
-            )
-            if mega_media_chunk
-            else F.when(validating, F.col("_ocr_sec_direct")),
-        )
-        .withColumn(
-            "_secondary_spans",
-            F.when(
-                validating,
-                fill_media_text(F.col("_sorted"), F.col("_ocr_secondary")),
-            ),
-        )
+    df = df.withColumn(
+        "_media_sec",
+        F.when(validating & ~is_mega, F.col("_media")).otherwise(
+            F.slice(F.col("_media"), 1, 0)
+        ),
+    ).withColumn(
+        "_ocr_sec_direct", media_map(F.col("_media_sec"), secondary_provider)
     )
+    sec_spans_col = F.when(
+        validating, fill_media_text(F.col("_sorted"), F.col("_ocr_sec_direct"))
+    )
+    if mega_media_chunk:
+        df = df.withColumn(
+            "_mega_filled_sec",
+            fill_media_text_mega(
+                F.when(validating & is_mega, F.col("_sorted")).otherwise(
+                    F.slice(F.col("_sorted"), 1, 0)
+                ),
+                F.col("_maps_sec"),
+            ),
+        )
+        sec_spans_col = F.when(
+            validating & is_mega, F.col("_mega_filled_sec")
+        ).otherwise(sec_spans_col)
+    df = df.withColumn("_secondary_spans", sec_spans_col)
 
     primary_content = assemble_content(F.col("out_spans"))
     secondary_content = assemble_content(F.col("_secondary_spans"))

@@ -56,8 +56,17 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from blackedge_ocr_spark.datagen import replicate_corpus
 
     df = spark.read.parquet(f"{sf_dir.rstrip('/')}/documents.parquet")
-    # repartition BEFORE replication: see datagen.spansify_documents.
-    return replicate_corpus(df.repartition(_par(spark), "doc_id"))
+    # Spread the corpus ONLY when the scan is split-starved (the sf
+    # test parquet arrives as one split; fewer scan tasks than cores
+    # serializes every per-row stage). At scale the scan itself yields
+    # thousands of splits and this branch never fires — an
+    # unconditional repartition there would shuffle the full corpus
+    # text to buy nothing. Same gate as q_event_rollup;
+    # PLANS.md shows both states.
+    if df.rdd.getNumPartitions() < spark.sparkContext.defaultParallelism:
+        # repartition BEFORE replication: see datagen.spansify_documents.
+        df = df.repartition(_par(spark), "doc_id")
+    return replicate_corpus(df)
 
 
 def numeric_text(doc_id: Column, text: Column) -> Column:

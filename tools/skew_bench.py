@@ -276,7 +276,9 @@ def main() -> int:
         "in ~50 ms — nothing to defend against). Default path = the",
         "monster is ONE Arrow batch entry in one task; chunked path =",
         "mega_media_chunk=256 splits it into 256-ref slices shuffled",
-        "across tasks and map_concats the OCR map back (output",
+        "across tasks (explicit partition count — AQE would coalesce",
+        "the tiny chunk rows back into one task) and rebuilds spans",
+        "via the gated Arrow fill (output",
         "byte-identical, tests/test_edge_cases.py).",
         "",
         "| scenario | wall s | tasks | task p50 s | task p99 s | task max s |",
