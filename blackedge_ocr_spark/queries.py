@@ -431,11 +431,12 @@ def q_dedup_minhash(spark, sf_dir) -> DataFrame:
     d = _docs(spark, sf_dir)
     staged = d.select(
         "doc_id",
-        dedup.shingle_hashes(dedup.word_shingles(F.col("text"))).alias("hs"),
+        dedup.minhash_signature_arrow(
+            dedup.word_shingles(F.col("text"))
+        ).alias("sig"),
     )
-    sig = dedup.minhash_signature(F.col("hs"))
     return staged.select(
-        "doc_id", F.md5(F.concat_ws("|", sig)).alias("sig_md5")
+        "doc_id", F.md5(F.concat_ws("|", F.col("sig"))).alias("sig_md5")
     )
 
 

@@ -38,6 +38,43 @@ def test_lsh_pairs_recover_injected_duplicates(spark, docs):
         assert found.get((d, d + 1_000_000)) == 1.0, f"missing dup pair for {d}"
 
 
+def test_minhash_arrow_matches_jvm(spark, docs):
+    """The Arrow fast path (_minhash_sig_arrow) must be bit-identical
+    to the engine-portable JVM composition it replaces in the hot
+    path, including the empty-document edge ([None]*k vs null-per-
+    window)."""
+    from blackedge_ocr_spark.analysis import dedup
+
+    corpus = docs.select("doc_id", "text").unionByName(
+        spark.createDataFrame([(998877, "")], ["doc_id", "text"])
+    )
+    staged = corpus.select(
+        "doc_id", dedup.word_shingles(F.col("text")).alias("shingles")
+    )
+    both = staged.select(
+        "doc_id",
+        dedup.minhash_signature(
+            dedup.shingle_hashes(F.col("shingles"))
+        ).alias("jvm"),
+        dedup.minhash_signature_arrow(F.col("shingles")).alias("arrow"),
+    )
+    diff = both.filter(
+        ~(
+            (F.col("jvm").isNull() & F.col("arrow").isNull())
+            | (F.col("jvm") == F.col("arrow"))
+            # element-wise null-safe compare: == is null if any
+            # element is null, so fall back to zip_with
+            | F.forall(
+                F.zip_with(
+                    "jvm", "arrow", lambda a, b: a.eqNullSafe(b)
+                ),
+                lambda x: x,
+            )
+        )
+    )
+    assert diff.count() == 0
+
+
 def test_simhash_matches_python_oracle(spark, docs):
     """Bit-for-bit parity of the Arrow UDF against a direct Python
     recompute on the same token stream."""

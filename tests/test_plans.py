@@ -57,14 +57,19 @@ def test_problem_detector_fuses_into_one_projection(spark):
     assert plans.count_projects(q) == 1
 
 
-def test_ann_broadcast_no_corpus_shuffle(spark):
-    """Brute-force top-k broadcasts the query side; the corpus side
-    must not shuffle before scoring (only the final rank shuffles)."""
+def test_ann_block_scoring_no_corpus_shuffle(spark):
+    """Brute-force top-k scores corpus partitions in place with the
+    Arrow block stage (the query matrix rides a broadcast VARIABLE,
+    not a join side); the corpus shuffles only for the initial spread,
+    and the final rank's input is the partition-pruned candidate set
+    (parts x |Q| x ~k), never the full Q x N score matrix."""
     from blackedge_ocr_spark.analysis.ann import brute_force_topk
 
     q = brute_force_topk(spark, SF)
     plan = plans.formatted_plan(q)
-    assert "BroadcastExchange" in plan
+    assert "MapInPandas" in plan, plan
+    # initial REPARTITION spread + the rank window's hash exchange
+    assert plans.count_exchanges(q) <= 2, plan
 
 
 def test_bucketed_join_has_no_exchange(spark):
