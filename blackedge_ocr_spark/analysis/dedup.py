@@ -254,9 +254,20 @@ def lsh_candidate_pairs(docs: DataFrame, min_jaccard: float = 0.5) -> DataFrame:
     cand = pairs.select(
         F.explode(F.array("doc_a", "doc_b")).alias("doc_id")
     ).distinct()
-    cand_sh = docs.join(F.broadcast(cand), "doc_id").select(
-        "doc_id", sh_expr.alias("shingles")
+    cand_sh = (
+        docs.join(F.broadcast(cand), "doc_id")
+        .select("doc_id", sh_expr.alias("shingles"))
+        .persist()
     )
+    # Eager materialization = the "stage candidates to a table" step.
+    # Without it the two verification broadcasts below are submitted
+    # concurrently and BOTH miss the cold cache — the full banding
+    # pass runs twice in parallel (observed as a duplicated 256-task
+    # stage at sf1). One count() fills both caches exactly once.
+    # Cache lifecycle: both tables are O(candidates); repeated calls
+    # with an identical plan are deduped by Spark's CacheManager, so
+    # a long session holds at most one copy per distinct corpus.
+    cand_sh.count()
     verified = (
         pairs.join(
             F.broadcast(
