@@ -58,6 +58,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk": q.q_ann_topk,
         "ann_lsh_topk": q.q_ann_lsh_topk,
         "ann_ivf_topk": q.q_ann_ivf_topk,
+        "ann_ivf_kmeans_topk": q.q_ann_ivf_kmeans_topk,
         "ann_recall": q.q_ann_recall,
         "embedding_neardup": q.q_embedding_neardup,
         "lang_id": q.q_lang_id,

@@ -260,6 +260,16 @@ def ivf_topk(
     cents = corpus.filter(F.col("vec_id") % centroid_every == 0).select(
         F.col("vec_id").alias("cid"), F.col("v").alias("cv")
     )
+    return _ivf_rank(corpus, cents, k, query_every, probe)
+
+
+def _ivf_rank(
+    corpus: DataFrame, cents: DataFrame, k: int, query_every: int, probe: int
+) -> DataFrame:
+    """Shared IVF search stage: assign every vector to its nearest
+    centroid list (map-side, 1-row broadcast of the centroid array),
+    probe the ``probe`` closest lists per query, exact cosine re-rank.
+    Used by both the sampled-centroid and the k-means-trained paths."""
     carr = cents.agg(
         F.array_sort(
             F.collect_list(F.struct(F.col("cid"), F.col("cv")))
@@ -308,6 +318,107 @@ def ivf_topk(
     )
 
 
+KMEANS_ITERS = 3   # unrolled Lloyd iterations (fixed → reproducible)
+QUANT = 1_000_000  # fixed-point scale for order-independent mean sums
+
+
+def quantize(vec: Column) -> Column:
+    """array<double> → array<bigint> at 1e-6 resolution, HALF_UP via
+    floor(x·1e6 + 0.5) — the same op the SQL oracle applies, so both
+    engines quantize identically."""
+    return F.transform(
+        vec, lambda x: F.floor(x * F.lit(float(QUANT)) + F.lit(0.5)).cast("long")
+    )
+
+
+def kmeans_centroids(
+    corpus: DataFrame,
+    iters: int = KMEANS_ITERS,
+    centroid_every: int = CENTROID_EVERY,
+) -> DataFrame:
+    """Distributed Lloyd's k-means over (vec_id, v), returning
+    (cid, cv) — real IVF training, replacing the sampled-centroid
+    stand-in ``ivf_topk`` uses.
+
+    Determinism across engines (the property that makes a DuckDB
+    oracle possible, and that a real fleet needs for reproducible
+    index builds): floating-point SUMS are order-dependent, and
+    Spark's reduction order is partition-layout-dependent — so the
+    update step never sums doubles. Each vector is quantized ONCE to
+    1e-6 fixed point (``quantize``); per-(cid, dim) sums are exact
+    BIGINT arithmetic (order-independent; headroom: |q| ≤ ~1e6·dim
+    scale, so ~9e12 members per list before int64 overflow), and the
+    mean is one double division sum/(n·1e6) — bit-identical in any
+    engine. Assignment = first-max cosine over the cid-sorted
+    centroid array, the same fold-order-fixed ``cosine`` the rest of
+    the ANN suite uses.
+
+    Scale shape per iteration: centroid array rides a 1-row broadcast
+    (map-side assignment — the corpus NEVER shuffles); the only
+    exchange moves per-(cid, dim) partial sums, O(C·dims) rows after
+    map-side combine regardless of corpus size. Seeds = every
+    ``centroid_every``-th vector; empty lists drop out (cid keys are
+    stable seed ids, never re-indexed). Iteration is a driver-side
+    loop over lazy plans — at 10^12 rows you'd checkpoint ``cents``
+    per iteration to cut plan depth; at bench scale the nested
+    broadcasts are fine.
+
+    Reference analog: none — the reference has no vector index; this
+    extends its similarity surface (services/text_analyzer.py) to the
+    embedding column per the training-data-pipeline brief.
+    """
+    qcorpus = corpus.select(
+        "vec_id", "v", quantize(F.col("v")).alias("qv")
+    ).persist()
+    cents = qcorpus.filter(F.col("vec_id") % centroid_every == 0).select(
+        F.col("vec_id").alias("cid"), F.col("v").alias("cv")
+    )
+    for _ in range(iters):
+        carr = cents.agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("cid"), F.col("cv")))
+            ).alias("cents")
+        )
+        sims = F.transform(F.col("cents"), lambda c: cosine(F.col("v"), c["cv"]))
+        scored = qcorpus.join(F.broadcast(carr)).withColumn("_sims", sims)
+        best = F.array_position(F.col("_sims"), F.array_max(F.col("_sims")))
+        assigned = scored.select(
+            F.element_at(F.col("cents"), best.cast("int"))["cid"].alias("cid"),
+            "qv",
+        )
+        sums = (
+            assigned.select("cid", F.posexplode("qv").alias("pos", "q"))
+            .groupBy("cid", "pos")
+            .agg(F.sum("q").alias("s"), F.count(F.lit(1)).alias("n"))
+        )
+        cents = sums.groupBy("cid").agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "s", "n"))),
+                lambda r: r["s"].cast("double")
+                / (r["n"].cast("double") * F.lit(float(QUANT))),
+            ).alias("cv")
+        )
+    return cents
+
+
+def ivf_kmeans_topk(
+    spark,
+    sf_dir: str,
+    k: int = DEFAULT_K,
+    query_every: int = QUERY_EVERY,
+    centroid_every: int = CENTROID_EVERY,
+    probe: int = PROBE_LISTS,
+    iters: int = KMEANS_ITERS,
+) -> DataFrame:
+    """IVF top-k over k-means-TRAINED centroid lists — the production
+    index-build path ``ivf_topk``'s docstring promises: train with
+    ``kmeans_centroids`` (Lloyd, fixed-point-deterministic), then the
+    same map-side assign → probe → exact re-rank search stage."""
+    corpus = _load(spark, sf_dir)
+    cents = kmeans_centroids(corpus, iters, centroid_every)
+    return _ivf_rank(corpus, cents, k, query_every, probe)
+
+
 def recall_vs_exact(
     spark, sf_dir: str, k: int = DEFAULT_K, query_every: int = QUERY_EVERY
 ) -> DataFrame:
@@ -332,6 +443,11 @@ def recall_vs_exact(
         .unionByName(
             ivf_topk(spark, sf_dir, k, query_every).select(
                 F.lit("ivf").alias("method"), "q_id", "neighbor_id"
+            )
+        )
+        .unionByName(
+            ivf_kmeans_topk(spark, sf_dir, k, query_every).select(
+                F.lit("ivf_kmeans").alias("method"), "q_id", "neighbor_id"
             )
         )
     )

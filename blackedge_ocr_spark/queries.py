@@ -491,6 +491,17 @@ def q_ann_ivf_topk(spark, sf_dir) -> DataFrame:
                     "neighbor_id", "cos")
 
 
+def q_ann_ivf_kmeans_topk(spark, sf_dir) -> DataFrame:
+    """IVF approximate top-5 over k-means-trained centroid lists
+    (fixed-point-deterministic Lloyd, 3 iterations) — the production
+    index-build path; ``ann_ivf_topk`` is the sampled-seed variant."""
+    from blackedge_ocr_spark.analysis import ann
+
+    r = ann.ivf_kmeans_topk(spark, sf_dir)
+    return r.select("q_id", F.col("rank").cast("long").alias("rank"),
+                    "neighbor_id", "cos")
+
+
 def q_ann_recall(spark, sf_dir) -> DataFrame:
     """recall@5 of the LSH and IVF paths vs the exact baseline —
     quantifies the approximation the other ann queries only assert

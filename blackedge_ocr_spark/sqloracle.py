@@ -623,6 +623,7 @@ def build_oracles() -> dict[str, str]:
         "ann_topk": sql_ann_topk(),
         "ann_lsh_topk": sql_ann_lsh_topk(),
         "ann_ivf_topk": sql_ann_ivf_topk(),
+        "ann_ivf_kmeans_topk": sql_ann_ivf_kmeans_topk(),
         "ann_recall": sql_ann_recall(),
         "embedding_neardup": sql_embedding_neardup(),
         "lang_id": sql_lang_id(),
@@ -883,6 +884,72 @@ SELECT q_id, rank, neighbor_id, cos FROM (
   FROM s) WHERE rank <= {k}"""
 
 
+def sql_ann_ivf_kmeans_topk(
+    k: int = 5, query_every: int = 50, centroid_every: int = 37,
+    probe: int = 3, iters: int = 3,
+) -> str:
+    """analysis.ann.ivf_kmeans_topk mirror: the same IVF search over
+    k-means-TRAINED centroids. Lloyd iterations are UNROLLED as CTE
+    chains (fixed iteration count → finite SQL); cross-engine
+    bit-parity of the update step comes from fixed-point sums —
+    vectors quantized to 1e-6 bigints (floor(x·1e6+0.5), the exact op
+    the Spark side applies), per-(cid,dim) sums in exact integer
+    arithmetic (order-independent, unlike double sums), mean = one
+    double division. Assignment is the same first-max fold-order
+    cosine as sql_ann_ivf_topk."""
+    sims = f"list_transform(cents, c -> {cosine_sql('v', 'c.cv')})"
+    quant = "list_transform(v, x -> CAST(floor(x * 1000000.0 + 0.5) AS BIGINT))"
+    parts = [
+        EMB,
+        f"eq AS (SELECT vec_id, v, {quant} AS qv FROM e)",
+        f"c0 AS (SELECT vec_id AS cid, v AS cv FROM e "
+        f"WHERE vec_id % {centroid_every} = 0)",
+        "carr0 AS (SELECT list(struct_pack(cid := cid, cv := cv) "
+        "ORDER BY cid) AS cents FROM c0)",
+    ]
+    for i in range(1, iters + 1):
+        parts += [
+            f"""a{i} AS (
+  SELECT vec_id, qv, (cents[list_position(sims, list_max(sims))]).cid AS cid
+  FROM (SELECT vec_id, qv, cents, {sims} AS sims FROM eq, carr{i - 1}))""",
+            f"s{i} AS (SELECT cid, unnest(range(len(qv))) AS pos, "
+            f"unnest(qv) AS q FROM a{i})",
+            f"g{i} AS (SELECT cid, pos, sum(q) AS s, count(*) AS n "
+            f"FROM s{i} GROUP BY cid, pos)",
+            f"c{i} AS (SELECT cid, list(s::DOUBLE / (n::DOUBLE * 1000000.0) "
+            f"ORDER BY pos) AS cv FROM g{i} GROUP BY cid)",
+            f"carr{i} AS (SELECT list(struct_pack(cid := cid, cv := cv) "
+            f"ORDER BY cid) AS cents FROM c{i})",
+        ]
+    parts += [
+        f"scored AS (SELECT vec_id, v, cents, {sims} AS sims "
+        f"FROM e, carr{iters})",
+        """assigned AS (
+  SELECT vec_id, v,
+         (cents[list_position(sims, list_max(sims))]).cid AS cid
+  FROM scored)""",
+        f"""qp AS (
+  SELECT vec_id AS q_id, v AS qv,
+         unnest(list_transform(
+           list_sort(list_transform(range(len(sims)),
+             i -> struct_pack(ns := -sims[i + 1], cid := (cents[i + 1]).cid)
+           ))[1:{probe}],
+           s -> s.cid)) AS cid
+  FROM scored WHERE vec_id % {query_every} = 0)""",
+        f"""s AS (SELECT q_id, a.vec_id AS neighbor_id,
+             round({cosine_sql('qv', 'a.v')}, 6) AS cos
+      FROM assigned a JOIN qp ON a.cid = qp.cid
+      WHERE a.vec_id != qp.q_id)""",
+    ]
+    ctes = ",\n".join(parts)
+    return f"""
+WITH {ctes}
+SELECT q_id, rank, neighbor_id, cos FROM (
+  SELECT *, row_number() OVER (PARTITION BY q_id
+            ORDER BY cos DESC, neighbor_id) AS rank
+  FROM s) WHERE rank <= {k}"""
+
+
 def sql_ann_recall(k: int = 5) -> str:
     """ann.recall_vs_exact mirror: micro-averaged recall@k of lsh/ivf
     against the exact baseline. The three top-k queries are reused
@@ -892,9 +959,12 @@ def sql_ann_recall(k: int = 5) -> str:
 WITH exact AS (SELECT q_id, neighbor_id FROM ({sql_ann_topk(k)})),
 lsh AS (SELECT q_id, neighbor_id FROM ({sql_ann_lsh_topk(k)})),
 ivf AS (SELECT q_id, neighbor_id FROM ({sql_ann_ivf_topk(k)})),
+ivfk AS (SELECT q_id, neighbor_id FROM ({sql_ann_ivf_kmeans_topk(k)})),
 u AS (SELECT 'lsh' AS method, q_id, neighbor_id FROM lsh
       UNION ALL
-      SELECT 'ivf' AS method, q_id, neighbor_id FROM ivf),
+      SELECT 'ivf' AS method, q_id, neighbor_id FROM ivf
+      UNION ALL
+      SELECT 'ivf_kmeans' AS method, q_id, neighbor_id FROM ivfk),
 hits AS (SELECT method, count(*)::bigint AS hits
          FROM u SEMI JOIN exact USING (q_id, neighbor_id)
          GROUP BY method),

@@ -265,3 +265,75 @@ def test_lsh_ann_consistent_with_brute_force(spark):
         1 for r in approx if r["neighbor_id"] in exact_top5.get(r["q_id"], set())
     )
     print(f"lsh-ann recall vs exact top5: {hits}/{len(approx)}")
+
+
+def test_kmeans_centroids_match_numpy_reference(spark):
+    """The distributed Lloyd implementation must agree BIT-FOR-BIT
+    with an independent sequential numpy implementation of the same
+    spec (quantize → first-max cosine assign → exact-int mean). This
+    is the property that lets the DuckDB oracle unroll it in SQL, and
+    what makes index builds reproducible across cluster layouts."""
+    import numpy as np
+
+    from blackedge_ocr_spark.analysis import ann
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet").collect()
+    ids = np.array([r["vec_id"] for r in emb], dtype=np.int64)
+    V = np.array([r["embedding"] for r in emb], dtype=np.float64)
+    order = np.argsort(ids)
+    ids, V = ids[order], V[order]
+    Q = np.floor(V * 1e6 + 0.5).astype(np.int64)
+
+    def cos_fold(a, b):
+        # sequential per-dimension fold, same order as ann.cosine
+        d = na = nb = 0.0
+        for j in range(len(a)):
+            d += a[j] * b[j]
+            na += a[j] * a[j]
+            nb += b[j] * b[j]
+        den = np.sqrt(na) * np.sqrt(nb)
+        return 0.0 if den == 0 else d / den
+
+    cents = {int(i): V[n] for n, i in enumerate(ids) if i % ann.CENTROID_EVERY == 0}
+    for _ in range(ann.KMEANS_ITERS):
+        sums, counts = {}, {}
+        ckeys = sorted(cents)
+        for n in range(len(ids)):
+            sims = [cos_fold(V[n], cents[c]) for c in ckeys]
+            best = ckeys[int(np.argmax(sims))]  # first max, like array_position
+            sums[best] = sums.get(best, np.zeros(Q.shape[1], np.int64)) + Q[n]
+            counts[best] = counts.get(best, 0) + 1
+        cents = {
+            c: sums[c].astype(np.float64) / (float(counts[c]) * 1e6)
+            for c in sums
+        }
+
+    corpus = spark.read.parquet(f"{SF}/embeddings.parquet").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+    )
+    got = {
+        r["cid"]: r["cv"]
+        for r in ann.kmeans_centroids(corpus).collect()
+    }
+    assert set(got) == set(cents)
+    for c in cents:
+        assert got[c] == list(cents[c]), f"centroid {c} diverged"
+
+
+def test_ivf_kmeans_neighbors_exactly_scored(spark):
+    """Trained-IVF results carry exact cosines (spot-check vs the
+    brute-force score map) and per-query dense ranks."""
+    from blackedge_ocr_spark.analysis import ann
+
+    exact = {
+        (r["q_id"], r["neighbor_id"]): r["cos"]
+        for r in ann.brute_force_topk(spark, SF, k=1000000).collect()
+    }
+    approx = ann.ivf_kmeans_topk(spark, SF, k=5).collect()
+    assert approx, "ivf_kmeans returned nothing"
+    by_q = {}
+    for r in approx:
+        assert exact[(r["q_id"], r["neighbor_id"])] == r["cos"]
+        by_q.setdefault(r["q_id"], []).append(r["rank"])
+    for q, ranks in by_q.items():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1))
