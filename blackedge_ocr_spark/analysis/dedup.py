@@ -187,7 +187,13 @@ def exact_duplicates(docs: DataFrame) -> DataFrame:
     )
 
 
-def lsh_candidate_pairs(docs: DataFrame, min_jaccard: float = 0.5) -> DataFrame:
+BUCKET_CAP = 128  # max ids enumerated per (band, key) bucket — bounds
+                  # the m² pair blowup of duplicate mega-clusters
+
+
+def lsh_candidate_pairs(
+    docs: DataFrame, min_jaccard: float = 0.5, bucket_cap: int = BUCKET_CAP
+) -> DataFrame:
     """MinHash-LSH near-duplicate pairs: signature → band buckets →
     in-bucket pair enumeration → verify true shingle Jaccard.
 
@@ -214,11 +220,20 @@ def lsh_candidate_pairs(docs: DataFrame, min_jaccard: float = 0.5) -> DataFrame:
     before grouping; join equality never matched them, and grouping
     WOULD, so the filter preserves the original/oracle semantics.
 
-    Residual skew note: a bucket of m mutually-identical documents
-    yields one m-element group row and m² candidate elements — the
-    join form had the same m² blowup; for adversarial corpora cap or
-    salt monster buckets before enumeration (cap = recall tradeoff,
-    documented not implemented)."""
+    Monster-bucket cap (the skew defense): a bucket of m mutually-
+    identical documents yields one m-element group row and m²
+    candidate elements — quadratic in the duplicate-cluster size, the
+    classic LSH failure on boilerplate-heavy corpora (the same page
+    mirrored 10⁵ times puts 10¹⁰ pairs in one task). Each bucket is
+    therefore capped to its ``bucket_cap`` LOWEST doc_ids before
+    enumeration (sort → slice: deterministic, so the SQL oracle
+    applies the identical rule via a windowed row_number). The
+    documented recall trade: members beyond the cap only pair up if
+    they land in a differently-capped bucket of some OTHER band (near-
+    dups usually do — their signatures differ; bit-identical docs do
+    NOT, but those are exactly what the md5 exact pass
+    (``exact_duplicates``) catches upstream in any production
+    ordering: exact-dedup first, LSH on the survivors)."""
     sh_expr = word_shingles(F.col("text"))
     sig = docs.select("doc_id", sh_expr.alias("shingles")).select(
         "doc_id", minhash_signature_arrow(F.col("shingles")).alias("sig")
@@ -230,7 +245,11 @@ def lsh_candidate_pairs(docs: DataFrame, min_jaccard: float = 0.5) -> DataFrame:
     buckets = (
         banded.filter(F.col("key").isNotNull())
         .groupBy("band", "key")
-        .agg(F.collect_list("doc_id").alias("ids"))
+        .agg(
+            F.slice(
+                F.array_sort(F.collect_list("doc_id")), 1, bucket_cap
+            ).alias("ids")
+        )
         .filter(F.size("ids") > 1)
     )
     pair_arr = F.flatten(

@@ -715,7 +715,12 @@ FROM hs"""
 
 
 def sql_dedup_lsh_pairs(rows_per_band: int = 3, k: int = 12,
-                        min_jaccard: float = 0.5) -> str:
+                        min_jaccard: float = 0.5,
+                        bucket_cap: int = 128) -> str:
+    """dedup.lsh_candidate_pairs mirror, including the monster-bucket
+    cap: each (band, key) bucket keeps only its ``bucket_cap`` lowest
+    doc_ids before pair enumeration — row_number ordered by doc_id is
+    the windowed form of the Spark side's sort→slice."""
     n_bands = k // rows_per_band
     band_rows = " UNION ALL ".join(
         f"SELECT doc_id, shingles, {b} AS band, "
@@ -730,10 +735,16 @@ hs AS (SELECT doc_id, shingles,
        {shingle_hashes_sql('shingles')} AS hs FROM sh),
 sig AS (SELECT doc_id, shingles, {minhash_sig_sql('hs')} AS sig FROM hs),
 banded AS ({band_rows}),
+capped AS (
+  SELECT * FROM (
+    SELECT doc_id, shingles, band, key,
+           row_number() OVER (PARTITION BY band, key ORDER BY doc_id) AS rn
+    FROM banded WHERE key IS NOT NULL)
+  WHERE rn <= {bucket_cap}),
 pairs AS (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
          a.shingles AS sh_a, b.shingles AS sh_b
-  FROM banded a JOIN banded b ON a.band = b.band AND a.key = b.key
+  FROM capped a JOIN capped b ON a.band = b.band AND a.key = b.key
   WHERE a.doc_id < b.doc_id
 )
 SELECT doc_a, doc_b, round({jaccard_sql('sh_a', 'sh_b')}, 6) AS jaccard

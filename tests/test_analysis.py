@@ -337,3 +337,21 @@ def test_ivf_kmeans_neighbors_exactly_scored(spark):
         by_q.setdefault(r["q_id"], []).append(r["rank"])
     for q, ranks in by_q.items():
         assert sorted(ranks) == list(range(1, len(ranks) + 1))
+
+
+def test_lsh_monster_bucket_capped(spark):
+    """Adversarial duplicate mega-cluster: 300 bit-identical docs land
+    in ONE bucket per band. Uncapped that is C(300,2) = 44,850 pairs
+    from a single group row; with bucket_cap=16 only the 16 lowest ids
+    enumerate — C(16,2) = 120 pairs — bounding per-bucket work at
+    O(cap²) regardless of cluster size."""
+    from blackedge_ocr_spark.analysis import dedup
+
+    docs = spark.range(300).select(
+        F.col("id").alias("doc_id"),
+        F.lit("alpha beta gamma delta epsilon zeta eta theta iota kappa").alias("text"),
+    )
+    pairs = dedup.lsh_candidate_pairs(docs, bucket_cap=16).collect()
+    assert len(pairs) == 120
+    assert all(r["doc_a"] < r["doc_b"] < 16 for r in pairs)
+    assert all(r["jaccard"] == 1.0 for r in pairs)
