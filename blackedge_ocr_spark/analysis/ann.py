@@ -419,6 +419,100 @@ def ivf_kmeans_topk(
     return _ivf_rank(corpus, cents, k, query_every, probe)
 
 
+def write_ivf_index(
+    corpus: DataFrame, cents: DataFrame, path: str
+) -> None:
+    """Materialize the IVF index the way a 10^12-vector deployment
+    stores it: vectors parquet-partitioned BY LIST (``cid=…/``
+    directories) plus a small centroids table alongside. Probing then
+    costs a partition-PRUNED scan — the planner reads only the
+    probed ``probe``/C of the corpus from disk, which is the whole
+    point of IVF (``ivf_topk``'s in-memory assign recomputes lists
+    per query run; an index you build once and search many times must
+    push list selection into the scan)."""
+    carr = cents.agg(
+        F.array_sort(
+            F.collect_list(F.struct(F.col("cid"), F.col("cv")))
+        ).alias("cents")
+    )
+    sims = F.transform(F.col("cents"), lambda c: cosine(F.col("v"), c["cv"]))
+    scored = corpus.join(F.broadcast(carr)).withColumn("_sims", sims)
+    best = F.array_position(F.col("_sims"), F.array_max(F.col("_sims")))
+    assigned = scored.select(
+        "vec_id", "v",
+        F.element_at(F.col("cents"), best.cast("int"))["cid"].alias("cid"),
+    )
+    base = path.rstrip("/")
+    assigned.write.mode("overwrite").partitionBy("cid").parquet(
+        f"{base}/vectors"
+    )
+    cents.write.mode("overwrite").parquet(f"{base}/centroids")
+
+
+def probe_ivf_index(
+    spark,
+    path: str,
+    k: int = DEFAULT_K,
+    query_every: int = QUERY_EVERY,
+    probe: int = PROBE_LISTS,
+) -> DataFrame:
+    """Search a ``write_ivf_index`` table. The driver plans the probe
+    set (queries × their ``probe`` nearest centroids — O(|Q|·C) work
+    on collected centroid rows, tiny), then scans the vector table
+    with ``cid IN (<literal probes>)`` so Spark's file-source planner
+    PRUNES the unprobed list directories — the scan reads ~probe/C of
+    the index from disk (asserted by the plan test). Candidates then
+    broadcast-join the per-query probe map and re-rank exactly."""
+    base = path.rstrip("/")
+    cents = spark.read.parquet(f"{base}/centroids").collect()
+    cents = sorted(cents, key=lambda r: r["cid"])
+    vec = spark.read.parquet(f"{base}/vectors")
+
+    def fold_cos(a, b):
+        # same sequential fold + correctly-rounded sqrt as `cosine`,
+        # so the driver-planned probe set equals the in-engine one
+        import math
+
+        d = na = nb = 0.0
+        for x, y in zip(a, b):
+            d += x * y
+            na += x * x
+            nb += y * y
+        den = math.sqrt(na) * math.sqrt(nb)
+        return 0.0 if den == 0 else d / den
+
+    qrows = vec.filter(F.col("vec_id") % query_every == 0).select(
+        "vec_id", "v"
+    ).collect()
+    plan = []  # (q_id, cid, qv) — driver-side probe plan
+    for r in qrows:
+        sims = [(-fold_cos(r["v"], c["cv"]), c["cid"]) for c in cents]
+        for _, cid in sorted(sims)[:probe]:
+            plan.append((r["vec_id"], cid, list(r["v"])))
+    probe_cids = sorted({cid for _, cid, _v in plan})
+
+    qdf = spark.createDataFrame(
+        plan, "q_id long, cid bigint, qv array<double>"
+    )
+    pruned = vec.filter(F.col("cid").isin(probe_cids))
+    cand = pruned.join(F.broadcast(qdf), "cid").filter(
+        F.col("vec_id") != F.col("q_id")
+    )
+    out = cand.select(
+        "q_id",
+        F.col("vec_id").alias("neighbor_id"),
+        F.round(cosine(F.col("qv"), F.col("v")), 6).alias("cos"),
+    )
+    w = Window.partitionBy("q_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        out.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "rank", "neighbor_id", "cos")
+    )
+
+
 def recall_vs_exact(
     spark, sf_dir: str, k: int = DEFAULT_K, query_every: int = QUERY_EVERY
 ) -> DataFrame:
