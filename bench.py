@@ -37,6 +37,7 @@ BENCH_QUERIES = (
     "dedup_lsh_pairs",
     "dedup_simhash",
     "ann_topk",
+    "ann_ivf_kmeans_topk",
 )
 
 

@@ -398,6 +398,19 @@ def kmeans_centroids(
                 / (r["n"].cast("double") * F.lit(float(QUANT))),
             ).alias("cv")
         )
+        # Materialize each iteration's centroids to the driver —
+        # O(C·dims) doubles, tiny — and restart the next iteration
+        # from a literal DataFrame. Without this, iteration i's plan
+        # NESTS iterations 1..i-1 and every broadcast materialization
+        # re-executes the whole chain (plan depth — and wall time —
+        # grows superlinearly in iters). Driver-resident centroids
+        # between iterations is exactly Spark MLlib KMeans' shape.
+        # Python floats are IEEE doubles, so the round-trip is exact.
+        spark = corpus.sparkSession
+        cents = spark.createDataFrame(
+            [(r["cid"], list(r["cv"])) for r in cents.collect()],
+            "cid long, cv array<double>",
+        )
     return cents
 
 
