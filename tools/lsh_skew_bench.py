@@ -53,7 +53,7 @@ def main() -> None:
     docs = corpus(spark, n_dups, n_bg).persist()
     docs.count()
 
-    for label, cap in (("uncapped", 1 << 62), ("cap=128", 128)):
+    for label, cap in (("uncapped", (1 << 31) - 1), ("cap=128", 128)):
         t0 = time.time()
         n_pairs = dedup.lsh_candidate_pairs(docs, bucket_cap=cap).count()
         dt = time.time() - t0
