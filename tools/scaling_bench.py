@@ -57,6 +57,8 @@ def merge_logs(paths: list[str]) -> dict:
             if not line.startswith("{"):
                 continue
             r = json.loads(line)
+            if r.get("code") == "old":  # A/B rows from the old worktree
+                continue
             q, c = r.get("query"), r.get("cpus")
             if q not in QUERIES or c not in LEVELS:
                 continue
