@@ -179,37 +179,45 @@ def brute_force_topk(
     )
 
 
-def _flip_bit(bucket: Column, i: int) -> Column:
+def _flip_bit(bucket: Column, i: int, n_planes: int = N_PLANES) -> Column:
     flipped = F.when(
         F.substring(bucket, i + 1, 1) == "0", F.lit("1")
     ).otherwise(F.lit("0"))
     return F.concat(
         F.substring(bucket, 1, i), flipped,
-        F.substring(bucket, i + 2, N_PLANES),
+        F.substring(bucket, i + 2, n_planes),
     )
 
 
-def probe_buckets(bucket: Column) -> Column:
+def probe_buckets(bucket: Column, n_planes: int = N_PLANES) -> Column:
     """Multi-probe LSH: the query's own bucket plus every bucket at
     Hamming distance 1 (flip each sign bit) — the standard recall
-    boost that keeps the scan sub-linear (N_PLANES+1 buckets instead
+    boost that keeps the scan sub-linear (n_planes+1 buckets instead
     of the single exact one)."""
-    return F.array(bucket, *[_flip_bit(bucket, i) for i in range(N_PLANES)])
+    return F.array(
+        bucket, *[_flip_bit(bucket, i, n_planes) for i in range(n_planes)]
+    )
 
 
 def lsh_bucketed_topk(
-    spark, sf_dir: str, k: int = DEFAULT_K, query_every: int = QUERY_EVERY
+    spark,
+    sf_dir: str,
+    k: int = DEFAULT_K,
+    query_every: int = QUERY_EVERY,
+    n_planes: int = N_PLANES,
 ) -> DataFrame:
     """Approximate top-k: rank only candidates in the query's probe
     buckets (own + Hamming-1). May return < k rows per query (sparse
-    buckets) — the documented recall/cost trade."""
-    weights = hyperplane_weights()
+    buckets) — the documented recall/cost trade. ``n_planes`` sets the
+    bucket-count/recall trade (2^planes buckets; see BENCH/ANN.md for
+    the measured sweep); the default is the oracle-pinned contract."""
+    weights = hyperplane_weights(n_planes)
     corpus = _load(spark, sf_dir).withColumn(
         "bucket", sign_bucket(F.col("v"), weights)
     )
     queries = corpus.filter(F.col("vec_id") % query_every == 0).select(
         F.col("vec_id").alias("q_id"), F.col("v").alias("qv"),
-        F.explode(probe_buckets(F.col("bucket"))).alias("qb"),
+        F.explode(probe_buckets(F.col("bucket"), n_planes)).alias("qb"),
     )
     cand = corpus.join(
         F.broadcast(queries), F.col("bucket") == F.col("qb")
@@ -230,6 +238,91 @@ def lsh_bucketed_topk(
 
 
 CENTROID_EVERY = 37  # deterministic IVF "training": every 37th vector
+
+
+def _collect_centroids(cents: DataFrame):
+    """(cid, cv) rows → (cids int64[C], Cm float64[C, dims]), sorted by
+    cid — the exact order ``array_sort(collect_list(struct(cid, cv)))``
+    yields (cids are unique, so the struct sort never reaches cv)."""
+    import numpy as np
+
+    rows = sorted(cents.collect(), key=lambda r: r["cid"])
+    cids = np.array([r["cid"] for r in rows], dtype=np.int64)
+    Cm = np.array([list(r["cv"]) for r in rows], dtype=np.float64)
+    return cids, Cm
+
+
+def assign_centroids(
+    df: DataFrame,
+    cents: DataFrame,
+    keep: list[str],
+    probe: int | None = None,
+    vec_col: str = "v",
+) -> DataFrame:
+    """Nearest-centroid assignment as a numpy block kernel: returns
+    ``df[keep]`` + ``cid`` (+ ``pcids``, the ``probe`` nearest list
+    ids in (sim desc, cid asc) order, when requested).
+
+    This is the IVF hot loop — every corpus vector × every centroid —
+    and the interpreted ``transform(cents, c -> cosine(v, c.cv))``
+    fold costs ~dims·4 lambda evaluations per (vector, centroid):
+    ~2 minutes for 20k×540×64d at sf1 where this kernel takes ~1 s.
+    Bit-parity with the JVM fold (same discipline as
+    ``brute_force_topk``): accumulate over dimensions IN ORDER (one
+    IEEE mul+add per step), sqrt/mul/divide are the same
+    correctly-rounded ops, zero denominators map to 0.0, and
+    ``np.argmax`` takes the FIRST max exactly like
+    ``array_position(sims, array_max(sims))``. Tie order inside
+    ``pcids`` is stable-argsort over cid-sorted columns == the JVM
+    ``array_sort(struct(-sim, cid))``. The centroid matrix is
+    O(C·dims) — driver-collected and broadcast, never joined."""
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql import types as T
+
+    spark = df.sparkSession
+    bc = spark.sparkContext.broadcast(_collect_centroids(cents))
+
+    in_df = df.select(*keep) if vec_col in keep else df.select(*keep, vec_col)
+    fields = [in_df.schema[c] for c in keep]
+    fields.append(T.StructField("cid", T.LongType()))
+    if probe:
+        fields.append(T.StructField("pcids", T.ArrayType(T.LongType())))
+    out_schema = T.StructType(fields)
+
+    def blocks(batches):
+        cids, Cm = bc.value
+        C, dims = Cm.shape
+        cnorm = np.zeros(C)
+        for j in range(dims):
+            cnorm = cnorm + Cm[:, j] * Cm[:, j]
+        cnorm = np.sqrt(cnorm)
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            V = np.array(list(pdf[vec_col]), dtype=np.float64)
+            n = len(pdf)
+            acc = np.zeros((n, C))
+            vnorm = np.zeros(n)
+            for j in range(dims):
+                acc = acc + np.multiply.outer(V[:, j], Cm[:, j])
+                vnorm = vnorm + V[:, j] * V[:, j]
+            vnorm = np.sqrt(vnorm)
+            denom = np.multiply.outer(vnorm, cnorm)
+            with np.errstate(invalid="ignore", divide="ignore"):
+                sims = np.where(denom == 0.0, 0.0, acc / denom)
+            out = pdf[keep].copy()
+            out["cid"] = cids[np.argmax(sims, axis=1)]
+            if probe:
+                # stable sort on -sim over cid-ascending columns ==
+                # array_sort(struct(-sim, cid)): ties break to the
+                # lower cid.
+                order = np.argsort(-sims, axis=1, kind="stable")
+                out["pcids"] = list(cids[order[:, :probe]])
+            yield out
+
+    return in_df.mapInPandas(blocks, schema=out_schema)
 PROBE_LISTS = 3      # clusters probed per query
 
 
@@ -270,35 +363,21 @@ def _ivf_rank(
     centroid list (map-side, 1-row broadcast of the centroid array),
     probe the ``probe`` closest lists per query, exact cosine re-rank.
     Used by both the sampled-centroid and the k-means-trained paths."""
-    carr = cents.agg(
-        F.array_sort(
-            F.collect_list(F.struct(F.col("cid"), F.col("cv")))
-        ).alias("cents")
-    )
-    # _sims is materialized as a column: it is consumed by two
-    # expressions (argmax + probe ranking), and an inlined version
-    # would recompute every centroid cosine per reference.
-    scored = corpus.join(F.broadcast(carr)).withColumn(
-        "_sims",
-        F.transform(F.col("cents"), lambda c: cosine(F.col("v"), c["cv"])),
-    )
-    best = F.array_position(F.col("_sims"), F.array_max(F.col("_sims")))
-    assigned = scored.withColumn(
-        "cid", F.element_at(F.col("cents"), best.cast("int"))["cid"]
-    ).select("vec_id", "v", "cid")
-
-    ranked = F.array_sort(
-        F.zip_with(
-            F.col("_sims"),
-            F.col("cents"),
-            lambda s, c: F.struct((-s).alias("ns"), c["cid"].alias("cid")),
-        )
-    )
-    probes = F.transform(F.slice(ranked, 1, probe), lambda r: r["cid"])
-    queries = scored.filter(F.col("vec_id") % query_every == 0).select(
+    # Assignment is the numpy block kernel (bit-identical to the
+    # retired JVM transform/array_position fold — see
+    # ``assign_centroids``); the centroid array is driver-collected
+    # once and broadcast, the corpus never shuffles. Queries re-run
+    # the kernel with ``probe`` ranking on their 1/query_every slice.
+    assigned = assign_centroids(corpus, cents, keep=["vec_id", "v"])
+    queries = assign_centroids(
+        corpus.filter(F.col("vec_id") % query_every == 0),
+        cents,
+        keep=["vec_id", "v"],
+        probe=probe,
+    ).select(
         F.col("vec_id").alias("q_id"),
         F.col("v").alias("qv"),
-        F.explode(probes).alias("cid"),
+        F.explode("pcids").alias("cid"),
     )
     cand = assigned.join(F.broadcast(queries), "cid").filter(
         F.col("vec_id") != F.col("q_id")
@@ -374,18 +453,11 @@ def kmeans_centroids(
         F.col("vec_id").alias("cid"), F.col("v").alias("cv")
     )
     for _ in range(iters):
-        carr = cents.agg(
-            F.array_sort(
-                F.collect_list(F.struct(F.col("cid"), F.col("cv")))
-            ).alias("cents")
-        )
-        sims = F.transform(F.col("cents"), lambda c: cosine(F.col("v"), c["cv"]))
-        scored = qcorpus.join(F.broadcast(carr)).withColumn("_sims", sims)
-        best = F.array_position(F.col("_sims"), F.array_max(F.col("_sims")))
-        assigned = scored.select(
-            F.element_at(F.col("cents"), best.cast("int"))["cid"].alias("cid"),
-            "qv",
-        )
+        # Assignment via the numpy block kernel (bit-identical to the
+        # JVM fold, see ``assign_centroids``) — the Lloyd hot loop is
+        # corpus × centroids every iteration, exactly the shape the
+        # interpreted HOF evaluator cannot afford.
+        assigned = assign_centroids(qcorpus, cents, keep=["qv"])
         sums = (
             assigned.select("cid", F.posexplode("qv").alias("pos", "q"))
             .groupBy("cid", "pos")
@@ -443,18 +515,7 @@ def write_ivf_index(
     point of IVF (``ivf_topk``'s in-memory assign recomputes lists
     per query run; an index you build once and search many times must
     push list selection into the scan)."""
-    carr = cents.agg(
-        F.array_sort(
-            F.collect_list(F.struct(F.col("cid"), F.col("cv")))
-        ).alias("cents")
-    )
-    sims = F.transform(F.col("cents"), lambda c: cosine(F.col("v"), c["cv"]))
-    scored = corpus.join(F.broadcast(carr)).withColumn("_sims", sims)
-    best = F.array_position(F.col("_sims"), F.array_max(F.col("_sims")))
-    assigned = scored.select(
-        "vec_id", "v",
-        F.element_at(F.col("cents"), best.cast("int"))["cid"].alias("cid"),
-    )
+    assigned = assign_centroids(corpus, cents, keep=["vec_id", "v"])
     base = path.rstrip("/")
     assigned.write.mode("overwrite").partitionBy("cid").parquet(
         f"{base}/vectors"
