@@ -23,25 +23,84 @@ def simple_plan(df: DataFrame) -> str:
     return df._jdf.queryExecution().executedPlan().toString()
 
 
+def split_executed(plan: str) -> tuple[str, str]:
+    """Partition a formatted plan into (executed, cache_build) text.
+
+    Two tree regions never run when the query itself executes, and
+    counting them misreports the query's runtime shuffle cost:
+
+    - ``== Initial Plan ==`` — AQE prints the pre-runtime plan next to
+      the ``== Final Plan ==`` that actually ran once a subtree has
+      executed; keeping both double-counts every shuffle in it.
+    - ``InMemoryRelation`` subtrees — the build plan of a persisted
+      table. It runs ONCE to fill the cache (returned as the second
+      element so the one-time cost stays visible); afterwards the
+      query reads the ``InMemoryTableScan`` parent node.
+
+    Region extent is indentation-scoped: lines deeper than the marker
+    belong to it, the first line at or above the marker's column ends
+    it (blank lines end it too, so the node-detail section that
+    follows the tree is never swallowed).
+    """
+    executed: list[str] = []
+    cache: list[str] = []
+    skip_col: int | None = None
+    skip_kind = ""
+    for line in plan.splitlines():
+        body = line.lstrip(" :|")
+        col = len(line) - len(body)
+        if skip_col is not None:
+            if body and col > skip_col:
+                if skip_kind == "cache":
+                    cache.append(line)
+                continue
+            skip_col = None
+        if "== Initial Plan ==" in line:
+            skip_col, skip_kind = col, "initial"
+            continue
+        if re.search(r"InMemoryRelation \(\d+\)", line):
+            skip_col, skip_kind = col, "cache"
+            continue
+        executed.append(line)
+    cache_text = "\n".join(cache)
+    if cache:
+        # the cached subtree may itself carry an AQE initial/final pair
+        cache_text, _ = split_executed(cache_text)
+    return "\n".join(executed), cache_text
+
+
+_TREE_EXCHANGE = re.compile(r"[+:]- Exchange \((\d+)\)")
+_TREE_PYTHON = re.compile(
+    r"[+:]- (?:ArrowEvalPython|MapInPandas|BatchEvalPython|"
+    r"FlatMapGroupsInPandas|FlatMapGroupsInPandasWithState) \((\d+)\)"
+)
+
+
 def count_exchanges(df: DataFrame) -> int:
-    """Distinct shuffle nodes in the optimized physical plan (the
-    formatted output prints each node in both the tree and the detail
-    section, so count unique node ids)."""
-    return len(set(re.findall(r"\((\d+)\) Exchange", formatted_plan(df))))
+    """Distinct shuffle nodes the query executes (tree section only;
+    AQE initial-plan duplicates and one-time persisted-cache build
+    subtrees excluded — see split_executed)."""
+    executed, _ = split_executed(formatted_plan(df))
+    return len(set(_TREE_EXCHANGE.findall(executed)))
+
+
+def count_cache_build_exchanges(df: DataFrame) -> int:
+    """Shuffles inside persisted-table build subtrees: paid once when
+    the cache fills, not per downstream consumer."""
+    _, cache = split_executed(formatted_plan(df))
+    return len(set(_TREE_EXCHANGE.findall(cache)))
 
 
 def count_python_stages(df: DataFrame) -> int:
-    """Distinct Arrow/Python evaluation nodes (UDF boundaries)."""
-    plan = formatted_plan(df)
-    return len(
-        set(
-            re.findall(
-                r"\((\d+)\) (?:ArrowEvalPython|MapInPandas|BatchEvalPython|"
-                r"FlatMapGroupsInPandas)",
-                plan,
-            )
-        )
-    )
+    """Distinct Arrow/Python evaluation nodes (UDF boundaries) the
+    query executes (cache-build subtrees excluded)."""
+    executed, _ = split_executed(formatted_plan(df))
+    return len(set(_TREE_PYTHON.findall(executed)))
+
+
+def count_cache_build_python_stages(df: DataFrame) -> int:
+    _, cache = split_executed(formatted_plan(df))
+    return len(set(_TREE_PYTHON.findall(cache)))
 
 
 def scan_info(df: DataFrame) -> dict:
