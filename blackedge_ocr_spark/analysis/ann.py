@@ -410,80 +410,106 @@ def quantize(vec: Column) -> Column:
     )
 
 
+TRAIN_EVERY = 4  # Lloyd trains on every 4th vector (sampled training)
+
+
 def kmeans_centroids(
     corpus: DataFrame,
     iters: int = KMEANS_ITERS,
     centroid_every: int = CENTROID_EVERY,
+    train_every: int = TRAIN_EVERY,
 ) -> DataFrame:
-    """Distributed Lloyd's k-means over (vec_id, v), returning
-    (cid, cv) — real IVF training, replacing the sampled-centroid
-    stand-in ``ivf_topk`` uses.
+    """Lloyd's k-means IVF training over a bounded sample of
+    (vec_id, v), returning (cid, cv) — real IVF training, replacing
+    the sampled-centroid stand-in ``ivf_topk`` uses.
+
+    Training is SAMPLED and DRIVER-LOCAL, the standard production IVF
+    discipline (train on O(C·hundreds) vectors, then assign): one
+    distributed filter collects the every-``train_every``-th training
+    vectors plus the seeds — bounded by the strides, independent of
+    cluster size — and the Lloyd loop runs in numpy on the driver
+    with ZERO Spark jobs per iteration. The previous distributed loop
+    paid three full job launches (assign → explode → shuffle →
+    collect) to move <3 MB of sample; at any scale the per-iteration
+    cost of k-means on a bounded sample is compute, not data motion,
+    so shipping the sample once is strictly better. The final
+    full-corpus assignment happens exactly once, in the search/index
+    stage (``_ivf_rank``/``write_ivf_index``), not here. At 10^12
+    rows the stride would be chosen (hash-stride) to keep the sample
+    at the same fixed size; the modulus form is what the DuckDB
+    oracle can mirror exactly.
 
     Determinism across engines (the property that makes a DuckDB
     oracle possible, and that a real fleet needs for reproducible
-    index builds): floating-point SUMS are order-dependent, and
-    Spark's reduction order is partition-layout-dependent — so the
+    index builds): floating-point SUMS are order-dependent — so the
     update step never sums doubles. Each vector is quantized ONCE to
-    1e-6 fixed point (``quantize``); per-(cid, dim) sums are exact
-    BIGINT arithmetic (order-independent; headroom: |q| ≤ ~1e6·dim
-    scale, so ~9e12 members per list before int64 overflow), and the
-    mean is one double division sum/(n·1e6) — bit-identical in any
-    engine. Assignment = first-max cosine over the cid-sorted
-    centroid array, the same fold-order-fixed ``cosine`` the rest of
-    the ANN suite uses.
-
-    Scale shape per iteration: centroid array rides a 1-row broadcast
-    (map-side assignment — the corpus NEVER shuffles); the only
-    exchange moves per-(cid, dim) partial sums, O(C·dims) rows after
-    map-side combine regardless of corpus size. Seeds = every
-    ``centroid_every``-th vector; empty lists drop out (cid keys are
-    stable seed ids, never re-indexed). Iteration is a driver-side
-    loop over lazy plans — at 10^12 rows you'd checkpoint ``cents``
-    per iteration to cut plan depth; at bench scale the nested
-    broadcasts are fine.
+    1e-6 fixed point (same op as ``quantize``); per-(cid, dim) sums
+    are exact INT64 arithmetic (order-independent; headroom: |q| ≤
+    ~1e6·dim scale, so ~9e12 members per list before overflow), and
+    the mean is one double division sum/(n·1e6) — bit-identical in
+    any engine. Assignment = first-max cosine over the cid-sorted
+    centroid array accumulated over dimensions IN ORDER, the same
+    fold the JVM ``cosine`` and ``assign_centroids`` kernel apply —
+    vectorizing over all sample rows at once is elementwise-identical
+    to the batched kernel. Seeds = every ``centroid_every``-th vector
+    of the FULL corpus; empty lists drop out (cid keys are stable
+    seed ids, never re-indexed), exactly like the oracle's GROUP BY.
+    Verified bit-for-bit against an independent scalar-fold numpy
+    reference (test_kmeans_centroids_match_numpy_reference) and the
+    unrolled-SQL DuckDB Lloyd (``sql_ann_ivf_kmeans_topk``).
 
     Reference analog: none — the reference has no vector index; this
     extends its similarity surface (services/text_analyzer.py) to the
     embedding column per the training-data-pipeline brief.
     """
-    qcorpus = corpus.select(
-        "vec_id", "v", quantize(F.col("v")).alias("qv")
-    ).persist()
-    cents = qcorpus.filter(F.col("vec_id") % centroid_every == 0).select(
-        F.col("vec_id").alias("cid"), F.col("v").alias("cv")
+    import numpy as np
+
+    spark = corpus.sparkSession
+    rows = (
+        corpus.filter(
+            (F.col("vec_id") % train_every == 0)
+            | (F.col("vec_id") % centroid_every == 0)
+        )
+        .select("vec_id", "v")
+        .collect()
     )
+    rows.sort(key=lambda r: r["vec_id"])
+    ids = np.array([r["vec_id"] for r in rows], dtype=np.int64)
+    V = np.array([list(r["v"]) for r in rows], dtype=np.float64)
+    seed = ids % centroid_every == 0
+    cids, Cm = ids[seed], V[seed]  # ascending cid order
+    T = V[ids % train_every == 0]
+    Q = np.floor(T * 1e6 + 0.5).astype(np.int64)
+    n, dims = T.shape
+    tnorm = np.zeros(n)
+    for j in range(dims):
+        tnorm = tnorm + T[:, j] * T[:, j]
+    tnorm = np.sqrt(tnorm)
     for _ in range(iters):
-        # Assignment via the numpy block kernel (bit-identical to the
-        # JVM fold, see ``assign_centroids``) — the Lloyd hot loop is
-        # corpus × centroids every iteration, exactly the shape the
-        # interpreted HOF evaluator cannot afford.
-        assigned = assign_centroids(qcorpus, cents, keep=["qv"])
-        sums = (
-            assigned.select("cid", F.posexplode("qv").alias("pos", "q"))
-            .groupBy("cid", "pos")
-            .agg(F.sum("q").alias("s"), F.count(F.lit(1)).alias("n"))
+        C = len(Cm)
+        cnorm = np.zeros(C)
+        for j in range(dims):
+            cnorm = cnorm + Cm[:, j] * Cm[:, j]
+        cnorm = np.sqrt(cnorm)
+        acc = np.zeros((n, C))
+        for j in range(dims):
+            acc = acc + np.multiply.outer(T[:, j], Cm[:, j])
+        denom = np.multiply.outer(tnorm, cnorm)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            sims = np.where(denom == 0.0, 0.0, acc / denom)
+        best = np.argmax(sims, axis=1)  # first max, like array_position
+        sums = np.zeros((C, dims), dtype=np.int64)
+        np.add.at(sums, best, Q)  # exact int adds, order-independent
+        counts = np.bincount(best, minlength=C)
+        keep = counts > 0
+        cids = cids[keep]
+        Cm = sums[keep].astype(np.float64) / (
+            counts[keep, None].astype(np.float64) * 1e6
         )
-        cents = sums.groupBy("cid").agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("pos", "s", "n"))),
-                lambda r: r["s"].cast("double")
-                / (r["n"].cast("double") * F.lit(float(QUANT))),
-            ).alias("cv")
-        )
-        # Materialize each iteration's centroids to the driver —
-        # O(C·dims) doubles, tiny — and restart the next iteration
-        # from a literal DataFrame. Without this, iteration i's plan
-        # NESTS iterations 1..i-1 and every broadcast materialization
-        # re-executes the whole chain (plan depth — and wall time —
-        # grows superlinearly in iters). Driver-resident centroids
-        # between iterations is exactly Spark MLlib KMeans' shape.
-        # Python floats are IEEE doubles, so the round-trip is exact.
-        spark = corpus.sparkSession
-        cents = spark.createDataFrame(
-            [(r["cid"], list(r["cv"])) for r in cents.collect()],
-            "cid long, cv array<double>",
-        )
-    return cents
+    return spark.createDataFrame(
+        [(int(c), [float(x) for x in cv]) for c, cv in zip(cids, Cm)],
+        "cid long, cv array<double>",
+    )
 
 
 def ivf_kmeans_topk(
@@ -494,13 +520,15 @@ def ivf_kmeans_topk(
     centroid_every: int = CENTROID_EVERY,
     probe: int = PROBE_LISTS,
     iters: int = KMEANS_ITERS,
+    train_every: int = TRAIN_EVERY,
 ) -> DataFrame:
     """IVF top-k over k-means-TRAINED centroid lists — the production
     index-build path ``ivf_topk``'s docstring promises: train with
-    ``kmeans_centroids`` (Lloyd, fixed-point-deterministic), then the
-    same map-side assign → probe → exact re-rank search stage."""
+    ``kmeans_centroids`` (Lloyd, fixed-point-deterministic, sampled
+    training set), then the same map-side assign → probe → exact
+    re-rank search stage."""
     corpus = _load(spark, sf_dir)
-    cents = kmeans_centroids(corpus, iters, centroid_every)
+    cents = kmeans_centroids(corpus, iters, centroid_every, train_every)
     return _ivf_rank(corpus, cents, k, query_every, probe)
 
 

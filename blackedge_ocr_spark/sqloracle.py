@@ -897,7 +897,7 @@ SELECT q_id, rank, neighbor_id, cos FROM (
 
 def sql_ann_ivf_kmeans_topk(
     k: int = 5, query_every: int = 50, centroid_every: int = 37,
-    probe: int = 3, iters: int = 3,
+    probe: int = 3, iters: int = 3, train_every: int = 4,
 ) -> str:
     """analysis.ann.ivf_kmeans_topk mirror: the same IVF search over
     k-means-TRAINED centroids. Lloyd iterations are UNROLLED as CTE
@@ -907,12 +907,16 @@ def sql_ann_ivf_kmeans_topk(
     the Spark side applies), per-(cid,dim) sums in exact integer
     arithmetic (order-independent, unlike double sums), mean = one
     double division. Assignment is the same first-max fold-order
-    cosine as sql_ann_ivf_topk."""
+    cosine as sql_ann_ivf_topk. Training reads only the sampled
+    every-``train_every``-th vectors (eq), matching
+    ann.kmeans_centroids' sampled training; the final assignment and
+    the query set still range over the full corpus (e)."""
     sims = f"list_transform(cents, c -> {cosine_sql('v', 'c.cv')})"
     quant = "list_transform(v, x -> CAST(floor(x * 1000000.0 + 0.5) AS BIGINT))"
     parts = [
         EMB,
-        f"eq AS (SELECT vec_id, v, {quant} AS qv FROM e)",
+        f"eq AS (SELECT vec_id, v, {quant} AS qv FROM e "
+        f"WHERE vec_id % {train_every} = 0)",
         f"c0 AS (SELECT vec_id AS cid, v AS cv FROM e "
         f"WHERE vec_id % {centroid_every} = 0)",
         "carr0 AS (SELECT list(struct_pack(cid := cid, cv := cv) "

@@ -299,6 +299,8 @@ def test_kmeans_centroids_match_numpy_reference(spark):
         sums, counts = {}, {}
         ckeys = sorted(cents)
         for n in range(len(ids)):
+            if ids[n] % ann.TRAIN_EVERY:  # sampled training set only
+                continue
             sims = [cos_fold(V[n], cents[c]) for c in ckeys]
             best = ckeys[int(np.argmax(sims))]  # first max, like array_position
             sums[best] = sums.get(best, np.zeros(Q.shape[1], np.int64)) + Q[n]
