@@ -91,17 +91,20 @@ def main() -> None:
 
     # Best of 2 passes per query: this VM shows bursty steal time that
     # can 3x a single measurement; the minimum is the least-noise
-    # estimate of the engine's actual cost.
+    # estimate of the engine's actual cost. Passes are INTERLEAVED
+    # (full query list per pass, not reps back-to-back per query) so a
+    # noise burst lands on at most one rep of each query instead of
+    # swallowing all reps of whichever query it overlaps.
     reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2"))
     times: dict[str, float] = {}
-    for name in BENCH_QUERIES:
-        best = None
-        for _ in range(reps):
+    for _ in range(reps):
+        for name in BENCH_QUERIES:
             t0 = time.time()
             run_noop(qs[name](spark, sf_dir))
             sec = time.time() - t0
-            best = sec if best is None else min(best, sec)
-        times[name] = round(best, 3)
+            if name not in times or sec < times[name]:
+                times[name] = sec
+    times = {k: round(v, 3) for k, v in times.items()}
 
     flagship = times["pipeline_extract"]
     out = {
