@@ -63,6 +63,54 @@ def cosine(a: Column, b: Column) -> Column:
     return F.when(na * nb == 0, F.lit(0.0)).otherwise(dot(a, b) / (na * nb))
 
 
+def pairwise_cosine(df: DataFrame, a: str, b: str, keep: list[str]) -> DataFrame:
+    """Per-row cosine of two vector columns as a numpy block kernel:
+    returns ``df[keep]`` + unrounded ``cos`` (double).
+
+    The re-rank stage of every bucketed ANN path scores |candidates|
+    (query, vector) pairs; the ``cosine`` HOF fold costs ~4·dims
+    interpreted lambda evaluations per ROW — the same class of cost
+    the block kernels removed from brute-force scoring and centroid
+    assignment, and it grows with query count × list size at scale.
+    Here each Arrow batch is scored vectorized with the identical
+    dim-ordered discipline (product then add per dimension, one IEEE
+    mul+add elementwise — numpy does not fuse), sqrt/mul/divide the
+    same correctly-rounded ops, and the ``na·nb == 0 → 0.0`` guard on
+    the PRODUCT, so results are bit-identical to the JVM fold and the
+    DuckDB oracle. Costs one Arrow boundary carrying the two vectors;
+    rounding stays at the caller."""
+    import numpy as np
+
+    from pyspark.sql import types as T
+
+    fields = [df.schema[c] for c in keep]
+    fields.append(T.StructField("cos", T.DoubleType()))
+    out_schema = T.StructType(fields)
+
+    def blocks(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            A = np.array(list(pdf[a]), dtype=np.float64)
+            B = np.array(list(pdf[b]), dtype=np.float64)
+            n, dims = A.shape
+            acc = np.zeros(n)
+            na = np.zeros(n)
+            nb = np.zeros(n)
+            for j in range(dims):
+                acc = acc + A[:, j] * B[:, j]
+                na = na + A[:, j] * A[:, j]
+                nb = nb + B[:, j] * B[:, j]
+            denom = np.sqrt(na) * np.sqrt(nb)
+            with np.errstate(invalid="ignore", divide="ignore"):
+                cos = np.where(denom == 0.0, 0.0, acc / denom)
+            out = pdf[keep].copy()
+            out["cos"] = cos
+            yield out
+
+    return df.select(*keep, a, b).mapInPandas(blocks, schema=out_schema)
+
+
 def sign_bucket(vec: Column, weights: list[list[int]]) -> Column:
     """Bit-string bucket: bit p = sign of <w_p, vec>."""
     bits = []
@@ -138,9 +186,13 @@ def brute_force_topk(
             V = np.array(list(pdf["v"]), dtype=np.float64)
             n = len(vid)
             acc = np.zeros((nq, n))
+            tmp = np.empty((nq, n))
             vnorm = np.zeros(n)
+            # out=/+= keep the identical one-IEEE-mul-one-IEEE-add per
+            # (dim, cell) sequence while halving allocations/traffic.
             for j in range(dims):
-                acc = acc + np.multiply.outer(qm[:, j], V[:, j])
+                np.multiply.outer(qm[:, j], V[:, j], out=tmp)
+                acc += tmp
                 vnorm = vnorm + V[:, j] * V[:, j]
             vnorm = np.sqrt(vnorm)
             denom = np.multiply.outer(qnorm, vnorm)
@@ -222,11 +274,12 @@ def lsh_bucketed_topk(
     cand = corpus.join(
         F.broadcast(queries), F.col("bucket") == F.col("qb")
     ).filter(F.col("vec_id") != F.col("q_id"))
-    scored = cand.select(
-        "q_id",
-        F.col("vec_id").alias("neighbor_id"),
-        F.round(cosine(F.col("qv"), F.col("v")), 6).alias("cos"),
-    )
+    scored = pairwise_cosine(
+        cand.select("q_id", F.col("vec_id").alias("neighbor_id"), "qv", "v"),
+        "qv",
+        "v",
+        keep=["q_id", "neighbor_id"],
+    ).select("q_id", "neighbor_id", F.round(F.col("cos"), 6).alias("cos"))
     w = Window.partitionBy("q_id").orderBy(
         F.col("cos").desc(), F.col("neighbor_id").asc()
     )
@@ -238,6 +291,41 @@ def lsh_bucketed_topk(
 
 
 CENTROID_EVERY = 37  # deterministic IVF "training": every 37th vector
+LISTS_PER_SQRT = 4   # adaptive list count target: C ≈ 4·√n
+
+
+def centroid_stride(
+    n: int,
+    floor_stride: int = CENTROID_EVERY,
+    lists_per_sqrt: int = LISTS_PER_SQRT,
+) -> int:
+    """Adaptive centroid stride: C = n/stride lists, capped at
+    ~``lists_per_sqrt``·√n.
+
+    A FIXED stride makes C grow linearly with the corpus, so map-side
+    assignment degenerates to O(n²/stride) — measured as the dominant
+    term at sf10 (200k vectors → 5,405 lists). Production IVF keeps
+    C = O(√n) (probe/C — the per-query scan fraction — is the tuned
+    constant), making assignment O(n·√n). Below the crossover the
+    stride stays at ``floor_stride``, so every sf ≤ 1 result —
+    including the sf0.01 contract corpus — is unchanged.
+
+    Arithmetic is floor-over-double-division, expressible identically
+    in the DuckDB oracle: greatest(floor_stride,
+    floor(n / (lists_per_sqrt · floor(sqrt(n))))). All intermediates
+    are exact in IEEE doubles for n < 2^53."""
+    import math
+
+    if n <= 0:
+        return floor_stride
+    denom = lists_per_sqrt * math.floor(math.sqrt(float(n)))
+    return max(floor_stride, int(math.floor(n / denom)))
+
+
+def _corpus_count(spark, sf_dir: str) -> int:
+    """Row count straight off the parquet (no repartition in the
+    plan — a column-free metadata-cheap scan)."""
+    return spark.read.parquet(f"{sf_dir.rstrip('/')}/embeddings.parquet").count()
 
 
 def _collect_centroids(cents: DataFrame):
@@ -304,9 +392,13 @@ def assign_centroids(
             V = np.array(list(pdf[vec_col]), dtype=np.float64)
             n = len(pdf)
             acc = np.zeros((n, C))
+            tmp = np.empty((n, C))
             vnorm = np.zeros(n)
+            # out=/+= keep the identical one-IEEE-mul-one-IEEE-add per
+            # (dim, cell) sequence while halving allocations/traffic.
             for j in range(dims):
-                acc = acc + np.multiply.outer(V[:, j], Cm[:, j])
+                np.multiply.outer(V[:, j], Cm[:, j], out=tmp)
+                acc += tmp
                 vnorm = vnorm + V[:, j] * V[:, j]
             vnorm = np.sqrt(vnorm)
             denom = np.multiply.outer(vnorm, cnorm)
@@ -331,7 +423,7 @@ def ivf_topk(
     sf_dir: str,
     k: int = DEFAULT_K,
     query_every: int = QUERY_EVERY,
-    centroid_every: int = CENTROID_EVERY,
+    centroid_every: int | None = None,
     probe: int = PROBE_LISTS,
 ) -> DataFrame:
     """IVF (inverted-file) approximate top-k — the documented scale
@@ -347,8 +439,11 @@ def ivf_topk(
     probes become partition pruning; here centroids are every
     ``centroid_every``-th vector, deterministically, so the DuckDB
     oracle reproduces the exact assignment (ties broken toward the
-    lowest centroid id via first-max position).
+    lowest centroid id via first-max position). The default stride is
+    adaptive (``centroid_stride``): C = O(√n), never O(n).
     """
+    if centroid_every is None:
+        centroid_every = centroid_stride(_corpus_count(spark, sf_dir))
     corpus = _load(spark, sf_dir)
     cents = corpus.filter(F.col("vec_id") % centroid_every == 0).select(
         F.col("vec_id").alias("cid"), F.col("v").alias("cv")
@@ -382,11 +477,12 @@ def _ivf_rank(
     cand = assigned.join(F.broadcast(queries), "cid").filter(
         F.col("vec_id") != F.col("q_id")
     )
-    out = cand.select(
-        "q_id",
-        F.col("vec_id").alias("neighbor_id"),
-        F.round(cosine(F.col("qv"), F.col("v")), 6).alias("cos"),
-    )
+    out = pairwise_cosine(
+        cand.select("q_id", F.col("vec_id").alias("neighbor_id"), "qv", "v"),
+        "qv",
+        "v",
+        keep=["q_id", "neighbor_id"],
+    ).select("q_id", "neighbor_id", F.round(F.col("cos"), 6).alias("cos"))
     w = Window.partitionBy("q_id").orderBy(
         F.col("cos").desc(), F.col("neighbor_id").asc()
     )
@@ -411,6 +507,7 @@ def quantize(vec: Column) -> Column:
 
 
 TRAIN_EVERY = 4  # Lloyd trains on every 4th vector (sampled training)
+KMEANS_LOCAL_CELLS = 20_000_000  # sample×C cutover: driver-local ↔ distributed
 
 
 def kmeans_centroids(
@@ -418,25 +515,39 @@ def kmeans_centroids(
     iters: int = KMEANS_ITERS,
     centroid_every: int = CENTROID_EVERY,
     train_every: int = TRAIN_EVERY,
+    n: int | None = None,
 ) -> DataFrame:
-    """Lloyd's k-means IVF training over a bounded sample of
-    (vec_id, v), returning (cid, cv) — real IVF training, replacing
-    the sampled-centroid stand-in ``ivf_topk`` uses.
+    """Lloyd's k-means IVF training over a sample of (vec_id, v),
+    returning (cid, cv) — real IVF training, replacing the
+    sampled-centroid stand-in ``ivf_topk`` uses.
 
-    Training is SAMPLED and DRIVER-LOCAL, the standard production IVF
-    discipline (train on O(C·hundreds) vectors, then assign): one
-    distributed filter collects the every-``train_every``-th training
-    vectors plus the seeds — bounded by the strides, independent of
-    cluster size — and the Lloyd loop runs in numpy on the driver
-    with ZERO Spark jobs per iteration. The previous distributed loop
-    paid three full job launches (assign → explode → shuffle →
-    collect) to move <3 MB of sample; at any scale the per-iteration
-    cost of k-means on a bounded sample is compute, not data motion,
-    so shipping the sample once is strictly better. The final
-    full-corpus assignment happens exactly once, in the search/index
-    stage (``_ivf_rank``/``write_ivf_index``), not here. At 10^12
-    rows the stride would be chosen (hash-stride) to keep the sample
-    at the same fixed size; the modulus form is what the DuckDB
+    Training is SAMPLED (every ``train_every``-th vector; the seeds
+    are every ``centroid_every``-th of the full corpus) and runs on
+    one of two BIT-IDENTICAL engines, dispatched on the Lloyd
+    work-matrix size sample×C:
+
+    - ``_kmeans_local`` (sample×C ≤ KMEANS_LOCAL_CELLS): collect the
+      sample once — bounded by the strides — and iterate in numpy on
+      the driver with ZERO Spark jobs per iteration. The distributed
+      loop pays three full job launches per iteration (assign →
+      explode → shuffle → collect) to move <3 MB; below the cutover
+      that overhead dwarfs the compute (sf1: 13.1 s → ~2.5 s).
+    - ``_kmeans_distributed`` (above it): map-side block assignment
+      of the persisted sample (the centroid array rides a broadcast;
+      the sample never shuffles), per-(cid,dim) exact-int partial
+      sums through one tiny exchange, centroids driver-resident
+      between iterations (Spark MLlib's shape). A single core loses
+      to 32 once the (sample × C) matrix leaves cache: at sf10
+      (50k × 1802) driver-local costs ~92 s vs ~15 s distributed.
+
+    Both engines compute the identical fixed-point update, so the
+    cutover is purely a cost choice — results never depend on it
+    (asserted by test_kmeans_centroids_match_numpy_reference, which
+    checks BOTH against an independent scalar-fold reference). The
+    final full-corpus assignment happens exactly once, in the search/
+    index stage (``_ivf_rank``/``write_ivf_index``), not here. At
+    10^12 rows the stride would be chosen (hash-stride) to keep the
+    sample at a fixed size; the modulus form is what the DuckDB
     oracle can mirror exactly.
 
     Determinism across engines (the property that makes a DuckDB
@@ -462,6 +573,19 @@ def kmeans_centroids(
     extends its similarity surface (services/text_analyzer.py) to the
     embedding column per the training-data-pipeline brief.
     """
+    if n is None:
+        n = corpus.count()
+    sample = n // train_every + 1
+    c_est = n // centroid_every + 1
+    if sample * c_est <= KMEANS_LOCAL_CELLS:
+        return _kmeans_local(corpus, iters, centroid_every, train_every)
+    return _kmeans_distributed(corpus, iters, centroid_every, train_every)
+
+
+def _kmeans_local(
+    corpus: DataFrame, iters: int, centroid_every: int, train_every: int
+) -> DataFrame:
+    """Driver-local Lloyd engine — see ``kmeans_centroids``."""
     import numpy as np
 
     spark = corpus.sparkSession
@@ -492,8 +616,12 @@ def kmeans_centroids(
             cnorm = cnorm + Cm[:, j] * Cm[:, j]
         cnorm = np.sqrt(cnorm)
         acc = np.zeros((n, C))
+        tmp = np.empty((n, C))
+        # out=/+= keep the identical IEEE op sequence per cell while
+        # halving allocations (same discipline as assign_centroids).
         for j in range(dims):
-            acc = acc + np.multiply.outer(T[:, j], Cm[:, j])
+            np.multiply.outer(T[:, j], Cm[:, j], out=tmp)
+            acc += tmp
         denom = np.multiply.outer(tnorm, cnorm)
         with np.errstate(invalid="ignore", divide="ignore"):
             sims = np.where(denom == 0.0, 0.0, acc / denom)
@@ -512,12 +640,52 @@ def kmeans_centroids(
     )
 
 
+def _kmeans_distributed(
+    corpus: DataFrame, iters: int, centroid_every: int, train_every: int
+) -> DataFrame:
+    """Distributed Lloyd engine — see ``kmeans_centroids``. Map-side
+    block assignment of the persisted sample; per-(cid, dim) sums are
+    exact INT64 through one O(C·dims)-row exchange after map-side
+    combine; centroids collected between iterations (O(C·dims)
+    doubles — without the collect, iteration i's lazy plan nests
+    iterations 1..i-1 and every broadcast re-executes the chain)."""
+    spark = corpus.sparkSession
+    train = (
+        corpus.filter(F.col("vec_id") % train_every == 0)
+        .select("v", quantize(F.col("v")).alias("qv"))
+        .persist()
+    )
+    cents = corpus.filter(F.col("vec_id") % centroid_every == 0).select(
+        F.col("vec_id").alias("cid"), F.col("v").alias("cv")
+    )
+    for _ in range(iters):
+        assigned = assign_centroids(train, cents, keep=["qv"])
+        sums = (
+            assigned.select("cid", F.posexplode("qv").alias("pos", "q"))
+            .groupBy("cid", "pos")
+            .agg(F.sum("q").alias("s"), F.count(F.lit(1)).alias("n"))
+        )
+        agg = sums.groupBy("cid").agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "s", "n"))),
+                lambda r: r["s"].cast("double")
+                / (r["n"].cast("double") * F.lit(float(QUANT))),
+            ).alias("cv")
+        )
+        cents = spark.createDataFrame(
+            [(r["cid"], list(r["cv"])) for r in agg.collect()],
+            "cid long, cv array<double>",
+        )
+    train.unpersist()
+    return cents
+
+
 def ivf_kmeans_topk(
     spark,
     sf_dir: str,
     k: int = DEFAULT_K,
     query_every: int = QUERY_EVERY,
-    centroid_every: int = CENTROID_EVERY,
+    centroid_every: int | None = None,
     probe: int = PROBE_LISTS,
     iters: int = KMEANS_ITERS,
     train_every: int = TRAIN_EVERY,
@@ -526,9 +694,13 @@ def ivf_kmeans_topk(
     index-build path ``ivf_topk``'s docstring promises: train with
     ``kmeans_centroids`` (Lloyd, fixed-point-deterministic, sampled
     training set), then the same map-side assign → probe → exact
-    re-rank search stage."""
+    re-rank search stage. Default seed stride is adaptive
+    (``centroid_stride``): C = O(√n), never O(n)."""
+    n = _corpus_count(spark, sf_dir)
+    if centroid_every is None:
+        centroid_every = centroid_stride(n)
     corpus = _load(spark, sf_dir)
-    cents = kmeans_centroids(corpus, iters, centroid_every, train_every)
+    cents = kmeans_centroids(corpus, iters, centroid_every, train_every, n=n)
     return _ivf_rank(corpus, cents, k, query_every, probe)
 
 
@@ -674,7 +846,7 @@ def neardup_pairs(spark, sf_dir: str) -> DataFrame:
     a = e.select(F.col("vec_id"), F.col("v").alias("va"))
     b = e.select((F.col("vec_id") - 1).alias("vec_id"), F.col("v").alias("vb"))
     j = a.join(b, "vec_id")
-    cos = F.round(cosine(F.col("va"), F.col("vb")), 6)
-    return j.select(
+    cos = F.round(F.col("cos"), 6)
+    return pairwise_cosine(j, "va", "vb", keep=["vec_id"]).select(
         "vec_id", cos.alias("cos"), (cos >= 0.9).alias("is_neardup")
     )

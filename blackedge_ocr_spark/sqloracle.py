@@ -858,18 +858,33 @@ SELECT q_id, rank, neighbor_id, cos FROM (
   FROM s) WHERE rank <= {k}"""
 
 
+STRIDE_SQL = (
+    "(SELECT greatest(37, CAST(floor(count(*) / "
+    "(4 * floor(sqrt(count(*))))) AS BIGINT)) FROM e)"
+)
+# ann.centroid_stride mirror: C capped at ~4·sqrt(n) lists. The same
+# floor-over-double-division ops in the same order — count(*) and
+# floor(sqrt(n)) are integral doubles (exact < 2^53), so the divide
+# and floor are bit-identical to the Python driver computation.
+
+
+def _stride_expr(centroid_every: int | None) -> str:
+    return str(centroid_every) if centroid_every else STRIDE_SQL
+
+
 def sql_ann_ivf_topk(
-    k: int = 5, query_every: int = 50, centroid_every: int = 37,
+    k: int = 5, query_every: int = 50, centroid_every: int | None = None,
     probe: int = 3,
 ) -> str:
     """analysis.ann.ivf_topk mirror: deterministic centroids (every
-    37th vector, sorted by cid), first-max assignment, probe the 3
-    closest lists, exact cosine re-rank."""
+    stride-th vector — adaptive C ≈ 4·√n by default, see STRIDE_SQL —
+    sorted by cid), first-max assignment, probe the 3 closest lists,
+    exact cosine re-rank."""
     sims = f"list_transform(cents, c -> {cosine_sql('v', 'c.cv')})"
     return f"""
 WITH {EMB},
 centroids AS (SELECT vec_id AS cid, v AS cv FROM e
-              WHERE vec_id % {centroid_every} = 0),
+              WHERE vec_id % {_stride_expr(centroid_every)} = 0),
 carr AS (SELECT list(struct_pack(cid := cid, cv := cv) ORDER BY cid)
          AS cents FROM centroids),
 scored AS (SELECT vec_id, v, cents, {sims} AS sims FROM e, carr),
@@ -896,7 +911,7 @@ SELECT q_id, rank, neighbor_id, cos FROM (
 
 
 def sql_ann_ivf_kmeans_topk(
-    k: int = 5, query_every: int = 50, centroid_every: int = 37,
+    k: int = 5, query_every: int = 50, centroid_every: int | None = None,
     probe: int = 3, iters: int = 3, train_every: int = 4,
 ) -> str:
     """analysis.ann.ivf_kmeans_topk mirror: the same IVF search over
@@ -918,7 +933,7 @@ def sql_ann_ivf_kmeans_topk(
         f"eq AS (SELECT vec_id, v, {quant} AS qv FROM e "
         f"WHERE vec_id % {train_every} = 0)",
         f"c0 AS (SELECT vec_id AS cid, v AS cv FROM e "
-        f"WHERE vec_id % {centroid_every} = 0)",
+        f"WHERE vec_id % {_stride_expr(centroid_every)} = 0)",
         "carr0 AS (SELECT list(struct_pack(cid := cid, cv := cv) "
         "ORDER BY cid) AS cents FROM c0)",
     ]

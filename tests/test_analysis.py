@@ -313,13 +313,19 @@ def test_kmeans_centroids_match_numpy_reference(spark):
     corpus = spark.read.parquet(f"{SF}/embeddings.parquet").select(
         "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
     )
-    got = {
-        r["cid"]: r["cv"]
-        for r in ann.kmeans_centroids(corpus).collect()
-    }
-    assert set(got) == set(cents)
-    for c in cents:
-        assert got[c] == list(cents[c]), f"centroid {c} diverged"
+    # BOTH engines behind the dispatcher must match the independent
+    # scalar reference — the cutover is a cost choice, never a result
+    # choice.
+    for impl in (ann._kmeans_local, ann._kmeans_distributed):
+        got = {
+            r["cid"]: r["cv"]
+            for r in impl(
+                corpus, ann.KMEANS_ITERS, ann.CENTROID_EVERY, ann.TRAIN_EVERY
+            ).collect()
+        }
+        assert set(got) == set(cents), impl.__name__
+        for c in cents:
+            assert got[c] == list(cents[c]), f"{impl.__name__}: {c} diverged"
 
 
 def test_ivf_kmeans_neighbors_exactly_scored(spark):
@@ -357,3 +363,31 @@ def test_lsh_monster_bucket_capped(spark):
     assert len(pairs) == 120
     assert all(r["doc_a"] < r["doc_b"] < 16 for r in pairs)
     assert all(r["jaccard"] == 1.0 for r in pairs)
+
+
+def test_centroid_stride_matches_duckdb_rule():
+    """The adaptive IVF stride (C capped at ~4·sqrt(n)) must compute
+    bit-identically in the Python driver and the oracle's SQL
+    (STRIDE_SQL) — same floor-over-double-division, so ann_ivf_*
+    queries and their oracles pick the SAME centroid set at ANY
+    corpus size, not just the sf where both sit on the 37 floor."""
+    import duckdb
+
+    from blackedge_ocr_spark.analysis.ann import centroid_stride
+
+    ns = (
+        list(range(1, 2000, 7))
+        + [10 ** k for k in range(2, 15)]
+        + [35000 + i for i in range(-5, 6)]  # around the floor crossover
+        + [500, 2000, 20000, 200000, 2 ** 53 - 1]
+    )
+    rows = duckdb.sql(
+        "SELECT n, greatest(37, CAST(floor(n / (4 * floor(sqrt(n)))) "
+        "AS BIGINT)) AS s FROM (SELECT unnest(?) AS n)",
+        params=[ns],
+    ).fetchall()
+    assert rows and all(centroid_stride(n) == s for n, s in rows)
+    # the contract corpora all sit on the floor: results unchanged
+    assert centroid_stride(500) == centroid_stride(20000) == 37
+    # past the crossover C stays O(sqrt(n))
+    assert centroid_stride(200000) == 111
