@@ -618,6 +618,7 @@ def build_oracles() -> dict[str, str]:
         "dedup_exact": sql_dedup_exact(),
         "dedup_minhash": sql_dedup_minhash(),
         "dedup_lsh_pairs": sql_dedup_lsh_pairs(),
+        "dedup_production_pairs": sql_dedup_production_pairs(),
         "dedup_simhash": sql_dedup_simhash(),
         "ngram_jaccard": sql_ngram_jaccard(),
         "ann_topk": sql_ann_topk(),
@@ -716,11 +717,15 @@ FROM hs"""
 
 def sql_dedup_lsh_pairs(rows_per_band: int = 3, k: int = 12,
                         min_jaccard: float = 0.5,
-                        bucket_cap: int = 128) -> str:
+                        bucket_cap: int = 128,
+                        source: str = "corpus",
+                        extra_ctes: str = "") -> str:
     """dedup.lsh_candidate_pairs mirror, including the monster-bucket
     cap: each (band, key) bucket keeps only its ``bucket_cap`` lowest
     doc_ids before pair enumeration — row_number ordered by doc_id is
-    the windowed form of the Spark side's sort→slice."""
+    the windowed form of the Spark side's sort→slice. ``source`` /
+    ``extra_ctes`` let sql_dedup_production_pairs run the identical
+    chain over the exact-dedup survivors."""
     n_bands = k // rows_per_band
     band_rows = " UNION ALL ".join(
         f"SELECT doc_id, shingles, {b} AS band, "
@@ -729,8 +734,8 @@ def sql_dedup_lsh_pairs(rows_per_band: int = 3, k: int = 12,
         for b in range(n_bands)
     )
     return f"""
-WITH {DUP_CORPUS},
-sh AS (SELECT doc_id, {shingles_sql('text')} AS shingles FROM corpus),
+WITH {DUP_CORPUS},{extra_ctes}
+sh AS (SELECT doc_id, {shingles_sql('text')} AS shingles FROM {source}),
 hs AS (SELECT doc_id, shingles,
        {shingle_hashes_sql('shingles')} AS hs FROM sh),
 sig AS (SELECT doc_id, shingles, {minhash_sig_sql('hs')} AS sig FROM hs),
@@ -749,6 +754,17 @@ pairs AS (
 )
 SELECT doc_a, doc_b, round({jaccard_sql('sh_a', 'sh_b')}, 6) AS jaccard
 FROM pairs WHERE round({jaccard_sql('sh_a', 'sh_b')}, 6) >= {min_jaccard}"""
+
+
+def sql_dedup_production_pairs() -> str:
+    """dedup.production_pairs mirror: exact-dedup keepers (min doc_id
+    per md5 of comparison-normalized text) → the identical LSH chain
+    over the survivors."""
+    h = f"md5({normalize_for_comparison_sql('text')})"
+    extra = f"""
+keep AS (SELECT min(doc_id) AS doc_id FROM corpus GROUP BY {h}),
+surv AS (SELECT corpus.* FROM corpus JOIN keep USING (doc_id)),"""
+    return sql_dedup_lsh_pairs(source="surv", extra_ctes=extra)
 
 
 def simhash_sql(toks: str) -> str:

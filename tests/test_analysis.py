@@ -391,3 +391,32 @@ def test_centroid_stride_matches_duckdb_rule():
     assert centroid_stride(500) == centroid_stride(20000) == 37
     # past the crossover C stays O(sqrt(n))
     assert centroid_stride(200000) == 111
+
+
+def test_production_pairs_equal_naive_pairs_between_keepers(spark, docs):
+    """exact-dedup → LSH must lose NO near-dup information about the
+    surviving representatives: its pair set equals the naive full-
+    corpus LSH pair set restricted to keeper doc_ids (no bucket here
+    exceeds the cap, so candidate generation is identical per doc)."""
+    from blackedge_ocr_spark.analysis import dedup
+
+    corpus = dedup.with_dup_injection(docs.select("doc_id", "text"))
+    keepers = {
+        r["keep_doc_id"]
+        for r in dedup.exact_duplicates(corpus).collect()
+    }
+    naive = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in dedup.lsh_candidate_pairs(corpus).collect()
+    }
+    prod = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in dedup.production_pairs(corpus).collect()
+    }
+    expected = {
+        p: j for p, j in naive.items()
+        if p[0] in keepers and p[1] in keepers
+    }
+    assert prod == expected
+    # and the injected exact-duplicate pairs are exactly what it drops
+    assert all(p not in prod for p in naive if p[1] - p[0] == 1_000_000)
