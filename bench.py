@@ -38,6 +38,8 @@ BENCH_QUERIES = (
     "dedup_simhash",
     "ann_topk",
     "ann_ivf_kmeans_topk",
+    "event_rollup",
+    "user_sessions_2p",
 )
 
 
