@@ -78,8 +78,15 @@ def pairwise_cosine(df: DataFrame, a: str, b: str, keep: list[str]) -> DataFrame
     same correctly-rounded ops, and the ``na·nb == 0 → 0.0`` guard on
     the PRODUCT, so results are bit-identical to the JVM fold and the
     DuckDB oracle. Costs one Arrow boundary carrying the two vectors;
-    rounding stays at the caller."""
+    rounding stays at the caller. Degenerate rows (NULL vector, or a
+    length mismatch) yield NULL cos exactly like the JVM expression
+    (zip_with null-pads → the fold goes null) instead of failing the
+    batch; they take a per-row scalar fold with the identical op
+    order."""
+    import math
+
     import numpy as np
+    import pandas as pd
 
     from pyspark.sql import types as T
 
@@ -91,21 +98,46 @@ def pairwise_cosine(df: DataFrame, a: str, b: str, keep: list[str]) -> DataFrame
         for pdf in batches:
             if len(pdf) == 0:
                 continue
-            A = np.array(list(pdf[a]), dtype=np.float64)
-            B = np.array(list(pdf[b]), dtype=np.float64)
-            n, dims = A.shape
-            acc = np.zeros(n)
-            na = np.zeros(n)
-            nb = np.zeros(n)
-            for j in range(dims):
-                acc = acc + A[:, j] * B[:, j]
-                na = na + A[:, j] * A[:, j]
-                nb = nb + B[:, j] * B[:, j]
-            denom = np.sqrt(na) * np.sqrt(nb)
-            with np.errstate(invalid="ignore", divide="ignore"):
-                cos = np.where(denom == 0.0, 0.0, acc / denom)
+            va, vb = pdf[a], pdf[b]
+            d0, uniform = None, True
+            for x, y in zip(va, vb):
+                if x is None or y is None or len(x) != len(y):
+                    uniform = False
+                    break
+                if d0 is None:
+                    d0 = len(x)
+                elif len(x) != d0:
+                    uniform = False
+                    break
             out = pdf[keep].copy()
-            out["cos"] = cos
+            if uniform:
+                A = np.array(list(va), dtype=np.float64)
+                B = np.array(list(vb), dtype=np.float64)
+                n, dims = A.shape
+                acc = np.zeros(n)
+                na = np.zeros(n)
+                nb = np.zeros(n)
+                for j in range(dims):
+                    acc = acc + A[:, j] * B[:, j]
+                    na = na + A[:, j] * A[:, j]
+                    nb = nb + B[:, j] * B[:, j]
+                denom = np.sqrt(na) * np.sqrt(nb)
+                with np.errstate(invalid="ignore", divide="ignore"):
+                    out["cos"] = np.where(denom == 0.0, 0.0, acc / denom)
+            else:
+                vals = []
+                for x, y in zip(va, vb):
+                    if x is None or y is None or len(x) != len(y):
+                        vals.append(None)  # JVM cosine is NULL here
+                        continue
+                    acc_ = na_ = nb_ = 0.0
+                    for xi, yi in zip(x, y):
+                        acc_ += xi * yi
+                        na_ += xi * xi
+                        nb_ += yi * yi
+                    den = math.sqrt(na_) * math.sqrt(nb_)
+                    vals.append(0.0 if den == 0.0 else acc_ / den)
+                out["cos"] = pd.array(vals, dtype="Float64")
             yield out
 
     return df.select(*keep, a, b).mapInPandas(blocks, schema=out_schema)
@@ -767,11 +799,12 @@ def probe_ivf_index(
     cand = pruned.join(F.broadcast(qdf), "cid").filter(
         F.col("vec_id") != F.col("q_id")
     )
-    out = cand.select(
-        "q_id",
-        F.col("vec_id").alias("neighbor_id"),
-        F.round(cosine(F.col("qv"), F.col("v")), 6).alias("cos"),
-    )
+    out = pairwise_cosine(
+        cand.select("q_id", F.col("vec_id").alias("neighbor_id"), "qv", "v"),
+        "qv",
+        "v",
+        keep=["q_id", "neighbor_id"],
+    ).select("q_id", "neighbor_id", F.round(F.col("cos"), 6).alias("cos"))
     w = Window.partitionBy("q_id").orderBy(
         F.col("cos").desc(), F.col("neighbor_id").asc()
     )

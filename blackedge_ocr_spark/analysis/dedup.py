@@ -192,7 +192,7 @@ BUCKET_CAP = 128  # max ids enumerated per (band, key) bucket — bounds
 
 
 def production_pairs(
-    docs: DataFrame, min_jaccard: float = 0.5, bucket_cap: int = None
+    docs: DataFrame, min_jaccard: float = 0.5, bucket_cap: int = BUCKET_CAP
 ) -> DataFrame:
     """The production near-dup ordering: exact-dedup FIRST, MinHash-LSH
     on the surviving representatives.
@@ -210,8 +210,6 @@ def production_pairs(
     collapsed exact clusters is the ``exact_duplicates`` output, so
     together the two relations carry strictly more information than
     the naive pair list at a fraction of the cost."""
-    if bucket_cap is None:
-        bucket_cap = BUCKET_CAP
     keep = exact_duplicates(docs).select(
         F.col("keep_doc_id").alias("doc_id")
     )

@@ -50,6 +50,17 @@ def split_executed(plan: str) -> tuple[str, str]:
         body = line.lstrip(" :|")
         col = len(line) - len(body)
         if skip_col is not None:
+            if "== " in body:
+                # AQE section headers inside a cached plan print
+                # WITHOUT the ':' rails, so they (and their body) can
+                # land at a column SHALLOWER than the InMemoryRelation
+                # marker. Rebase the region column to the header so
+                # the dedented section stays inside the region instead
+                # of leaking its nodes into the executed count.
+                skip_col = min(skip_col, col)
+                if skip_kind == "cache":
+                    cache.append(line)
+                continue
             if body and col > skip_col:
                 if skip_kind == "cache":
                     cache.append(line)
@@ -76,31 +87,39 @@ _TREE_PYTHON = re.compile(
 )
 
 
+def plan_counts(plan: str) -> dict:
+    """All four shuffle/Python-boundary counts from ONE formatted plan
+    string (one split instead of four explain round-trips)."""
+    executed, cache = split_executed(plan)
+    return {
+        "exchanges": len(set(_TREE_EXCHANGE.findall(executed))),
+        "cache_exchanges": len(set(_TREE_EXCHANGE.findall(cache))),
+        "python_stages": len(set(_TREE_PYTHON.findall(executed))),
+        "cache_python_stages": len(set(_TREE_PYTHON.findall(cache))),
+    }
+
+
 def count_exchanges(df: DataFrame) -> int:
     """Distinct shuffle nodes the query executes (tree section only;
     AQE initial-plan duplicates and one-time persisted-cache build
     subtrees excluded — see split_executed)."""
-    executed, _ = split_executed(formatted_plan(df))
-    return len(set(_TREE_EXCHANGE.findall(executed)))
+    return plan_counts(formatted_plan(df))["exchanges"]
 
 
 def count_cache_build_exchanges(df: DataFrame) -> int:
     """Shuffles inside persisted-table build subtrees: paid once when
     the cache fills, not per downstream consumer."""
-    _, cache = split_executed(formatted_plan(df))
-    return len(set(_TREE_EXCHANGE.findall(cache)))
+    return plan_counts(formatted_plan(df))["cache_exchanges"]
 
 
 def count_python_stages(df: DataFrame) -> int:
     """Distinct Arrow/Python evaluation nodes (UDF boundaries) the
     query executes (cache-build subtrees excluded)."""
-    executed, _ = split_executed(formatted_plan(df))
-    return len(set(_TREE_PYTHON.findall(executed)))
+    return plan_counts(formatted_plan(df))["python_stages"]
 
 
 def count_cache_build_python_stages(df: DataFrame) -> int:
-    _, cache = split_executed(formatted_plan(df))
-    return len(set(_TREE_PYTHON.findall(cache)))
+    return plan_counts(formatted_plan(df))["cache_python_stages"]
 
 
 def scan_info(df: DataFrame) -> dict:

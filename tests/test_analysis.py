@@ -378,8 +378,10 @@ def test_centroid_stride_matches_duckdb_rule():
     ns = (
         list(range(1, 2000, 7))
         + [10 ** k for k in range(2, 15)]
-        + [35000 + i for i in range(-5, 6)]  # around the floor crossover
-        + [500, 2000, 20000, 200000, 2 ** 53 - 1]
+        # the exact greatest() flip: floor(n/(4·floor(√n))) first
+        # reaches 38 at n = 604·38 = 22952 (isqrt = 151)
+        + [22952 + i for i in range(-6, 7)]
+        + [500, 2000, 20000, 35000, 200000, 2 ** 53 - 1]
     )
     rows = duckdb.sql(
         "SELECT n, greatest(37, CAST(floor(n / (4 * floor(sqrt(n)))) "
@@ -389,6 +391,9 @@ def test_centroid_stride_matches_duckdb_rule():
     assert rows and all(centroid_stride(n) == s for n, s in rows)
     # the contract corpora all sit on the floor: results unchanged
     assert centroid_stride(500) == centroid_stride(20000) == 37
+    # either side of the exact flip
+    assert centroid_stride(22951) == 37
+    assert centroid_stride(22952) == 38
     # past the crossover C stays O(sqrt(n))
     assert centroid_stride(200000) == 111
 
@@ -420,3 +425,32 @@ def test_production_pairs_equal_naive_pairs_between_keepers(spark, docs):
     assert prod == expected
     # and the injected exact-duplicate pairs are exactly what it drops
     assert all(p not in prod for p in naive if p[1] - p[0] == 1_000_000)
+
+
+def test_pairwise_cosine_null_and_ragged_rows_yield_null(spark):
+    """pairwise_cosine must mirror the JVM expression on degenerate
+    rows — NULL vector or length mismatch → NULL cos, never a task
+    failure — while healthy rows in the same batch keep the exact
+    block-kernel value."""
+    from blackedge_ocr_spark.analysis import ann
+
+    df = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0], [1.0, 0.0]),   # exact match → 1.0
+            (2, None, [1.0, 0.0]),          # null side → NULL
+            (3, [1.0, 0.0], [1.0]),         # ragged → NULL (zip_with pad)
+            (4, [0.0, 0.0], [0.0, 0.0]),    # zero norms → 0.0 guard
+        ],
+        "id long, va array<double>, vb array<double>",
+    )
+    got = {
+        r["id"]: r["cos"]
+        for r in ann.pairwise_cosine(df, "va", "vb", keep=["id"]).collect()
+    }
+    jvm = {
+        r["id"]: r["cos"]
+        for r in df.select(
+            "id", ann.cosine(F.col("va"), F.col("vb")).alias("cos")
+        ).collect()
+    }
+    assert got == jvm == {1: 1.0, 2: None, 3: None, 4: 0.0}
