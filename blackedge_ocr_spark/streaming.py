@@ -102,7 +102,13 @@ EVENTS_SCHEMA = T.StructType(
 SESSION_OUTPUT_SCHEMA = (
     "user_id long, session_start string, n_events bigint, total_value double"
 )
-SESSION_STATE_SCHEMA = "start double, last double, n bigint, total double"
+# Pending (not-yet-finalized) events, buffered until the watermark
+# proves their sessions closed: parallel arrays of epoch-micros,
+# event ids (tie order) and values. Doubles are exact for both up to
+# 2^53 (micros: ~year 287396; ids: 9e15).
+SESSION_STATE_SCHEMA = (
+    "pts array<double>, pids array<double>, pvals array<double>"
+)
 
 
 def stream_sessionize(
@@ -116,16 +122,35 @@ def stream_sessionize(
     max_files_per_trigger: int = 1,
 ):
     """Custom STATEFUL streaming operator via ``applyInPandasWithState``:
-    gap-based user sessionization. A session closes either when a later
-    event of the same user arrives past the gap (emitted in-batch) or
-    when the event-time watermark passes last_event + gap (emitted by
-    state timeout) — so the sink receives exactly the CLOSED sessions,
-    each once, and state is bounded by |active users|.
+    gap-based user sessionization, BUFFER-UNTIL-WATERMARK.
+
+    Events are held in per-user state and sessionized on the sorted
+    buffer each invocation; a session [first..last] is emitted — once,
+    in append mode — exactly when the event-time watermark passes
+    last + gap: any event that could still extend it would carry
+    ts ≤ last + gap ≤ watermark and be dropped as late, so the session
+    is provably final. Events above the watermark stay buffered. State
+    is therefore bounded by |active users| × events inside the
+    (gap + allowed-lateness) window, never the stream.
+
+    This is the textbook design for a reason the sf1 scale probe made
+    concrete: a process-on-arrival sessionizer (the previous
+    implementation) assigns an out-of-order-but-not-late event — above
+    the watermark, behind the user's latest buffered event, routine
+    when file/partition order is not time order — to whatever session
+    happened to arrive first (observed: an event merged into a session
+    three weeks later), and can also die computing a timeout below the
+    watermark. Buffering makes arrival order inside the lateness
+    window irrelevant: output is a pure function of the event set the
+    watermark admitted.
 
     The batch twin is ``queries.q_user_sessions`` (lag → running-sum
-    session id → agg); closed sessions agree between the two (pytest
-    parity). Late events below the watermark are dropped by the
-    stateful operator, mirroring the rollup's semantics.
+    session id → agg); emitted sessions agree exactly on time-ordered
+    input (pytest parity + the sf1 probe). Late events below the
+    watermark are dropped by Spark before the operator, mirroring the
+    rollup's semantics; with ``availableNow`` the trailing sessions
+    whose close time the final watermark never passes remain open (a
+    live stream flushes them as the watermark advances).
     """
     import datetime
 
@@ -157,38 +182,65 @@ def stream_sessionize(
 
     def sessionize(key, pdf_iter, state: GroupState):
         (user_id,) = key
-        closed: list[tuple] = []
-        if state.hasTimedOut:
-            start, last, n, total = state.get
-            closed.append((user_id, _fmt(start), int(n), _r3(float(total))))
-            state.remove()
-        else:
+        gap_us = gap_sec * 1_000_000
+        wm_us = state.getCurrentWatermarkMs() * 1000
+        pend: list[tuple] = []
+        if state.exists:
+            pts, pids, pvals = state.get
+            pend = list(zip(pts, pids, pvals))
+        if not state.hasTimedOut:
             rows = pd.concat(list(pdf_iter), ignore_index=True)
-            rows = rows.sort_values(["ts", "event_id"])
-            if state.exists:
-                start, last, n, total = state.get
-            else:
-                start = last = None
-                n, total = 0, 0.0
             # Integer microseconds (pandas ts.value is ns) — exact gap
             # comparison, same integer semantics as the batch twin's
-            # unix_micros and the oracle's epoch_us. State holds the
-            # micros in doubles: exact up to 2^53 us (~year 287396).
-            gap_us = gap_sec * 1_000_000
-            for ts, v in zip(rows["ts"], rows["value"]):
-                t = ts.value // 1000
-                if start is None:
-                    start, last, n, total = t, t, 1, float(v)
-                elif t - last > gap_us:
-                    # round to 3 decimals on close — the batch twin's
-                    # contract (q_user_sessions: round(sum(value), 3))
-                    closed.append((user_id, _fmt(start), int(n), _r3(float(total))))
-                    start, last, n, total = t, t, 1, float(v)
-                else:
-                    last, n, total = t, n + 1, total + float(v)
-            state.update((float(start), float(last), int(n), float(total)))
-            # timeout is in epoch MILLIseconds
-            state.setTimeoutTimestamp(int(last + gap_us) // 1000)
+            # unix_micros and the oracle's epoch_us.
+            for ts, eid, v in zip(
+                rows["ts"], rows["event_id"], rows["value"]
+            ):
+                pend.append(
+                    (float(ts.value // 1000), float(eid), float(v))
+                )
+        # (ts, event_id) — the batch twin's window order, so the
+        # per-session float sum accumulates in the identical sequence.
+        pend.sort(key=lambda r: (r[0], r[1]))
+        sessions: list[list[tuple]] = []
+        for t, eid, v in pend:
+            if sessions and t - sessions[-1][-1][0] <= gap_us:
+                sessions[-1].append((t, eid, v))
+            else:
+                sessions.append([(t, eid, v)])
+        closed: list[tuple] = []
+        keep: list[tuple] = []
+        next_close_us = None
+        for s in sessions:
+            close_us = s[-1][0] + gap_us
+            if close_us <= wm_us:
+                total = 0.0
+                for _, _, v in s:
+                    total += v
+                # round to 3 decimals on close — the batch twin's
+                # contract (q_user_sessions: round(sum(value), 3))
+                closed.append(
+                    (user_id, _fmt(s[0][0]), len(s), _r3(total))
+                )
+            else:
+                keep.extend(s)
+                if next_close_us is None:
+                    next_close_us = close_us
+        if keep:
+            state.update((
+                [t for t, _, _ in keep],
+                [i for _, i, _ in keep],
+                [v for _, _, v in keep],
+            ))
+            # wake this group when the watermark passes the earliest
+            # still-open close time; the ms floor could collide with
+            # the current watermark, which Spark rejects — clamp above
+            state.setTimeoutTimestamp(
+                max(int(next_close_us) // 1000,
+                    state.getCurrentWatermarkMs() + 1)
+            )
+        elif state.exists:
+            state.remove()
         yield pd.DataFrame(
             closed,
             columns=["user_id", "session_start", "n_events", "total_value"],

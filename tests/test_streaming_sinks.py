@@ -185,10 +185,11 @@ def test_json_response_shape(spark):
 
 
 def test_stream_sessionize_matches_batch_closed_sessions(spark, tmp_path):
-    """applyInPandasWithState sessionization: gap-closed sessions emit
-    in-batch, watermark-timeout closes the rest; the sink holds exactly
-    the CLOSED sessions and they match the batch lag/running-sum
-    sessionization; the still-open tail session is withheld."""
+    """applyInPandasWithState sessionization (buffer-until-watermark):
+    a session emits exactly when the watermark passes last + gap; the
+    sink holds exactly the CLOSED sessions and they match the batch
+    lag/running-sum sessionization; the still-open tail session is
+    withheld."""
     import os
     import time as _t
 
@@ -256,7 +257,7 @@ def test_stream_sessionize_matches_batch_closed_sessions(spark, tmp_path):
 
     got = read_stable()
     assert got == [
-        (1, "2026-01-01 00:00:00", 2, 4.0),   # gap-closed in batch 0
+        (1, "2026-01-01 00:00:00", 2, 4.0),   # watermark-closed
         (1, "2026-01-01 01:00:00", 1, 4.0),   # watermark timeout
         (2, "2026-01-01 00:05:00", 1, 8.0),   # watermark timeout
     ]
@@ -273,6 +274,92 @@ def test_stream_sessionize_matches_batch_closed_sessions(spark, tmp_path):
         for r in q_user_sessions(spark, ev_dir).collect()
     )
     assert batch == got + [(2, "2026-01-01 05:00:00", 1, 16.0)]
+
+
+def test_stream_sessionize_out_of_order_above_watermark(spark, tmp_path):
+    """Regression for the sf1 scale probe findings: an event that
+    arrives AFTER a later event of the same user (above the watermark,
+    so not droppable) must land in the correct session — the buffered
+    sessionizer's output is a pure function of the admitted event set,
+    not of arrival order. The previous process-on-arrival operator
+    merged such events into whichever session arrived first (observed
+    at sf1: an event assigned to a session three weeks later) and
+    could crash setting a timeout below the watermark."""
+    import os
+    import time as _t
+
+    from blackedge_ocr_spark.streaming import stream_sessionize
+
+    inp = tmp_path / "oev"
+    inp.mkdir()
+
+    def write(name, rows, age_sec):
+        df = spark.createDataFrame(
+            [(i + hash(name) % 1000 * 100, ts, uid, "click", v, "{}")
+             for i, (uid, ts, v) in enumerate(rows)],
+            "event_id long, ts string, user_id long, event_type string, "
+            "value double, props string",
+        ).select(
+            "event_id", F.to_timestamp("ts").alias("ts"), "user_id",
+            "event_type", "value", "props",
+        ).coalesce(1)
+        stage = str(tmp_path / f"ostage_{name}")
+        df.write.mode("overwrite").parquet(stage)
+        part = next(
+            os.path.join(r, f)
+            for r, _, fs in os.walk(stage) for f in fs
+            if f.endswith(".parquet")
+        )
+        dest = str(inp / name)
+        shutil.copy(part, dest)
+        now = _t.time()
+        os.utime(dest, (now - age_sec, now - age_sec))
+
+    # batch 1: u1 @ 01:00, u3 @ 01:05 (watermark source -> 00:55)
+    write(
+        "o1.parquet",
+        [(1, "2026-01-01 01:00:00", 1.0),
+         (3, "2026-01-01 01:05:00", 8.0)],
+        age_sec=240,
+    )
+    # batch 2: u1 @ 00:58 — OUT OF ORDER (behind u1's 01:00) but above
+    # the 00:55 watermark, so admitted; same session as 01:00.
+    # u3 @ 03:00 advances the watermark to 02:50.
+    write(
+        "o2.parquet",
+        [(1, "2026-01-01 00:58:00", 2.0),
+         (3, "2026-01-01 03:00:00", 8.0)],
+        age_sec=120,
+    )
+    # batch 3: u3 @ 06:00 -> final watermark 05:50 times out the rest;
+    # its own session stays open.
+    write("o3.parquet", [(3, "2026-01-01 06:00:00", 8.0)], age_sec=0)
+
+    q = stream_sessionize(
+        spark, str(inp), str(tmp_path / "oout"), str(tmp_path / "ockpt")
+    )
+    q.awaitTermination(300)
+    got = sorted(
+        (r["user_id"], r["session_start"], r["n_events"], r["total_value"])
+        for r in spark.read.parquet(str(tmp_path / "oout")).collect()
+    )
+    assert got == [
+        (1, "2026-01-01 00:58:00", 2, 3.0),  # correct start + both events
+        (3, "2026-01-01 01:05:00", 1, 8.0),
+        (3, "2026-01-01 03:00:00", 1, 8.0),
+    ]
+    # and the batch twin agrees on the closed set
+    ev_dir = str(tmp_path / "obatch")
+    spark.read.parquet(str(inp)).write.mode("overwrite").parquet(
+        f"{ev_dir}/events.parquet"
+    )
+    from blackedge_ocr_spark.queries import q_user_sessions
+
+    batch = sorted(
+        (r["user_id"], r["session_start"], r["n_events"], r["total_value"])
+        for r in q_user_sessions(spark, ev_dir).collect()
+    )
+    assert batch == got + [(3, "2026-01-01 06:00:00", 1, 8.0)]
 
 
 def test_doc_bundle_matches_reference_zip_layout(spark, tmp_path):
