@@ -63,6 +63,36 @@ def cosine(a: Column, b: Column) -> Column:
     return F.when(na * nb == 0, F.lit(0.0)).otherwise(dot(a, b) / (na * nb))
 
 
+def _fold_cos(a, b):
+    """Scalar mirror of the JVM ``cosine`` expression, guard order
+    included: the ``na·nb == 0`` check runs on SELF-dots (no zip, so a
+    length mismatch cannot null it) BEFORE the cross dot — a ragged
+    pair with a zero-norm side is therefore 0.0, while a ragged pair
+    with nonzero norms nulls out through zip_with's null padding, and
+    a NULL side nulls the whole expression. Each accumulator folds its
+    products in element order (one IEEE mul+add per step), bit-equal
+    to the JVM fold and the numpy block kernels."""
+    import math
+
+    if a is None or b is None:
+        return None
+    na_ = 0.0
+    for x in a:
+        na_ += x * x
+    nb_ = 0.0
+    for y in b:
+        nb_ += y * y
+    den = math.sqrt(na_) * math.sqrt(nb_)
+    if den == 0.0:
+        return 0.0
+    if len(a) != len(b):
+        return None  # zip_with null-pads → the cross dot folds to null
+    acc = 0.0
+    for x, y in zip(a, b):
+        acc += x * y
+    return acc / den
+
+
 def pairwise_cosine(df: DataFrame, a: str, b: str, keep: list[str]) -> DataFrame:
     """Per-row cosine of two vector columns as a numpy block kernel:
     returns ``df[keep]`` + unrounded ``cos`` (double).
@@ -79,12 +109,11 @@ def pairwise_cosine(df: DataFrame, a: str, b: str, keep: list[str]) -> DataFrame
     the PRODUCT, so results are bit-identical to the JVM fold and the
     DuckDB oracle. Costs one Arrow boundary carrying the two vectors;
     rounding stays at the caller. Degenerate rows (NULL vector, or a
-    length mismatch) yield NULL cos exactly like the JVM expression
-    (zip_with null-pads → the fold goes null) instead of failing the
-    batch; they take a per-row scalar fold with the identical op
-    order."""
-    import math
-
+    length mismatch) route through ``_fold_cos`` — the scalar mirror
+    of the JVM expression INCLUDING its guard order (a zero-norm
+    ragged pair is 0.0, other ragged/null rows are NULL) — while the
+    healthy rows of the same batch still vectorize through the block
+    kernel, grouped by dimension."""
     import numpy as np
     import pandas as pd
 
@@ -94,49 +123,48 @@ def pairwise_cosine(df: DataFrame, a: str, b: str, keep: list[str]) -> DataFrame
     fields.append(T.StructField("cos", T.DoubleType()))
     out_schema = T.StructType(fields)
 
+    def _kernel(A, B):
+        n, dims = A.shape
+        acc = np.zeros(n)
+        na = np.zeros(n)
+        nb = np.zeros(n)
+        for j in range(dims):
+            acc = acc + A[:, j] * B[:, j]
+            na = na + A[:, j] * A[:, j]
+            nb = nb + B[:, j] * B[:, j]
+        denom = np.sqrt(na) * np.sqrt(nb)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            return np.where(denom == 0.0, 0.0, acc / denom)
+
     def blocks(batches):
         for pdf in batches:
             if len(pdf) == 0:
                 continue
-            va, vb = pdf[a], pdf[b]
-            d0, uniform = None, True
-            for x, y in zip(va, vb):
+            va, vb = list(pdf[a]), list(pdf[b])
+            n = len(va)
+            by_dims: dict[int, list[int]] = {}
+            degenerate: list[int] = []
+            for i in range(n):
+                x, y = va[i], vb[i]
                 if x is None or y is None or len(x) != len(y):
-                    uniform = False
-                    break
-                if d0 is None:
-                    d0 = len(x)
-                elif len(x) != d0:
-                    uniform = False
-                    break
+                    degenerate.append(i)
+                else:
+                    by_dims.setdefault(len(x), []).append(i)
             out = pdf[keep].copy()
-            if uniform:
-                A = np.array(list(va), dtype=np.float64)
-                B = np.array(list(vb), dtype=np.float64)
-                n, dims = A.shape
-                acc = np.zeros(n)
-                na = np.zeros(n)
-                nb = np.zeros(n)
-                for j in range(dims):
-                    acc = acc + A[:, j] * B[:, j]
-                    na = na + A[:, j] * A[:, j]
-                    nb = nb + B[:, j] * B[:, j]
-                denom = np.sqrt(na) * np.sqrt(nb)
-                with np.errstate(invalid="ignore", divide="ignore"):
-                    out["cos"] = np.where(denom == 0.0, 0.0, acc / denom)
+            if not degenerate and len(by_dims) == 1:
+                A = np.array(va, dtype=np.float64)
+                B = np.array(vb, dtype=np.float64)
+                out["cos"] = _kernel(A, B)
             else:
-                vals = []
-                for x, y in zip(va, vb):
-                    if x is None or y is None or len(x) != len(y):
-                        vals.append(None)  # JVM cosine is NULL here
-                        continue
-                    acc_ = na_ = nb_ = 0.0
-                    for xi, yi in zip(x, y):
-                        acc_ += xi * yi
-                        na_ += xi * xi
-                        nb_ += yi * yi
-                    den = math.sqrt(na_) * math.sqrt(nb_)
-                    vals.append(0.0 if den == 0.0 else acc_ / den)
+                vals: list = [None] * n
+                for idxs in by_dims.values():
+                    A = np.array([va[i] for i in idxs], dtype=np.float64)
+                    B = np.array([vb[i] for i in idxs], dtype=np.float64)
+                    cos = _kernel(A, B)
+                    for pos, i in enumerate(idxs):
+                        vals[i] = float(cos[pos])
+                for i in degenerate:
+                    vals[i] = _fold_cos(va[i], vb[i])
                 out["cos"] = pd.array(vals, dtype="Float64")
             yield out
 
@@ -769,25 +797,13 @@ def probe_ivf_index(
     cents = sorted(cents, key=lambda r: r["cid"])
     vec = spark.read.parquet(f"{base}/vectors")
 
-    def fold_cos(a, b):
-        # same sequential fold + correctly-rounded sqrt as `cosine`,
-        # so the driver-planned probe set equals the in-engine one
-        import math
-
-        d = na = nb = 0.0
-        for x, y in zip(a, b):
-            d += x * y
-            na += x * x
-            nb += y * y
-        den = math.sqrt(na) * math.sqrt(nb)
-        return 0.0 if den == 0 else d / den
-
     qrows = vec.filter(F.col("vec_id") % query_every == 0).select(
         "vec_id", "v"
     ).collect()
-    plan = []  # (q_id, cid, qv) — driver-side probe plan
+    plan = []  # (q_id, cid, qv) — driver-side probe plan (the shared
+    # _fold_cos keeps it equal to the in-engine assignment fold)
     for r in qrows:
-        sims = [(-fold_cos(r["v"], c["cv"]), c["cid"]) for c in cents]
+        sims = [(-_fold_cos(r["v"], c["cv"]), c["cid"]) for c in cents]
         for _, cid in sorted(sims)[:probe]:
             plan.append((r["vec_id"], cid, list(r["v"])))
     probe_cids = sorted({cid for _, cid, _v in plan})

@@ -196,6 +196,16 @@ def stream_sessionize(
             for ts, eid, v in zip(
                 rows["ts"], rows["event_id"], rows["value"]
             ):
+                if pd.isna(ts):
+                    # no event time → nothing for the watermark to
+                    # finalize against (NaT.value is int64-min
+                    # garbage); skipped. The batch twin emits a
+                    # NULL-start singleton for such rows — documented
+                    # residual divergence, unreachable on the corpus.
+                    continue
+                # a NULL value arrives as NaN and stays NaN in state
+                # (a valid double); the emission sum skips it below,
+                # mirroring F.sum's null-skip.
                 pend.append(
                     (float(ts.value // 1000), float(eid), float(v))
                 )
@@ -214,13 +224,18 @@ def stream_sessionize(
         for s in sessions:
             close_us = s[-1][0] + gap_us
             if close_us <= wm_us:
-                total = 0.0
+                total, seen = 0.0, False
                 for _, _, v in s:
-                    total += v
+                    if v == v:  # skip NaN = NULL value, like F.sum
+                        total += v
+                        seen = True
                 # round to 3 decimals on close — the batch twin's
-                # contract (q_user_sessions: round(sum(value), 3))
+                # contract (q_user_sessions: round(sum(value), 3));
+                # n_events counts null-value rows like count(*), and
+                # an all-null session totals NULL like sum(all-null)
                 closed.append(
-                    (user_id, _fmt(s[0][0]), len(s), _r3(total))
+                    (user_id, _fmt(s[0][0]), len(s),
+                     _r3(total) if seen else None)
                 )
             else:
                 keep.extend(s)

@@ -378,8 +378,11 @@ def test_centroid_stride_matches_duckdb_rule():
     ns = (
         list(range(1, 2000, 7))
         + [10 ** k for k in range(2, 15)]
-        # the exact greatest() flip: floor(n/(4·floor(√n))) first
-        # reaches 38 at n = 604·38 = 22952 (isqrt = 151)
+        # greatest() flip points — the rule is NON-monotonic around
+        # isqrt boundaries: first reaches 38 at n = 600·38 = 22800
+        # (isqrt 150), drops back to 37 at 22801 (isqrt becomes 151,
+        # denominator 604), rises again at 604·38 = 22952
+        + [22800 + i for i in range(-3, 4)]
         + [22952 + i for i in range(-6, 7)]
         + [500, 2000, 20000, 35000, 200000, 2 ** 53 - 1]
     )
@@ -391,7 +394,10 @@ def test_centroid_stride_matches_duckdb_rule():
     assert rows and all(centroid_stride(n) == s for n, s in rows)
     # the contract corpora all sit on the floor: results unchanged
     assert centroid_stride(500) == centroid_stride(20000) == 37
-    # either side of the exact flip
+    # the non-monotonic flip region, both isqrt-boundary edges
+    assert centroid_stride(22799) == 37
+    assert centroid_stride(22800) == 38
+    assert centroid_stride(22801) == 37
     assert centroid_stride(22951) == 37
     assert centroid_stride(22952) == 38
     # past the crossover C stays O(sqrt(n))
@@ -440,6 +446,11 @@ def test_pairwise_cosine_null_and_ragged_rows_yield_null(spark):
             (2, None, [1.0, 0.0]),          # null side → NULL
             (3, [1.0, 0.0], [1.0]),         # ragged → NULL (zip_with pad)
             (4, [0.0, 0.0], [0.0, 0.0]),    # zero norms → 0.0 guard
+            # ragged with a zero-norm side: the JVM na·nb==0 guard
+            # runs on SELF-dots (no zip), so it fires BEFORE the
+            # null-padded cross dot → 0.0, not NULL
+            (5, [0.0, 0.0], [1.0]),
+            (6, [2.0, 0.0], [0.0]),
         ],
         "id long, va array<double>, vb array<double>",
     )
@@ -453,4 +464,4 @@ def test_pairwise_cosine_null_and_ragged_rows_yield_null(spark):
             "id", ann.cosine(F.col("va"), F.col("vb")).alias("cos")
         ).collect()
     }
-    assert got == jvm == {1: 1.0, 2: None, 3: None, 4: 0.0}
+    assert got == jvm == {1: 1.0, 2: None, 3: None, 4: 0.0, 5: 0.0, 6: 0.0}

@@ -362,6 +362,75 @@ def test_stream_sessionize_out_of_order_above_watermark(spark, tmp_path):
     assert batch == got + [(3, "2026-01-01 06:00:00", 1, 8.0)]
 
 
+def test_stream_sessionize_null_values_match_batch_sum_semantics(spark, tmp_path):
+    """A NULL event value must count toward n_events (count(*)) but
+    not total_value (F.sum skips nulls); an all-null session totals
+    NULL — exactly the batch twin's aggregation semantics."""
+    import os
+    import time as _t
+
+    from blackedge_ocr_spark.streaming import stream_sessionize
+
+    inp = tmp_path / "nev"
+    inp.mkdir()
+
+    def write(name, rows, age_sec):
+        df = spark.createDataFrame(
+            [(i, ts, uid, "click", v, "{}")
+             for i, (uid, ts, v) in enumerate(rows)],
+            "event_id long, ts string, user_id long, event_type string, "
+            "value double, props string",
+        ).select(
+            "event_id", F.to_timestamp("ts").alias("ts"), "user_id",
+            "event_type", "value", "props",
+        ).coalesce(1)
+        stage = str(tmp_path / f"nstage_{name}")
+        df.write.mode("overwrite").parquet(stage)
+        part = next(
+            os.path.join(r, f)
+            for r, _, fs in os.walk(stage) for f in fs
+            if f.endswith(".parquet")
+        )
+        shutil.copy(part, str(inp / name))
+        now = _t.time()
+        os.utime(str(inp / name), (now - age_sec, now - age_sec))
+
+    # u5: one real + one NULL value in one session; u6: all-null session
+    write(
+        "n1.parquet",
+        [(5, "2026-01-01 00:00:00", 2.5),
+         (5, "2026-01-01 00:05:00", None),
+         (6, "2026-01-01 00:10:00", None)],
+        age_sec=120,
+    )
+    # watermark driver: far-future event times everything out
+    write("n2.parquet", [(7, "2026-01-01 06:00:00", 1.0)], age_sec=0)
+
+    q = stream_sessionize(
+        spark, str(inp), str(tmp_path / "nout"), str(tmp_path / "nckpt")
+    )
+    q.awaitTermination(300)
+    got = sorted(
+        (r["user_id"], r["session_start"], r["n_events"], r["total_value"])
+        for r in spark.read.parquet(str(tmp_path / "nout")).collect()
+    )
+    assert got == [
+        (5, "2026-01-01 00:00:00", 2, 2.5),
+        (6, "2026-01-01 00:10:00", 1, None),
+    ]
+    ev_dir = str(tmp_path / "nbatch")
+    spark.read.parquet(str(inp)).write.mode("overwrite").parquet(
+        f"{ev_dir}/events.parquet"
+    )
+    from blackedge_ocr_spark.queries import q_user_sessions
+
+    batch = sorted(
+        (r["user_id"], r["session_start"], r["n_events"], r["total_value"])
+        for r in q_user_sessions(spark, ev_dir).collect()
+    )
+    assert batch == got + [(7, "2026-01-01 06:00:00", 1, 1.0)]
+
+
 def test_doc_bundle_matches_reference_zip_layout(spark, tmp_path):
     """doc_bundle emits the reference ZIP's exact file list
     (response_builder.py:73-188): full_content.md + page_NNNN.md per
