@@ -62,6 +62,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_kmeans_topk": q.q_ann_ivf_kmeans_topk,
         "ann_recall": q.q_ann_recall,
         "embedding_neardup": q.q_embedding_neardup,
+        "embedding_neardup_lsh": q.q_embedding_neardup_lsh,
+        "neardup_recall": q.q_neardup_recall,
         "lang_id": q.q_lang_id,
         "token_counts": q.q_token_counts,
         "quality_scores": q.q_quality_scores,

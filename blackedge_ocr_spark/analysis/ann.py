@@ -885,7 +885,8 @@ def recall_vs_exact(
 
 def neardup_pairs(spark, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup scan over consecutive vec_id pairs
-    (the cheap deterministic probe; bucketed variants handle scale)."""
+    (the cheap deterministic probe; ``neardup_bucket_pairs`` is the
+    bucketed variant that handles scale)."""
     e = _load(spark, sf_dir)
     a = e.select(F.col("vec_id"), F.col("v").alias("va"))
     b = e.select((F.col("vec_id") - 1).alias("vec_id"), F.col("v").alias("vb"))
@@ -893,4 +894,189 @@ def neardup_pairs(spark, sf_dir: str) -> DataFrame:
     cos = F.round(F.col("cos"), 6)
     return pairwise_cosine(j, "va", "vb", keep=["vec_id"]).select(
         "vec_id", cos.alias("cos"), (cos >= 0.9).alias("is_neardup")
+    )
+
+
+NEARDUP_THRESHOLD = 0.9      # cosine >= threshold → near-duplicate
+NEARDUP_BANDS = 4            # independent hyperplane bands (OR'd)
+NEARDUP_BUCKET_CAP = 256     # ids enumerated per (band, key) bucket
+NEARDUP_SAMPLE_EVERY = 10    # recall-audit sample stride
+
+
+def band_keys(
+    vec: Column,
+    bands: int = NEARDUP_BANDS,
+    planes_per_band: int = N_PLANES,
+) -> Column:
+    """``bands`` independent sign-buckets of ``vec`` as an array of
+    bit-strings — band b uses hyperplanes [b·P, (b+1)·P) of the same
+    deterministic md5 family every LSH path shares."""
+    weights = hyperplane_weights(bands * planes_per_band)
+    return F.array(
+        *[
+            sign_bucket(
+                vec, weights[b * planes_per_band : (b + 1) * planes_per_band]
+            )
+            for b in range(bands)
+        ]
+    )
+
+
+def neardup_bucket_pairs(
+    spark,
+    sf_dir: str,
+    threshold: float = NEARDUP_THRESHOLD,
+    bands: int = NEARDUP_BANDS,
+    planes_per_band: int = N_PLANES,
+    bucket_cap: int = NEARDUP_BUCKET_CAP,
+) -> DataFrame:
+    """Bucketed embedding near-dup — the SCALE path the consecutive
+    probe (``neardup_pairs``) stands in for: candidate pairs share a
+    sign-hyperplane bucket in ANY of ``bands`` independent bands
+    (OR-of-bands banding, exactly the MinHash-LSH discipline of
+    ``dedup.lsh_candidate_pairs``); every candidate is then verified
+    with the exact block-kernel cosine. Returns
+    (vec_id_a, vec_id_b, cos, is_neardup).
+
+    Shuffle shape (same discipline as the dedup banding pass): ONE
+    pass computes all band keys, the band shuffle carries
+    (band, key, vec_id) ONLY — never the vectors; in-bucket pairs are
+    enumerated from the capped sorted id array; the distinct pair set
+    (O(near-dups)) is persisted and vectors are re-joined only for
+    candidate ids. Per-pair cost is sub-quadratic by the 2^planes
+    bucket divisor: ~bands/2^planes of all pairs are scored.
+
+    Recall/cost trade (the number ``neardup_recall`` measures): a
+    pair at cosine c collides per plane with p = 1 - arccos(c)/π, per
+    band with p^P, overall 1-(1-p^P)^B — at the default (B=4, P=6)
+    that is ~0.87 for true near-dups (c=0.9) while scanning ~6% of
+    all pairs; raise ``bands`` for higher recall, ``planes_per_band``
+    for lower cost. ``bucket_cap`` bounds the m² blowup of a
+    mirror-swamped bucket (cap semantics mirrored in the oracle via
+    rank-by-id, like dedup's BUCKET_CAP)."""
+    return neardup_bucket_pairs_df(
+        _load(spark, sf_dir), threshold, bands, planes_per_band, bucket_cap
+    )
+
+
+def neardup_bucket_pairs_df(
+    corpus: DataFrame,
+    threshold: float = NEARDUP_THRESHOLD,
+    bands: int = NEARDUP_BANDS,
+    planes_per_band: int = N_PLANES,
+    bucket_cap: int = NEARDUP_BUCKET_CAP,
+) -> DataFrame:
+    """DataFrame form of ``neardup_bucket_pairs`` over (vec_id, v) —
+    the composable unit (and the injection-test surface)."""
+    banded = corpus.select(
+        "vec_id",
+        F.posexplode(band_keys(F.col("v"), bands, planes_per_band)).alias(
+            "band", "key"
+        ),
+    )
+    buckets = (
+        banded.groupBy("band", "key")
+        .agg(
+            F.slice(
+                F.array_sort(F.collect_list("vec_id")), 1, bucket_cap
+            ).alias("ids")
+        )
+        .filter(F.size("ids") > 1)
+    )
+    pair_arr = F.flatten(
+        F.transform(
+            F.col("ids"),
+            lambda x: F.filter(
+                F.transform(
+                    F.col("ids"),
+                    lambda y: F.struct(
+                        x.alias("vec_id_a"), y.alias("vec_id_b")
+                    ),
+                ),
+                lambda p: p["vec_id_a"] < p["vec_id_b"],
+            ),
+        )
+    )
+    pairs = (
+        buckets.select(F.explode(pair_arr).alias("p"))
+        .select("p.vec_id_a", "p.vec_id_b")
+        .distinct()
+        .persist()
+    )
+    cand = pairs.select(
+        F.explode(F.array("vec_id_a", "vec_id_b")).alias("vec_id")
+    ).distinct()
+    vecs = corpus.join(F.broadcast(cand), "vec_id")
+    j = pairs.join(
+        F.broadcast(
+            vecs.select(F.col("vec_id").alias("vec_id_a"), F.col("v").alias("va"))
+        ),
+        "vec_id_a",
+    ).join(
+        F.broadcast(
+            vecs.select(F.col("vec_id").alias("vec_id_b"), F.col("v").alias("vb"))
+        ),
+        "vec_id_b",
+    )
+    cos = F.round(F.col("cos"), 6)
+    return pairwise_cosine(
+        j, "va", "vb", keep=["vec_id_a", "vec_id_b"]
+    ).select(
+        "vec_id_a",
+        "vec_id_b",
+        cos.alias("cos"),
+        (cos >= threshold).alias("is_neardup"),
+    )
+
+
+def neardup_recall(
+    spark,
+    sf_dir: str,
+    threshold: float = NEARDUP_THRESHOLD,
+    sample_every: int = NEARDUP_SAMPLE_EVERY,
+    bands: int = NEARDUP_BANDS,
+    planes_per_band: int = N_PLANES,
+    bucket_cap: int = NEARDUP_BUCKET_CAP,
+) -> DataFrame:
+    """Candidate-generation recall of the banded near-dup vs exact
+    all-pairs ground truth, estimated on a 1/``sample_every`` sample —
+    the production pattern (exact all-pairs is O(n²); a fleet audits
+    recall on a sample and tunes bands/planes from it, exactly like
+    ``recall_vs_exact`` for the top-k paths). One row:
+    (true_pairs, found_pairs, recall) where truth = sample pairs with
+    exact cosine >= threshold, found = the subset of truth whose pair
+    shares ANY band bucket (verified cosine makes found ⊆ truth by
+    construction, so the ratio IS recall). Cost: the truth side
+    broadcasts the tiny sample against itself (O((n/s)²) block-kernel
+    scores); the found side reuses the banded pass."""
+    corpus = _load(spark, sf_dir)
+    sample = corpus.filter(F.col("vec_id") % sample_every == 0)
+    a = sample.select(F.col("vec_id").alias("vec_id_a"), F.col("v").alias("va"))
+    b = sample.select(F.col("vec_id").alias("vec_id_b"), F.col("v").alias("vb"))
+    sp = a.join(F.broadcast(b), F.col("vec_id_a") < F.col("vec_id_b"))
+    truth = (
+        pairwise_cosine(sp, "va", "vb", keep=["vec_id_a", "vec_id_b"])
+        .filter(F.round(F.col("cos"), 6) >= threshold)
+    )
+    found = neardup_bucket_pairs(
+        spark, sf_dir, threshold, bands, planes_per_band, bucket_cap
+    ).filter(
+        (F.col("vec_id_a") % sample_every == 0)
+        & (F.col("vec_id_b") % sample_every == 0)
+        & F.col("is_neardup")
+    )
+    t = truth.agg(F.count("*").alias("true_pairs"))
+    f_ = found.agg(F.count("*").alias("found_pairs"))
+    recall = F.when(
+        F.col("true_pairs") > 0,
+        F.floor(
+            F.col("found_pairs").cast("double")
+            / F.col("true_pairs").cast("double")
+            * 1e6
+            + F.lit(0.5)
+        )
+        / 1e6,
+    )
+    return t.crossJoin(f_).select(
+        "true_pairs", "found_pairs", recall.alias("recall")
     )

@@ -536,6 +536,40 @@ def q_embedding_neardup(spark, sf_dir) -> DataFrame:
     return ann.neardup_pairs(spark, sf_dir)
 
 
+# The synthetic embeddings are near-random (max pairwise cosine ≈0.43
+# at the contract scales), so the CONTRACT threshold is 0.3 — low
+# enough that real pairs exist to hash-check. The API default stays
+# 0.9 (true near-dups); only the threshold literal differs.
+NEARDUP_CONTRACT_THRESHOLD = 0.3
+
+
+def q_embedding_neardup_lsh(spark, sf_dir) -> DataFrame:
+    """Bucketed (OR-of-4-bands sign-LSH) embedding near-dup — the
+    scale path: candidates from shared buckets only (~6% of all
+    pairs), exact block-kernel cosine verify."""
+    from blackedge_ocr_spark.analysis import ann
+
+    return ann.neardup_bucket_pairs(
+        spark, sf_dir, threshold=NEARDUP_CONTRACT_THRESHOLD
+    )
+
+
+def q_neardup_recall(spark, sf_dir) -> DataFrame:
+    """Candidate-generation recall of the banded near-dup vs exact
+    all-pairs truth on a 1/10 sample — the number bands/planes get
+    tuned by, like ann_recall for the top-k paths."""
+    from blackedge_ocr_spark.analysis import ann
+
+    r = ann.neardup_recall(
+        spark, sf_dir, threshold=NEARDUP_CONTRACT_THRESHOLD
+    )
+    return r.select(
+        F.col("true_pairs").cast("long").alias("true_pairs"),
+        F.col("found_pairs").cast("long").alias("found_pairs"),
+        "recall",
+    )
+
+
 def q_lang_id(spark, sf_dir) -> DataFrame:
     from blackedge_ocr_spark.analysis import textstats
 

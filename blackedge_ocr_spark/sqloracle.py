@@ -627,6 +627,8 @@ def build_oracles() -> dict[str, str]:
         "ann_ivf_kmeans_topk": sql_ann_ivf_kmeans_topk(),
         "ann_recall": sql_ann_recall(),
         "embedding_neardup": sql_embedding_neardup(),
+        "embedding_neardup_lsh": sql_embedding_neardup_lsh(),
+        "neardup_recall": sql_neardup_recall(),
         "lang_id": sql_lang_id(),
         "token_counts": sql_token_counts(),
         "quality_scores": sql_quality_scores(),
@@ -1027,6 +1029,98 @@ WITH {EMB}
 SELECT a.vec_id AS vec_id, round({cosine_sql('a.v', 'b.v')}, 6) AS cos,
        round({cosine_sql('a.v', 'b.v')}, 6) >= 0.9 AS is_neardup
 FROM e a JOIN e b ON b.vec_id = a.vec_id + 1"""
+
+
+def _neardup_band_ctes(
+    bands: int, planes_per_band: int, bucket_cap: int
+) -> str:
+    """Shared banded-candidate CTE chain for the bucketed near-dup
+    oracles: banded (one row per vector per band, key = the band's
+    sign-bucket bit-string) → capped (rank-by-vec_id ≤ cap — the
+    windowed form of the Spark sort→slice) → pairs (DISTINCT in-bucket
+    id pairs, a < b)."""
+    from blackedge_ocr_spark.analysis.ann import hyperplane_weights
+
+    planes = hyperplane_weights(bands * planes_per_band)
+    band_rows = []
+    for b in range(bands):
+        bits = []
+        for row in planes[b * planes_per_band : (b + 1) * planes_per_band]:
+            w = "[" + ", ".join(str(x) for x in row) + "]"
+            proj = (
+                f"list_sum(list_transform(range(len(v)), "
+                f"i -> v[i + 1] * ({w}[i + 1])::double))"
+            )
+            bits.append(f"CASE WHEN {proj} > 0 THEN '1' ELSE '0' END")
+        bucket = "(" + " || ".join(bits) + ")"
+        band_rows.append(f"SELECT vec_id, {b} AS band, {bucket} AS key FROM e")
+    banded = " UNION ALL ".join(band_rows)
+    return f"""
+banded AS ({banded}),
+capped AS (
+  SELECT * FROM (
+    SELECT vec_id, band, key,
+           row_number() OVER (PARTITION BY band, key ORDER BY vec_id) AS rn
+    FROM banded)
+  WHERE rn <= {bucket_cap}),
+pairs AS (
+  SELECT DISTINCT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b
+  FROM capped a JOIN capped b ON a.band = b.band AND a.key = b.key
+  WHERE a.vec_id < b.vec_id
+)"""
+
+
+def sql_embedding_neardup_lsh(
+    threshold: float = 0.3,
+    bands: int = 4,
+    planes_per_band: int = 6,
+    bucket_cap: int = 256,
+) -> str:
+    """ann.neardup_bucket_pairs mirror: OR-of-bands sign-bucket
+    candidates, exact cosine verify, cap via rank-by-id."""
+    cos = f"round({cosine_sql('ea.v', 'eb.v')}, 6)"
+    return f"""
+WITH {EMB},
+{_neardup_band_ctes(bands, planes_per_band, bucket_cap)}
+SELECT p.vec_id_a, p.vec_id_b, {cos} AS cos, {cos} >= {threshold} AS is_neardup
+FROM pairs p
+JOIN e ea ON ea.vec_id = p.vec_id_a
+JOIN e eb ON eb.vec_id = p.vec_id_b"""
+
+
+def sql_neardup_recall(
+    threshold: float = 0.3,
+    sample_every: int = 10,
+    bands: int = 4,
+    planes_per_band: int = 6,
+    bucket_cap: int = 256,
+) -> str:
+    """ann.neardup_recall mirror: truth = exact all-pairs over the
+    1/sample_every sample at the threshold; found = the banded
+    candidates restricted to the sample that verify; recall = the
+    exact integer ratio, r6 floor-rounded like ann_recall."""
+    tcos = f"round({cosine_sql('a.v', 'b.v')}, 6)"
+    fcos = f"round({cosine_sql('ea.v', 'eb.v')}, 6)"
+    return f"""
+WITH {EMB},
+{_neardup_band_ctes(bands, planes_per_band, bucket_cap)},
+s AS (SELECT vec_id, v FROM e WHERE vec_id % {sample_every} = 0),
+truth AS (
+  SELECT count(*) AS true_pairs
+  FROM s a JOIN s b ON a.vec_id < b.vec_id
+  WHERE {tcos} >= {threshold}),
+found AS (
+  SELECT count(*) AS found_pairs
+  FROM pairs p
+  JOIN e ea ON ea.vec_id = p.vec_id_a
+  JOIN e eb ON eb.vec_id = p.vec_id_b
+  WHERE p.vec_id_a % {sample_every} = 0 AND p.vec_id_b % {sample_every} = 0
+    AND {fcos} >= {threshold})
+SELECT true_pairs, found_pairs,
+       CASE WHEN true_pairs > 0 THEN
+         floor(found_pairs::double / true_pairs::double * 1e6 + 0.5) / 1e6
+       END AS recall
+FROM truth, found"""
 
 
 # --- text analysis ----------------------------------------------------

@@ -465,3 +465,54 @@ def test_pairwise_cosine_null_and_ragged_rows_yield_null(spark):
         ).collect()
     }
     assert got == jvm == {1: 1.0, 2: None, 3: None, 4: 0.0, 5: 0.0, 6: 0.0}
+
+
+def test_neardup_bucketed_recovers_injected_and_is_subquadratic(spark):
+    """The banded near-dup (scale path) must (a) deterministically
+    recover planted EXACT duplicates — identical vectors project to
+    identical sign-buckets in every band, so the pair is a candidate
+    with probability 1, not 1-(1-p^P)^B — (b) emit only exactly-
+    verified cosines (is_neardup ⇔ cos >= threshold), and (c) score
+    far fewer pairs than the n² cross join."""
+    from blackedge_ocr_spark.analysis import ann
+
+    e = (
+        spark.read.parquet(f"{SF}/embeddings.parquet")
+        .select(
+            "vec_id",
+            F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+        )
+    )
+    dups = e.filter(F.col("vec_id") % 10 == 0).select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"), "v"
+    )
+    corpus = e.unionByName(dups)
+    pairs = ann.neardup_bucket_pairs_df(corpus, threshold=0.9).collect()
+
+    found = {(r["vec_id_a"], r["vec_id_b"]): r for r in pairs}
+    for r in e.filter(F.col("vec_id") % 10 == 0).select("vec_id").collect():
+        key = (r["vec_id"], r["vec_id"] + 1_000_000)
+        assert key in found, f"planted duplicate pair {key} not a candidate"
+        assert found[key]["cos"] == 1.0
+        assert found[key]["is_neardup"]
+
+    for r in pairs:
+        assert r["is_neardup"] == (r["cos"] >= 0.9)
+
+    n = corpus.count()
+    assert len(pairs) < 0.5 * n * (n - 1) / 2, "candidate set ~quadratic"
+
+
+def test_neardup_recall_found_bounded_by_truth(spark):
+    """recall ∈ [0,1] (or NULL when the sample has no true pairs) and
+    found <= true by the subset-by-construction property."""
+    from blackedge_ocr_spark.analysis import ann
+
+    row = ann.neardup_recall(
+        spark, SF, threshold=0.2, sample_every=5
+    ).collect()[0]
+    assert row["found_pairs"] <= row["true_pairs"]
+    if row["true_pairs"] == 0:
+        assert row["recall"] is None
+    else:
+        assert 0.0 <= row["recall"] <= 1.0
