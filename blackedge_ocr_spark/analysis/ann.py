@@ -185,9 +185,27 @@ def sign_bucket(vec: Column, weights: list[list[int]]) -> Column:
     return F.concat(*bits)
 
 
-def _load(spark, sf_dir: str) -> DataFrame:
+def _load_raw(spark, sf_dir: str) -> DataFrame:
+    """(vec_id, v) straight off the parquet — no exchange; for plans
+    whose corpus side never needs a shuffle (broadcast-join verifies,
+    ids-only banding)."""
     df = spark.read.parquet(f"{sf_dir.rstrip('/')}/embeddings.parquet")
-    return df.select("vec_id", _vecd("embedding").alias("v")).repartition(
+    return df.select("vec_id", _vecd("embedding").alias("v"))
+
+
+def _spread(df: DataFrame) -> DataFrame:
+    """Split-starvation gate (same rule as q_event_rollup): widen only
+    when the scan yields fewer partitions than cores — the sf test
+    parquet is one split; a 100 TB scan is thousands and this is a
+    no-op."""
+    par = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < par:
+        return df.repartition(par)
+    return df
+
+
+def _load(spark, sf_dir: str) -> DataFrame:
+    return _load_raw(spark, sf_dir).repartition(
         spark.sparkContext.defaultParallelism * 2, "vec_id"
     )
 
@@ -955,7 +973,8 @@ def neardup_bucket_pairs(
     mirror-swamped bucket (cap semantics mirrored in the oracle via
     rank-by-id, like dedup's BUCKET_CAP)."""
     return neardup_bucket_pairs_df(
-        _load(spark, sf_dir), threshold, bands, planes_per_band, bucket_cap
+        _load_raw(spark, sf_dir), threshold, bands, planes_per_band,
+        bucket_cap,
     )
 
 
@@ -967,8 +986,11 @@ def neardup_bucket_pairs_df(
     bucket_cap: int = NEARDUP_BUCKET_CAP,
 ) -> DataFrame:
     """DataFrame form of ``neardup_bucket_pairs`` over (vec_id, v) —
-    the composable unit (and the injection-test surface)."""
-    banded = corpus.select(
+    the composable unit (and the injection-test surface). The corpus
+    itself never shuffles: the band exchange carries ids only, and
+    the two vector join-backs are broadcast hash joins against the
+    raw scan (candidate ids are O(near-dups), broadcast first)."""
+    banded = _spread(corpus).select(
         "vec_id",
         F.posexplode(band_keys(F.col("v"), bands, planes_per_band)).alias(
             "band", "key"
@@ -1049,7 +1071,7 @@ def neardup_recall(
     construction, so the ratio IS recall). Cost: the truth side
     broadcasts the tiny sample against itself (O((n/s)²) block-kernel
     scores); the found side reuses the banded pass."""
-    corpus = _load(spark, sf_dir)
+    corpus = _load_raw(spark, sf_dir)
     sample = corpus.filter(F.col("vec_id") % sample_every == 0)
     a = sample.select(F.col("vec_id").alias("vec_id_a"), F.col("v").alias("va"))
     b = sample.select(F.col("vec_id").alias("vec_id_b"), F.col("v").alias("vb"))
