@@ -194,14 +194,9 @@ def _load_raw(spark, sf_dir: str) -> DataFrame:
 
 
 def _spread(df: DataFrame) -> DataFrame:
-    """Split-starvation gate (same rule as q_event_rollup): widen only
-    when the scan yields fewer partitions than cores — the sf test
-    parquet is one split; a 100 TB scan is thousands and this is a
-    no-op."""
-    par = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < par:
-        return df.repartition(par)
-    return df
+    from blackedge_ocr_spark.session import spread_if_starved
+
+    return spread_if_starved(df)
 
 
 def _load(spark, sf_dir: str) -> DataFrame:
@@ -919,6 +914,12 @@ NEARDUP_THRESHOLD = 0.9      # cosine >= threshold → near-duplicate
 NEARDUP_BANDS = 4            # independent hyperplane bands (OR'd)
 NEARDUP_BUCKET_CAP = 256     # ids enumerated per (band, key) bucket
 NEARDUP_SAMPLE_EVERY = 10    # recall-audit sample stride
+# The synthetic embeddings are near-random (max pairwise cosine ≈0.43
+# at the contract scales), so the CONTRACT queries pin this lower
+# threshold to have real pairs to hash-check; the API default above
+# stays 0.9 (true near-dups). Imported by queries.py AND sqloracle.py
+# so the two sides cannot drift.
+NEARDUP_CONTRACT_THRESHOLD = 0.3
 
 
 def band_keys(
@@ -986,49 +987,49 @@ def neardup_bucket_pairs_df(
     bucket_cap: int = NEARDUP_BUCKET_CAP,
 ) -> DataFrame:
     """DataFrame form of ``neardup_bucket_pairs`` over (vec_id, v) —
-    the composable unit (and the injection-test surface). The corpus
-    itself never shuffles: the band exchange carries ids only, and
-    the two vector join-backs are broadcast hash joins against the
-    raw scan (candidate ids are O(near-dups), broadcast first)."""
+    the composable unit (and the injection-test surface)."""
+    return _verify_pairs(
+        corpus,
+        _band_candidates(corpus, bands, planes_per_band, bucket_cap),
+        threshold,
+    )
+
+
+def _band_candidates(
+    corpus: DataFrame, bands: int, planes_per_band: int, bucket_cap: int
+) -> DataFrame:
+    """Candidate (vec_id_a, vec_id_b) pairs sharing ANY band bucket —
+    the band exchange carries (band, key, vec_id) ONLY, never the
+    vectors; capped pair enumeration is the shared ``banding``
+    discipline (same as dedup's MinHash bands)."""
+    from blackedge_ocr_spark.analysis.banding import in_bucket_pairs
+
     banded = _spread(corpus).select(
         "vec_id",
         F.posexplode(band_keys(F.col("v"), bands, planes_per_band)).alias(
             "band", "key"
         ),
     )
-    buckets = (
-        banded.groupBy("band", "key")
-        .agg(
-            F.slice(
-                F.array_sort(F.collect_list("vec_id")), 1, bucket_cap
-            ).alias("ids")
-        )
-        .filter(F.size("ids") > 1)
-    )
-    pair_arr = F.flatten(
-        F.transform(
-            F.col("ids"),
-            lambda x: F.filter(
-                F.transform(
-                    F.col("ids"),
-                    lambda y: F.struct(
-                        x.alias("vec_id_a"), y.alias("vec_id_b")
-                    ),
-                ),
-                lambda p: p["vec_id_a"] < p["vec_id_b"],
-            ),
-        )
-    )
-    pairs = (
-        buckets.select(F.explode(pair_arr).alias("p"))
-        .select("p.vec_id_a", "p.vec_id_b")
-        .distinct()
-        .persist()
-    )
+    return in_bucket_pairs(banded, "vec_id", "vec_id_a", "vec_id_b", bucket_cap)
+
+
+def _verify_pairs(
+    corpus: DataFrame, cand_pairs: DataFrame, threshold: float
+) -> DataFrame:
+    """Exact block-kernel cosine over a candidate pair set: the pair
+    set (O(near-dups)) and the candidate vectors are eagerly staged —
+    one count() fills both caches exactly once; without it the two
+    verification broadcasts below are submitted concurrently and BOTH
+    miss the cold cache, re-running the full banding pass in parallel
+    (the failure ``dedup.lsh_candidate_pairs`` documents). The corpus
+    never shuffles: both join-backs are broadcast hash joins against
+    the raw scan."""
+    pairs = cand_pairs.persist()
     cand = pairs.select(
         F.explode(F.array("vec_id_a", "vec_id_b")).alias("vec_id")
     ).distinct()
-    vecs = corpus.join(F.broadcast(cand), "vec_id")
+    vecs = corpus.join(F.broadcast(cand), "vec_id").persist()
+    vecs.count()  # fills the pairs cache too (vecs derives from it)
     j = pairs.join(
         F.broadcast(
             vecs.select(F.col("vec_id").alias("vec_id_a"), F.col("v").alias("va"))
@@ -1070,7 +1071,13 @@ def neardup_recall(
     shares ANY band bucket (verified cosine makes found ⊆ truth by
     construction, so the ratio IS recall). Cost: the truth side
     broadcasts the tiny sample against itself (O((n/s)²) block-kernel
-    scores); the found side reuses the banded pass."""
+    scores); the found side reuses the banded pass with the sample
+    restriction applied to the CANDIDATE ID PAIRS — bucket formation
+    (and the cap) still sees the full corpus, but exact verification
+    scores only the ~1/s² sampled candidates, not all of them (the
+    DuckDB oracle's optimizer pushes the same mod predicates below
+    its cosine; without this the Spark side would score every
+    full-corpus candidate to count a tiny subset)."""
     corpus = _load_raw(spark, sf_dir)
     sample = corpus.filter(F.col("vec_id") % sample_every == 0)
     a = sample.select(F.col("vec_id").alias("vec_id_a"), F.col("v").alias("va"))
@@ -1080,12 +1087,14 @@ def neardup_recall(
         pairwise_cosine(sp, "va", "vb", keep=["vec_id_a", "vec_id_b"])
         .filter(F.round(F.col("cos"), 6) >= threshold)
     )
-    found = neardup_bucket_pairs(
-        spark, sf_dir, threshold, bands, planes_per_band, bucket_cap
+    sampled_cands = _band_candidates(
+        corpus, bands, planes_per_band, bucket_cap
     ).filter(
         (F.col("vec_id_a") % sample_every == 0)
         & (F.col("vec_id_b") % sample_every == 0)
-        & F.col("is_neardup")
+    )
+    found = _verify_pairs(corpus, sampled_cands, threshold).filter(
+        F.col("is_neardup")
     )
     t = truth.agg(F.count("*").alias("true_pairs"))
     f_ = found.agg(F.count("*").alias("found_pairs"))

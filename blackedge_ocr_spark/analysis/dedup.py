@@ -268,34 +268,11 @@ def lsh_candidate_pairs(
         "doc_id", F.explode(lsh_band_keys(F.col("sig"))).alias("bk")
     ).select("doc_id", "bk.band", "bk.key")
 
-    buckets = (
-        banded.filter(F.col("key").isNotNull())
-        .groupBy("band", "key")
-        .agg(
-            F.slice(
-                F.array_sort(F.collect_list("doc_id")), 1, bucket_cap
-            ).alias("ids")
-        )
-        .filter(F.size("ids") > 1)
-    )
-    pair_arr = F.flatten(
-        F.transform(
-            F.col("ids"),
-            lambda x: F.filter(
-                F.transform(
-                    F.col("ids"),
-                    lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b")),
-                ),
-                lambda p: p["doc_a"] < p["doc_b"],
-            ),
-        )
-    )
-    pairs = (
-        buckets.select(F.explode(pair_arr).alias("p"))
-        .select("p.doc_a", "p.doc_b")
-        .distinct()
-        .persist()
-    )
+    from blackedge_ocr_spark.analysis.banding import in_bucket_pairs
+
+    pairs = in_bucket_pairs(
+        banded, "doc_id", "doc_a", "doc_b", bucket_cap
+    ).persist()
     cand = pairs.select(
         F.explode(F.array("doc_a", "doc_b")).alias("doc_id")
     ).distinct()

@@ -55,18 +55,13 @@ def _par(spark: SparkSession) -> int:
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from blackedge_ocr_spark.datagen import replicate_corpus
 
+    from blackedge_ocr_spark.session import spread_if_starved
+
     df = spark.read.parquet(f"{sf_dir.rstrip('/')}/documents.parquet")
-    # Spread the corpus ONLY when the scan is split-starved (the sf
-    # test parquet arrives as one split; fewer scan tasks than cores
-    # serializes every per-row stage). At scale the scan itself yields
-    # thousands of splits and this branch never fires — an
-    # unconditional repartition there would shuffle the full corpus
-    # text to buy nothing. Same gate as q_event_rollup;
-    # PLANS.md shows both states.
-    if df.rdd.getNumPartitions() < spark.sparkContext.defaultParallelism:
-        # repartition BEFORE replication: see datagen.spansify_documents.
-        df = df.repartition(_par(spark), "doc_id")
-    return replicate_corpus(df)
+    # Shared split-starvation gate (session.spread_if_starved); hash
+    # on doc_id at a few waves per core so mega-doc skew averages out.
+    # Spread BEFORE replication: see datagen.spansify_documents.
+    return replicate_corpus(spread_if_starved(df, _par(spark), "doc_id"))
 
 
 def numeric_text(doc_id: Column, text: Column) -> Column:
@@ -536,21 +531,15 @@ def q_embedding_neardup(spark, sf_dir) -> DataFrame:
     return ann.neardup_pairs(spark, sf_dir)
 
 
-# The synthetic embeddings are near-random (max pairwise cosine ≈0.43
-# at the contract scales), so the CONTRACT threshold is 0.3 — low
-# enough that real pairs exist to hash-check. The API default stays
-# 0.9 (true near-dups); only the threshold literal differs.
-NEARDUP_CONTRACT_THRESHOLD = 0.3
-
-
 def q_embedding_neardup_lsh(spark, sf_dir) -> DataFrame:
     """Bucketed (OR-of-4-bands sign-LSH) embedding near-dup — the
     scale path: candidates from shared buckets only (~6% of all
-    pairs), exact block-kernel cosine verify."""
+    pairs), exact block-kernel cosine verify. Contract threshold
+    0.3: see ann.NEARDUP_CONTRACT_THRESHOLD."""
     from blackedge_ocr_spark.analysis import ann
 
     return ann.neardup_bucket_pairs(
-        spark, sf_dir, threshold=NEARDUP_CONTRACT_THRESHOLD
+        spark, sf_dir, threshold=ann.NEARDUP_CONTRACT_THRESHOLD
     )
 
 
@@ -561,7 +550,7 @@ def q_neardup_recall(spark, sf_dir) -> DataFrame:
     from blackedge_ocr_spark.analysis import ann
 
     r = ann.neardup_recall(
-        spark, sf_dir, threshold=NEARDUP_CONTRACT_THRESHOLD
+        spark, sf_dir, threshold=ann.NEARDUP_CONTRACT_THRESHOLD
     )
     return r.select(
         F.col("true_pairs").cast("long").alias("true_pairs"),
@@ -1028,15 +1017,14 @@ def q_event_rollup(spark, sf_dir) -> DataFrame:
     aligns with epoch hours in both engines). Hash agg on (window,
     type): partial map-side combine keeps the shuffle O(windows x
     types) regardless of event count."""
+    from blackedge_ocr_spark.session import spread_if_starved
+
     e = spark.read.parquet(f"{sf_dir.rstrip('/')}/events.parquet")
     # The groupBy below combines map-side, so pre-shuffling raw events
     # is pure waste at scale (the round-2 unconditional repartition
-    # moved O(n) rows to buy nothing). Widen only when the scan itself
-    # is split-starved — the sf test parquet is ONE split; a 100 TB
-    # scan yields thousands of splits and this branch never fires.
-    par = spark.sparkContext.defaultParallelism
-    if e.rdd.getNumPartitions() < par:
-        e = e.repartition(par)
+    # moved O(n) rows to buy nothing). Shared starvation gate: widens
+    # only when the scan has fewer splits than cores.
+    e = spread_if_starved(e)
     w = F.window(F.col("ts"), "1 hour")
     return (
         e.groupBy(

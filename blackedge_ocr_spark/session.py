@@ -49,3 +49,22 @@ def build_session(
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark
+
+
+def spread_if_starved(df, target: int | None = None, *cols):
+    """Split-starvation gate, shared by every scan-side widen in the
+    engine (documents `_docs`, events `q_event_rollup`, embeddings
+    banding): repartition ONLY when the scan yields fewer partitions
+    than cores — the sf test parquet arrives as one split; fewer scan
+    tasks than cores serializes every per-row stage. At real scale
+    the scan itself yields thousands of splits and this is a no-op —
+    an unconditional repartition there would shuffle the full input
+    to buy nothing. ``target`` overrides the widen width (default
+    defaultParallelism); ``cols`` switch round-robin to hash
+    partitioning for downstream key locality."""
+    spark = df.sparkSession
+    par = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < par:
+        width = target if target is not None else par
+        return df.repartition(width, *cols) if cols else df.repartition(width)
+    return df

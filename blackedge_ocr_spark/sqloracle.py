@@ -844,10 +844,10 @@ SELECT q_id, rank, neighbor_id, cos FROM (
   FROM s) WHERE rank <= {k}"""
 
 
-def sql_ann_lsh_topk(k: int = 5, query_every: int = 50) -> str:
-    from blackedge_ocr_spark.analysis.ann import N_PLANES, hyperplane_weights
-
-    planes = hyperplane_weights()
+def sign_bucket_sql(planes: list[list[int]]) -> str:
+    """DuckDB mirror of ann.sign_bucket over the given hyperplane
+    rows — ONE string-builder for every sign-LSH oracle so the
+    bit-for-bit projection recipe cannot drift between queries."""
     bits = []
     for row in planes:
         w = "[" + ", ".join(str(x) for x in row) + "]"
@@ -856,7 +856,13 @@ def sql_ann_lsh_topk(k: int = 5, query_every: int = 50) -> str:
             f"i -> v[i + 1] * ({w}[i + 1])::double))"
         )
         bits.append(f"CASE WHEN {proj} > 0 THEN '1' ELSE '0' END")
-    bucket = "(" + " || ".join(bits) + ")"
+    return "(" + " || ".join(bits) + ")"
+
+
+def sql_ann_lsh_topk(k: int = 5, query_every: int = 50) -> str:
+    from blackedge_ocr_spark.analysis.ann import N_PLANES, hyperplane_weights
+
+    bucket = sign_bucket_sql(hyperplane_weights())
     flips = ", ".join(
         f"substr(qb0, 1, {i}) || (CASE substr(qb0, {i + 1}, 1) "
         f"WHEN '0' THEN '1' ELSE '0' END) || substr(qb0, {i + 2}, {N_PLANES})"
@@ -1036,7 +1042,8 @@ def _neardup_band_ctes(
 ) -> str:
     """Shared banded-candidate CTE chain for the bucketed near-dup
     oracles: banded (one row per vector per band, key = the band's
-    sign-bucket bit-string) → capped (rank-by-vec_id ≤ cap — the
+    sign-bucket bit-string, built by the same ``sign_bucket_sql`` the
+    top-k LSH oracle uses) → capped (rank-by-vec_id ≤ cap — the
     windowed form of the Spark sort→slice) → pairs (DISTINCT in-bucket
     id pairs, a < b)."""
     from blackedge_ocr_spark.analysis.ann import hyperplane_weights
@@ -1044,15 +1051,9 @@ def _neardup_band_ctes(
     planes = hyperplane_weights(bands * planes_per_band)
     band_rows = []
     for b in range(bands):
-        bits = []
-        for row in planes[b * planes_per_band : (b + 1) * planes_per_band]:
-            w = "[" + ", ".join(str(x) for x in row) + "]"
-            proj = (
-                f"list_sum(list_transform(range(len(v)), "
-                f"i -> v[i + 1] * ({w}[i + 1])::double))"
-            )
-            bits.append(f"CASE WHEN {proj} > 0 THEN '1' ELSE '0' END")
-        bucket = "(" + " || ".join(bits) + ")"
+        bucket = sign_bucket_sql(
+            planes[b * planes_per_band : (b + 1) * planes_per_band]
+        )
         band_rows.append(f"SELECT vec_id, {b} AS band, {bucket} AS key FROM e")
     banded = " UNION ALL ".join(band_rows)
     return f"""
@@ -1070,14 +1071,35 @@ pairs AS (
 )"""
 
 
+def _neardup_params(
+    threshold, bands, planes_per_band, bucket_cap, sample_every=None
+):
+    """Resolve None → the live ann constants, so the oracle literals
+    track N_PLANES / NEARDUP_* tuning by construction (the same
+    no-drift rule every other oracle follows)."""
+    from blackedge_ocr_spark.analysis import ann
+
+    return [
+        threshold if threshold is not None else ann.NEARDUP_CONTRACT_THRESHOLD,
+        bands if bands is not None else ann.NEARDUP_BANDS,
+        planes_per_band if planes_per_band is not None else ann.N_PLANES,
+        bucket_cap if bucket_cap is not None else ann.NEARDUP_BUCKET_CAP,
+        sample_every if sample_every is not None else ann.NEARDUP_SAMPLE_EVERY,
+    ]
+
+
 def sql_embedding_neardup_lsh(
-    threshold: float = 0.3,
-    bands: int = 4,
-    planes_per_band: int = 6,
-    bucket_cap: int = 256,
+    threshold: float | None = None,
+    bands: int | None = None,
+    planes_per_band: int | None = None,
+    bucket_cap: int | None = None,
 ) -> str:
     """ann.neardup_bucket_pairs mirror: OR-of-bands sign-bucket
-    candidates, exact cosine verify, cap via rank-by-id."""
+    candidates, exact cosine verify, cap via rank-by-id. Defaults
+    track the ann constants (contract threshold included)."""
+    threshold, bands, planes_per_band, bucket_cap, _ = _neardup_params(
+        threshold, bands, planes_per_band, bucket_cap
+    )
     cos = f"round({cosine_sql('ea.v', 'eb.v')}, 6)"
     return f"""
 WITH {EMB},
@@ -1089,16 +1111,22 @@ JOIN e eb ON eb.vec_id = p.vec_id_b"""
 
 
 def sql_neardup_recall(
-    threshold: float = 0.3,
-    sample_every: int = 10,
-    bands: int = 4,
-    planes_per_band: int = 6,
-    bucket_cap: int = 256,
+    threshold: float | None = None,
+    sample_every: int | None = None,
+    bands: int | None = None,
+    planes_per_band: int | None = None,
+    bucket_cap: int | None = None,
 ) -> str:
     """ann.neardup_recall mirror: truth = exact all-pairs over the
     1/sample_every sample at the threshold; found = the banded
     candidates restricted to the sample that verify; recall = the
-    exact integer ratio, r6 floor-rounded like ann_recall."""
+    exact integer ratio, r6 floor-rounded like ann_recall. Defaults
+    track the ann constants."""
+    threshold, bands, planes_per_band, bucket_cap, sample_every = (
+        _neardup_params(
+            threshold, bands, planes_per_band, bucket_cap, sample_every
+        )
+    )
     tcos = f"round({cosine_sql('a.v', 'b.v')}, 6)"
     fcos = f"round({cosine_sql('ea.v', 'eb.v')}, 6)"
     return f"""
