@@ -328,3 +328,89 @@ def stream_event_rollup(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def stream_dedup(
+    spark: SparkSession,
+    input_dir: str,
+    output_dir: str,
+    checkpoint_dir: str,
+    registry_dir: str,
+    available_now: bool = True,
+    max_files_per_trigger: int = 1,
+):
+    """Streaming exact deduplication of continuous document ingest:
+    first-arrival-wins on md5(comparison-normalized text), against a
+    PERSISTENT hash registry.
+
+    The batch twin is ``dedup.exact_duplicates`` / ``q_dedup_apply``
+    (keeper = min doc_id per content hash); when files arrive in
+    doc_id order — the corpus layout — first-arrival IS min-id and
+    the streamed survivor set equals the batch keeper set exactly
+    (pytest parity). Per micro-batch:
+
+    1. in-batch first-wins: ``min_by(row, doc_id)`` per hash —
+       deterministic whatever Spark's task order;
+    2. cross-batch: LEFT ANTI join against the registry parquet;
+    3. append survivors to the sink, then their hashes to the
+       registry.
+
+    Why a registry and not ``dropDuplicates`` state: exact dedup
+    needs ALL history, so in-memory streaming state grows without
+    bound and dies with the checkpoint; a disk registry is the
+    production shape (at fleet scale: an Iceberg table bucketed by
+    hash — ADR-1's swap point — or a Bloom-fronted store; the
+    watermark-bounded ``dropDuplicatesWithinWatermark`` only dedups
+    redelivery inside the lateness window, a different guarantee).
+    Restart resumability: the registry persists, so a restarted query
+    (fresh OR same checkpoint) never re-emits a seen document —
+    re-appending an already-registered hash is anti-joined away, which
+    also makes retried micro-batches idempotent on the output side as
+    long as the registry write of the failed attempt survived. The
+    residual two-writes gap (output committed, registry append lost,
+    crash between) is the known non-transactional-sink window; ADR-1's
+    Iceberg swap closes it with a single atomic multi-table commit.
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql.utils import AnalysisException
+
+    from blackedge_ocr_spark.functions.text import normalize_for_comparison
+
+    raw = (
+        spark.readStream.schema(RAW_DOCUMENTS_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(input_dir)
+    )
+    cols = [f.name for f in RAW_DOCUMENTS_SCHEMA.fields]
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        h = batch_df.withColumn(
+            "content_hash", F.md5(normalize_for_comparison(F.col("text")))
+        )
+        firsts = (
+            h.groupBy("content_hash")
+            .agg(F.min_by(F.struct(*cols), F.col("doc_id")).alias("r"))
+            .select("content_hash", "r.*")
+        )
+        try:
+            seen = spark.read.parquet(registry_dir).select("content_hash")
+            # no broadcast hint: the registry grows to O(distinct
+            # corpus) — AQE broadcasts while it's small and falls back
+            # to a shuffled anti-join when it isn't (the Iceberg form
+            # buckets both sides by hash and prunes even that).
+            fresh = firsts.join(seen, "content_hash", "left_anti")
+        except AnalysisException:  # first batch: no registry yet
+            fresh = firsts
+        fresh = fresh.persist()
+        fresh.write.mode("append").parquet(output_dir)
+        fresh.select("content_hash").write.mode("append").parquet(registry_dir)
+        fresh.unpersist()
+
+    writer = raw.writeStream.foreachBatch(process_batch).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -531,3 +531,82 @@ def test_stream_event_rollup_watermarked(spark, tmp_path):
         assert exp[key] == vals, key
     # withheld tail = windows newer than (max ts - watermark)
     assert len(got) < len(exp)
+
+
+def test_stream_dedup_matches_batch_keepers_and_survives_restart(
+    spark, tmp_path
+):
+    """Streaming exact-dedup: (a) survivors == the batch twin's
+    keeper set (dedup.exact_duplicates min-id keepers) when files
+    arrive in id order; (b) the persistent registry makes a RESTARTED
+    query drop duplicates of documents seen before the restart —
+    state outlives both the micro-batch and the checkpoint."""
+    from blackedge_ocr_spark.analysis import dedup
+    from blackedge_ocr_spark.streaming import stream_dedup
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    cols = docs.columns
+    # file1: originals 0..499; file2: exact copies of every 10th doc
+    # under new ids (the with_dup_injection layout) plus one new doc
+    dups = (
+        docs.filter(F.col("doc_id") % 10 == 0)
+        .withColumn("doc_id", F.col("doc_id") + 1_000_000)
+    )
+    extra = docs.limit(1).withColumn("doc_id", F.lit(2_000_000)).withColumn(
+        "text", F.lit("a brand new never seen document")
+    )
+    inp = tmp_path / "din"
+    inp.mkdir()
+    docs.coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "s1"))
+    dups.unionByName(extra).coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "s2")
+    )
+    import os
+    import time
+
+    for i, stage in enumerate(["s1", "s2"]):
+        src = next(
+            p for p in (tmp_path / stage).iterdir() if p.suffix == ".parquet"
+        )
+        dst = inp / f"file{i}.parquet"
+        shutil.copy(src, dst)
+        os.utime(dst, (time.time() + i, time.time() + i))
+
+    out, ckpt, reg = (
+        str(tmp_path / "dout"), str(tmp_path / "dckpt"), str(tmp_path / "dreg")
+    )
+    q = stream_dedup(spark, str(inp), out, ckpt, reg, available_now=True)
+    q.awaitTermination(300)
+
+    got = spark.read.parquet(out)
+    got_ids = {r["doc_id"] for r in got.select("doc_id").collect()}
+    # batch twin on the full union
+    full = docs.unionByName(dups).unionByName(extra)
+    keepers = {
+        r["keep_doc_id"]
+        for r in dedup.exact_duplicates(full).select("keep_doc_id").collect()
+    }
+    assert got_ids == keepers  # all originals + the new doc, no copies
+    assert 2_000_000 in got_ids and 1_000_000 not in got_ids
+
+    # restart with a THIRD file of late duplicates (of file1 docs) and
+    # one genuinely new doc — only the new doc may pass the registry
+    late = (
+        docs.filter(F.col("doc_id") % 7 == 0)
+        .withColumn("doc_id", F.col("doc_id") + 3_000_000)
+    )
+    new2 = docs.limit(1).withColumn("doc_id", F.lit(4_000_000)).withColumn(
+        "text", F.lit("another unseen document after restart")
+    )
+    late.unionByName(new2).coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "s3")
+    )
+    src = next(
+        p for p in (tmp_path / "s3").iterdir() if p.suffix == ".parquet"
+    )
+    shutil.copy(src, inp / "file2.parquet")
+    q2 = stream_dedup(spark, str(inp), out, ckpt, reg, available_now=True)
+    q2.awaitTermination(300)
+    got2 = {r["doc_id"] for r in
+            spark.read.parquet(out).select("doc_id").collect()}
+    assert got2 == got_ids | {4_000_000}
