@@ -38,6 +38,7 @@ BENCH_QUERIES = (
     "dedup_simhash",
     "ann_topk",
     "ann_ivf_kmeans_topk",
+    "embedding_neardup_lsh",
     "event_rollup",
     "user_sessions_2p",
 )
