@@ -516,3 +516,45 @@ def test_neardup_recall_found_bounded_by_truth(spark):
         assert row["recall"] is None
     else:
         assert 0.0 <= row["recall"] <= 1.0
+
+
+def test_neardup_bucket_cap_fires_exactly_like_oracle(spark, tmp_path):
+    """Mirror-swamped bucket: 300 identical vectors land in ONE bucket
+    per band, above the 256 cap — enumeration must keep exactly the
+    lowest 256 ids (C(256,2) pairs, members beyond the cap dropped:
+    the documented recall trade), and the DuckDB oracle's windowed
+    row_number form must produce the identical pair set on the same
+    parquet."""
+    import duckdb
+
+    from blackedge_ocr_spark.analysis import ann
+    from blackedge_ocr_spark.sqloracle import sql_embedding_neardup_lsh
+
+    base = [float((i * 7) % 13 - 6) for i in range(8)]
+    rows = [(i, base) for i in range(300)]
+    # plus a lone distinct vector that shares no bucket duplicates
+    rows.append((9_000, [float(-x) for x in base]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    path = str(tmp_path / "emb.parquet")
+    df.coalesce(1).write.mode("overwrite").parquet(path)
+
+    corpus = df.select("vec_id", F.col("embedding").alias("v"))
+    got = {
+        (r["vec_id_a"], r["vec_id_b"])
+        for r in ann.neardup_bucket_pairs_df(corpus, threshold=0.9).collect()
+    }
+    expect = {(a, b) for a in range(256) for b in range(a + 1, 256)}
+    assert got == expect  # ids 256..299 capped away in EVERY band
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW embeddings AS SELECT * FROM "
+        f"read_parquet('{path}/*.parquet')"
+    )
+    oracle = {
+        (a, b)
+        for a, b, _cos, _nd in con.execute(
+            sql_embedding_neardup_lsh(threshold=0.9)
+        ).fetchall()
+    }
+    assert oracle == expect
