@@ -876,10 +876,19 @@ def recall_vs_exact(
             )
         )
     )
-    hits = (
+    hit0 = (
         approx.join(exact, ["q_id", "neighbor_id"], "left_semi")
         .groupBy("method")
         .agg(F.count("*").alias("hits"))
+    )
+    # LEFT JOIN from the method list: a method with ZERO hits must
+    # show recall 0.0, not vanish from the report (sparse buckets at
+    # high n_planes are exactly the regime this audit exposes).
+    methods = spark.createDataFrame(
+        [("lsh",), ("ivf",), ("ivf_kmeans",)], "method string"
+    )
+    hits = methods.join(hit0, "method", "left").select(
+        "method", F.coalesce("hits", F.lit(0).cast("long")).alias("hits")
     )
     nq = exact.agg(F.countDistinct("q_id").alias("n_queries"))
     recall = (

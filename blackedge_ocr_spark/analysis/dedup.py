@@ -375,46 +375,66 @@ def simhash_signatures(docs: DataFrame) -> DataFrame:
 
 
 def simhash_near_pairs(
-    docs: DataFrame, max_hamming: int = 6, bands: int = 4
+    docs: DataFrame,
+    max_hamming: int = 6,
+    bands: int = 4,
+    bucket_cap: int = BUCKET_CAP,
 ) -> DataFrame:
     """SimHash near-duplicate pairs via band buckets: split the 64-bit
     signature into ``bands`` 16-bit bands; docs sharing any band are
     candidates (a pair within Hamming distance 6 of a 4-band split
     must agree exactly on >=1 band — pigeonhole); verify true Hamming
     distance on candidates only. Sub-quadratic like MinHash-LSH, but
-    over the bit signature."""
+    over the bit signature. ``bucket_cap`` bounds the mirror-swamped
+    bucket exactly like the LSH path (oracle-mirrored via
+    row_number)."""
     from pyspark.sql import functions as F
+
+    from blackedge_ocr_spark.analysis.banding import in_bucket_pairs
 
     sigs = simhash_signatures(docs)
     width = 64 // bands
+    # Third banding front-end, same discipline as MinHash-LSH and the
+    # embedding near-dup: the band shuffle carries (band, key, doc_id)
+    # ONLY (the previous self-join shipped both 64-char signatures
+    # through it), buckets are capped (the earlier form had NO cap —
+    # a page mirrored 10^5 times shares every band key and would
+    # enumerate ~10^10 pairs in one task), and candidate signatures
+    # are eagerly staged so the two verify broadcasts cannot
+    # race-recompute the tokenize+md5 signature pass.
     banded = sigs.select(
         "doc_id",
-        "simhash",
-        F.explode(
+        F.posexplode(
             F.array(
                 *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.substring("simhash", b * width + 1, width).alias("key"),
-                    )
+                    F.substring("simhash", b * width + 1, width)
                     for b in range(bands)
                 ]
             )
-        ).alias("bk"),
-    ).select("doc_id", "simhash", "bk.band", "bk.key")
-    a = banded.select(
-        F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sig_a"),
-        "band", "key",
+        ).alias("band", "key"),
     )
-    b = banded.select(
-        F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sig_b"),
-        "band", "key",
-    )
-    pairs = (
-        a.join(b, ["band", "key"])
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b", "sig_a", "sig_b")
-        .distinct()
+    pairs = in_bucket_pairs(
+        banded, "doc_id", "doc_a", "doc_b", bucket_cap
+    ).persist()
+    cand = pairs.select(
+        F.explode(F.array("doc_a", "doc_b")).alias("doc_id")
+    ).distinct()
+    csigs = sigs.join(F.broadcast(cand), "doc_id").persist()
+    csigs.count()  # fills the pairs cache too (csigs derives from it)
+    j = pairs.join(
+        F.broadcast(
+            csigs.select(
+                F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sig_a")
+            )
+        ),
+        "doc_a",
+    ).join(
+        F.broadcast(
+            csigs.select(
+                F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sig_b")
+            )
+        ),
+        "doc_b",
     )
     hamming = F.size(
         F.filter(
@@ -423,6 +443,6 @@ def simhash_near_pairs(
             != F.substring(F.col("sig_b"), 1, 64).substr(i + 1, F.lit(1)),
         )
     )
-    return pairs.select(
+    return j.select(
         "doc_a", "doc_b", hamming.cast("long").alias("hamming")
     ).filter(F.col("hamming") <= max_hamming)

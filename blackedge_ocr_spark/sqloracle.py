@@ -1019,9 +1019,15 @@ u AS (SELECT 'lsh' AS method, q_id, neighbor_id FROM lsh
       SELECT 'ivf' AS method, q_id, neighbor_id FROM ivf
       UNION ALL
       SELECT 'ivf_kmeans' AS method, q_id, neighbor_id FROM ivfk),
-hits AS (SELECT method, count(*)::bigint AS hits
+methods AS (SELECT unnest(['lsh', 'ivf', 'ivf_kmeans']) AS method),
+hit0 AS (SELECT method, count(*)::bigint AS hits
          FROM u SEMI JOIN exact USING (q_id, neighbor_id)
          GROUP BY method),
+-- LEFT JOIN from the method list: a method with ZERO hits must show
+-- recall 0.0, not vanish from the report (the regime the audit
+-- exists to expose)
+hits AS (SELECT m.method, coalesce(h.hits, 0)::bigint AS hits
+         FROM methods m LEFT JOIN hit0 h USING (method)),
 nq AS (SELECT count(DISTINCT q_id)::bigint AS n_queries FROM exact)
 SELECT method, n_queries, hits,
        floor(hits::double / (n_queries * {k})::double * 1e6 + 0.5) / 1e6
@@ -1400,7 +1406,13 @@ FROM documents"""
 # --- simhash pairs + routing errors ----------------------------------
 
 
-def sql_simhash_pairs(max_hamming: int = 6, bands: int = 4) -> str:
+def sql_simhash_pairs(
+    max_hamming: int = 6, bands: int = 4, bucket_cap: int | None = None
+) -> str:
+    if bucket_cap is None:
+        from blackedge_ocr_spark.analysis.dedup import BUCKET_CAP
+
+        bucket_cap = BUCKET_CAP
     width = 64 // bands
     hamming = (
         "len(list_filter(range(64), i -> "
@@ -1418,10 +1430,16 @@ bx AS (SELECT doc_id, simhash, unnest(range({bands})) AS band FROM h),
 banded AS (SELECT doc_id, simhash,
                   band, substr(simhash, band * {width} + 1, {width}) AS key
            FROM bx),
+capped AS (
+  SELECT * FROM (
+    SELECT doc_id, simhash, band, key,
+           row_number() OVER (PARTITION BY band, key ORDER BY doc_id) AS rn
+    FROM banded)
+  WHERE rn <= {bucket_cap}),
 pairs AS (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
          a.simhash AS sa, b.simhash AS sb
-  FROM banded a JOIN banded b ON a.band = b.band AND a.key = b.key
+  FROM capped a JOIN capped b ON a.band = b.band AND a.key = b.key
   WHERE a.doc_id < b.doc_id
 )
 SELECT doc_a, doc_b, hamming FROM (

@@ -43,7 +43,6 @@ def stream_extract(
     """
     from pyspark.sql import functions as F
 
-    from blackedge_ocr_spark.datagen import spansify_documents
     from blackedge_ocr_spark.pipeline import extract_documents
 
     raw = (
@@ -111,6 +110,33 @@ SESSION_STATE_SCHEMA = (
 )
 
 
+def _fmt(epoch_us: float) -> str:
+    import datetime
+
+    return datetime.datetime.fromtimestamp(
+        epoch_us / 1e6, tz=datetime.timezone.utc
+    ).strftime("%Y-%m-%d %H:%M:%S")
+
+
+def _r3(x: float) -> float:
+    """Scalar mirror of Spark's ``round(col, 3)``: HALF_UP over the
+    SHORTEST decimal repr of the double (BigDecimal.valueOf ==
+    Double.toString), NOT its exact binary expansion — the double
+    2.6755 is 2.67549999…, so ``Decimal(x)`` would round to 2.675
+    while Spark rounds the string "2.6755" to 2.676. Python's repr is
+    the same shortest round-trip repr as Java's Double.toString, so
+    ``Decimal(repr(x))`` reproduces Spark bit-for-bit on decimal
+    ties. (Python's built-in round is banker's — wrong twice.)
+    Unit-tested against the live JVM on tie values."""
+    import decimal
+
+    return float(
+        decimal.Decimal(repr(x)).quantize(
+            decimal.Decimal("0.001"), rounding=decimal.ROUND_HALF_UP
+        )
+    )
+
+
 def stream_sessionize(
     spark: SparkSession,
     input_dir: str,
@@ -152,8 +178,6 @@ def stream_sessionize(
     whose close time the final watermark never passes remain open (a
     live stream flushes them as the watermark advances).
     """
-    import datetime
-
     import pandas as pd
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
@@ -162,23 +186,6 @@ def stream_sessionize(
         .option("maxFilesPerTrigger", max_files_per_trigger)
         .parquet(input_dir)
     )
-
-    def _fmt(epoch_us: float) -> str:
-        return datetime.datetime.fromtimestamp(
-            epoch_us / 1e6, tz=datetime.timezone.utc
-        ).strftime("%Y-%m-%d %H:%M:%S")
-
-    def _r3(x: float) -> float:
-        # Spark's round(col, 3) = HALF_UP over the exact decimal
-        # expansion of the double; Python's built-in round is
-        # banker's. Mirror Spark so the twins agree on .5 ties.
-        import decimal
-
-        return float(
-            decimal.Decimal(x).quantize(
-                decimal.Decimal("0.001"), rounding=decimal.ROUND_HALF_UP
-            )
-        )
 
     def sessionize(key, pdf_iter, state: GroupState):
         (user_id,) = key
@@ -297,7 +304,15 @@ def stream_event_rollup(
     (append mode) only once the watermark passes their end, so the
     sink sees each window exactly once. State is bounded by
     (watermark / window) x |event_type| — the Structured Streaming
-    shape for the engine's metrics rollups."""
+    shape for the engine's metrics rollups.
+
+    Residual batch divergence (same class as stream_sessionize's
+    null-ts note): an event with ts=NULL has no event time for the
+    watermark to reason about and is dropped by the streaming
+    aggregation, while the batch twin (q_event_rollup) groups it
+    under an hour=NULL row. Unreachable on the corpus (ts is
+    non-null by construction); a real feed would filter or default
+    null timestamps at ingest."""
     from pyspark.sql import functions as F
 
     events = (

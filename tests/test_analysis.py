@@ -558,3 +558,17 @@ def test_neardup_bucket_cap_fires_exactly_like_oracle(spark, tmp_path):
         ).fetchall()
     }
     assert oracle == expect
+
+
+def test_ann_recall_reports_every_method_even_with_zero_hits(spark):
+    """The recall audit must emit one row per approximate method —
+    a method whose probe buckets hold no true neighbors shows
+    recall 0.0, it does not vanish from the report (previously the
+    groupBy after the semi-join dropped zero-hit groups)."""
+    from blackedge_ocr_spark.analysis import ann
+
+    rows = ann.recall_vs_exact(spark, SF).collect()
+    assert {r["method"] for r in rows} == {"lsh", "ivf", "ivf_kmeans"}
+    for r in rows:
+        assert 0 <= r["hits"] <= r["n_queries"] * 5
+        assert 0.0 <= r["recall"] <= 1.0

@@ -610,3 +610,26 @@ def test_stream_dedup_matches_batch_keepers_and_survives_restart(
     got2 = {r["doc_id"] for r in
             spark.read.parquet(out).select("doc_id").collect()}
     assert got2 == got_ids | {4_000_000}
+
+
+def test_r3_matches_spark_round_on_decimal_ties(spark):
+    """_r3 (the streaming twin's scalar rounding) must equal Spark's
+    round(col, 3) BIT-FOR-BIT, including decimal ties where the
+    double's exact binary expansion disagrees with its shortest repr:
+    2.6755 stores as 2.67549999…, and Spark rounds the SHORTEST repr
+    ("2.6755" → 2.676, BigDecimal.valueOf semantics) — quantizing the
+    exact expansion instead emits 2.675 and breaks twin parity."""
+    from blackedge_ocr_spark.streaming import _r3
+
+    vals = [
+        2.6755, 1.0005, 12.3455, 7.1235, -2.6755, -1.0005, 0.0005,
+        16.0, 3.3333333, 1e-12, 123456.7895, 0.1 + 0.2,
+        *[k / 1000.0 + 0.0005 for k in range(0, 50, 7)],
+    ]
+    jvm = [
+        r["r"]
+        for r in spark.createDataFrame([(v,) for v in vals], "x double")
+        .select(F.round(F.col("x"), 3).alias("r"))
+        .collect()
+    ]
+    assert [_r3(v) for v in vals] == jvm
