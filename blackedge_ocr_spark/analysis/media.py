@@ -27,7 +27,7 @@ from blackedge_ocr_spark.constants import MEDIA_KINDS
 
 MEDIA_META_SCHEMA = T.StructType(
     [
-        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("doc_id", T.StringType(), False),
         T.StructField("media_ref", T.StringType(), False),
         T.StructField("width", T.IntegerType(), False),
         T.StructField("height", T.IntegerType(), False),
@@ -71,9 +71,13 @@ def _decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
 def media_spans(docs_spans: DataFrame) -> DataFrame:
     """documents(doc_id, spans) → one (doc_id, media_ref) row per
     media span — the shared explode front of every media operator."""
+    # doc_id is STRING per the input-table contract (BASELINE.json
+    # input_hint: doc_id:string) — the cast normalizes the numeric
+    # test-corpus ids to the contract type instead of coercing contract
+    # string ids to long (which would NULL any non-numeric id).
     return (
         docs_spans.select(
-            F.col("doc_id").cast("long").alias("doc_id"),
+            F.col("doc_id").cast("string").alias("doc_id"),
             F.explode("spans").alias("s"),
         )
         .filter(F.col("s.kind").isin(list(MEDIA_KINDS)))
@@ -93,7 +97,7 @@ FEATURE_DIM = 16
 
 MEDIA_FEATURES_SCHEMA = T.StructType(
     [
-        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("doc_id", T.StringType(), False),
         T.StructField("media_ref", T.StringType(), False),
         T.StructField(
             "features", T.ArrayType(T.DoubleType(), False), False

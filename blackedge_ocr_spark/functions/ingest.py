@@ -40,12 +40,22 @@ def is_pdf_header(col) -> Column:
 
 
 def sanitize_filename(col) -> Column:
-    """P4 — unsafe chars → '_', truncate to 255 (utils.py:193-221)."""
-    return F.substring(
-        F.regexp_replace(_c(col), UNSAFE_FILENAME_CHARS, "_"),
-        1,
-        MAX_FILENAME_LEN,
-    )
+    """P4 — unsafe chars → '_', truncate to 255 PRESERVING the
+    extension (utils.py:193-221: the reference truncates the stem via
+    ``Path.stem``/``Path.suffix`` and re-appends the suffix, so a
+    300-char name ending '.pdf' keeps '.pdf' — a plain substring would
+    chop the extension and change downstream type handling).
+    ``ext`` mirrors ``Path.suffix``: the final '.xxx' run with at
+    least one char before it ('.hidden' and 'name.' have no suffix).
+    """
+    s = F.regexp_replace(_c(col), UNSAFE_FILENAME_CHARS, "_")
+    ext = F.regexp_extract(s, r"^.+(\.[^.]+)$", 1)
+    stem = s.substr(F.lit(1), F.length(s) - F.length(ext))
+    keep = F.greatest(F.lit(0), F.lit(MAX_FILENAME_LEN) - F.length(ext))
+    return F.when(
+        F.length(s) > MAX_FILENAME_LEN,
+        F.concat(stem.substr(F.lit(1), keep), ext),
+    ).otherwise(s)
 
 
 def within_size_cap(col, max_mb: int = MAX_FILE_MB) -> Column:

@@ -59,15 +59,24 @@ def route_workflow(query_col, explicit_col=None) -> Column:
     if explicit_col is None:
         return routed
     explicit = explicit_workflow_col(explicit_col)
-    has_explicit = F.coalesce(F.trim(_c(explicit_col)), F.lit("")) != ""
+    # Reference gate is `if explicit_workflow:` — truthiness BEFORE
+    # any strip (router :52-57), so a whitespace-only explicit value
+    # takes the explicit path and errors (from_string strips, finds
+    # nothing, raises) instead of silently keyword-routing.
+    has_explicit = F.coalesce(_c(explicit_col), F.lit("")) != ""
     return F.when(has_explicit, explicit).otherwise(routed)
 
 
 def explicit_workflow_col(explicit_col) -> Column:
     """Resolve an explicit workflow string via the alias map +
     exact-value match (workflow_types.py:41-61); NULL when invalid.
+    Strip is Python ``str.strip()`` parity (py_strip: Unicode
+    whitespace, both ends) — ``F.trim`` removes ASCII spaces only, so
+    a tab-padded valid workflow would have become a NULL error.
     """
-    e = F.lower(F.trim(_c(explicit_col)))
+    from blackedge_ocr_spark.functions.text import py_strip
+
+    e = F.lower(py_strip(_c(explicit_col)))
     out = F.lit(None).cast("string")
     resolved = F.when(F.lit(False), F.lit(""))
     mapping = dict(WORKFLOW_ALIASES)

@@ -779,7 +779,9 @@ def q_routing_errors(spark, sf_dir) -> DataFrame:
     )
     staged = d.select("doc_id", explicit.alias("explicit_workflow"))
     wf = route_workflow(F.lit("extract data"), "explicit_workflow")
-    has_explicit = F.trim(F.col("explicit_workflow")) != ""
+    # truthiness pre-strip, like route_workflow / the reference's
+    # `if explicit_workflow:` gate
+    has_explicit = F.col("explicit_workflow") != ""
     return staged.select(
         "doc_id",
         "explicit_workflow",

@@ -62,8 +62,9 @@ class _BlockCollector(HTMLParser):
         self._stack: list[str] = []
         self._skip_depth = 0
         self._cur: dict | None = None
-        self._link_depth = 0
+        self._in_link = False
         self._table: list[list[str]] | None = None
+        self._table_depth = 0
         self._row: list[str] | None = None
         self._cell: list[str] | None = None
 
@@ -85,6 +86,35 @@ class _BlockCollector(HTMLParser):
                     }
                 )
             self._cur = None
+        # Link state is BLOCK-SCOPED: real web HTML routinely leaves
+        # anchors unclosed, and HTMLParser never auto-closes them — a
+        # sticky flag would count every later block as 100% linked and
+        # boilerplate-drop the rest of the document. The density
+        # heuristic is per-block anyway (justext's shape), so an
+        # anchor legally spanning blocks only marks its first block.
+        self._in_link = False
+
+    def _finalize_table(self) -> None:
+        """Emit the collected table (shared by </table> and close() —
+        a document truncated mid-table keeps its rows, like an
+        unterminated paragraph keeps its text). Open cell/row buffers
+        fold in first."""
+        if self._cell is not None:
+            self._row = self._row if self._row is not None else []
+            self._row.append(" ".join("".join(self._cell).split()))
+            self._cell = None
+        if self._row is not None:
+            self._table.append(self._row)
+            self._row = None
+        rows = [" | ".join(c or "" for c in row) for row in self._table]
+        text = "\n".join(r for r in rows if r.strip())
+        if text:
+            self.blocks.append(
+                {"kind": "table", "tag": "table", "text": text,
+                 "link_chars": 0}
+            )
+        self._table = None
+        self._table_depth = 0
 
     # -- parser events -----------------------------------------------
     def handle_starttag(self, tag, attrs):
@@ -94,11 +124,20 @@ class _BlockCollector(HTMLParser):
         if self._skip_depth:
             return
         if tag == "table":
-            self._flush()
-            self._table = []
+            if self._table is not None:
+                # nested table: rows fold into the outer table (depth-
+                # tracked so the inner </table> doesn't finalize the
+                # outer buffer — previously it CLOBBERED it, losing
+                # every outer row)
+                self._table_depth += 1
+            else:
+                self._flush()
+                self._table = []
             return
         if self._table is not None:
             if tag == "tr":
+                if self._row is not None:
+                    self._table.append(self._row)
                 self._row = []
             elif tag in ("td", "th"):
                 self._cell = []
@@ -111,7 +150,7 @@ class _BlockCollector(HTMLParser):
             )
             return
         if tag == "a":
-            self._link_depth += 1
+            self._in_link = True
             return
         if tag in _BLOCK_TAGS:
             self._open_block(tag)
@@ -123,14 +162,10 @@ class _BlockCollector(HTMLParser):
         if self._skip_depth:
             return
         if tag == "table" and self._table is not None:
-            rows = [" | ".join(c or "" for c in row) for row in self._table]
-            text = "\n".join(r for r in rows if r.strip())
-            if text:
-                self.blocks.append(
-                    {"kind": "table", "tag": "table", "text": text,
-                     "link_chars": 0}
-                )
-            self._table = None
+            if self._table_depth > 0:
+                self._table_depth -= 1
+            else:
+                self._finalize_table()
             return
         if self._table is not None:
             if tag in ("td", "th") and self._cell is not None:
@@ -142,7 +177,7 @@ class _BlockCollector(HTMLParser):
                 self._row = None
             return
         if tag == "a":
-            self._link_depth = max(0, self._link_depth - 1)
+            self._in_link = False
             return
         if tag in _BLOCK_TAGS:
             self._flush()
@@ -159,11 +194,13 @@ class _BlockCollector(HTMLParser):
             self._open_block("p")
         if self._cur is not None:
             self._cur["text"].append(data)
-            if self._link_depth:
+            if self._in_link:
                 self._cur["link_chars"] += len(data.strip())
 
     def close(self):
         super().close()
+        if self._table is not None:
+            self._finalize_table()
         self._flush()
 
 

@@ -37,7 +37,11 @@ def json_response(result: DataFrame) -> DataFrame:
             F.col("reason"),
             F.transform(
                 F.col("problems"),
-                lambda p: F.struct(p["offset"].alias("page"),
+                # 1-indexed like sections.page_number and page_NNNN.md
+                # (reference keys problems_by_page by section.page_number,
+                # problem_detector.py:67) — a consumer cross-referencing
+                # the report must land on the right page file
+                lambda p: F.struct((p["offset"] + 1).alias("page"),
                                    p["labels"].alias("problems")),
             ).alias("problem_pages"),
         ),
@@ -50,7 +54,7 @@ def json_response(result: DataFrame) -> DataFrame:
             s["kind"].alias("kind"),
         ),
     )
-    response = F.to_json(
+    success = F.to_json(
         F.struct(
             F.lit("success").alias("status"),
             F.col("content"),
@@ -59,6 +63,17 @@ def json_response(result: DataFrame) -> DataFrame:
             sections.alias("sections"),
         )
     )
+    # workflow NULL is the error convention (routing.py; lineage counts
+    # it as n_errors) — the reference returns build_error_response
+    # ({status: error, error}, response_builder.py:190-210) for these,
+    # never a success envelope around null metadata.
+    error = F.to_json(
+        F.struct(
+            F.lit("error").alias("status"),
+            F.lit("Unknown workflow type").alias("error"),
+        )
+    )
+    response = F.when(F.col("workflow").isNull(), error).otherwise(success)
     return result.select("doc_id", response.alias("response"))
 
 
@@ -95,7 +110,8 @@ def doc_bundle(result: DataFrame, doc_id: str) -> dict[str, str]:
             "similarity": r["similarity"],
             "reason": r["reason"],
             "problem_pages": [
-                {"page": p["offset"], "problems": list(p["labels"])}
+                # 1-indexed like page_NNNN.md (problem_detector.py:67)
+                {"page": p["offset"] + 1, "problems": list(p["labels"])}
                 for p in r["problems"]
             ],
         }

@@ -1253,8 +1253,8 @@ def sql_media_meta() -> str:
     )
     return f"""
 WITH {spansify_cte()},
-m AS (SELECT doc_id, media_ref, md5(media_ref) AS h FROM sp
-      WHERE kind IN ('image', 'page'))
+m AS (SELECT doc_id::varchar AS doc_id, media_ref, md5(media_ref) AS h
+      FROM sp WHERE kind IN ('image', 'page'))
 SELECT doc_id, media_ref,
   (320 + {q(0)} % 1600)::int AS width,
   (240 + {q(1)} % 900)::int AS height,
@@ -1272,7 +1272,8 @@ def sql_media_features(dim: int = 16) -> str:
     ints = f"list_transform(range({dim}), i -> ({quad})::varchar)"
     return f"""
 WITH {spansify_cte()},
-m AS (SELECT doc_id, media_ref FROM sp WHERE kind IN ('image', 'page'))
+m AS (SELECT doc_id::varchar AS doc_id, media_ref FROM sp
+      WHERE kind IN ('image', 'page'))
 SELECT doc_id, media_ref,
        md5(array_to_string({ints}, ',')) AS features_md5
 FROM m"""
@@ -1393,14 +1394,26 @@ def sql_ingest_validate() -> str:
         "ELSE '%PDF-1.7 ' || text END)"
     )
     fname = "'doc:' || doc_id::varchar || '?*.pdf'"
+    # extension-preserving truncation, mirroring ingest.sanitize_filename
+    s = f"regexp_replace({fname}, '[/\\:*?\"<>|]', '_', 'g')"
     return f"""
+WITH sane AS (
+  SELECT doc_id, {payload} AS payload, {s} AS s FROM documents
+),
+sx AS (
+  SELECT doc_id, payload, s,
+         regexp_extract(s, '^.+(\\.[^.]+)$', 1) AS ext
+  FROM sane
+)
 SELECT doc_id,
-  starts_with({payload}, '%PDF-') AS valid_header,
-  length({payload}) <= 50 * 1024 * 1024 AS valid_size,
-  substr(regexp_replace({fname}, '[/\\:*?"<>|]', '_', 'g'), 1, 255)
-    AS safe_filename,
-  md5({payload}) AS payload_md5
-FROM documents"""
+  starts_with(payload, '%PDF-') AS valid_header,
+  length(payload) <= 50 * 1024 * 1024 AS valid_size,
+  CASE WHEN length(s) > 255 THEN
+    substr(substr(s, 1, length(s) - length(ext)),
+           1, greatest(0, 255 - length(ext))) || ext
+  ELSE s END AS safe_filename,
+  md5(payload) AS payload_md5
+FROM sx"""
 
 
 # --- simhash pairs + routing errors ----------------------------------
@@ -1462,13 +1475,16 @@ def sql_routing_errors() -> str:
     alias_whens = "".join(
         f" WHEN {_sq(a)} THEN {_sq(t)}" for a, t in mapping.items()
     )
-    resolved = f"(CASE lower(trim(explicit_workflow)){alias_whens} END)"
+    # Python str.strip() parity (ASCII subset — the corpus's explicit
+    # values are ASCII; same residual Unicode-\\s gap as WORDRUN)
+    stripped = r"regexp_replace(explicit_workflow, '^\s+|\s+$', '', 'g')"
+    resolved = f"(CASE lower({stripped}){alias_whens} END)"
     return f"""
 WITH e AS (SELECT doc_id, {explicit} AS explicit_workflow FROM documents)
 SELECT doc_id, explicit_workflow,
-  CASE WHEN trim(explicit_workflow) != '' THEN {resolved}
+  CASE WHEN explicit_workflow != '' THEN {resolved}
        ELSE 'mistral' END AS workflow,
-  CASE WHEN trim(explicit_workflow) != '' AND {resolved} IS NULL
+  CASE WHEN explicit_workflow != '' AND {resolved} IS NULL
        THEN 'invalid_workflow' END AS error_kind
 FROM e"""
 

@@ -96,3 +96,37 @@ def test_segmented_pipeline_composes(spark):
     out = extract_documents(seg, query_col=None, enable_validation=False)
     assert out.count() == 500
     assert out.filter(F.col("content") == "").count() == 0
+
+
+def test_malformed_html_robustness():
+    """Web-scale HTML is routinely malformed; the three classic
+    failure shapes must not lose content: (1) an unclosed <a> may
+    mark its own block as linked but never poisons later blocks;
+    (2) a nested <table> folds into the outer table instead of
+    clobbering its rows; (3) a document truncated mid-table keeps the
+    collected rows, like an unterminated paragraph keeps its text."""
+    from blackedge_ocr_spark.segmentation import segment_html
+
+    keep = ("This is a long genuine paragraph of real content that "
+            "should definitely be kept in the output.")
+    spans = segment_html(f"<p><a href=x>nav link words</p><p>{keep}</p>")
+    assert [s[1] for s in spans] == [keep]
+
+    spans = segment_html(
+        "<table><tr><td>outer1</td><td>outer2</td></tr>"
+        "<table><tr><td>inner</td></tr></table>"
+        "<tr><td>outer3</td><td>outer4</td></tr></table>"
+    )
+    assert spans == [
+        ("table", "outer1 | outer2\ninner\nouter3 | outer4", "", 0)
+    ]
+
+    spans = segment_html("<table><tr><td>k</td><td>v</td></tr>")
+    assert spans == [("table", "k | v", "", 0)]
+
+    # and a legally closed link-dense block is still boilerplate
+    spans = segment_html(
+        "<div><a href=x>pure link boilerplate pure link</a></div>"
+        f"<p>{keep}</p>"
+    )
+    assert [s[1] for s in spans] == [keep]
