@@ -47,11 +47,20 @@ def sanitize_filename(col) -> Column:
     chop the extension and change downstream type handling).
     ``ext`` mirrors ``Path.suffix``: the final '.xxx' run with at
     least one char before it ('.hidden' and 'name.' have no suffix).
+
+    Edge parity: when the extension alone exceeds 255, the reference's
+    ``name[:max_length - len(ext)]`` is a NEGATIVE Python slice —
+    it drops ``len(ext) - 255`` chars off the END of the stem, it
+    does not keep zero — so ``keep`` switches to ``len(stem) + k``
+    (floored at 0) exactly like a negative slice bound.
     """
     s = F.regexp_replace(_c(col), UNSAFE_FILENAME_CHARS, "_")
     ext = F.regexp_extract(s, r"^.+(\.[^.]+)$", 1)
     stem = s.substr(F.lit(1), F.length(s) - F.length(ext))
-    keep = F.greatest(F.lit(0), F.lit(MAX_FILENAME_LEN) - F.length(ext))
+    k = F.lit(MAX_FILENAME_LEN) - F.length(ext)
+    keep = F.when(k >= 0, k).otherwise(
+        F.greatest(F.lit(0), F.length(stem) + k)
+    )
     return F.when(
         F.length(s) > MAX_FILENAME_LEN,
         F.concat(stem.substr(F.lit(1), keep), ext),

@@ -285,8 +285,14 @@ def similarity_report(a: str, b: str) -> dict:
 
 def route_workflow(query: str | None, explicit: str | None = None) -> str | None:
     """workflow_router.py:16-128 + workflow_types.py:28-66. Returns
-    None for an invalid explicit workflow (the reference raises)."""
-    if explicit and explicit.strip():
+    None for an invalid explicit workflow (the reference raises).
+
+    The gate is raw truthiness (`if explicit_workflow:`,
+    workflow_router.py:53) — strip happens only inside from_string —
+    so a whitespace-only explicit takes the explicit path and errors
+    rather than falling back to keyword routing.
+    """
+    if explicit:
         e = explicit.lower().strip()
         if e in WORKFLOW_ALIASES:
             return WORKFLOW_ALIASES[e]

@@ -74,3 +74,42 @@ def test_filename_sanitizer(spark):
     df = spark.createDataFrame([('a/b\\c:d*e?f"g<h>i|j.pdf',)], "f string")
     got = df.select(sanitize_filename(F.col("f")).alias("s")).collect()[0]["s"]
     assert got == "a_b_c_d_e_f_g_h_i_j.pdf"
+
+
+def _ref_sanitize(filename: str, max_length: int = 255) -> str:
+    """Reference algorithm verbatim-in-spirit (core/utils.py:193-221):
+    per-char replace, then Path.stem/Path.suffix truncation — including
+    the negative-slice behavior when the suffix alone exceeds
+    max_length."""
+    from pathlib import Path
+
+    sanitized = filename
+    for ch in '/\\:*?"<>|':
+        sanitized = sanitized.replace(ch, "_")
+    if len(sanitized) > max_length:
+        name, ext = Path(sanitized).stem, Path(sanitized).suffix
+        sanitized = name[: max_length - len(ext)] + ext
+    return sanitized
+
+
+def test_filename_sanitizer_truncation_parity(spark):
+    cases = [
+        "a" * 300 + ".pdf",            # long stem, short ext
+        "a" * 255 + ".pdf",            # 259 chars: truncates
+        "a" * 251 + ".pdf",            # exactly 255: untouched
+        "b" * 300,                     # no extension at all
+        "stem." + "x" * 300,           # extension alone > 255
+        "s" * 100 + "." + "x" * 300,   # negative-slice keep
+        "." + "h" * 300,               # dotfile: Path.suffix == ''
+        ("n" * 300) + ".",             # trailing dot: suffix == ''
+        "a.b.c." + "d" * 300,          # multi-dot: last suffix wins
+        'we?ird/na*me' + "q" * 250 + ".tar.gz",
+    ]
+    df = spark.createDataFrame([(c,) for c in cases], "f string")
+    got = [
+        r["s"]
+        for r in df.select(
+            sanitize_filename(F.col("f")).alias("s")
+        ).collect()
+    ]
+    assert got == [_ref_sanitize(c) for c in cases]

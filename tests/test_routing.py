@@ -35,6 +35,12 @@ CASES = [
     ("scanned", "text_extraction", "text_extraction"),
     # invalid explicit → NULL (reference raises ValueError)
     ("whatever", "nonsense", None),
+    # gate is raw truthiness (router :53): whitespace-only takes the
+    # explicit path and errors; empty string keyword-routes
+    ("scanned charts", "   ", None),
+    ("scanned charts", "", "ocr_images"),
+    # from_string strips Unicode whitespace (str.strip), not just ASCII
+    ("whatever", "\tgemini ", "gemini"),
 ]
 
 
