@@ -84,6 +84,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_rollup": q.q_event_rollup,
         "user_sessions": q.q_user_sessions,
         "user_sessions_2p": q.q_user_sessions_2p,
+        # corpus curation (analysis/corpusops.py)
+        "dup_ngrams": q.q_dup_ngrams,
+        "decontaminate": q.q_decontaminate,
+        "corpus_sample": q.q_corpus_sample,
+        "token_packing": q.q_token_packing,
     }
     return out
 

@@ -41,6 +41,7 @@ BENCH_QUERIES = (
     "embedding_neardup_lsh",
     "event_rollup",
     "user_sessions_2p",
+    "dup_ngrams",
 )
 
 

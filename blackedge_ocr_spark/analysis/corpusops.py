@@ -1,0 +1,180 @@
+"""Corpus-level curation operators a large-scale training-data
+pipeline runs between dedup and tokenization: duplicated-n-gram
+quality stats, benchmark decontamination, deterministic stratified
+sampling, and token-budget shard packing.
+
+All four are expressed over the shared term tokenizer
+(functions/text.tokens — the same Java ``(?U)`` regex every other
+term consumer uses) so their DuckDB oracles reuse ``tokens_sql``.
+Scale notes per operator live in the docstrings; none of them uses a
+Python UDF — everything is built-ins + shuffles with map-side
+combine.
+
+Reference analog: none (the reference is a per-document service,
+src/workflows/*). These extend the engine the way the brief's
+"training-data pipeline" section requires, alongside dedup/ANN.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from blackedge_ocr_spark.analysis.dedup import word_shingles
+from blackedge_ocr_spark.functions.text import tokens
+
+# Shared with sqloracle (generated into the DuckDB SQL — cannot drift).
+NGRAM_N = 3  # word n-gram width for dup stats + decontamination
+PACK_CAP = 4096  # token budget per training shard
+SAMPLE_HEX_LT = "40"  # keep if first md5 byte < 0x40 (= 25% rate)
+BENCH_MOD = 50  # doc_id % BENCH_MOD == 0 -> held-out benchmark doc
+
+# Gram builder: analysis.dedup.word_shingles (DISTINCT overlapping
+# word n-grams; < n-token docs yield their full token join as one
+# gram; empty docs yield []) — the same column expression the MinHash
+# path shingles with, mirrored by sqloracle.shingles_sql.
+
+
+def dup_ngram_stats(docs: DataFrame, n: int = NGRAM_N) -> DataFrame:
+    """Per-document duplicated-n-gram fraction — the Gopher/Dolma
+    quality signal: of a doc's DISTINCT word n-grams, what share also
+    appears in at least one other document.
+
+    Shape at scale: explode distinct (doc_id, gram) → hash-agg gram
+    counts (map-side combine absorbs hot grams — a gram in 10^9 docs
+    partial-aggregates per task) → join counts back on gram (AQE
+    skew-join splits the hot-gram partitions) → hash-agg per doc.
+    Two combinable shuffles + one skew-handled join; no window over
+    the gram partition (a window would SORT every row of a hot gram
+    in one task). At 100 TB you would stage the exploded grams to a
+    table first (the LSH candidate-staging discipline,
+    analysis/dedup.py) instead of recomputing the tokenize lineage
+    for both join inputs.
+
+    Empty documents survive with n_grams = 0 and dup_frac = 0.0
+    (explode_outer + left join — mirrored by the oracle's LEFT JOIN
+    from the un-exploded side).
+    """
+    g = docs.select(
+        "doc_id", word_shingles(F.col("text"), n).alias("grams")
+    )
+    ex = g.select(
+        "doc_id",
+        F.size("grams").alias("n_grams"),
+        F.explode_outer("grams").alias("gram"),
+    )
+    counts = (
+        ex.filter(F.col("gram").isNotNull())
+        .groupBy("gram")
+        .agg(F.count("*").alias("nd"))
+    )
+    j = ex.join(counts, "gram", "left")
+    agg = j.groupBy("doc_id", "n_grams").agg(
+        F.sum(
+            F.when(F.col("nd") >= 2, F.lit(1)).otherwise(F.lit(0))
+        ).cast("long").alias("dup_grams")
+    )
+    from blackedge_ocr_spark.analysis.textstats import _r6
+
+    frac = F.when(
+        F.col("n_grams") > 0,
+        F.col("dup_grams").cast("double") / F.col("n_grams").cast("double"),
+    ).otherwise(F.lit(0.0))
+    return agg.select(
+        "doc_id",
+        F.col("n_grams").cast("long").alias("n_grams"),
+        "dup_grams",
+        _r6(frac).alias("dup_frac"),
+    )
+
+
+def decontaminate(
+    docs: DataFrame, n: int = NGRAM_N, bench_mod: int = BENCH_MOD
+) -> DataFrame:
+    """Benchmark decontamination (GPT-3 appendix-C style, word
+    n-grams): docs with ``doc_id % bench_mod == 0`` form the held-out
+    benchmark; every OTHER doc sharing at least one distinct n-gram
+    with any benchmark doc is reported with its shared-gram count.
+
+    Shape at scale: the benchmark gram set is the SMALL side by
+    construction (1/bench_mod of the corpus, distinct grams only) —
+    it broadcasts, so the training corpus never shuffles: one scan,
+    map-side hash-join, one combinable agg. This is the same
+    broadcast discipline as ann.brute_force_topk's query side.
+    """
+    g = docs.select(
+        "doc_id", F.explode(word_shingles(F.col("text"), n)).alias("gram")
+    )
+    bench = (
+        g.filter(F.col("doc_id") % bench_mod == 0).select("gram").distinct()
+    )
+    train = g.filter(F.col("doc_id") % bench_mod != 0)
+    return (
+        train.join(F.broadcast(bench), "gram")
+        .groupBy("doc_id")
+        .agg(F.count("*").cast("long").alias("n_shared"))
+    )
+
+
+def corpus_sample(docs: DataFrame) -> DataFrame:
+    """Deterministic hash-based sampling report per source stratum:
+    a doc is kept iff the first md5 byte of its doc_id string is
+    below 0x40 (a fixed 25% rate — reproducible across engines,
+    cluster layouts and reruns, unlike rand()-based sampling).
+
+    Pure per-row predicate + one combinable agg on source: zero
+    shuffle before the final hash agg at any scale."""
+    from blackedge_ocr_spark.analysis.textstats import _r6
+
+    kept = (
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
+        < F.lit(SAMPLE_HEX_LT)
+    )
+    agg = docs.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(kept.cast("long")).alias("n_kept"),
+    )
+    return agg.select(
+        "source",
+        "n_docs",
+        "n_kept",
+        _r6(
+            F.col("n_kept").cast("double") / F.col("n_docs").cast("double")
+        ).alias("kept_frac"),
+    )
+
+
+def token_packing(docs: DataFrame, cap: int = PACK_CAP) -> DataFrame:
+    """Contiguous token-budget shard packing: within each source, in
+    doc_id order, assign each doc to shard floor(tokens_before / cap)
+    — the deterministic sharding a tokenizer fleet uses to emit
+    ~cap-token training shards without a driver loop. (Contiguous
+    fill, not bin packing: a doc larger than cap owns its shard
+    boundary — stated, not hidden.)
+
+    Shape at scale: the window partitions by source — shards build in
+    parallel across sources, never a global sort. A single mega
+    source would serialize its cumsum into one task; the fix is the
+    same two-phase split q_user_sessions_2p uses (pre-aggregate
+    per (source, bucket), prefix-sum the bucket totals) — not needed
+    at the benched scales (BENCH/SKEW.md discipline)."""
+    tok = F.size(tokens(F.col("text"))).cast("long")
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    staged = docs.select(
+        "source", "doc_id", tok.alias("tok"), F.sum(tok).over(w).alias("cum")
+    )
+    shard = F.floor(
+        (F.col("cum") - F.col("tok")).cast("double") / F.lit(float(cap))
+    )
+    return (
+        staged.select("source", "tok", shard.alias("shard"))
+        .groupBy("source", "shard")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("tok").alias("shard_tokens"),
+        )
+    )

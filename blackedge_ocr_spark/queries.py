@@ -583,6 +583,39 @@ def q_fingerprints(spark, sf_dir) -> DataFrame:
     return textstats.fingerprints(_docs(spark, sf_dir))
 
 
+def q_dup_ngrams(spark, sf_dir) -> DataFrame:
+    """Duplicated-trigram fraction per doc (Gopher/Dolma quality
+    signal). Shuffle shape: combinable gram agg + AQE-skew join —
+    see analysis/corpusops.dup_ngram_stats."""
+    from blackedge_ocr_spark.analysis import corpusops
+
+    return corpusops.dup_ngram_stats(_docs(spark, sf_dir))
+
+
+def q_decontaminate(spark, sf_dir) -> DataFrame:
+    """n-gram benchmark decontamination: training docs sharing a
+    trigram with the held-out set (doc_id % 50 == 0), with shared
+    counts. Benchmark gram set broadcasts — corpus never shuffles."""
+    from blackedge_ocr_spark.analysis import corpusops
+
+    return corpusops.decontaminate(_docs(spark, sf_dir))
+
+
+def q_corpus_sample(spark, sf_dir) -> DataFrame:
+    """Deterministic md5-stratified 25% sampling report per source."""
+    from blackedge_ocr_spark.analysis import corpusops
+
+    return corpusops.corpus_sample(_docs(spark, sf_dir))
+
+
+def q_token_packing(spark, sf_dir) -> DataFrame:
+    """Contiguous token-budget shard packing per source (4096-token
+    shards in doc_id order)."""
+    from blackedge_ocr_spark.analysis import corpusops
+
+    return corpusops.token_packing(_docs(spark, sf_dir))
+
+
 def q_media_meta(spark, sf_dir) -> DataFrame:
     """Decode-stub metadata for every media span (mapInPandas)."""
     from blackedge_ocr_spark.analysis.media import media_metadata

@@ -650,6 +650,11 @@ def build_oracles() -> dict[str, str]:
         "user_sessions": sql_user_sessions(),
         "user_sessions_2p": sql_user_sessions(),
         "pipeline_extract": sql_pipeline_extract(),
+        # corpus curation (analysis/corpusops.py)
+        "dup_ngrams": sql_dup_ngrams(),
+        "decontaminate": sql_decontaminate(),
+        "corpus_sample": sql_corpus_sample(),
+        "token_packing": sql_token_packing(),
     }
     return out
 
@@ -1645,3 +1650,79 @@ SELECT strftime(time_bucket(INTERVAL '1 hour', ts), '%Y-%m-%d %H:%M:%S') AS hour
        round(sum(value), 3) AS total_value,
        sum(json_extract(props, '$.k')::bigint)::bigint AS sum_k
 FROM events GROUP BY 1, 2"""
+
+
+# ---------------------------------------------------------------------
+# Corpus-curation oracles (analysis/corpusops.py mirrors)
+# ---------------------------------------------------------------------
+
+
+def sql_dup_ngrams() -> str:
+    """corpusops.dup_ngram_stats mirror: distinct word trigrams via
+    shingles_sql, gram doc-counts, LEFT JOIN back from the
+    un-exploded side so empty docs keep n_grams = 0 / dup_frac 0."""
+    from blackedge_ocr_spark.analysis.corpusops import NGRAM_N
+
+    grams = shingles_sql("text", NGRAM_N)
+    return f"""
+WITH t AS (SELECT doc_id, {grams} AS grams FROM documents),
+ex AS (SELECT doc_id, unnest(grams) AS gram FROM t),
+c AS (SELECT gram, count(*) AS nd FROM ex GROUP BY gram),
+d AS (SELECT ex.doc_id, sum((c.nd >= 2)::int)::bigint AS dup_grams
+      FROM ex JOIN c USING (gram) GROUP BY ex.doc_id)
+SELECT t.doc_id, len(t.grams)::bigint AS n_grams,
+  coalesce(d.dup_grams, 0)::bigint AS dup_grams,
+  CASE WHEN len(t.grams) > 0
+       THEN floor(coalesce(d.dup_grams, 0)::double / len(t.grams)::double
+                  * 1000000 + 0.5) / 1000000
+       ELSE 0.0 END AS dup_frac
+FROM t LEFT JOIN d USING (doc_id)"""
+
+
+def sql_decontaminate() -> str:
+    """corpusops.decontaminate mirror (benchmark = doc_id % MOD = 0)."""
+    from blackedge_ocr_spark.analysis.corpusops import BENCH_MOD, NGRAM_N
+
+    grams = shingles_sql("text", NGRAM_N)
+    return f"""
+WITH t AS (SELECT doc_id, {grams} AS grams FROM documents),
+ex AS (SELECT doc_id, unnest(grams) AS gram FROM t),
+b AS (SELECT DISTINCT gram FROM ex WHERE doc_id % {BENCH_MOD} = 0)
+SELECT doc_id, count(*)::bigint AS n_shared
+FROM ex JOIN b USING (gram)
+WHERE doc_id % {BENCH_MOD} <> 0
+GROUP BY doc_id"""
+
+
+def sql_corpus_sample() -> str:
+    """corpusops.corpus_sample mirror: md5 hex-prefix predicate."""
+    from blackedge_ocr_spark.analysis.corpusops import SAMPLE_HEX_LT
+
+    return f"""
+WITH k AS (SELECT source,
+  (substr(md5(doc_id::varchar), 1, 2) < {_sq(SAMPLE_HEX_LT)})::int AS kept
+  FROM documents)
+SELECT source, count(*)::bigint AS n_docs, sum(kept)::bigint AS n_kept,
+  floor(sum(kept)::double / count(*)::double * 1000000 + 0.5) / 1000000
+    AS kept_frac
+FROM k GROUP BY source"""
+
+
+def sql_token_packing() -> str:
+    """corpusops.token_packing mirror: per-source cumsum window with
+    an explicit ROWS frame (doc_id is unique, but the frame is spelled
+    out so both engines run the identical window)."""
+    from blackedge_ocr_spark.analysis.corpusops import PACK_CAP
+
+    toks = tokens_sql("text")
+    return f"""
+WITH t AS (SELECT source, doc_id, len({toks})::bigint AS tok FROM documents),
+c AS (SELECT source, tok,
+        sum(tok) OVER (PARTITION BY source ORDER BY doc_id
+                       ROWS UNBOUNDED PRECEDING) AS cum
+      FROM t)
+SELECT source,
+  floor((cum - tok)::double / {PACK_CAP}.0)::bigint AS shard,
+  count(*)::bigint AS n_docs,
+  sum(tok)::bigint AS shard_tokens
+FROM c GROUP BY source, shard"""
