@@ -89,6 +89,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate": q.q_decontaminate,
         "corpus_sample": q.q_corpus_sample,
         "token_packing": q.q_token_packing,
+        "token_packing_2p": q.q_token_packing_2p,
     }
     return out
 

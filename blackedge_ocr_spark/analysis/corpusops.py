@@ -46,10 +46,13 @@ def dup_ngram_stats(docs: DataFrame, n: int = NGRAM_N) -> DataFrame:
     skew-join splits the hot-gram partitions) → hash-agg per doc.
     Two combinable shuffles + one skew-handled join; no window over
     the gram partition (a window would SORT every row of a hot gram
-    in one task). At 100 TB you would stage the exploded grams to a
-    table first (the LSH candidate-staging discipline,
-    analysis/dedup.py) instead of recomputing the tokenize lineage
-    for both join inputs.
+    in one task). The exploded grams are eagerly staged (the LSH
+    candidate-staging discipline, analysis/dedup.py) so the count agg
+    and the join read ONE tokenize+shingle pass instead of two
+    recomputed lineages; at 100 TB the persist becomes a write to a
+    scratch table. Measured sf1 cost is shuffle-bound (the gram rows
+    themselves), not lineage-bound — the honest floor for a
+    corpus-wide gram count.
 
     Empty documents survive with n_grams = 0 and dup_frac = 0.0
     (explode_outer + left join — mirrored by the oracle's LEFT JOIN
@@ -62,7 +65,7 @@ def dup_ngram_stats(docs: DataFrame, n: int = NGRAM_N) -> DataFrame:
         "doc_id",
         F.size("grams").alias("n_grams"),
         F.explode_outer("grams").alias("gram"),
-    )
+    ).persist()
     counts = (
         ex.filter(F.col("gram").isNotNull())
         .groupBy("gram")
@@ -167,6 +170,12 @@ def token_packing(docs: DataFrame, cap: int = PACK_CAP) -> DataFrame:
     staged = docs.select(
         "source", "doc_id", tok.alias("tok"), F.sum(tok).over(w).alias("cum")
     )
+    return _shards_from_cumsum(staged, cap)
+
+
+def _shards_from_cumsum(staged: DataFrame, cap: int) -> DataFrame:
+    """(source, tok, cum) → per-(source, shard) rollup; shard =
+    floor(tokens_before / cap). Shared by both packing variants."""
     shard = F.floor(
         (F.col("cum") - F.col("tok")).cast("double") / F.lit(float(cap))
     )
@@ -178,3 +187,52 @@ def token_packing(docs: DataFrame, cap: int = PACK_CAP) -> DataFrame:
             F.sum("tok").alias("shard_tokens"),
         )
     )
+
+
+PACK_BUCKET_IDS = 4096  # phase-1 doc_id range per prefix-sum bucket
+
+
+def token_packing_2p(
+    docs: DataFrame, cap: int = PACK_CAP, bucket_ids: int = PACK_BUCKET_IDS
+) -> DataFrame:
+    """Two-phase token_packing — the mega-source skew defense, same
+    discipline as q_user_sessions_2p: a classic distributed prefix
+    sum instead of one serialized cumsum task per source.
+
+    Phase 1 cumsums WITHIN (source, doc_id-range bucket) partitions —
+    a source with 10^9 docs spreads across 10^9/bucket_ids tasks.
+    Phase 2 prefix-sums the per-bucket TOTALS (one row per bucket —
+    orders of magnitude smaller) and broadcasts the bucket offsets
+    back; offset + local cumsum == the single-phase cumsum exactly,
+    so the oracle is the very same sql_token_packing — equality by
+    oracle, not by construction argument alone."""
+    tok = F.size(tokens(F.col("text"))).cast("long")
+    e = docs.select(
+        "source",
+        "doc_id",
+        tok.alias("tok"),
+        F.floor(F.col("doc_id") / F.lit(bucket_ids)).alias("_bkt"),
+    )
+    w1 = (
+        Window.partitionBy("source", "_bkt")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    local = e.select(
+        "source", "_bkt", "tok", F.sum("tok").over(w1).alias("_lcum")
+    )
+    totals = e.groupBy("source", "_bkt").agg(F.sum("tok").alias("_btot"))
+    w2 = (
+        Window.partitionBy("source")
+        .orderBy("_bkt")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = totals.select(
+        "source",
+        "_bkt",
+        F.coalesce(F.sum("_btot").over(w2), F.lit(0)).alias("_off"),
+    )
+    staged = local.join(F.broadcast(offsets), ["source", "_bkt"]).select(
+        "source", "tok", (F.col("_lcum") + F.col("_off")).alias("cum")
+    )
+    return _shards_from_cumsum(staged, cap)

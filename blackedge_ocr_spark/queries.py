@@ -616,6 +616,15 @@ def q_token_packing(spark, sf_dir) -> DataFrame:
     return corpusops.token_packing(_docs(spark, sf_dir))
 
 
+def q_token_packing_2p(spark, sf_dir) -> DataFrame:
+    """Two-phase (distributed prefix sum) packing — same oracle as
+    token_packing; a small bucket width forces many phase-1 buckets
+    so the merge path is actually exercised at sf scale."""
+    from blackedge_ocr_spark.analysis import corpusops
+
+    return corpusops.token_packing_2p(_docs(spark, sf_dir), bucket_ids=64)
+
+
 def q_media_meta(spark, sf_dir) -> DataFrame:
     """Decode-stub metadata for every media span (mapInPandas)."""
     from blackedge_ocr_spark.analysis.media import media_metadata

@@ -655,6 +655,7 @@ def build_oracles() -> dict[str, str]:
         "decontaminate": sql_decontaminate(),
         "corpus_sample": sql_corpus_sample(),
         "token_packing": sql_token_packing(),
+        "token_packing_2p": sql_token_packing(),
     }
     return out
 

@@ -119,6 +119,26 @@ def test_token_packing_mega_doc_owns_boundary(spark):
     assert got == {0: 1, 1: 1}
 
 
+def test_token_packing_2p_equals_single_phase(spark):
+    # bucket_ids=4 forces many phase-1 buckets and bucket-boundary
+    # merges; varied token counts make shard boundaries land both
+    # inside and across buckets.
+    rows = [
+        (i, " ".join(["w"] * ((i * 7) % 11 + 1)), "src" + str(i % 3))
+        for i in range(100)
+    ]
+    d = _docs_df(spark, rows)
+    one = {
+        (r["source"], r["shard"]): (r["n_docs"], r["shard_tokens"])
+        for r in corpusops.token_packing(d, cap=16).collect()
+    }
+    two = {
+        (r["source"], r["shard"]): (r["n_docs"], r["shard_tokens"])
+        for r in corpusops.token_packing_2p(d, cap=16, bucket_ids=4).collect()
+    }
+    assert one == two
+
+
 def test_sample_predicate_is_deterministic(spark):
     d = _docs_df(spark, [(i, "t", "s") for i in range(64)])
     a = corpusops.corpus_sample(d).collect()
