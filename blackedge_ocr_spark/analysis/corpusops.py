@@ -221,6 +221,11 @@ def token_packing_2p(
     local = e.select(
         "source", "_bkt", "tok", F.sum("tok").over(w1).alias("_lcum")
     )
+    # Totals come from `e` (plain combinable groupBy), NOT from the
+    # window output — deriving them as max(_lcum) would recompute the
+    # whole window for the broadcast branch (measured 2.5x slower).
+    # The tokenizer runs once per branch; it is map-side and fully
+    # parallel, unlike the window sort this operator exists to split.
     totals = e.groupBy("source", "_bkt").agg(F.sum("tok").alias("_btot"))
     w2 = (
         Window.partitionBy("source")
