@@ -1,0 +1,120 @@
+"""Hypothesis property tests.
+
+Complements the seeded 300-doc fuzz (test_random_parity.py) with
+shrinking search over the domains where cross-engine parity is exact
+by construction: the number grammar (digit/comma/percent soup), the
+packing algebra (two-phase == single-phase, token conservation), and
+the dup-n-gram invariants. Unicode word-class edges are deliberately
+NOT hypothesis-driven — the Java-vs-RE2 residual gap is documented in
+sqloracle.py and fuzzed with curated inputs instead
+(test_wordrun_duckdb_mirror_fuzz).
+
+Each example batches all its rows into ONE Spark action, and
+max_examples is kept small — hypothesis explores the input shape,
+Spark only pays per-example, not per-row.
+"""
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from blackedge_ocr_spark import oracle
+from blackedge_ocr_spark.analysis import corpusops
+
+# Each example is a full Spark job (~2-6 s): the row count is the
+# cheap axis, the example count the expensive one, so examples are few
+# and each carries a whole batched corpus.
+SLOW = settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+number_soup = st.text(
+    alphabet="0123456789,.%- $xap\n",
+    min_size=0,
+    max_size=60,
+)
+
+
+@given(texts=st.lists(number_soup, min_size=1, max_size=40))
+@SLOW
+def test_extract_numbers_matches_python_oracle(spark, texts):
+    from pyspark.sql import functions as F
+
+    from blackedge_ocr_spark.functions.text import extract_numbers
+
+    df = spark.createDataFrame(
+        list(enumerate(texts)), "id long, text string"
+    )
+    got = {
+        r["id"]: list(r["nums"])
+        for r in df.select(
+            "id", extract_numbers(F.col("text")).alias("nums")
+        ).collect()
+    }
+    for i, t in enumerate(texts):
+        assert got[i] == oracle.extract_numbers(t), repr(t)
+
+
+doc_shapes = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=40),  # n tokens
+        st.integers(min_value=0, max_value=2),  # source id
+    ),
+    min_size=1,
+    max_size=60,
+)
+
+
+@given(shapes=doc_shapes, cap=st.sampled_from([5, 16, 64]),
+       bucket_ids=st.sampled_from([2, 8]))
+@SLOW
+def test_packing_two_phase_equals_single(spark, shapes, cap, bucket_ids):
+    rows = [
+        (i, " ".join(["w"] * n), f"src{s}") for i, (n, s) in enumerate(shapes)
+    ]
+    d = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    one = sorted(
+        tuple(r) for r in corpusops.token_packing(d, cap=cap).collect()
+    )
+    two = sorted(
+        tuple(r)
+        for r in corpusops.token_packing_2p(
+            d, cap=cap, bucket_ids=bucket_ids
+        ).collect()
+    )
+    assert one == two
+    # conservation: every doc lands in exactly one shard, every token
+    # in exactly one shard_tokens sum
+    assert sum(r[2] for r in one) == len(rows)
+    assert sum(r[3] for r in one) == sum(n for n, _ in shapes)
+
+
+vocab_docs = st.lists(
+    st.lists(
+        st.sampled_from(["alpha", "beta", "gamma", "delta"]),
+        min_size=0,
+        max_size=8,
+    ),
+    min_size=1,
+    max_size=30,
+)
+
+
+@given(docs=vocab_docs)
+@SLOW
+def test_dup_ngram_invariants(spark, docs):
+    rows = [(i, " ".join(ws)) for i, ws in enumerate(docs)]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in corpusops.dup_ngram_stats(d).collect()}
+    assert set(out) == set(range(len(docs)))
+    texts = [" ".join(ws) for ws in docs]
+    for i, ws in enumerate(docs):
+        r = out[i]
+        assert 0 <= r["dup_grams"] <= r["n_grams"]
+        assert 0.0 <= r["dup_frac"] <= 1.0
+        # a doc with a verbatim twin elsewhere has EVERY gram shared
+        if ws and texts.count(texts[i]) > 1:
+            assert r["dup_grams"] == r["n_grams"]
+        if not ws:
+            assert r["n_grams"] == 0 and r["dup_frac"] == 0.0
