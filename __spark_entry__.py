@@ -90,6 +90,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_sample": q.q_corpus_sample,
         "token_packing": q.q_token_packing,
         "token_packing_2p": q.q_token_packing_2p,
+        # safety curation (analysis/scrub.py)
+        "pii_scan": q.q_pii_scan,
+        "pii_redact": q.q_pii_redact,
+        "repetition_stats": q.q_repetition_stats,
+        "paragraph_dedup": q.q_paragraph_dedup,
+        "domain_filter": q.q_domain_filter,
     }
     return out
 

@@ -1,0 +1,261 @@
+"""Safety/quality curation operators between ingestion and
+tokenization in a web-scale training-data pipeline: PII detection and
+redaction, Gopher-style repetition statistics, corpus-wide
+paragraph-level deduplication, and broadcast domain-blocklist
+filtering (CCNet / Gopher / Dolma-style stages, alongside
+analysis/corpusops.py).
+
+Everything is Spark built-ins (regexp / array / hash-agg expressions;
+zero Python UDFs); every constant is shared with the sqloracle
+mirrors so the two engines cannot drift.
+
+Regex dialect note: the PII patterns deliberately use only syntax with
+identical semantics in Java regex (Spark) and RE2 (DuckDB) — ASCII
+classes, bounded quantifiers, ASCII ``\\b``; no backreferences or
+lookaround.
+
+Reference analog: none (the reference is a per-document extraction
+service, src/workflows/*) — these extend the engine per the brief's
+training-data pipeline requirement.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from blackedge_ocr_spark.analysis.textstats import _r6
+from blackedge_ocr_spark.functions.text import tokens
+
+# (name, pattern, replacement) — REDACTION APPLIES IN TUPLE ORDER and
+# the patterns are mutually non-overlapping on any input (the email
+# local/domain parts contain no digit.digit runs, SSN/phone/card digit
+# groupings are disjoint shapes), so scan counts are order-free and
+# redaction order only matters for determinism, not results.
+PII_RULES: tuple[tuple[str, str, str], ...] = (
+    ("email", r"[a-z0-9][a-z0-9._%+-]*@[a-z0-9.-]+\.[a-z]{2,}", "<EMAIL>"),
+    ("ssn", r"\b\d{3}-\d{2}-\d{4}\b", "<SSN>"),
+    ("card", r"\b\d{4} \d{4} \d{4} \d{4}\b", "<CARD>"),
+    ("phone", r"\(\d{3}\) \d{3}-\d{4}", "<PHONE>"),
+    ("ip", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+)
+
+# Domain blocklist filter. The demo list is tiny, but the OPERATOR is
+# the scale path for real blocklists (10^5–10^7 domains: far too big
+# for a literal IN, far too small to shuffle the corpus for) — an
+# explicit broadcast LEFT ANTI join keeps the corpus scan in place.
+BLOCKED_DOMAINS: tuple[str, ...] = ("spam-mill.biz", "tracker.adnet.io")
+DOMAIN_RE = r"https?://([^/]+)/"
+
+# Host pool for the staged demo corpus (2 of 5 blocklisted) — shared
+# with queries._url_col and sqloracle.url_sql.
+URL_HOSTS: tuple[str, ...] = (
+    "spam-mill.biz",
+    "news.example.org",
+    "tracker.adnet.io",
+    "blog.example.com",
+    "docs.sparkref.dev",
+)
+
+LINE_SEP = "\n"  # line/paragraph delimiter for repetition + para dedup
+
+
+def _pii_count(col: Column, pattern: str) -> Column:
+    return F.size(F.regexp_extract_all(col, F.lit(pattern), F.lit(0)))
+
+
+def pii_counts(col: Column) -> list[tuple[str, Column]]:
+    """[(rule_name, match_count)] over one text column."""
+    return [(name, _pii_count(col, pat)) for name, pat, _ in PII_RULES]
+
+
+def redact_col(col: Column) -> Column:
+    """Text with every PII match replaced by its placeholder token,
+    rules applied in PII_RULES order (single fused projection —
+    Catalyst chains the five regexp_replace calls in one codegen
+    stage; no shuffle, no Python)."""
+    for _, pat, tok in PII_RULES:
+        col = F.regexp_replace(col, pat, tok)
+    return col
+
+
+def pii_scan(docs: DataFrame) -> DataFrame:
+    """Per-document PII match counts by rule + total.
+
+    Scale shape: pure per-row regexp projection — whole-stage codegen,
+    zero shuffle, embarrassingly parallel. At 100 TB this is a single
+    map over the scan with column pruning down to (doc_id, text).
+    """
+    counts = pii_counts(F.col("text"))
+    total = None
+    for _, c in counts:
+        total = c if total is None else total + c
+    return docs.select(
+        "doc_id",
+        *[c.cast("long").alias(f"n_{name}") for name, c in counts],
+        total.cast("long").alias("n_pii"),
+    )
+
+
+def pii_redact(docs: DataFrame) -> DataFrame:
+    """Redacted text (as md5 — the driver cannot hash megabyte
+    strings usefully) + total match count + clean flag.
+
+    Same zero-shuffle projection shape as pii_scan; the real pipeline
+    writes the redacted text column back to the lake instead of
+    hashing it.
+    """
+    counts = pii_counts(F.col("text"))
+    total = None
+    for _, c in counts:
+        total = c if total is None else total + c
+    return docs.select(
+        "doc_id",
+        total.cast("long").alias("n_pii"),
+        (total == 0).alias("clean"),
+        F.md5(redact_col(F.col("text"))).alias("redacted_md5"),
+    )
+
+
+def _bigrams(toks: Column) -> Column:
+    """Non-distinct consecutive word 2-grams (the repetition signal
+    needs multiplicity — analysis/dedup.word_shingles dedupes, so it
+    is NOT reusable here)."""
+    return F.when(
+        F.size(toks) >= 2,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - 2),
+            lambda i: F.concat(
+                F.element_at(toks, i + 1), F.lit(" "), F.element_at(toks, i + 2)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def repetition_stats(docs: DataFrame) -> DataFrame:
+    """Gopher/MassiveText-style repetition signals per document over
+    newline-delimited text: duplicate-line fraction, fraction of
+    line characters inside duplicated lines, and the occurrence share
+    of the most frequent word bigram.
+
+    Scale shape: one exploded union frame tagged (kind ∈ line|gram) →
+    hash-agg on (doc_id, kind, unit) → hash-agg on doc_id — two
+    combinable shuffles keyed by doc_id+unit (never a corpus-wide
+    unit key, so a globally hot line cannot skew), no join, no
+    window, and no per-row O(units²) higher-order counting (the
+    HOF-quadratic class the round-2 bench eliminated). Docs are never
+    lost: split('') yields [''], so the line branch keeps every row.
+    """
+    lines = F.split(F.col("text"), LINE_SEP, -1)
+    line_ex = docs.select(
+        "doc_id", F.lit("line").alias("kind"), F.explode(lines).alias("unit")
+    )
+    gram_ex = docs.select(
+        "doc_id",
+        F.lit("gram").alias("kind"),
+        F.explode(_bigrams(tokens(F.col("text")))).alias("unit"),
+    )
+    per_unit = (
+        line_ex.unionByName(gram_ex)
+        .groupBy("doc_id", "kind", "unit")
+        .agg(F.count("*").alias("n"))
+    )
+    is_line = F.col("kind") == "line"
+    is_gram = F.col("kind") == "gram"
+    dup = F.col("n") >= 2
+    chars = F.length("unit")
+    agg = per_unit.groupBy("doc_id").agg(
+        F.sum(F.when(is_line, F.col("n"))).cast("long").alias("n_lines"),
+        F.coalesce(F.sum(F.when(is_line & dup, F.col("n"))), F.lit(0))
+        .cast("long")
+        .alias("dup_lines"),
+        F.coalesce(F.sum(F.when(is_line & dup, F.col("n") * chars)), F.lit(0))
+        .cast("long")
+        .alias("dup_chars"),
+        F.coalesce(F.sum(F.when(is_line, F.col("n") * chars)), F.lit(0))
+        .cast("long")
+        .alias("tot_chars"),
+        F.coalesce(F.sum(F.when(is_gram, F.col("n"))), F.lit(0))
+        .cast("long")
+        .alias("n_bigrams"),
+        F.coalesce(F.max(F.when(is_gram, F.col("n"))), F.lit(0))
+        .cast("long")
+        .alias("top_bigram_n"),
+    )
+    frac = lambda num, den: F.when(
+        den > 0, _r6(num.cast("double") / den.cast("double"))
+    ).otherwise(F.lit(0.0))
+    return agg.select(
+        "doc_id",
+        "n_lines",
+        frac(F.col("dup_lines"), F.col("n_lines")).alias("dup_line_frac"),
+        frac(F.col("dup_chars"), F.col("tot_chars")).alias("dup_char_frac"),
+        "n_bigrams",
+        frac(F.col("top_bigram_n"), F.col("n_bigrams")).alias("top_bigram_frac"),
+    )
+
+
+def paragraph_dedup(docs: DataFrame) -> DataFrame:
+    """Corpus-wide paragraph-level exact dedup (CCNet-style): the
+    FIRST occurrence (lowest (doc_id, idx)) of each distinct
+    newline-delimited paragraph survives; all later occurrences drop.
+    Returns per-doc paragraph counts and the md5 of the doc's
+    surviving text (paragraphs re-joined in original order).
+
+    Scale shape: posexplode → min-struct hash-agg on the paragraph
+    hash (map-side combinable — a boilerplate paragraph in 10^9 docs
+    partial-aggregates per task; a WINDOW over the hash would instead
+    sort every copy in one task) → join counts back on hash (AQE
+    skew-join splits hot paragraphs) → hash-agg per doc. Docs whose
+    every paragraph lost (all first-seen elsewhere) still emit a row
+    with n_kept = 0 and md5('') — the conditional agg runs over all
+    exploded rows, not just survivors.
+    """
+    lines = F.split(F.col("text"), LINE_SEP, -1)
+    ex = docs.select("doc_id", F.posexplode(lines).alias("idx", "para")).select(
+        "doc_id", "idx", "para", F.md5("para").alias("h")
+    )
+    keeper = ex.groupBy("h").agg(F.min(F.struct("doc_id", "idx")).alias("k"))
+    j = ex.join(keeper, "h")
+    kept = (F.col("doc_id") == F.col("k.doc_id")) & (F.col("idx") == F.col("k.idx"))
+    return j.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_paras"),
+        F.sum(kept.cast("int")).cast("long").alias("n_kept"),
+        F.md5(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.when(kept, F.struct("idx", "para")))
+                    ),
+                    lambda s: s["para"],
+                ),
+                LINE_SEP,
+            )
+        ).alias("kept_md5"),
+    )
+
+
+def extract_domain(col: Column) -> Column:
+    """Host part of the first URL in a text/url column ('' if none)."""
+    return F.regexp_extract(col, DOMAIN_RE, 1)
+
+
+def domain_filter(docs: DataFrame) -> DataFrame:
+    """Blocklist filter: survivors of a broadcast LEFT ANTI join of
+    extracted domains against BLOCKED_DOMAINS.
+
+    Scale shape: the blocklist broadcasts (BroadcastHashJoin LeftAnti
+    — asserted in tests/test_plans.py); the corpus never shuffles and
+    the filter fuses into the scan's codegen stage. Input contract:
+    (doc_id, url) — the real pipeline points this at the crawl
+    metadata column.
+    """
+    staged = docs.select(
+        "doc_id", extract_domain(F.col("url")).alias("domain")
+    )
+    bl = docs.sparkSession.createDataFrame(
+        [(d,) for d in BLOCKED_DOMAINS], "domain string"
+    )
+    return staged.join(F.broadcast(bl), "domain", "left_anti").select(
+        "doc_id", "domain"
+    )

@@ -625,6 +625,118 @@ def q_token_packing_2p(spark, sf_dir) -> DataFrame:
     return corpusops.token_packing_2p(_docs(spark, sf_dir), bucket_ids=64)
 
 
+def _pii_text(doc_id, text):
+    """Deterministic PII staging (the synthetic corpus carries none):
+    appends one of five snippets — email / IP / phone / SSN+card /
+    clean — chosen by doc_id % 5. Mirrored by sqloracle.pii_text_sql;
+    keep the variant ORDER in lockstep."""
+    num4 = F.lpad(F.pmod(doc_id * 7, F.lit(10000)).cast("string"), 4, "0")
+    o1 = F.pmod(doc_id, F.lit(200)).cast("string")
+    o2 = (F.pmod(doc_id, F.lit(254)) + 1).cast("string")
+    variants = F.array(
+        F.concat(
+            F.lit(" contact user"), doc_id.cast("string"),
+            F.lit("@example.com now"),
+        ),
+        F.concat(F.lit(" server at 10.23."), o1, F.lit("."), o2, F.lit(" up")),
+        F.concat(F.lit(" call (415) 555-"), num4, F.lit(" today")),
+        F.concat(
+            F.lit(" ssn 219-09-"), num4, F.lit(" card 4111 1111 1111 "), num4
+        ),
+        F.lit(""),
+    )
+    return F.concat(
+        text, F.element_at(variants, (F.pmod(doc_id, F.lit(5)) + 1).cast("int"))
+    )
+
+
+def _lined_text(doc_id, text):
+    """Newline staging for the repetition / paragraph operators (the
+    synthetic corpus is single-line): four fixed 60-char chunks as
+    lines plus doc_id % 4 copies of a repeated line from a 7-line
+    pool. repeat(s, 0) = '' on both engines — no sequence(0, -1)
+    descending-range trap. Mirrored by sqloracle.lined_text_sql."""
+    chunks = [F.substring(text, 1 + 60 * i, 60) for i in range(4)]
+    rep = F.concat(F.lit("dup line "), F.pmod(doc_id, F.lit(7)).cast("string"))
+    return F.concat(
+        F.concat_ws("\n", *chunks),
+        F.repeat(
+            F.concat(F.lit("\n"), rep), F.pmod(doc_id, F.lit(4)).cast("int")
+        ),
+    )
+
+
+def _url_col(doc_id):
+    """Deterministic per-doc URL over a 5-host pool (2 of them
+    blocklisted). Mirrored by sqloracle.url_sql."""
+    from blackedge_ocr_spark.analysis.scrub import URL_HOSTS
+
+    host = F.element_at(
+        F.array(*[F.lit(h) for h in URL_HOSTS]),
+        (F.pmod(doc_id, F.lit(len(URL_HOSTS))) + 1).cast("int"),
+    )
+    return F.concat(
+        F.lit("https://"), host, F.lit("/p/"), doc_id.cast("string")
+    )
+
+
+def q_pii_scan(spark, sf_dir) -> DataFrame:
+    """Per-doc PII counts by rule (email/ssn/card/phone/ip) over the
+    PII-staged corpus — zero-shuffle regexp projection."""
+    from blackedge_ocr_spark.analysis import scrub
+
+    d = _docs(spark, sf_dir)
+    staged = d.select(
+        "doc_id", _pii_text(F.col("doc_id"), F.col("text")).alias("text")
+    )
+    return scrub.pii_scan(staged)
+
+
+def q_pii_redact(spark, sf_dir) -> DataFrame:
+    """PII redaction: match total, clean flag, md5 of redacted text."""
+    from blackedge_ocr_spark.analysis import scrub
+
+    d = _docs(spark, sf_dir)
+    staged = d.select(
+        "doc_id", _pii_text(F.col("doc_id"), F.col("text")).alias("text")
+    )
+    return scrub.pii_redact(staged)
+
+
+def q_repetition_stats(spark, sf_dir) -> DataFrame:
+    """Gopher-style repetition quality stats over the line-staged
+    corpus (dup-line / dup-char / top-bigram fractions)."""
+    from blackedge_ocr_spark.analysis import scrub
+
+    d = _docs(spark, sf_dir)
+    staged = d.select(
+        "doc_id", _lined_text(F.col("doc_id"), F.col("text")).alias("text")
+    )
+    return scrub.repetition_stats(staged)
+
+
+def q_paragraph_dedup(spark, sf_dir) -> DataFrame:
+    """Corpus-wide first-wins paragraph dedup over the line-staged
+    corpus: per-doc kept counts + surviving-text md5."""
+    from blackedge_ocr_spark.analysis import scrub
+
+    d = _docs(spark, sf_dir)
+    staged = d.select(
+        "doc_id", _lined_text(F.col("doc_id"), F.col("text")).alias("text")
+    )
+    return scrub.paragraph_dedup(staged)
+
+
+def q_domain_filter(spark, sf_dir) -> DataFrame:
+    """Broadcast domain-blocklist survivors over the URL-staged
+    corpus (BroadcastHashJoin LeftAnti; corpus never shuffles)."""
+    from blackedge_ocr_spark.analysis import scrub
+
+    d = _docs(spark, sf_dir)
+    staged = d.select("doc_id", _url_col(F.col("doc_id")).alias("url"))
+    return scrub.domain_filter(staged)
+
+
 def q_media_meta(spark, sf_dir) -> DataFrame:
     """Decode-stub metadata for every media span (mapInPandas)."""
     from blackedge_ocr_spark.analysis.media import media_metadata

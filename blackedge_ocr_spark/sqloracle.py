@@ -656,6 +656,12 @@ def build_oracles() -> dict[str, str]:
         "corpus_sample": sql_corpus_sample(),
         "token_packing": sql_token_packing(),
         "token_packing_2p": sql_token_packing(),
+        # safety curation (analysis/scrub.py)
+        "pii_scan": sql_pii_scan(),
+        "pii_redact": sql_pii_redact(),
+        "repetition_stats": sql_repetition_stats(),
+        "paragraph_dedup": sql_paragraph_dedup(),
+        "domain_filter": sql_domain_filter(),
     }
     return out
 
@@ -1727,3 +1733,168 @@ SELECT source,
   count(*)::bigint AS n_docs,
   sum(tok)::bigint AS shard_tokens
 FROM c GROUP BY source, shard"""
+
+
+# ------------------------------------------------------------------
+# Scrub / safety-curation oracles (analysis/scrub.py mirrors)
+# ------------------------------------------------------------------
+
+
+def pii_text_sql(doc: str, text: str) -> str:
+    """queries._pii_text mirror — variant order must stay in
+    lockstep with the Spark array."""
+    num4 = f"lpad((({doc} * 7) % 10000)::varchar, 4, '0')"
+    o1 = f"({doc} % 200)::varchar"
+    o2 = f"(({doc} % 254) + 1)::varchar"
+    cases = {
+        0: f"' contact user' || {doc}::varchar || '@example.com now'",
+        1: f"' server at 10.23.' || {o1} || '.' || {o2} || ' up'",
+        2: f"' call (415) 555-' || {num4} || ' today'",
+        3: f"' ssn 219-09-' || {num4} || ' card 4111 1111 1111 ' || {num4}",
+        4: "''",
+    }
+    whens = "".join(f" WHEN {m} THEN {e}" for m, e in cases.items())
+    return f"({text} || (CASE ({doc} % 5){whens} END))"
+
+
+def lined_text_sql(doc: str, text: str) -> str:
+    """queries._lined_text mirror: 4 x 60-char chunks + doc_id % 4
+    copies of the pool line. repeat(s, 0) = '' in DuckDB too."""
+    chunks = ", ".join(
+        f"substr({text}, {1 + 60 * i}, 60)" for i in range(4)
+    )
+    rep = f"'dup line ' || ({doc} % 7)::varchar"
+    return (
+        f"(concat_ws(chr(10), {chunks})"
+        f" || repeat(chr(10) || {rep}, ({doc} % 4)::int))"
+    )
+
+
+def url_sql(doc: str) -> str:
+    """queries._url_col mirror over scrub.URL_HOSTS."""
+    from blackedge_ocr_spark.analysis.scrub import URL_HOSTS
+
+    whens = "".join(
+        f" WHEN {i} THEN {_sq(h)}" for i, h in enumerate(URL_HOSTS)
+    )
+    return (
+        f"('https://' || (CASE ({doc} % {len(URL_HOSTS)}){whens} END)"
+        f" || '/p/' || {doc}::varchar)"
+    )
+
+
+def sql_pii_scan() -> str:
+    """scrub.pii_scan mirror — counts generated from PII_RULES."""
+    from blackedge_ocr_spark.analysis.scrub import PII_RULES
+
+    cnt = {
+        name: f"len(regexp_extract_all(text, {_sq(pat)}))"
+        for name, pat, _ in PII_RULES
+    }
+    cols = ",\n  ".join(
+        f"{c}::bigint AS n_{name}" for name, c in cnt.items()
+    )
+    total = " + ".join(cnt.values())
+    return f"""
+WITH t AS (SELECT doc_id, {pii_text_sql('doc_id', 'text')} AS text
+           FROM documents)
+SELECT doc_id,
+  {cols},
+  ({total})::bigint AS n_pii
+FROM t"""
+
+
+def sql_pii_redact() -> str:
+    """scrub.pii_redact mirror — the regexp_replace chain applies in
+    PII_RULES order with the 'g' flag (Spark regexp_replace is
+    always-global)."""
+    from blackedge_ocr_spark.analysis.scrub import PII_RULES
+
+    red = "text"
+    for _, pat, tok in PII_RULES:
+        red = f"regexp_replace({red}, {_sq(pat)}, {_sq(tok)}, 'g')"
+    total = " + ".join(
+        f"len(regexp_extract_all(text, {_sq(pat)}))" for _, pat, _ in PII_RULES
+    )
+    return f"""
+WITH t AS (SELECT doc_id, {pii_text_sql('doc_id', 'text')} AS text
+           FROM documents)
+SELECT doc_id,
+  ({total})::bigint AS n_pii,
+  (({total}) = 0) AS clean,
+  md5({red}) AS redacted_md5
+FROM t"""
+
+
+def sql_repetition_stats() -> str:
+    """scrub.repetition_stats mirror: same union-of-units two-level
+    aggregation; bigrams are NON-distinct consecutive token pairs."""
+    lined = lined_text_sql("doc_id", "text")
+    toks = tokens_sql("text")
+    bigrams = (
+        "list_transform(range(1, greatest(len(toks), 1)), "
+        "i -> toks[i] || ' ' || toks[i + 1])"
+    )
+    r6 = lambda num, den: (
+        f"CASE WHEN {den} > 0 THEN floor({num}::double / {den}::double"
+        f" * 1000000 + 0.5) / 1000000 ELSE 0.0 END"
+    )
+    return f"""
+WITH t AS (SELECT doc_id, {lined} AS text FROM documents),
+lx AS (SELECT doc_id, 'line' AS kind,
+              unnest(str_split(text, chr(10))) AS unit FROM t),
+tk AS (SELECT doc_id, {toks} AS toks FROM t),
+gx AS (SELECT doc_id, 'gram' AS kind, unnest({bigrams}) AS unit FROM tk),
+u AS (SELECT * FROM lx UNION ALL SELECT * FROM gx),
+pu AS (SELECT doc_id, kind, unit, count(*) AS n
+       FROM u GROUP BY doc_id, kind, unit),
+a AS (SELECT doc_id,
+  sum(CASE WHEN kind = 'line' THEN n END)::bigint AS n_lines,
+  coalesce(sum(CASE WHEN kind = 'line' AND n >= 2 THEN n END), 0)::bigint
+    AS dup_lines,
+  coalesce(sum(CASE WHEN kind = 'line' AND n >= 2 THEN n * length(unit) END),
+           0)::bigint AS dup_chars,
+  coalesce(sum(CASE WHEN kind = 'line' THEN n * length(unit) END), 0)::bigint
+    AS tot_chars,
+  coalesce(sum(CASE WHEN kind = 'gram' THEN n END), 0)::bigint AS n_bigrams,
+  coalesce(max(CASE WHEN kind = 'gram' THEN n END), 0)::bigint AS top_bigram_n
+FROM pu GROUP BY doc_id)
+SELECT doc_id, n_lines,
+  {r6('dup_lines', 'n_lines')} AS dup_line_frac,
+  {r6('dup_chars', 'tot_chars')} AS dup_char_frac,
+  n_bigrams,
+  {r6('top_bigram_n', 'n_bigrams')} AS top_bigram_frac
+FROM a"""
+
+
+def sql_paragraph_dedup() -> str:
+    """scrub.paragraph_dedup mirror: first-wins by (doc_id, idx) via
+    row_number over the paragraph value (== Spark's min-struct over
+    its md5 — equality of paragraph text and of its md5 coincide)."""
+    lined = lined_text_sql("doc_id", "text")
+    return f"""
+WITH t AS (SELECT doc_id, str_split({lined}, chr(10)) AS lst FROM documents),
+ex AS (SELECT doc_id, i - 1 AS idx, lst[i] AS para
+       FROM t, unnest(range(1, len(lst) + 1)) AS r(i)),
+k AS (SELECT doc_id, idx, para,
+             row_number() OVER (PARTITION BY para ORDER BY doc_id, idx) AS rn
+      FROM ex)
+SELECT doc_id, count(*)::bigint AS n_paras,
+  sum((rn = 1)::int)::bigint AS n_kept,
+  md5(coalesce(string_agg(CASE WHEN rn = 1 THEN para END, chr(10)
+                          ORDER BY idx), '')) AS kept_md5
+FROM k GROUP BY doc_id"""
+
+
+def sql_domain_filter() -> str:
+    """scrub.domain_filter mirror: NOT IN over BLOCKED_DOMAINS (the
+    Spark side broadcasts the blocklist; the oracle only needs the
+    set semantics)."""
+    from blackedge_ocr_spark.analysis.scrub import BLOCKED_DOMAINS, DOMAIN_RE
+
+    blocked = ", ".join(_sq(d) for d in BLOCKED_DOMAINS)
+    return f"""
+WITH t AS (SELECT doc_id, {url_sql('doc_id')} AS url FROM documents),
+d AS (SELECT doc_id, regexp_extract(url, {_sq(DOMAIN_RE)}, 1) AS domain
+      FROM t)
+SELECT doc_id, domain FROM d WHERE domain NOT IN ({blocked})"""
