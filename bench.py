@@ -42,6 +42,7 @@ BENCH_QUERIES = (
     "event_rollup",
     "user_sessions_2p",
     "dup_ngrams",
+    "paragraph_dedup",
 )
 
 
