@@ -118,3 +118,71 @@ def test_dup_ngram_invariants(spark, docs):
             assert r["dup_grams"] == r["n_grams"]
         if not ws:
             assert r["n_grams"] == 0 and r["dup_frac"] == 0.0
+
+
+# PII soup: ASCII letters/digits plus the structural chars the PII
+# rules key on (@ . - ( ) space). Java and Python re agree exactly on
+# this grammar (ASCII classes, leftmost-first, no backreferences), so
+# parity is exact by construction; embedded REAL matches come from
+# interleaving crafted snippets with the soup.
+pii_soup = st.text(
+    alphabet="abc019@.-() ",
+    min_size=0,
+    max_size=50,
+)
+pii_snippets = st.lists(
+    st.sampled_from(
+        [
+            "u1@ex.co",
+            "1.2.3.4",
+            "(123) 456-7890",
+            "123-45-6789",
+            "1234 5678 9012 3456",
+            "",
+        ]
+    ),
+    min_size=0,
+    max_size=3,
+)
+
+
+@given(
+    parts=st.lists(st.tuples(pii_soup, pii_snippets), min_size=1, max_size=30)
+)
+@SLOW
+def test_pii_scan_and_redact_match_python_re(spark, parts):
+    """Spark PII chain == Python re chain on random soup + embedded
+    real matches (counts per rule, total, and redacted text)."""
+    import re
+
+    from pyspark.sql import Row
+    from pyspark.sql import functions as F
+
+    from blackedge_ocr_spark.analysis import scrub
+
+    texts = [
+        soup + " ".join(snips) for soup, snips in parts
+    ]
+    df = spark.createDataFrame(
+        [Row(doc_id=i, text=t) for i, t in enumerate(texts)],
+        "doc_id long, text string",
+    )
+    got_scan = {
+        r["doc_id"]: r for r in scrub.pii_scan(df).collect()
+    }
+    got_red = {
+        r["doc_id"]: r
+        for r in df.select(
+            "doc_id", scrub.redact_col(F.col("text")).alias("red")
+        ).collect()
+    }
+    for i, t in enumerate(texts):
+        red = t
+        total = 0
+        for name, pat, tok in scrub.PII_RULES:
+            n = len(re.findall(pat, t))
+            assert got_scan[i][f"n_{name}"] == n, (name, t)
+            total += n
+            red = re.sub(pat, tok, red)
+        assert got_scan[i]["n_pii"] == total
+        assert got_red[i]["red"] == red, t
