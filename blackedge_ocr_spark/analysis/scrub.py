@@ -27,11 +27,12 @@ from pyspark.sql import functions as F
 from blackedge_ocr_spark.analysis.textstats import _r6
 from blackedge_ocr_spark.functions.text import tokens
 
-# (name, pattern, replacement) — REDACTION APPLIES IN TUPLE ORDER and
-# the patterns are mutually non-overlapping on any input (the email
-# local/domain parts contain no digit.digit runs, SSN/phone/card digit
-# groupings are disjoint shapes), so scan counts are order-free and
-# redaction order only matters for determinism, not results.
+# (name, pattern, replacement). RULES APPLY IN TUPLE ORDER and each
+# rule's count is taken AFTER the earlier rules redacted (sequential
+# semantics): a span matched by an earlier rule can't be re-counted
+# by a later one — e.g. an IP-shaped run inside an email's domain
+# ("a@10.1.2.3.com") counts once, as email — so n_pii always equals
+# the number of replacements actually performed.
 PII_RULES: tuple[tuple[str, str, str], ...] = (
     ("email", r"[a-z0-9][a-z0-9._%+-]*@[a-z0-9.-]+\.[a-z]{2,}", "<EMAIL>"),
     ("ssn", r"\b\d{3}-\d{2}-\d{4}\b", "<SSN>"),
@@ -45,7 +46,12 @@ PII_RULES: tuple[tuple[str, str, str], ...] = (
 # for a literal IN, far too small to shuffle the corpus for) — an
 # explicit broadcast LEFT ANTI join keeps the corpus scan in place.
 BLOCKED_DOMAINS: tuple[str, ...] = ("spam-mill.biz", "tracker.adnet.io")
-DOMAIN_RE = r"https?://([^/]+)/"
+# Host = everything after the scheme up to (not including) the first
+# path/query/fragment/port/userinfo delimiter or whitespace — no
+# trailing slash required ("https://spam-mill.biz" must not fail
+# open), port and userinfo stripped, matched on the lowercased URL
+# (scheme and host are case-insensitive per RFC 3986).
+DOMAIN_RE = r"https?://(?:[^/?#\s@]*@)?([^/?#:\s@]+)"
 
 # Host pool for the staged demo corpus (2 of 5 blocklisted) — shared
 # with queries._url_col and sqloracle.url_sql.
@@ -64,9 +70,19 @@ def _pii_count(col: Column, pattern: str) -> Column:
     return F.size(F.regexp_extract_all(col, F.lit(pattern), F.lit(0)))
 
 
-def pii_counts(col: Column) -> list[tuple[str, Column]]:
-    """[(rule_name, match_count)] over one text column."""
-    return [(name, _pii_count(col, pat)) for name, pat, _ in PII_RULES]
+def pii_chain(col: Column) -> tuple[list[tuple[str, Column]], Column]:
+    """([(rule_name, redactions_performed)], fully_redacted_text) —
+    the single source of both operators' outputs. Each rule counts on
+    the text AFTER earlier rules redacted, so sum(counts) == number of
+    placeholder tokens in the output, even for nested/overlapping
+    spans. NULL text is treated as '' (docs never vanish and counts
+    never go NULL)."""
+    cur = F.coalesce(col, F.lit(""))
+    counts = []
+    for name, pat, tok in PII_RULES:
+        counts.append((name, _pii_count(cur, pat)))
+        cur = F.regexp_replace(cur, pat, tok)
+    return counts, cur
 
 
 def redact_col(col: Column) -> Column:
@@ -74,22 +90,19 @@ def redact_col(col: Column) -> Column:
     rules applied in PII_RULES order (single fused projection —
     Catalyst chains the five regexp_replace calls in one codegen
     stage; no shuffle, no Python)."""
-    for _, pat, tok in PII_RULES:
-        col = F.regexp_replace(col, pat, tok)
-    return col
+    return pii_chain(col)[1]
 
 
 def pii_scan(docs: DataFrame) -> DataFrame:
-    """Per-document PII match counts by rule + total.
+    """Per-document PII redaction counts by rule + total (sequential
+    semantics — see PII_RULES).
 
     Scale shape: pure per-row regexp projection — whole-stage codegen,
     zero shuffle, embarrassingly parallel. At 100 TB this is a single
     map over the scan with column pruning down to (doc_id, text).
     """
-    counts = pii_counts(F.col("text"))
-    total = None
-    for _, c in counts:
-        total = c if total is None else total + c
+    counts, _ = pii_chain(F.col("text"))
+    total = _sum_counts(counts)
     return docs.select(
         "doc_id",
         *[c.cast("long").alias(f"n_{name}") for name, c in counts],
@@ -97,23 +110,30 @@ def pii_scan(docs: DataFrame) -> DataFrame:
     )
 
 
+def _sum_counts(counts: list[tuple[str, Column]]) -> Column:
+    total = None
+    for _, c in counts:
+        total = c if total is None else total + c
+    return total
+
+
 def pii_redact(docs: DataFrame) -> DataFrame:
     """Redacted text (as md5 — the driver cannot hash megabyte
-    strings usefully) + total match count + clean flag.
+    strings usefully) + total replacement count + clean flag. n_pii
+    here equals the number of placeholder tokens in the redacted
+    text by construction (pii_chain).
 
     Same zero-shuffle projection shape as pii_scan; the real pipeline
     writes the redacted text column back to the lake instead of
     hashing it.
     """
-    counts = pii_counts(F.col("text"))
-    total = None
-    for _, c in counts:
-        total = c if total is None else total + c
+    counts, red = pii_chain(F.col("text"))
+    total = _sum_counts(counts)
     return docs.select(
         "doc_id",
         total.cast("long").alias("n_pii"),
         (total == 0).alias("clean"),
-        F.md5(redact_col(F.col("text"))).alias("redacted_md5"),
+        F.md5(red).alias("redacted_md5"),
     )
 
 
@@ -144,9 +164,10 @@ def repetition_stats(docs: DataFrame) -> DataFrame:
     unit key, so a globally hot line cannot skew), no join, no
     window, and no per-row O(units²) higher-order counting (the
     HOF-quadratic class the round-2 bench eliminated). Docs are never
-    lost: split('') yields [''], so the line branch keeps every row.
+    lost: NULL text coalesces to '' and split('') yields [''], so the
+    line branch keeps every row.
     """
-    lines = F.split(F.col("text"), LINE_SEP, -1)
+    lines = F.split(F.coalesce(F.col("text"), F.lit("")), LINE_SEP, -1)
     line_ex = docs.select(
         "doc_id", F.lit("line").alias("kind"), F.explode(lines).alias("unit")
     )
@@ -209,9 +230,10 @@ def paragraph_dedup(docs: DataFrame) -> DataFrame:
     skew-join splits hot paragraphs) → hash-agg per doc. Docs whose
     every paragraph lost (all first-seen elsewhere) still emit a row
     with n_kept = 0 and md5('') — the conditional agg runs over all
-    exploded rows, not just survivors.
+    exploded rows, not just survivors — and NULL text coalesces to ''
+    (one empty paragraph) so no doc vanishes.
     """
-    lines = F.split(F.col("text"), LINE_SEP, -1)
+    lines = F.split(F.coalesce(F.col("text"), F.lit("")), LINE_SEP, -1)
     ex = docs.select("doc_id", F.posexplode(lines).alias("idx", "para")).select(
         "doc_id", "idx", "para", F.md5("para").alias("h")
     )
@@ -236,8 +258,12 @@ def paragraph_dedup(docs: DataFrame) -> DataFrame:
 
 
 def extract_domain(col: Column) -> Column:
-    """Host part of the first URL in a text/url column ('' if none)."""
-    return F.regexp_extract(col, DOMAIN_RE, 1)
+    """Host part of the first URL in a text/url column ('' if none —
+    NULL urls included). Matched on the lowercased text; tolerates
+    missing path ("https://host"), ports and userinfo (stripped), and
+    uppercase schemes/hosts — a blocked domain must never slip
+    through on URL shape alone."""
+    return F.regexp_extract(F.lower(F.coalesce(col, F.lit(""))), DOMAIN_RE, 1)
 
 
 def domain_filter(docs: DataFrame) -> DataFrame:
@@ -245,10 +271,11 @@ def domain_filter(docs: DataFrame) -> DataFrame:
     extracted domains against BLOCKED_DOMAINS.
 
     Scale shape: the blocklist broadcasts (BroadcastHashJoin LeftAnti
-    — asserted in tests/test_plans.py); the corpus never shuffles and
-    the filter fuses into the scan's codegen stage. Input contract:
-    (doc_id, url) — the real pipeline points this at the crawl
-    metadata column.
+    — asserted in tests/test_scrub.py::
+    test_domain_filter_broadcast_anti_join); the corpus never shuffles
+    and the filter fuses into the scan's codegen stage. Input
+    contract: (doc_id, url) — the real pipeline points this at the
+    crawl metadata column.
     """
     staged = docs.select(
         "doc_id", extract_domain(F.col("url")).alias("domain")

@@ -1783,14 +1783,24 @@ def url_sql(doc: str) -> str:
     )
 
 
-def sql_pii_scan() -> str:
-    """scrub.pii_scan mirror — counts generated from PII_RULES."""
+def _pii_chain_sql() -> tuple[dict[str, str], str]:
+    """({rule: count_expr}, redacted_expr) over a column named
+    ``text`` — the sequential-semantics mirror of scrub.pii_chain:
+    each rule counts AFTER earlier rules redacted ('g' flag == Spark's
+    always-global regexp_replace)."""
     from blackedge_ocr_spark.analysis.scrub import PII_RULES
 
-    cnt = {
-        name: f"len(regexp_extract_all(text, {_sq(pat)}))"
-        for name, pat, _ in PII_RULES
-    }
+    cur = "text"
+    cnt: dict[str, str] = {}
+    for name, pat, tok in PII_RULES:
+        cnt[name] = f"len(regexp_extract_all({cur}, {_sq(pat)}))"
+        cur = f"regexp_replace({cur}, {_sq(pat)}, {_sq(tok)}, 'g')"
+    return cnt, cur
+
+
+def sql_pii_scan() -> str:
+    """scrub.pii_scan mirror — sequential counts from _pii_chain_sql."""
+    cnt, _ = _pii_chain_sql()
     cols = ",\n  ".join(
         f"{c}::bigint AS n_{name}" for name, c in cnt.items()
     )
@@ -1805,17 +1815,10 @@ FROM t"""
 
 
 def sql_pii_redact() -> str:
-    """scrub.pii_redact mirror — the regexp_replace chain applies in
-    PII_RULES order with the 'g' flag (Spark regexp_replace is
-    always-global)."""
-    from blackedge_ocr_spark.analysis.scrub import PII_RULES
-
-    red = "text"
-    for _, pat, tok in PII_RULES:
-        red = f"regexp_replace({red}, {_sq(pat)}, {_sq(tok)}, 'g')"
-    total = " + ".join(
-        f"len(regexp_extract_all(text, {_sq(pat)}))" for _, pat, _ in PII_RULES
-    )
+    """scrub.pii_redact mirror — same sequential chain; n_pii equals
+    the number of replacements performed."""
+    cnt, red = _pii_chain_sql()
+    total = " + ".join(cnt.values())
     return f"""
 WITH t AS (SELECT doc_id, {pii_text_sql('doc_id', 'text')} AS text
            FROM documents)
@@ -1895,6 +1898,7 @@ def sql_domain_filter() -> str:
     blocked = ", ".join(_sq(d) for d in BLOCKED_DOMAINS)
     return f"""
 WITH t AS (SELECT doc_id, {url_sql('doc_id')} AS url FROM documents),
-d AS (SELECT doc_id, regexp_extract(url, {_sq(DOMAIN_RE)}, 1) AS domain
+d AS (SELECT doc_id,
+             regexp_extract(lower(url), {_sq(DOMAIN_RE)}, 1) AS domain
       FROM t)
 SELECT doc_id, domain FROM d WHERE domain NOT IN ({blocked})"""

@@ -177,10 +177,12 @@ def test_pii_scan_and_redact_match_python_re(spark, parts):
         ).collect()
     }
     for i, t in enumerate(texts):
+        # sequential semantics: each rule counts AFTER earlier rules
+        # redacted, so total == number of placeholder tokens
         red = t
         total = 0
         for name, pat, tok in scrub.PII_RULES:
-            n = len(re.findall(pat, t))
+            n = len(re.findall(pat, red))
             assert got_scan[i][f"n_{name}"] == n, (name, t)
             total += n
             red = re.sub(pat, tok, red)

@@ -6,6 +6,7 @@ for the blocklist broadcast and the no-window paragraph dedup."""
 import hashlib
 
 from pyspark.sql import Row
+from pyspark.sql import functions as F
 
 from blackedge_ocr_spark import plans
 from blackedge_ocr_spark.analysis import scrub
@@ -150,3 +151,64 @@ def test_repetition_stats_plan_two_aggs_no_join(spark):
     plan = plans.formatted_plan(scrub.repetition_stats(d))
     assert "Join" not in plan, plan
     assert "Window" not in plan, plan
+
+
+def test_pii_nested_span_counts_once(spark):
+    # an IP-shaped run inside an email's domain is consumed by the
+    # email rule; sequential counting must not double-count it, and
+    # n_pii must equal the placeholder tokens actually emitted
+    d = _docs_df(spark, [(0, "mail a@10.1.2.3.com ok")])
+    scan = scrub.pii_scan(d).collect()[0]
+    assert scan["n_email"] == 1 and scan["n_ip"] == 0
+    assert scan["n_pii"] == 1
+    red = scrub.pii_redact(d).collect()[0]
+    assert red["n_pii"] == 1
+    assert red["redacted_md5"] == hashlib.md5(b"mail <EMAIL> ok").hexdigest()
+
+
+def test_null_text_docs_never_vanish(spark):
+    from pyspark.sql import Row
+
+    d = spark.createDataFrame(
+        [Row(doc_id=0, text=None), Row(doc_id=1, text="x\nx")],
+        "doc_id long, text string",
+    )
+    scan = {r["doc_id"]: r for r in scrub.pii_scan(d).collect()}
+    assert scan[0]["n_pii"] == 0  # not NULL
+    rep = {r["doc_id"]: r for r in scrub.repetition_stats(d).collect()}
+    assert rep[0]["n_lines"] == 1 and rep[0]["dup_line_frac"] == 0.0
+    para = {r["doc_id"]: r for r in scrub.paragraph_dedup(d).collect()}
+    assert para[0]["n_paras"] == 1
+    assert set(para) == {0, 1}
+
+
+def test_extract_domain_tolerates_url_shapes(spark):
+    from pyspark.sql import Row
+
+    cases = [
+        (0, "https://spam-mill.biz"),          # no path
+        (1, "HTTPS://SPAM-MILL.BIZ/x"),        # uppercase
+        (2, "https://spam-mill.biz:8443/p"),   # port
+        (3, "https://u:p@spam-mill.biz/p"),    # userinfo
+        (4, None),                             # null url
+    ]
+    d = spark.createDataFrame(
+        [Row(doc_id=i, url=u) for i, u in cases],
+        "doc_id long, url string",
+    )
+    got = {
+        r["doc_id"]: r["d"]
+        for r in d.select(
+            "doc_id", scrub.extract_domain(F.col("url")).alias("d")
+        ).collect()
+    }
+    assert got == {
+        0: "spam-mill.biz",
+        1: "spam-mill.biz",
+        2: "spam-mill.biz",
+        3: "spam-mill.biz",
+        4: "",
+    }
+    # and the filter actually blocks every one of those shapes
+    survivors = scrub.domain_filter(d).collect()
+    assert [r["doc_id"] for r in survivors] == [4]
