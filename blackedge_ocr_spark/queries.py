@@ -1195,3 +1195,19 @@ def q_event_rollup(spark, sf_dir) -> DataFrame:
             ).alias("sum_k"),
         )
     )
+
+
+def q_dedup_clusters(spark, sf_dir) -> DataFrame:
+    """Transitive duplicate clusters over the dup-injected corpus:
+    exact-content star edges + production near-dup pairs, closed into
+    connected components (min-label propagation + pointer jumping on
+    the edge-induced subgraph only), one keeper per cluster. The step
+    that turns the dedup suite's pair relations into rows a 100 TB
+    job can actually drop. Oracle: DuckDB WITH RECURSIVE reachability
+    over the identical edge set."""
+    from blackedge_ocr_spark.analysis import clustering, dedup
+
+    corpus = dedup.with_dup_injection(
+        _docs(spark, sf_dir).select("doc_id", "text")
+    )
+    return clustering.dedup_clusters(corpus)

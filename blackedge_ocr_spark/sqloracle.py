@@ -619,6 +619,7 @@ def build_oracles() -> dict[str, str]:
         "dedup_minhash": sql_dedup_minhash(),
         "dedup_lsh_pairs": sql_dedup_lsh_pairs(),
         "dedup_production_pairs": sql_dedup_production_pairs(),
+        "dedup_clusters": sql_dedup_clusters(),
         "dedup_simhash": sql_dedup_simhash(),
         "ngram_jaccard": sql_ngram_jaccard(),
         "ann_topk": sql_ann_topk(),
@@ -1902,3 +1903,31 @@ d AS (SELECT doc_id,
              regexp_extract(lower(url), {_sq(DOMAIN_RE)}, 1) AS domain
       FROM t)
 SELECT doc_id, domain FROM d WHERE domain NOT IN ({blocked})"""
+
+
+def sql_dedup_clusters() -> str:
+    """clustering.dedup_clusters mirror: the SAME duplicate edge set
+    (exact-content star edges + production near-dup pairs) closed
+    transitively with a recursive label walk — every node collects the
+    labels of everything that reaches it, min = the component minimum,
+    exactly the fixpoint of the Spark side's min-label propagation."""
+    h = f"md5({normalize_for_comparison_sql('text')})"
+    near = sql_dedup_production_pairs()
+    return f"""
+WITH RECURSIVE {DUP_CORPUS},
+near AS (SELECT doc_a, doc_b FROM ({near}) t),
+hashed AS (SELECT doc_id, {h} AS h FROM corpus),
+exact_edges AS (
+  SELECT doc_id AS a, min(doc_id) OVER (PARTITION BY h) AS b FROM hashed),
+edges AS (
+  SELECT a, b FROM exact_edges WHERE a <> b
+  UNION SELECT b, a FROM exact_edges WHERE a <> b
+  UNION SELECT doc_a AS a, doc_b AS b FROM near
+  UNION SELECT doc_b AS a, doc_a AS b FROM near),
+walk(node, lab) AS (
+  SELECT doc_id, doc_id FROM corpus
+  UNION
+  SELECT e.b, w.lab FROM walk w JOIN edges e ON e.a = w.node)
+SELECT node AS doc_id, min(lab) AS cluster_id,
+       (min(lab) = node) AS is_keeper
+FROM walk GROUP BY node"""
