@@ -69,6 +69,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_counts": q.q_token_counts,
         "quality_scores": q.q_quality_scores,
         "fingerprints": q.q_fingerprints,
+        "term_doc_freq": q.q_term_doc_freq,
+        "corpus_stats": q.q_corpus_stats,
+        "snapshot_diff": q.q_snapshot_diff,
         "media_meta": q.q_media_meta,
         "media_features": q.q_media_features,
         "media_resize": q.q_media_resize,

@@ -241,3 +241,77 @@ def token_packing_2p(
         "source", "tok", (F.col("_lcum") + F.col("_off")).alias("cum")
     )
     return _shards_from_cumsum(staged, cap)
+
+
+# snapshot_diff: deterministic re-crawl simulation, shared with the
+# oracle. A-snapshot drops doc_id % DIFF_MOD == DIFF_ADD (so those
+# docs are "added" in B); B-snapshot drops % == DIFF_DEL ("removed")
+# and revises the text of doc_id % DIFF_REV_MOD == 0 ("changed").
+DIFF_MOD = 50
+DIFF_ADD = 3
+DIFF_DEL = 7
+DIFF_REV_MOD = 17
+DIFF_REV_SUFFIX = " rev2"
+
+
+def snapshot_views(docs: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """Two deterministic corpus snapshots derived from one table — the
+    test stand-in for consecutive crawl snapshots of the same lake."""
+    a = docs.filter(F.col("doc_id") % DIFF_MOD != DIFF_ADD).select(
+        "doc_id", "text"
+    )
+    b = docs.filter(F.col("doc_id") % DIFF_MOD != DIFF_DEL).select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % DIFF_REV_MOD == 0,
+            F.concat(F.col("text"), F.lit(DIFF_REV_SUFFIX)),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    return a, b
+
+
+def snapshot_diff(docs: DataFrame) -> DataFrame:
+    """Incremental re-crawl merge: classify every doc_id across two
+    snapshots as added / removed / changed / unchanged by content
+    hash, rolled up to counts. The operator an incremental ingestion
+    job runs to process ONLY the delta instead of re-extracting the
+    full corpus.
+
+    Shape: each side reduces to (doc_id, md5, side) on the scan and
+    the full-outer join is expressed as a tagged UNION + ONE hash agg
+    on doc_id (conditional max per side) — half the shuffle of a
+    two-sided sort-merge join, no sort, and hash-only payloads (never
+    text). The status rollup then combines map-side. On an Iceberg
+    lake the union becomes a changelog/snapshot-diff scan
+    (incremental read between snapshot ids) and the hash column is
+    already in the manifest; the classification and rollup are
+    unchanged."""
+    a, b = snapshot_views(docs)
+    tagged = a.select(
+        "doc_id", F.md5(F.col("text")).alias("h"), F.lit("a").alias("side")
+    ).unionByName(
+        b.select(
+            "doc_id", F.md5(F.col("text")).alias("h"), F.lit("b").alias("side")
+        )
+    )
+    j = tagged.groupBy("doc_id").agg(
+        F.max(F.when(F.col("side") == "a", F.col("h"))).alias("h_a"),
+        F.max(F.when(F.col("side") == "b", F.col("h"))).alias("h_b"),
+    )
+    status = (
+        F.when(F.col("h_a").isNull(), F.lit("added"))
+        .when(F.col("h_b").isNull(), F.lit("removed"))
+        .when(F.col("h_a") != F.col("h_b"), F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+    )
+    return (
+        j.select(status.alias("status"), "doc_id")
+        .groupBy("status")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.min("doc_id").alias("min_doc_id"),
+            F.max("doc_id").alias("max_doc_id"),
+        )
+    )

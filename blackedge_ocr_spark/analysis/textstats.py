@@ -144,3 +144,97 @@ def fingerprints(docs: DataFrame) -> DataFrame:
         lambda i: F.md5(F.substring(norm, i * FP_STRIDE + 1, FP_WINDOW)),
     )
     return docs.select("doc_id", F.array_min(hashes).alias("fingerprint"))
+
+
+def term_doc_freq(docs: DataFrame) -> DataFrame:
+    """Corpus-level document frequency / inverse document frequency
+    per key term (length >= 3, the same distinct-term definition as
+    key_terms): (term, df, idf = r6(ln(n_docs / df))).
+
+    The table behind TF-IDF quality scoring and stopword discovery at
+    corpus scale. Shape: explode distinct terms per doc → ONE
+    map-side-combinable hash agg on term (the exchange carries
+    O(distinct (doc, term)) partial counts, never raw tokens); the
+    corpus row count rides in as a broadcast scalar (1-row crossJoin,
+    no driver collect). Skew note: a term's partial counts combine
+    map-side, so even a term in every document lands on one reducer
+    as ~n_partitions rows, not n_docs."""
+    from blackedge_ocr_spark.functions.text import key_terms
+
+    n = docs.agg(F.count("*").alias("n_docs"))
+    df_tab = (
+        docs.select(F.explode(key_terms(F.col("text"))).alias("term"))
+        .groupBy("term")
+        .agg(F.count("*").alias("df"))
+    )
+    return df_tab.crossJoin(F.broadcast(n)).select(
+        "term",
+        "df",
+        _r6(
+            F.log(F.col("n_docs").cast("double") / F.col("df").cast("double"))
+        ).alias("idf"),
+    )
+
+
+# percentile levels for corpus_token_stats, shared with the oracle
+PCTS: tuple[float, ...] = (0.5, 0.9, 0.99)
+
+
+def corpus_token_stats(docs: DataFrame) -> DataFrame:
+    """Per-source corpus shape report: doc count plus EXACT
+    percentile_cont-style p50/p90/p99 of whitespace token counts,
+    computed distributively — rank selection over a per-source sorted
+    window, never a driver-side collect or a single-node sort.
+
+    Interpolation formula (idx = p·(n-1); v[floor] + frac·(v[ceil] -
+    v[floor])) is spelled out identically in the DuckDB oracle, so
+    parity is by construction. Shape: ONE exchange on source serves
+    both the rank window and the final agg (same partitioning); the
+    per-source sort spills, it does not OOM. At 100 TB per-source
+    value sets, swap the window for approx_percentile or a two-pass
+    bucketed rank selection — the output contract is unchanged."""
+    from pyspark.sql import Window
+
+    # ws_tokens is a pure projection (same expression token_counts
+    # emits) — compute it inline on the scan rather than joining
+    # token_counts(docs) back on doc_id, which would shuffle the full
+    # corpus twice for zero information.
+    norm = normalize_text(F.col("text"))
+    ws = F.when(F.length(norm) == 0, F.lit(0)).otherwise(
+        F.size(F.split(norm, " ", -1))
+    ).cast("long")
+    w = Window.partitionBy("source").orderBy("v", "doc_id")
+    ranked = docs.select(
+        "source",
+        ws.alias("v"),
+        "doc_id",
+    ).select(
+        "source",
+        "v",
+        (F.row_number().over(w) - 1).alias("r"),
+        F.count("*").over(Window.partitionBy("source")).alias("n"),
+    )
+    aggs = [F.max("n").alias("n_docs")]
+    for p in PCTS:
+        idx = F.lit(p) * (F.col("n") - 1).cast("double")
+        lo, hi = F.floor(idx), F.ceil(idx)
+        aggs.append(
+            F.max(F.when(F.col("r") == lo, F.col("v"))).alias(
+                f"_lo{int(p * 100)}"
+            )
+        )
+        aggs.append(
+            F.max(F.when(F.col("r") == hi, F.col("v"))).alias(
+                f"_hi{int(p * 100)}"
+            )
+        )
+        aggs.append(F.max(idx - lo.cast("double")).alias(f"_fr{int(p * 100)}"))
+    agged = ranked.groupBy("source").agg(*aggs)
+    cols = [F.col("source"), F.col("n_docs").cast("long").alias("n_docs")]
+    for p in PCTS:
+        t = int(p * 100)
+        v = F.col(f"_lo{t}").cast("double") + F.col(f"_fr{t}") * (
+            F.col(f"_hi{t}").cast("double") - F.col(f"_lo{t}").cast("double")
+        )
+        cols.append(_r6(v).alias(f"p{t}_tokens"))
+    return agged.select(*cols)

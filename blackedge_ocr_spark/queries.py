@@ -1211,3 +1211,27 @@ def q_dedup_clusters(spark, sf_dir) -> DataFrame:
         _docs(spark, sf_dir).select("doc_id", "text")
     )
     return clustering.dedup_clusters(corpus)
+
+
+def q_term_doc_freq(spark, sf_dir) -> DataFrame:
+    """Corpus IDF table: distinct-term explode → one combinable hash
+    agg on term; corpus size joins in as a broadcast scalar."""
+    from blackedge_ocr_spark.analysis import textstats
+
+    return textstats.term_doc_freq(_docs(spark, sf_dir))
+
+
+def q_corpus_stats(spark, sf_dir) -> DataFrame:
+    """Per-source exact token-count percentiles via distributed rank
+    selection — one exchange on source serves the window and the agg."""
+    from blackedge_ocr_spark.analysis import textstats
+
+    return textstats.corpus_token_stats(_docs(spark, sf_dir))
+
+
+def q_snapshot_diff(spark, sf_dir) -> DataFrame:
+    """Incremental re-crawl merge: hash-only full-outer join of two
+    deterministic snapshot views → added/removed/changed/unchanged."""
+    from blackedge_ocr_spark.analysis import corpusops
+
+    return corpusops.snapshot_diff(_docs(spark, sf_dir))

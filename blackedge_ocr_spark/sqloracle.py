@@ -634,6 +634,9 @@ def build_oracles() -> dict[str, str]:
         "token_counts": sql_token_counts(),
         "quality_scores": sql_quality_scores(),
         "fingerprints": sql_fingerprints(),
+        "term_doc_freq": sql_term_doc_freq(),
+        "corpus_stats": sql_corpus_stats(),
+        "snapshot_diff": sql_snapshot_diff(),
         "media_meta": sql_media_meta(),
         "media_features": sql_media_features(),
         "media_resize": sql_media_resize(),
@@ -1931,3 +1934,82 @@ walk(node, lab) AS (
 SELECT node AS doc_id, min(lab) AS cluster_id,
        (min(lab) = node) AS is_keeper
 FROM walk GROUP BY node"""
+
+
+def sql_term_doc_freq() -> str:
+    """textstats.term_doc_freq mirror: distinct key terms per doc
+    unnested, counted per term, idf = r6(ln(n_docs / df))."""
+    kt = key_terms_sql("text")
+    return f"""
+WITH ex AS (SELECT unnest({kt}) AS term FROM documents),
+n AS (SELECT count(*)::double AS n_docs FROM documents)
+SELECT term, count(*)::bigint AS df,
+  floor(ln((SELECT n_docs FROM n) / count(*)::double) * 1000000 + 0.5)
+    / 1000000 AS idf
+FROM ex GROUP BY term"""
+
+
+def sql_corpus_stats() -> str:
+    """textstats.corpus_token_stats mirror: identical rank-selection
+    percentile formula (idx = p*(n-1), interpolate floor/ceil ranks)
+    spelled out over the same ws_tokens expression."""
+    from blackedge_ocr_spark.analysis.textstats import PCTS
+
+    norm = norm_sql("text")
+    ws = (
+        f"(CASE WHEN length({norm}) = 0 THEN 0 "
+        f"ELSE len(str_split({norm}, ' ')) END)::bigint"
+    )
+    idx_cols = ", ".join(
+        f"{p} * (n - 1)::double AS i{int(p * 100)}" for p in PCTS
+    )
+    pieces = []
+    for p in PCTS:
+        t = int(p * 100)
+        lo = f"max(CASE WHEN r = floor(i{t}) THEN v END)::double"
+        hi = f"max(CASE WHEN r = ceil(i{t}) THEN v END)::double"
+        frac = f"(max(i{t}) - floor(max(i{t})))"
+        v = f"({lo} + {frac} * ({hi} - {lo}))"
+        pieces.append(
+            f"floor({v} * 1000000 + 0.5) / 1000000 AS p{t}_tokens"
+        )
+    sel = ",\n  ".join(pieces)
+    return f"""
+WITH tc AS (SELECT doc_id, source, {ws} AS v FROM documents),
+r0 AS (SELECT source, v, doc_id,
+        row_number() OVER (PARTITION BY source ORDER BY v, doc_id) - 1 AS r,
+        count(*) OVER (PARTITION BY source) AS n
+      FROM tc),
+r AS (SELECT source, v, r, n, {idx_cols} FROM r0)
+SELECT source, max(n)::bigint AS n_docs,
+  {sel}
+FROM r GROUP BY source"""
+
+
+def sql_snapshot_diff() -> str:
+    """corpusops.snapshot_diff mirror: the same deterministic snapshot
+    views, hash compare over a full outer join, status rollup."""
+    from blackedge_ocr_spark.analysis.corpusops import (
+        DIFF_ADD,
+        DIFF_DEL,
+        DIFF_MOD,
+        DIFF_REV_MOD,
+        DIFF_REV_SUFFIX,
+    )
+
+    return f"""
+WITH a AS (SELECT doc_id, md5(text) AS h_a FROM documents
+           WHERE doc_id % {DIFF_MOD} <> {DIFF_ADD}),
+b AS (SELECT doc_id,
+        md5(CASE WHEN doc_id % {DIFF_REV_MOD} = 0
+                 THEN text || {_sq(DIFF_REV_SUFFIX)} ELSE text END) AS h_b
+      FROM documents WHERE doc_id % {DIFF_MOD} <> {DIFF_DEL}),
+j AS (SELECT coalesce(a.doc_id, b.doc_id) AS doc_id, h_a, h_b
+      FROM a FULL OUTER JOIN b ON a.doc_id = b.doc_id)
+SELECT CASE WHEN h_a IS NULL THEN 'added'
+            WHEN h_b IS NULL THEN 'removed'
+            WHEN h_a <> h_b THEN 'changed'
+            ELSE 'unchanged' END AS status,
+       count(*)::bigint AS n_docs,
+       min(doc_id) AS min_doc_id, max(doc_id) AS max_doc_id
+FROM j GROUP BY 1"""
