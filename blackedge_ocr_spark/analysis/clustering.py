@@ -51,16 +51,74 @@ from blackedge_ocr_spark.functions.text import normalize_for_comparison
 
 MAX_ROUNDS = 25  # 2^25-long label chains — far beyond any dup graph
 
+# Below this edge count the component computation runs driver-local
+# (union-find over one collect) instead of the iterative DataFrame
+# loop — the same hybrid discipline as the k-means trainer
+# (analysis/ann.py): both engines reach the identical fixpoint (the
+# component-minimum labeling), so the switch is invisible to results
+# and is parity-tested. 5M edges ≈ 80 MB on the driver; the duplicate
+# subgraph of a 10^12-doc corpus exceeds this and takes the
+# distributed path.
+DRIVER_EDGE_CAP = 5_000_000
+
 
 def connected_components(
-    edges: DataFrame, a: str = "a", b: str = "b", max_rounds: int = MAX_ROUNDS
+    edges: DataFrame,
+    a: str = "a",
+    b: str = "b",
+    max_rounds: int = MAX_ROUNDS,
+    driver_edge_cap: int = DRIVER_EDGE_CAP,
 ) -> DataFrame:
     """(node, component) for every node appearing in ``edges``, where
     component = the minimum node id reachable through the undirected
     edge set. Isolated nodes (no edges) are absent from the output —
     callers attach them with a left join + coalesce(component, node)
     so the bulk table never enters the iteration.
+
+    Hybrid engine: edge sets under ``driver_edge_cap`` union-find on
+    the driver (the duplicate subgraph is tiny next to the corpus by
+    construction — collecting EDGES is nothing like collecting the
+    corpus); larger sets run the distributed min-label loop. Both
+    paths produce the identical component-minimum labeling.
     """
+    edges = edges.persist()
+    try:
+        n_edges = edges.count()
+        if n_edges <= driver_edge_cap:
+            return _driver_union_find(edges, a, b)
+        return _distributed_components(edges, a, b, max_rounds)
+    finally:
+        edges.unpersist()
+
+
+def _driver_union_find(edges: DataFrame, a: str, b: str) -> DataFrame:
+    parent: dict = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    # one collect, bounded by driver_edge_cap (toLocalIterator would
+    # pay a driver round-trip per partition — seconds on a
+    # many-partition union of tiny outputs)
+    for row in edges.select(a, b).collect():
+        ra, rb = find(row[0]), find(row[1])
+        if ra != rb:
+            # larger root under smaller → every root is its
+            # component's minimum, matching the distributed fixpoint
+            parent[max(ra, rb)] = min(ra, rb)
+    rows = [(n, find(n)) for n in parent]
+    return edges.sparkSession.createDataFrame(
+        rows, "node long, component long"
+    )
+
+
+def _distributed_components(
+    edges: DataFrame, a: str, b: str, max_rounds: int
+) -> DataFrame:
     sym = edges.select(
         F.col(a).alias("src"), F.col(b).alias("dst")
     ).union(edges.select(F.col(b).alias("src"), F.col(a).alias("dst")))
@@ -130,7 +188,14 @@ def duplicate_edges(docs: DataFrame) -> DataFrame:
         .filter(F.col("doc_id") != F.col("keep_doc_id"))
         .select(F.col("doc_id").alias("a"), F.col("keep_doc_id").alias("b"))
     )
-    near = dedup.production_pairs(docs).select(
+    # Near edges = the production ordering (LSH over exact survivors),
+    # but reusing THIS function's groups instead of calling
+    # dedup.production_pairs — which would recompute the
+    # normalize+md5 pass over the full corpus a second time (the
+    # regex chain is the dominant map cost at scale).
+    keepers = groups.select(F.col("keep_doc_id").alias("doc_id"))
+    survivors = docs.join(keepers, "doc_id")
+    near = dedup.lsh_candidate_pairs(survivors).select(
         F.col("doc_a").alias("a"), F.col("doc_b").alias("b")
     )
     return exact.unionByName(near)

@@ -10,9 +10,14 @@ from blackedge_ocr_spark.analysis import clustering, dedup
 from blackedge_ocr_spark.functions.text import normalize_for_comparison
 
 
-def _cc(spark, pairs):
+def _cc(spark, pairs, driver_edge_cap=0):
+    # driver_edge_cap=0 forces the distributed min-label loop — the
+    # scale path is what these tests pin down; the driver union-find
+    # shortcut is covered by the hybrid parity test below.
     edges = spark.createDataFrame(pairs, "a long, b long")
-    rows = clustering.connected_components(edges).collect()
+    rows = clustering.connected_components(
+        edges, driver_edge_cap=driver_edge_cap
+    ).collect()
     return {r["node"]: r["component"] for r in rows}
 
 
@@ -54,6 +59,24 @@ def test_long_chain_converges_logarithmically(spark):
 def test_empty_edges(spark):
     edges = spark.createDataFrame([], "a long, b long")
     assert clustering.connected_components(edges).count() == 0
+    assert (
+        clustering.connected_components(edges, driver_edge_cap=0).count()
+        == 0
+    )
+
+
+def test_hybrid_engines_identical(spark):
+    # The driver union-find (small-edge shortcut) and the distributed
+    # min-label loop must produce the same labeling — same discipline
+    # as the hybrid k-means trainer.
+    rng = random.Random(11)
+    pairs = [
+        (rng.randrange(150), rng.randrange(150)) for _ in range(90)
+    ]
+    pairs = [(a, b) for a, b in pairs if a != b]
+    via_driver = _cc(spark, pairs, driver_edge_cap=10**9)
+    via_loop = _cc(spark, pairs, driver_edge_cap=0)
+    assert via_driver == via_loop
 
 
 def test_random_graph_matches_union_find(spark):
