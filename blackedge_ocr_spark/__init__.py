@@ -8,6 +8,7 @@ reassembly — declarative DataFrame expressions end-to-end, Arrow UDFs
 only at the inference boundary.
 """
 
+from blackedge_ocr_spark.incremental import incremental_extract  # noqa: F401
 from blackedge_ocr_spark.pipeline import extract_documents  # noqa: F401
 from blackedge_ocr_spark.session import build_session  # noqa: F401
 

@@ -1,0 +1,99 @@
+"""Incremental extraction across corpus snapshots (CDC-style merge).
+
+A 10^12-document lake is re-crawled continuously, but between two
+snapshots only a small fraction of documents is new or revised.
+Re-running the full extract-then-validate pipeline — whose dominant
+cost is the Arrow OCR-classify stage — over the unchanged 99% is the
+single biggest waste an extraction job at this scale can commit.
+
+This module makes the pipeline *input-incremental*, complementing
+``lineage.run_with_checkpoint`` (which makes a single run resumable
+mid-job): results are published with a source-content fingerprint;
+the next run re-extracts ONLY documents whose fingerprint is absent
+or different, carries unchanged results forward untouched, and drops
+documents that left the snapshot.
+
+Scale shape:
+
+- Fingerprints are md5 over the canonical JSON of the input span
+  array — a pure projection on the scan, computed once per snapshot.
+- Delta detection = one hash anti-join of (doc_id, src_md5) pairs —
+  16-byte-ish rows, never text/spans — and the carried side is a
+  left-semi on the same keys. On an Iceberg lake both become a
+  changelog scan between snapshot ids; here they are explicit joins.
+- The expensive ``transform`` (OCR, validation) executes ONLY over
+  the delta rows; the fingerprint join-back to attach ``src_md5`` to
+  fresh results also touches only the delta.
+- Output carries ``refreshed`` (recomputed this run vs carried
+  forward) so lineage audits can report the delta fraction per run.
+
+Reference analog: none — the reference re-processes every uploaded
+document (src/routers/extraction.py); incrementality is part of the
+lake-scale surface the north rule adds.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+SRC_HASH_COL = "src_md5"
+REFRESHED_COL = "refreshed"
+
+
+def with_src_hash(
+    docs: DataFrame, hash_cols: tuple[str, ...] = ("spans",)
+) -> DataFrame:
+    """Deterministic content fingerprint over every input column the
+    transform's output depends on (default: the span array; add e.g.
+    ``query`` if routing inputs can change between snapshots).
+    ``to_json`` over struct/array is canonical (field order fixed by
+    the schema), so equal inputs always hash equal across runs."""
+    return docs.withColumn(
+        SRC_HASH_COL,
+        F.md5(F.to_json(F.struct(*[F.col(c) for c in hash_cols]))),
+    )
+
+
+def incremental_extract(
+    docs: DataFrame,
+    transform,
+    prev: DataFrame | None = None,
+    hash_cols: tuple[str, ...] = ("spans",),
+) -> DataFrame:
+    """Extract the new snapshot ``docs`` through ``transform``,
+    reusing ``prev`` (a previous output of this function) for every
+    document whose (doc_id, src_md5) is unchanged.
+
+    transform: DataFrame -> DataFrame, keyed by doc_id (the flagship
+    ``pipeline.extract_documents`` or any per-document stage).
+    Returns the full result for the new snapshot: transform's columns
+    + ``src_md5`` + ``refreshed``. Removed documents disappear by
+    construction (they are in neither the delta nor the carried set).
+    """
+    cur = with_src_hash(docs, hash_cols)
+    if prev is None:
+        fresh = transform(docs)
+        return fresh.join(
+            cur.select("doc_id", SRC_HASH_COL), "doc_id"
+        ).withColumn(REFRESHED_COL, F.lit(True))
+
+    keys = cur.select("doc_id", SRC_HASH_COL)
+    prev_keys = prev.select("doc_id", SRC_HASH_COL)
+    # Delta = new or revised: fingerprint pair absent from prev.
+    delta_ids = keys.join(
+        prev_keys, ["doc_id", SRC_HASH_COL], "left_anti"
+    ).select("doc_id")
+    # Carried = prev rows whose fingerprint pair survives unchanged
+    # into the new snapshot (removed docs fail this semi-join).
+    carried = prev.join(
+        keys, ["doc_id", SRC_HASH_COL], "left_semi"
+    ).withColumn(REFRESHED_COL, F.lit(False))
+
+    delta_docs = docs.join(delta_ids, "doc_id")
+    fresh = (
+        transform(delta_docs)
+        .join(keys, "doc_id")
+        .withColumn(REFRESHED_COL, F.lit(True))
+    )
+    return fresh.unionByName(carried.select(*fresh.columns))
