@@ -100,6 +100,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_stats": q.q_repetition_stats,
         "paragraph_dedup": q.q_paragraph_dedup,
         "domain_filter": q.q_domain_filter,
+        # training-order / chunking / mix rebalance / vocabulary
+        "corpus_shuffle": q.q_corpus_shuffle,
+        "doc_chunks": q.q_doc_chunks,
+        "lang_rebalance": q.q_lang_rebalance,
+        "top_terms": q.q_top_terms,
     }
     return out
 

@@ -315,3 +315,192 @@ def snapshot_diff(docs: DataFrame) -> DataFrame:
             F.max("doc_id").alias("max_doc_id"),
         )
     )
+
+
+# ------------------------------------------------------------------
+# Training-order shuffle, context-window chunking, language rebalance
+# ------------------------------------------------------------------
+
+SHUFFLE_SEED = "epoch0"  # training-epoch seed: new seed = new order
+CHUNK_TOKENS = 64  # context-window chunk width (tokens)
+CHUNK_STRIDE = 48  # chunk start stride (overlap = CHUNK - STRIDE)
+REBALANCE_DIVISOR = 4  # per-language cap = total // (DIV * n_langs)
+REBALANCE_SEED = "rebal"  # independent of SAMPLE_HEX_LT's hash use
+
+
+def _shuffle_key(doc_id):
+    """Seeded content-independent permutation key. A new epoch seed
+    yields an entirely different (but reproducible) global order —
+    unlike rand(), identical across engines, reruns and cluster
+    layouts."""
+    return F.md5(
+        F.concat(F.lit(SHUFFLE_SEED + ":"), doc_id.cast("string"))
+    )
+
+
+def corpus_shuffle(docs: DataFrame) -> DataFrame:
+    """Deterministic training-order shuffle + shard assignment:
+    every doc gets a seeded hash key; shard = first key byte (256
+    hash-balanced output shards); pos = the doc's 1-based rank within
+    its shard in key order. Writing each shard sorted by pos yields
+    the globally shuffled training order a dataloader consumes.
+
+    Shape at scale — a distributed rank WITHOUT a global sort: the
+    rank window partitions by (shard, bucket = second key byte), so
+    the largest sort any task performs is n/65536 rows; per-bucket
+    counts (65536 rows total) prefix-sum into bucket offsets and
+    broadcast back. Within a shard the key's bucket byte is a prefix
+    of the key itself, so offset + local rank equals the one-window
+    rank EXACTLY — the oracle checks the equality rather than trusting
+    the argument (same discipline as token_packing_2p)."""
+    key = _shuffle_key(F.col("doc_id"))
+    staged = docs.select(
+        "doc_id",
+        key.alias("key"),
+        F.substring(key, 1, 2).alias("shard"),
+        F.substring(key, 3, 2).alias("_bkt"),
+    )
+    w1 = Window.partitionBy("shard", "_bkt").orderBy("key", "doc_id")
+    local = staged.select(
+        "doc_id", "shard", "_bkt", F.row_number().over(w1).alias("_rk")
+    )
+    counts = staged.groupBy("shard", "_bkt").agg(
+        F.count("*").alias("_n")
+    )
+    w2 = (
+        Window.partitionBy("shard")
+        .orderBy("_bkt")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = counts.select(
+        "shard",
+        "_bkt",
+        F.coalesce(F.sum("_n").over(w2), F.lit(0)).alias("_off"),
+    )
+    return local.join(F.broadcast(offsets), ["shard", "_bkt"]).select(
+        "doc_id",
+        "shard",
+        (F.col("_off") + F.col("_rk")).cast("long").alias("pos"),
+    )
+
+
+def doc_chunks(docs: DataFrame) -> DataFrame:
+    """Context-window chunking: split each document's token stream
+    into CHUNK_TOKENS-wide chunks whose starts advance by
+    CHUNK_STRIDE (so consecutive chunks overlap by CHUNK - STRIDE
+    tokens — the standard long-document training treatment). Output
+    one row per chunk: (doc_id, chunk_id, n_toks, chunk_md5).
+
+    Pure per-row projection + explode — ZERO shuffle at any scale;
+    chunk count is data-derived so a 10^6-token doc fans out to
+    ~20k rows in its own task without a driver loop. Token-free
+    documents produce no chunks (inner explode — stated, not hidden).
+    The sequence() is guarded n_chunks > 0 because Spark's
+    sequence(0, -1) DESCENDS (the frame_sample lesson)."""
+    toks = tokens(F.col("text"))
+    n = F.size(toks)
+    # n_chunks = 1 + ceil(max(n - CHUNK, 0) / STRIDE), integer math.
+    n_chunks = (
+        F.floor(
+            (F.greatest(n - CHUNK_TOKENS, F.lit(0)) + (CHUNK_STRIDE - 1))
+            / CHUNK_STRIDE
+        )
+        + 1
+    )
+    ids = F.when(n > 0, F.sequence(F.lit(0).cast("long"), n_chunks - 1))
+    staged = docs.select(
+        "doc_id",
+        toks.alias("_toks"),
+        F.explode(ids).alias("chunk_id"),
+    )
+    sl = F.slice(
+        F.col("_toks"),
+        (F.col("chunk_id") * CHUNK_STRIDE + 1).cast("int"),
+        CHUNK_TOKENS,
+    )
+    return staged.select(
+        "doc_id",
+        "chunk_id",
+        F.size(sl).cast("long").alias("n_toks"),
+        F.md5(F.array_join(sl, " ")).alias("chunk_md5"),
+    )
+
+
+def lang_rebalance(docs: DataFrame) -> DataFrame:
+    """Language-mix rebalancing: cap every language at
+    cap = max(1, total // (REBALANCE_DIVISOR * n_langs)) expected
+    docs, keeping a deterministic seeded-hash subsample of
+    over-represented languages and all of under-represented ones —
+    the flattening step a multilingual training mix applies so one
+    dominant language cannot swamp the corpus.
+
+    The keep decision is a pure hash THRESHOLD (first 4 key bytes,
+    compared as fixed-width hex against floor(cap/n_l * 2^32)), not a
+    per-language rank: a rank window would sort the hottest
+    language's every row in one task, while the threshold needs only
+    the tiny language histogram — one combinable agg over |langs|
+    rows, broadcast back, then a per-row predicate. Expected (not
+    exact) cap compliance is the stated trade: binomial deviation is
+    O(sqrt(cap)), negligible at training scale. cap/n_l * 2^32 is
+    evaluated in IEEE double (exact-rounded, engine-independent) to
+    dodge the bigint overflow of cap * 2^32 at 10^12 docs."""
+    from blackedge_ocr_spark.analysis.textstats import _r6, predict_lang
+
+    tagged = docs.select(
+        "doc_id", predict_lang(F.col("text")).alias("lang")
+    )
+    langs = tagged.groupBy("lang").agg(F.count("*").alias("n_l"))
+    w = Window.partitionBy()  # |langs| rows — a scalar, not a shuffle
+    cap = F.greatest(
+        F.lit(1).cast("long"),
+        F.floor(
+            F.sum("n_l").over(w)
+            / (F.lit(REBALANCE_DIVISOR) * F.count("*").over(w))
+        ),
+    )
+    thr = F.when(
+        F.col("n_l") > F.col("cap"),
+        F.lpad(
+            F.lower(
+                F.hex(
+                    F.floor(
+                        F.col("cap").cast("double")
+                        / F.col("n_l").cast("double")
+                        * F.lit(4294967296.0)
+                    ).cast("long")
+                )
+            ),
+            8,
+            "0",
+        ),
+    )
+    thresholds = langs.select("lang", "n_l", cap.alias("cap")).select(
+        "lang", thr.alias("thr")
+    )
+    h = F.substring(
+        F.md5(
+            F.concat(
+                F.lit(REBALANCE_SEED + ":"), F.col("doc_id").cast("string")
+            )
+        ),
+        1,
+        8,
+    )
+    kept = F.col("thr").isNull() | (h < F.col("thr"))
+    return (
+        tagged.join(F.broadcast(thresholds), "lang")
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(kept.cast("long")).alias("n_kept"),
+        )
+        .select(
+            "lang",
+            "n_docs",
+            "n_kept",
+            _r6(
+                F.col("n_kept").cast("double")
+                / F.col("n_docs").cast("double")
+            ).alias("kept_frac"),
+        )
+    )

@@ -238,3 +238,28 @@ def corpus_token_stats(docs: DataFrame) -> DataFrame:
         )
         cols.append(_r6(v).alias(f"p{t}_tokens"))
     return agged.select(*cols)
+
+
+TOP_K_TERMS = 100  # vocabulary head size, shared with the oracle
+
+
+def top_terms(docs: DataFrame) -> DataFrame:
+    """Exact corpus top-K terms by raw occurrence count — the
+    vocabulary-head / stopword-list builder. Total order (n DESC,
+    term ASC) makes the K-th boundary deterministic across engines.
+
+    Shape at scale: explode tokens → ONE combinable hash agg on term
+    → global top-K. Spark plans the limit as TakeOrderedAndProject:
+    every partition keeps only its local top-K heap and the driver
+    merges P*K rows — O(K) memory, no global sort, no second
+    shuffle. The agg's exchange carries partial counts (map-side
+    combine absorbs hot terms), never raw tokens."""
+    from blackedge_ocr_spark.functions.text import tokens
+
+    return (
+        docs.select(F.explode(tokens(F.col("text"))).alias("term"))
+        .groupBy("term")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.col("n").desc(), F.col("term"))
+        .limit(TOP_K_TERMS)
+    )

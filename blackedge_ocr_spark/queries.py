@@ -1235,3 +1235,37 @@ def q_snapshot_diff(spark, sf_dir) -> DataFrame:
     from blackedge_ocr_spark.analysis import corpusops
 
     return corpusops.snapshot_diff(_docs(spark, sf_dir))
+
+
+def q_corpus_shuffle(spark, sf_dir) -> DataFrame:
+    """Deterministic training-order shuffle: seeded hash key → 256
+    hash-balanced shards + exact within-shard rank via distributed
+    prefix sum (no global sort, no mega-task window)."""
+    from blackedge_ocr_spark.analysis import corpusops
+
+    return corpusops.corpus_shuffle(_docs(spark, sf_dir))
+
+
+def q_doc_chunks(spark, sf_dir) -> DataFrame:
+    """Context-window chunking (64-token chunks, stride 48): pure
+    projection + explode, zero shuffle at any scale."""
+    from blackedge_ocr_spark.analysis import corpusops
+
+    return corpusops.doc_chunks(_docs(spark, sf_dir))
+
+
+def q_lang_rebalance(spark, sf_dir) -> DataFrame:
+    """Language-mix flattening: per-language expected cap enforced by
+    a seeded hash threshold — tiny histogram agg broadcast back, no
+    per-language rank window."""
+    from blackedge_ocr_spark.analysis import corpusops
+
+    return corpusops.lang_rebalance(_docs(spark, sf_dir))
+
+
+def q_top_terms(spark, sf_dir) -> DataFrame:
+    """Exact corpus top-100 terms (n DESC, term ASC):
+    TakeOrderedAndProject over one combinable term agg."""
+    from blackedge_ocr_spark.analysis import textstats
+
+    return textstats.top_terms(_docs(spark, sf_dir))

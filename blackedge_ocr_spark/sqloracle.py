@@ -666,6 +666,11 @@ def build_oracles() -> dict[str, str]:
         "repetition_stats": sql_repetition_stats(),
         "paragraph_dedup": sql_paragraph_dedup(),
         "domain_filter": sql_domain_filter(),
+        # training-order / chunking / mix rebalance / vocabulary
+        "corpus_shuffle": sql_corpus_shuffle(),
+        "doc_chunks": sql_doc_chunks(),
+        "lang_rebalance": sql_lang_rebalance(),
+        "top_terms": sql_top_terms(),
     }
     return out
 
@@ -1176,7 +1181,9 @@ FROM truth, found"""
 # --- text analysis ----------------------------------------------------
 
 
-def sql_lang_id() -> str:
+def lang_sel_sql(alias: str = "predicted_lang") -> str:
+    """``SELECT doc_id, <lang> FROM documents`` — the textstats
+    language-ID mirror, shared by sql_lang_id and sql_lang_rebalance."""
     from blackedge_ocr_spark.analysis.textstats import LANG_PROFILES, UNKNOWN_LANG
 
     toks = tokens_sql("text")
@@ -1198,8 +1205,12 @@ def sql_lang_id() -> str:
     return (
         f"WITH t AS (SELECT doc_id, {toks} AS toks FROM documents), "
         f"s AS (SELECT doc_id, {sel} FROM t) "
-        f"SELECT doc_id, {case} AS predicted_lang FROM s"
+        f"SELECT doc_id, {case} AS {alias} FROM s"
     )
+
+
+def sql_lang_id() -> str:
+    return lang_sel_sql()
 
 
 def sql_token_counts() -> str:
@@ -2016,3 +2027,88 @@ SELECT CASE WHEN h_a IS NULL THEN 'added'
        count(*)::bigint AS n_docs,
        min(doc_id) AS min_doc_id, max(doc_id) AS max_doc_id
 FROM j GROUP BY 1"""
+
+
+def sql_corpus_shuffle() -> str:
+    """corpusops.corpus_shuffle mirror — the oracle ranks with ONE
+    window over the whole shard (the semantics); the engine's
+    two-phase prefix-sum rank must equal it exactly."""
+    from blackedge_ocr_spark.analysis.corpusops import SHUFFLE_SEED
+
+    key = f"md5({_sq(SHUFFLE_SEED + ':')} || doc_id::varchar)"
+    return f"""
+WITH k AS (SELECT doc_id, {key} AS key FROM documents)
+SELECT doc_id, substr(key, 1, 2) AS shard,
+  row_number() OVER (PARTITION BY substr(key, 1, 2)
+                     ORDER BY key, doc_id)::bigint AS pos
+FROM k"""
+
+
+def sql_doc_chunks() -> str:
+    """corpusops.doc_chunks mirror: identical integer chunk-count
+    formula; DuckDB list_slice(begin, end) is end-inclusive, matching
+    Spark slice(start, length) with end = start + length - 1."""
+    from blackedge_ocr_spark.analysis.corpusops import (
+        CHUNK_STRIDE,
+        CHUNK_TOKENS,
+    )
+
+    toks = tokens_sql("text")
+    c, s = CHUNK_TOKENS, CHUNK_STRIDE
+    return f"""
+WITH t AS (SELECT doc_id, {toks} AS toks FROM documents),
+nz AS (SELECT doc_id, toks, len(toks) AS n FROM t WHERE len(toks) > 0),
+e AS (SELECT doc_id, toks,
+        unnest(range(0, ((greatest(n - {c}, 0) + {s - 1}) // {s}) + 1))
+          AS chunk_id
+      FROM nz),
+sl AS (SELECT doc_id, chunk_id,
+         list_slice(toks, chunk_id * {s} + 1, chunk_id * {s} + {c}) AS sl
+       FROM e)
+SELECT doc_id, chunk_id::bigint AS chunk_id,
+  len(sl)::bigint AS n_toks,
+  md5(array_to_string(sl, ' ')) AS chunk_md5
+FROM sl"""
+
+
+def sql_lang_rebalance() -> str:
+    """corpusops.lang_rebalance mirror: same histogram → same integer
+    cap → same double-rounded threshold → same fixed-width-hex
+    compare. cap/n_l * 2^32 stays in IEEE double on both engines
+    (exact-rounded ops — bit-identical), floor() then hex-pads."""
+    from blackedge_ocr_spark.analysis.corpusops import (
+        REBALANCE_DIVISOR,
+        REBALANCE_SEED,
+    )
+
+    h = f"substr(md5({_sq(REBALANCE_SEED + ':')} || doc_id::varchar), 1, 8)"
+    return f"""
+WITH l AS ({lang_sel_sql('lang')}),
+g AS (SELECT lang, count(*)::bigint AS n_l FROM l GROUP BY lang),
+c AS (SELECT greatest(1, floor(sum(n_l)::double
+        / ({REBALANCE_DIVISOR} * count(*)))::bigint) AS cap FROM g),
+thr AS (SELECT lang,
+          CASE WHEN n_l > cap THEN
+            lpad(lower(hex(floor(cap::double / n_l::double
+                                 * 4294967296.0)::bigint)), 8, '0')
+          END AS thr
+        FROM g, c),
+k AS (SELECT l.lang,
+        (thr.thr IS NULL OR {h} < thr.thr)::int AS kept
+      FROM l JOIN thr ON l.lang = thr.lang)
+SELECT lang, count(*)::bigint AS n_docs, sum(kept)::bigint AS n_kept,
+  floor(sum(kept)::double / count(*)::double * 1000000 + 0.5) / 1000000
+    AS kept_frac
+FROM k GROUP BY lang"""
+
+
+def sql_top_terms() -> str:
+    """textstats.top_terms mirror: total order (n DESC, term ASC)
+    makes the K-boundary deterministic in both engines."""
+    from blackedge_ocr_spark.analysis.textstats import TOP_K_TERMS
+
+    toks = tokens_sql("text")
+    return f"""
+WITH e AS (SELECT unnest({toks}) AS term FROM documents)
+SELECT term, count(*)::bigint AS n FROM e
+GROUP BY term ORDER BY n DESC, term ASC LIMIT {TOP_K_TERMS}"""

@@ -144,3 +144,119 @@ def test_sample_predicate_is_deterministic(spark):
     a = corpusops.corpus_sample(d).collect()
     b = corpusops.corpus_sample(d).collect()
     assert a == b
+
+
+# ------------------------------------------------------------------
+# corpus_shuffle / doc_chunks / lang_rebalance / top_terms
+# ------------------------------------------------------------------
+
+
+def test_corpus_shuffle_pos_is_permutation_within_shard(spark):
+    d = _docs_df(spark, [(i, f"doc {i}", "s") for i in range(300)])
+    out = corpusops.corpus_shuffle(d).collect()
+    assert len(out) == 300
+    by_shard = {}
+    for r in out:
+        by_shard.setdefault(r["shard"], []).append(r["pos"])
+    for shard, poss in by_shard.items():
+        assert sorted(poss) == list(range(1, len(poss) + 1)), shard
+
+
+def test_corpus_shuffle_two_phase_equals_one_window_rank(spark):
+    from pyspark.sql import Window
+
+    d = _docs_df(spark, [(i, f"doc {i}", "s") for i in range(200)])
+    key = corpusops._shuffle_key(F.col("doc_id"))
+    w = Window.partitionBy(F.substring(key, 1, 2)).orderBy(
+        key, F.col("doc_id")
+    )
+    oracle = d.select(
+        "doc_id",
+        F.substring(key, 1, 2).alias("shard"),
+        F.row_number().over(w).cast("long").alias("pos"),
+    )
+    assert corpusops.corpus_shuffle(d).exceptAll(oracle).count() == 0
+
+
+def test_corpus_shuffle_order_is_seeded_not_input_order(spark):
+    # Reversing input row order must not change any assignment.
+    rows = [(i, f"doc {i}", "s") for i in range(100)]
+    a = corpusops.corpus_shuffle(_docs_df(spark, rows)).collect()
+    b = corpusops.corpus_shuffle(_docs_df(spark, rows[::-1])).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+def test_doc_chunks_boundaries_and_overlap(spark):
+    # 113 tokens -> 3 chunks: [0:64], [48:112], [96:113].
+    toks = [f"t{i:03d}" for i in range(113)]
+    d = _docs_df(spark, [(0, " ".join(toks), "s"), (1, "", "s")])
+    out = sorted(
+        corpusops.doc_chunks(d).collect(), key=lambda r: r["chunk_id"]
+    )
+    assert [r["chunk_id"] for r in out] == [0, 1, 2]
+    assert [r["n_toks"] for r in out] == [64, 64, 17]
+    exp = lambda lo, hi: hashlib.md5(
+        " ".join(toks[lo:hi]).encode()
+    ).hexdigest()
+    assert out[0]["chunk_md5"] == exp(0, 64)
+    assert out[1]["chunk_md5"] == exp(48, 112)
+    assert out[2]["chunk_md5"] == exp(96, 113)
+
+
+def test_doc_chunks_short_doc_single_chunk(spark):
+    d = _docs_df(spark, [(0, "alpha beta", "s")])
+    out = corpusops.doc_chunks(d).collect()
+    assert len(out) == 1
+    assert out[0]["chunk_id"] == 0 and out[0]["n_toks"] == 2
+    assert (
+        out[0]["chunk_md5"]
+        == hashlib.md5(b"alpha beta").hexdigest()
+    )
+
+
+def test_doc_chunks_exact_width_no_spill_chunk(spark):
+    toks = " ".join(f"t{i}" for i in range(corpusops.CHUNK_TOKENS))
+    d = _docs_df(spark, [(0, toks, "s")])
+    assert corpusops.doc_chunks(d).count() == 1
+
+
+def test_lang_rebalance_caps_hot_language_keeps_small_one(spark):
+    # 400 English docs vs 8 unknown-language docs; 2 langs ->
+    # cap = 408 // 8 = 51: en subsampled to ~cap, und kept whole.
+    en = [(i, "the quick fox and the lazy dog with", "s") for i in range(400)]
+    und = [(1000 + i, "zz qq xx", "s") for i in range(8)]
+    out = {
+        r["lang"]: r
+        for r in corpusops.lang_rebalance(_docs_df(spark, en + und)).collect()
+    }
+    assert out["und"]["n_kept"] == 8 and out["und"]["kept_frac"] == 1.0
+    cap = 408 // (corpusops.REBALANCE_DIVISOR * 2)
+    assert out["en"]["n_docs"] == 400
+    # binomial around cap=51 at rate 51/400: generous 3-sigma band
+    assert cap - 21 <= out["en"]["n_kept"] <= cap + 24
+    # deterministic: bit-identical on rerun
+    again = {
+        r["lang"]: r["n_kept"]
+        for r in corpusops.lang_rebalance(_docs_df(spark, en + und)).collect()
+    }
+    assert again["en"] == out["en"]["n_kept"]
+
+
+def test_top_terms_order_and_tiebreak(spark):
+    from blackedge_ocr_spark.analysis.textstats import top_terms
+
+    d = _docs_df(
+        spark,
+        [
+            (0, "apple apple banana cherry", "s"),
+            (1, "banana apple date", "s"),
+        ],
+    )
+    out = [(r["term"], r["n"]) for r in top_terms(d).collect()]
+    # apple x3, banana x2, then count-1 terms tie-broken alphabetically
+    assert out == [
+        ("apple", 3),
+        ("banana", 2),
+        ("cherry", 1),
+        ("date", 1),
+    ]
