@@ -105,6 +105,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_chunks": q.q_doc_chunks,
         "lang_rebalance": q.q_lang_rebalance,
         "top_terms": q.q_top_terms,
+        "incremental_extract": q.q_incremental_extract,
     }
     return out
 

@@ -369,7 +369,12 @@ def q_pipeline_extract(spark, sf_dir) -> DataFrame:
     same way. Field separators are the ASCII unit/record separators so
     no document text can alias the serialization.
     """
-    r = q_pipeline_extract_full(spark, sf_dir)
+    return pipeline_contract(q_pipeline_extract_full(spark, sf_dir))
+
+
+def pipeline_contract(r: DataFrame) -> DataFrame:
+    """The scalar contract projection over a RESULT_SCHEMA frame —
+    shared by q_pipeline_extract and q_incremental_extract."""
     span_ser = F.concat_ws(
         "\x1e",
         F.transform(
@@ -1269,3 +1274,32 @@ def q_top_terms(spark, sf_dir) -> DataFrame:
     from blackedge_ocr_spark.analysis import textstats
 
     return textstats.top_terms(_docs(spark, sf_dir))
+
+
+def q_incremental_extract(spark, sf_dir) -> DataFrame:
+    """CDC incremental extraction as a DRIVER-CONTRACT query: run the
+    flagship pipeline over snapshot A (the snapshot_diff views, minus
+    revisions), then incrementally over snapshot B — the engine must
+    (a) produce spans_md5 bit-equal to a FULL re-extract of B (the
+    oracle computes B from scratch) and (b) mark exactly the
+    added/revised docs refreshed (the oracle derives the flag in
+    closed form from the snapshot arithmetic, so a fingerprint
+    false-hit/miss fails the hash compare).
+
+    Scale shape: the expensive Arrow OCR stage executes only over the
+    delta (~8% of B here); unchanged results carry forward through a
+    hash-only semi-join (incremental.py)."""
+    from blackedge_ocr_spark.analysis.corpusops import snapshot_views
+    from blackedge_ocr_spark.datagen import replicate_corpus, spansify_frame
+    from blackedge_ocr_spark.incremental import incremental_extract
+
+    docs = spark.read.parquet(f"{sf_dir.rstrip('/')}/documents.parquet")
+    docs = docs.repartition(_par(spark), "doc_id")
+    docs = replicate_corpus(docs)
+    a_docs, b_docs = snapshot_views(docs)
+    transform = lambda d: pipeline_contract(
+        extract_documents(d, query_col="query", enable_validation=True)
+    )
+    prev = incremental_extract(spansify_frame(a_docs), transform)
+    out = incremental_extract(spansify_frame(b_docs), transform, prev=prev)
+    return out.select("doc_id", "workflow", "spans_md5", "refreshed")

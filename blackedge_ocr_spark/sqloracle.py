@@ -317,9 +317,19 @@ def fake_ocr_sql(provider: str, ref: str) -> str:
 # --------------------------------------------------- spansify CTE chain
 
 
-def spansify_cte(words_per_span: int = 40, mega_every: int = 211, mega_factor: int = 25) -> str:
+def spansify_cte(
+    words_per_span: int = 40,
+    mega_every: int = 211,
+    mega_factor: int = 25,
+    src: str = "documents",
+    suffix: str = "",
+) -> str:
     """CTEs producing ``sp(doc_id, offset, kind, text, media_ref)`` and
-    ``docq(doc_id, query)`` — datagen.spansify_documents mirror."""
+    ``docq(doc_id, query)`` — datagen.spansify_documents mirror.
+    ``src`` swaps the source relation (e.g. a snapshot CTE over
+    documents) — the Spark twin is spansify_frame over any frame;
+    ``suffix`` renames the CTEs (rep/spanidx/sp/docq + suffix) so two
+    spansifications can coexist in one statement."""
     organic4 = "array_to_string(list_slice(str_split(d.text, ' '), 1, 4), ' ')"
     q_whens = "".join(
         f" WHEN {i + 1} THEN {_sq(t)}"
@@ -335,19 +345,19 @@ def spansify_cte(words_per_span: int = 40, mega_every: int = 211, mega_factor: i
     )
     wps = words_per_span
     return f"""
-rep AS (
+rep{suffix} AS (
   SELECT doc_id,
          CASE WHEN doc_id % {mega_every} = 0
               THEN flatten(list_transform(range({mega_factor}), r -> str_split(text, ' ')))
               ELSE str_split(text, ' ') END AS t
-  FROM documents
+  FROM {src}
 ),
-spanidx AS (
+spanidx{suffix} AS (
   SELECT doc_id, t,
          unnest(range(greatest(ceil(len(t) / {wps}.0)::int, 1))) AS i
-  FROM rep
+  FROM rep{suffix}
 ),
-sp AS (
+sp{suffix} AS (
   SELECT doc_id, i::int AS "offset",
     CASE ((doc_id * 7 + i) % 9)
       WHEN 3 THEN 'image' WHEN 7 THEN 'table' ELSE 'text' END AS kind,
@@ -357,14 +367,14 @@ sp AS (
       ELSE array_to_string(list_slice(t, i*{wps}+1, i*{wps}+{wps}), ' ') END AS text,
     CASE WHEN ((doc_id * 7 + i) % 9) = 3
          THEN 'm-' || doc_id::varchar || '-' || i::varchar ELSE '' END AS media_ref
-  FROM spanidx
+  FROM spanidx{suffix}
 ),
-docq AS (
+docq{suffix} AS (
   SELECT doc_id,
          (CASE ((doc_id % 7) + 1){q_whens}
                WHEN 6 THEN {organic4}
                ELSE '' END) AS query
-  FROM documents d
+  FROM {src} d
 )"""
 
 
@@ -671,6 +681,7 @@ def build_oracles() -> dict[str, str]:
         "doc_chunks": sql_doc_chunks(),
         "lang_rebalance": sql_lang_rebalance(),
         "top_terms": sql_top_terms(),
+        "incremental_extract": sql_incremental_extract(),
     }
     return out
 
@@ -2112,3 +2123,54 @@ def sql_top_terms() -> str:
 WITH e AS (SELECT unnest({toks}) AS term FROM documents)
 SELECT term, count(*)::bigint AS n FROM e
 GROUP BY term ORDER BY n DESC, term ASC LIMIT {TOP_K_TERMS}"""
+
+
+def sql_incremental_extract() -> str:
+    """queries.q_incremental_extract mirror: the oracle extracts
+    snapshot B FROM SCRATCH (spansify + routing + OCR fill over the
+    revised/filtered corpus) and derives ``refreshed`` from actual
+    span-array equality between the two spansified snapshots — NOT
+    from the revision arithmetic: a revision appending a token that
+    lands inside an image span leaves the extraction input unchanged,
+    and the engine's content fingerprint rightly carries the doc
+    forward (caught live at sf0.01: docs 17/255/323). A
+    carried-forward row that should have been recomputed (or vice
+    versa) fails the hash compare."""
+    from blackedge_ocr_spark.analysis.corpusops import (
+        DIFF_ADD,
+        DIFF_DEL,
+        DIFF_MOD,
+        DIFF_REV_MOD,
+        DIFF_REV_SUFFIX,
+    )
+
+    span_ser = (
+        "kind || chr(31) || text || chr(31) || media_ref || chr(31) "
+        '|| "offset"::varchar'
+    )
+    raw_md5 = f"md5(string_agg({span_ser}, chr(30) ORDER BY \"offset\"))"
+    return f"""
+WITH snapa AS (
+  SELECT doc_id, text FROM documents WHERE doc_id % {DIFF_MOD} <> {DIFF_ADD}
+),
+snapb AS (
+  SELECT doc_id,
+    CASE WHEN doc_id % {DIFF_REV_MOD} = 0
+         THEN text || {_sq(DIFF_REV_SUFFIX)} ELSE text END AS text
+  FROM documents WHERE doc_id % {DIFF_MOD} <> {DIFF_DEL}
+),
+{spansify_cte(src='snapa', suffix='_a')},
+{spansify_cte(src='snapb')}, {extracted_cte()},
+raw_a AS (SELECT doc_id, {raw_md5} AS h FROM sp_a GROUP BY doc_id),
+raw_b AS (SELECT doc_id, {raw_md5} AS h FROM sp GROUP BY doc_id),
+agg AS (
+  SELECT doc_id,
+    md5(string_agg({span_ser}, chr(30) ORDER BY "offset")) AS spans_md5
+  FROM ext GROUP BY doc_id
+)
+SELECT a.doc_id, p.workflow, a.spans_md5,
+  (ra.h IS NULL OR ra.h <> rb.h) AS refreshed
+FROM agg a
+JOIN prov p ON p.doc_id = a.doc_id
+JOIN raw_b rb ON rb.doc_id = a.doc_id
+LEFT JOIN raw_a ra ON ra.doc_id = a.doc_id"""
