@@ -106,6 +106,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_rebalance": q.q_lang_rebalance,
         "top_terms": q.q_top_terms,
         "incremental_extract": q.q_incremental_extract,
+        "span_packing": q.q_span_packing,
     }
     return out
 

@@ -504,3 +504,59 @@ def lang_rebalance(docs: DataFrame) -> DataFrame:
             ).alias("kept_frac"),
         )
     )
+
+
+# ------------------------------------------------------------------
+# Interleaved multimodal sequence packing (span-level)
+# ------------------------------------------------------------------
+
+SEQ_BUDGET = 120  # token budget per training sequence
+IMG_TOKEN_COST = 16  # fixed token cost of a media span (patch budget)
+
+
+def span_packing(spansified: DataFrame) -> DataFrame:
+    """Pack each document's ORDERED interleaved span sequence (text +
+    media, the north-star payload) into training sequences of
+    ~SEQ_BUDGET tokens: a text/table span costs its whitespace token
+    count, a media span costs the fixed IMG_TOKEN_COST patch budget;
+    span i joins sequence floor(tokens_before_i / SEQ_BUDGET). Span
+    order is preserved within and across sequences — the construction
+    a multimodal trainer uses to build context windows without
+    splitting a document's narrative.
+
+    Shape at scale: explode spans → running cost sum windowed per
+    doc_id (the spansified frame is already hash-distributed on
+    doc_id, so the window adds a LOCAL sort, no new exchange) → one
+    combinable hash agg on (doc_id, seq_id). The per-task sort is
+    bounded by max spans/doc (the mega-doc stratum is a bounded 25x);
+    a pathological 10^6-span doc would take the user_sessions_2p
+    two-phase split. Contrast with token_packing (doc-level corpus
+    sharding); this packs WITHIN documents and keeps media interleaved.
+    """
+    ex = spansified.select("doc_id", F.explode("spans").alias("s"))
+    cost = (
+        F.when(F.col("s.kind") == "image", F.lit(IMG_TOKEN_COST))
+        .otherwise(F.size(F.split(F.col("s.text"), " ")))
+        .cast("long")
+    )
+    w = (
+        Window.partitionBy("doc_id")
+        .orderBy(F.col("s.offset"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    staged = ex.select(
+        "doc_id",
+        (F.col("s.kind") == "image").cast("long").alias("is_media"),
+        cost.alias("cost"),
+        F.sum(cost).over(w).alias("cum"),
+    )
+    seq = F.floor((F.col("cum") - F.col("cost")) / SEQ_BUDGET)
+    return (
+        staged.select("doc_id", seq.alias("seq_id"), "is_media", "cost")
+        .groupBy("doc_id", "seq_id")
+        .agg(
+            F.count("*").alias("n_spans"),
+            F.sum("is_media").alias("n_media"),
+            F.sum("cost").alias("seq_tokens"),
+        )
+    )

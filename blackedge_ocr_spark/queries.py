@@ -1303,3 +1303,12 @@ def q_incremental_extract(spark, sf_dir) -> DataFrame:
     prev = incremental_extract(spansify_frame(a_docs), transform)
     out = incremental_extract(spansify_frame(b_docs), transform, prev=prev)
     return out.select("doc_id", "workflow", "spans_md5", "refreshed")
+
+
+def q_span_packing(spark, sf_dir) -> DataFrame:
+    """Interleaved multimodal sequence packing over the span corpus:
+    local window (no new exchange over the doc_id-distributed frame)
+    + one combinable agg."""
+    from blackedge_ocr_spark.analysis.corpusops import span_packing
+
+    return span_packing(spansify_documents(spark, sf_dir))

@@ -682,6 +682,7 @@ def build_oracles() -> dict[str, str]:
         "lang_rebalance": sql_lang_rebalance(),
         "top_terms": sql_top_terms(),
         "incremental_extract": sql_incremental_extract(),
+        "span_packing": sql_span_packing(),
     }
     return out
 
@@ -2174,3 +2175,35 @@ FROM agg a
 JOIN prov p ON p.doc_id = a.doc_id
 JOIN raw_b rb ON rb.doc_id = a.doc_id
 LEFT JOIN raw_a ra ON ra.doc_id = a.doc_id"""
+
+
+def sql_span_packing() -> str:
+    """corpusops.span_packing mirror: one window cumsum over the sp
+    span rows in offset order, identical cost model (media span =
+    IMG_TOKEN_COST, else whitespace token count)."""
+    from blackedge_ocr_spark.analysis.corpusops import (
+        IMG_TOKEN_COST,
+        SEQ_BUDGET,
+    )
+
+    return f"""
+WITH {spansify_cte()},
+c AS (
+  SELECT doc_id, "offset",
+    (kind = 'image')::bigint AS is_media,
+    (CASE WHEN kind = 'image' THEN {IMG_TOKEN_COST}
+          ELSE len(str_split(text, ' ')) END)::bigint AS cost
+  FROM sp
+),
+cm AS (
+  SELECT doc_id, is_media, cost,
+    sum(cost) OVER (PARTITION BY doc_id ORDER BY "offset"
+                    ROWS UNBOUNDED PRECEDING) AS cum
+  FROM c
+)
+SELECT doc_id,
+  floor((cum - cost)::double / {SEQ_BUDGET})::bigint AS seq_id,
+  count(*)::bigint AS n_spans,
+  sum(is_media)::bigint AS n_media,
+  sum(cost)::bigint AS seq_tokens
+FROM cm GROUP BY doc_id, seq_id"""

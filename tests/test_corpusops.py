@@ -260,3 +260,67 @@ def test_top_terms_order_and_tiebreak(spark):
         ("cherry", 1),
         ("date", 1),
     ]
+
+
+def test_span_packing_budget_boundaries_and_media_cost(spark):
+    # Hand-built interleaved spans: budget 120, image cost 16.
+    # costs: 100 (text) -> seq 0 (cum_before 0); 16 (image) -> seq 0
+    # (cum_before 100); 30 (text) -> seq 0 (cum_before 116 < 120);
+    # 16 (image) -> seq 1 (cum_before 146); 200 (text) -> seq 1
+    # (cum_before 162); next -> seq 3 (cum_before 362).
+    span = lambda off, kind, words: {
+        "kind": kind,
+        "text": " ".join(f"w{i}" for i in range(words)) if words else "",
+        "media_ref": f"m-{off}" if kind == "image" else "",
+        "offset": off,
+    }
+    rows = [
+        {
+            "doc_id": 1,
+            "spans": [
+                span(0, "text", 100),
+                span(1, "image", 0),
+                span(2, "text", 30),
+                span(3, "image", 0),
+                span(4, "text", 200),
+                span(5, "text", 5),
+            ],
+        }
+    ]
+    d = spark.createDataFrame(
+        rows,
+        "doc_id long, spans array<struct<kind:string,text:string,"
+        "media_ref:string,offset:int>>",
+    )
+    out = {
+        r["seq_id"]: r for r in corpusops.span_packing(d).collect()
+    }
+    assert out[0]["n_spans"] == 3 and out[0]["n_media"] == 1
+    assert out[0]["seq_tokens"] == 100 + 16 + 30
+    assert out[1]["n_spans"] == 2 and out[1]["n_media"] == 1
+    assert out[1]["seq_tokens"] == 16 + 200
+    assert out[3]["n_spans"] == 1 and out[3]["seq_tokens"] == 5
+    assert sorted(out) == [0, 1, 3]
+
+
+def test_span_packing_restores_scrambled_span_order(spark):
+    # Same spans stored in scrambled order must pack identically —
+    # the window orders by offset, not storage order.
+    span = lambda off, words: {
+        "kind": "text",
+        "text": " ".join(f"w{i}" for i in range(words)),
+        "media_ref": "",
+        "offset": off,
+    }
+    ordered = [span(i, 60) for i in range(4)]
+    schema = (
+        "doc_id long, spans array<struct<kind:string,text:string,"
+        "media_ref:string,offset:int>>"
+    )
+    a = spark.createDataFrame([{"doc_id": 1, "spans": ordered}], schema)
+    b = spark.createDataFrame(
+        [{"doc_id": 1, "spans": ordered[::-1]}], schema
+    )
+    ra = sorted(map(tuple, corpusops.span_packing(a).collect()))
+    rb = sorted(map(tuple, corpusops.span_packing(b).collect()))
+    assert ra == rb and len(ra) == 2
