@@ -107,6 +107,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_terms": q.q_top_terms,
         "incremental_extract": q.q_incremental_extract,
         "span_packing": q.q_span_packing,
+        "quality_sample": q.q_quality_sample,
     }
     return out
 

@@ -43,6 +43,8 @@ BENCH_QUERIES = (
     "user_sessions_2p",
     "dup_ngrams",
     "paragraph_dedup",
+    "corpus_shuffle",
+    "span_packing",
 )
 
 

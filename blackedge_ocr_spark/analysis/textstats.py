@@ -263,3 +263,53 @@ def top_terms(docs: DataFrame) -> DataFrame:
         .orderBy(F.col("n").desc(), F.col("term"))
         .limit(TOP_K_TERMS)
     )
+
+
+QS_SEED = "qs"  # quality-sampling hash seed (independent stream)
+
+
+def quality_sample(docs: DataFrame) -> DataFrame:
+    """Quality-weighted deterministic downsampling: each doc is kept
+    with probability equal to its (r6-rounded) quality score — the
+    soft curation a training mix applies instead of a hard threshold,
+    so mid-quality text is represented proportionally rather than
+    cliff-dropped. Keep decision = seeded 24-bit hash prefix compared
+    against floor(q * 2^24) as fixed-width hex; q >= 1 short-circuits
+    to keep (2^24 would be 7 hex digits and lpad would truncate).
+
+    Zero shuffle before the final per-source agg: quality is the
+    inline expression (quality_col), the hash is a pure projection,
+    and both sides of the threshold are engine-portable integer/hex
+    ops (the r6 quality itself is proven bit-identical by the
+    quality_scores contract row)."""
+    q6 = quality_col(F.col("text"))
+    h = F.substring(
+        F.md5(
+            F.concat(F.lit(QS_SEED + ":"), F.col("doc_id").cast("string"))
+        ),
+        1,
+        6,
+    )
+    thr = F.lpad(
+        F.lower(F.hex(F.floor(q6 * F.lit(16777216.0)).cast("long"))),
+        6,
+        "0",
+    )
+    kept = F.when(q6 >= 1.0, F.lit(True)).otherwise(h < thr)
+    staged = docs.select("source", kept.alias("kept"))
+    return (
+        staged.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.col("kept").cast("long")).alias("n_kept"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "n_kept",
+            _r6(
+                F.col("n_kept").cast("double")
+                / F.col("n_docs").cast("double")
+            ).alias("kept_frac"),
+        )
+    )

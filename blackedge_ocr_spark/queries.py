@@ -1312,3 +1312,11 @@ def q_span_packing(spark, sf_dir) -> DataFrame:
     from blackedge_ocr_spark.analysis.corpusops import span_packing
 
     return span_packing(spansify_documents(spark, sf_dir))
+
+
+def q_quality_sample(spark, sf_dir) -> DataFrame:
+    """Quality-weighted sampling report: pure projection + one
+    combinable agg on source."""
+    from blackedge_ocr_spark.analysis import textstats
+
+    return textstats.quality_sample(_docs(spark, sf_dir))

@@ -683,6 +683,7 @@ def build_oracles() -> dict[str, str]:
         "top_terms": sql_top_terms(),
         "incremental_extract": sql_incremental_extract(),
         "span_packing": sql_span_packing(),
+        "quality_sample": sql_quality_sample(),
     }
     return out
 
@@ -2207,3 +2208,46 @@ SELECT doc_id,
   sum(is_media)::bigint AS n_media,
   sum(cost)::bigint AS seq_tokens
 FROM cm GROUP BY doc_id, seq_id"""
+
+
+def sql_quality_sample() -> str:
+    """textstats.quality_sample mirror: same r6 quality composite as
+    sql_quality_scores, same seeded 24-bit hex threshold."""
+    from blackedge_ocr_spark.analysis.textstats import LANG_PROFILES, QS_SEED
+
+    toks = tokens_sql("text")
+    stop = (
+        "len(list_filter(toks, t -> list_contains(["
+        + ", ".join(_sq(w) for w in LANG_PROFILES[0][1])
+        + "], t)))"
+    )
+    h = f"substr(md5({_sq(QS_SEED + ':')} || doc_id::varchar), 1, 6)"
+    return f"""
+WITH t AS (SELECT doc_id, source, {toks} AS toks FROM documents),
+m AS (
+  SELECT doc_id, source, len(toks) AS n_words,
+    CASE WHEN len(toks) > 0
+         THEN list_sum(list_transform(toks, tk -> length(tk)::double)) / len(toks)::double
+         ELSE 0.0 END AS mean_word_len,
+    CASE WHEN len(toks) > 0 THEN ({stop})::double / len(toks)::double
+         ELSE 0.0 END AS stop_ratio
+  FROM t
+),
+q AS (
+  SELECT doc_id, source,
+    floor((0.5 * least(n_words::double / 50.0, 1.0) + 0.3 * stop_ratio
+           + 0.2 * least(mean_word_len / 8.0, 1.0)) * 1000000 + 0.5)
+      / 1000000 AS q6
+  FROM m
+),
+k AS (
+  SELECT source,
+    CASE WHEN q6 >= 1.0 THEN 1
+         ELSE ({h} < lpad(lower(hex(floor(q6 * 16777216.0)::bigint)), 6, '0'))::int
+    END AS kept
+  FROM q
+)
+SELECT source, count(*)::bigint AS n_docs, sum(kept)::bigint AS n_kept,
+  floor(sum(kept)::double / count(*)::double * 1000000 + 0.5) / 1000000
+    AS kept_frac
+FROM k GROUP BY source"""

@@ -572,3 +572,26 @@ def test_ann_recall_reports_every_method_even_with_zero_hits(spark):
     for r in rows:
         assert 0 <= r["hits"] <= r["n_queries"] * 5
         assert 0.0 <= r["recall"] <= 1.0
+
+
+def test_quality_sample_rate_tracks_quality(spark):
+    """High-quality docs keep at ~their quality rate; empty docs
+    (quality 0) are never kept."""
+    from pyspark.sql import Row
+
+    from blackedge_ocr_spark.analysis.textstats import quality_sample
+
+    rich = (
+        "the quick brown fox jumps over the lazy dog and then "
+        "describes a complete sentence with common stopwords in it "
+    ) * 3
+    rows = [Row(doc_id=i, text=rich, source="rich") for i in range(300)]
+    rows += [Row(doc_id=1000 + i, text="", source="empty") for i in range(20)]
+    d = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = {r["source"]: r for r in quality_sample(d).collect()}
+    assert out["empty"]["n_kept"] == 0
+    # rich quality is high (>= 0.7); binomial 3-sigma band around 300*q
+    assert out["rich"]["n_kept"] >= 150
+    # deterministic across reruns
+    again = {r["source"]: r["n_kept"] for r in quality_sample(d).collect()}
+    assert again["rich"] == out["rich"]["n_kept"]
