@@ -146,3 +146,55 @@ def test_ivf_index_probe_prunes_partitions(spark, tmp_path):
     key = lambda r: (r["q_id"], r["rank"])
     assert sorted(map(tuple, got), key=lambda t: (t[0], t[1])) == \
         sorted(map(tuple, want), key=lambda t: (t[0], t[1]))
+
+
+def test_doc_chunks_zero_semantic_shuffle(spark):
+    """Chunking is a pure projection + explode: the only exchange is
+    the shared scan-spread repartition, never chunking logic."""
+    from blackedge_ocr_spark.queries import q_doc_chunks
+
+    assert plans.count_exchanges(q_doc_chunks(spark, SF)) <= 1
+
+
+def test_span_packing_no_new_exchange_over_distributed_frame(spark):
+    """The packing window must reuse the spansify frame's doc_id hash
+    distribution (local sort only): total exchanges = the scan spread
+    + the final (doc_id, seq_id) agg — nothing for the window."""
+    from blackedge_ocr_spark.analysis.corpusops import span_packing
+
+    out = span_packing(spansify_documents(spark, SF))
+    assert plans.count_exchanges(out) <= 2
+
+
+def test_corpus_shuffle_no_python_and_bounded_shuffles(spark):
+    """Distributed rank = bucketed window + tiny offsets branch; only
+    two O(n) exchanges (scan spread + (shard,bucket) window), the
+    rest touch 65536-row aggregates."""
+    from blackedge_ocr_spark.queries import q_corpus_shuffle
+
+    out = q_corpus_shuffle(spark, SF)
+    p = plans.formatted_plan(out)
+    c = plans.plan_counts(p)
+    assert c["python_stages"] == 0
+    assert c["exchanges"] <= 5
+    # the offsets side must broadcast, not shuffle-join
+    assert "BroadcastHashJoin" in p
+
+
+def test_lang_rebalance_corpus_never_shuffle_joined(spark):
+    """The language histogram joins back by BROADCAST; the corpus
+    side must not shuffle for the join."""
+    from blackedge_ocr_spark.queries import q_lang_rebalance
+
+    p = plans.formatted_plan(q_lang_rebalance(spark, SF))
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+
+
+def test_top_terms_plans_as_take_ordered(spark):
+    """The global top-K must plan as TakeOrderedAndProject (per-
+    partition heaps, O(K) merge) — not a global Sort + Limit."""
+    from blackedge_ocr_spark.queries import q_top_terms
+
+    p = plans.formatted_plan(q_top_terms(spark, SF))
+    assert "TakeOrderedAndProject" in p
