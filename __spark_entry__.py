@@ -108,6 +108,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "incremental_extract": q.q_incremental_extract,
         "span_packing": q.q_span_packing,
         "quality_sample": q.q_quality_sample,
+        # tokenizer / split / mixture (corpus assembly)
+        "bpe_pairs": q.q_bpe_pairs,
+        "data_split": q.q_data_split,
+        "mixture_weights": q.q_mixture_weights,
     }
     return out
 

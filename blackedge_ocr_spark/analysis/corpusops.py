@@ -560,3 +560,103 @@ def span_packing(spansified: DataFrame) -> DataFrame:
             F.sum("cost").alias("seq_tokens"),
         )
     )
+
+
+# ------------------------------------------------------------------
+# Train/val/test split + source-mixture weights (corpus assembly)
+
+SPLIT_SEED = "split"  # independent hash stream from SHUFFLE/REBAL/QS
+VAL_FRAC = 0.02
+TEST_FRAC = 0.02
+# 24-bit hash-prefix thresholds as fixed-width hex (the proven
+# lang_rebalance/quality_sample trick); int() truncation of the IEEE
+# product is deterministic and the SAME literal lands in the oracle.
+_VAL_HEX = format(int(VAL_FRAC * 16777216), "06x")
+_VALTEST_HEX = format(int((VAL_FRAC + TEST_FRAC) * 16777216), "06x")
+
+
+def data_split(docs: DataFrame) -> DataFrame:
+    """Deterministic train/val/test assignment + per-split manifest
+    (docs, token sum, doc share). Membership is a pure function of
+    doc_id — stable across reruns, cluster sizes and partitionings,
+    so a doc can never migrate between splits when the corpus is
+    re-sharded (the property a random() split lacks).
+
+    Shape: zero shuffle before a <=3-row combinable agg; the share
+    denominator is a scalar window over those 3 rows, not a second
+    pass over the corpus.
+    """
+    from blackedge_ocr_spark.analysis.textstats import _r6
+
+    h = F.substring(
+        F.md5(
+            F.concat(F.lit(SPLIT_SEED + ":"), F.col("doc_id").cast("string"))
+        ),
+        1,
+        6,
+    )
+    split = (
+        F.when(h < F.lit(_VAL_HEX), F.lit("val"))
+        .when(h < F.lit(_VALTEST_HEX), F.lit("test"))
+        .otherwise(F.lit("train"))
+    )
+    staged = docs.select(
+        split.alias("split"),
+        F.size(tokens(F.col("text"))).cast("long").alias("n_toks"),
+    )
+    g = staged.groupBy("split").agg(
+        F.count("*").alias("n_docs"), F.sum("n_toks").alias("n_tokens")
+    )
+    w = Window.partitionBy()  # <=3 rows — a scalar, not a shuffle
+    return g.select(
+        "split",
+        "n_docs",
+        "n_tokens",
+        _r6(
+            F.col("n_docs").cast("double")
+            / F.sum("n_docs").over(w).cast("double")
+        ).alias("doc_share"),
+    )
+
+
+def mixture_weights(docs: DataFrame) -> DataFrame:
+    """Per-source sampling weights that flatten the training mixture
+    toward a uniform token budget per source: weight_s = min(1,
+    target / tokens_s) with target = total_tokens / n_sources — the
+    downsampling factor a mixture builder applies to over-represented
+    sources (under-represented ones keep weight 1; upsampling is an
+    epochs decision, not a filter). Published mixture practice (e.g.
+    The Pile / Dolma source weighting) made deterministic.
+
+    Shape: one combinable agg on source (tiny key space), then a
+    scalar window over |sources| rows. The corpus itself never
+    shuffles.
+    """
+    from blackedge_ocr_spark.analysis.textstats import _r6
+
+    g = (
+        docs.select(
+            "source",
+            F.size(tokens(F.col("text"))).cast("long").alias("n_toks"),
+        )
+        .groupBy("source")
+        .agg(F.count("*").alias("n_docs"), F.sum("n_toks").alias("n_tokens"))
+    )
+    w = Window.partitionBy()  # |sources| rows
+    target = (
+        F.sum("n_tokens").over(w).cast("double")
+        / F.count("*").over(w).cast("double")
+    )
+    weight = F.when(
+        F.col("n_tokens") > 0,
+        F.least(F.lit(1.0), target / F.col("n_tokens").cast("double")),
+    ).otherwise(F.lit(1.0))
+    return g.select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        _r6(
+            F.col("n_tokens").cast("double") / F.sum("n_tokens").over(w)
+        ).alias("token_share"),
+        _r6(weight).alias("weight"),
+    )

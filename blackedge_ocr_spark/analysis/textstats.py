@@ -313,3 +313,48 @@ def quality_sample(docs: DataFrame) -> DataFrame:
             ).alias("kept_frac"),
         )
     )
+
+
+BPE_TOP_K = 100  # reported head of the pair-frequency table
+
+
+def bpe_pairs(docs: DataFrame) -> DataFrame:
+    """First BPE merge step of tokenizer training: corpus-wide
+    frequency of ADJACENT CHARACTER PAIRS inside word tokens,
+    weighted by word frequency — the statistic the first iteration
+    of byte-pair encoding (Sennrich et al. 2016, public algorithm)
+    maximizes. Total order (n DESC, pair ASC) pins the K-th boundary.
+
+    Shape at scale — the key move is that pair generation runs on
+    the DISTINCT-WORD table, never the raw token stream:
+    explode tokens -> groupBy(word).count() is ONE combinable hash
+    agg (map-side combine absorbs the Zipf head; the shuffle carries
+    distinct words + partial counts, a vanishing fraction of the
+    corpus), then each distinct word emits its len-1 adjacent pairs
+    weighted by freq -> second combinable agg on pair (alphabet^2
+    keys) -> exact global top-K via TakeOrderedAndProject (per-
+    partition heaps, O(K) driver merge — no global sort).
+
+    sequence() is guarded for 1-char words: sequence(1, 0) is the
+    DESCENDING [1, 0] in Spark (the frame_sample lesson) and would
+    emit two bogus pairs per single-letter word.
+    """
+    words = (
+        docs.select(F.explode(tokens(F.col("text"))).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").alias("freq"))
+    )
+    idx = F.when(
+        F.length("word") > 1,
+        F.sequence(F.lit(1), F.length("word") - 1),
+    ).otherwise(F.array().cast("array<int>"))
+    pair_list = F.transform(
+        idx, lambda i: F.col("word").substr(i, F.lit(2))
+    )
+    return (
+        words.select(F.explode(pair_list).alias("pair"), "freq")
+        .groupBy("pair")
+        .agg(F.sum("freq").alias("n"))
+        .orderBy(F.col("n").desc(), F.col("pair"))
+        .limit(BPE_TOP_K)
+    )

@@ -1320,3 +1320,29 @@ def q_quality_sample(spark, sf_dir) -> DataFrame:
     from blackedge_ocr_spark.analysis import textstats
 
     return textstats.quality_sample(_docs(spark, sf_dir))
+
+
+def q_bpe_pairs(spark, sf_dir) -> DataFrame:
+    """Tokenizer-training first-merge statistic: adjacent-char-pair
+    frequencies weighted by word frequency. Two combinable aggs
+    (word, then pair) + TakeOrderedAndProject top-K — pair
+    generation runs over DISTINCT words only."""
+    from blackedge_ocr_spark.analysis import textstats
+
+    return textstats.bpe_pairs(_docs(spark, sf_dir))
+
+
+def q_data_split(spark, sf_dir) -> DataFrame:
+    """Deterministic train/val/test manifest: seeded-hash membership,
+    zero shuffle before a 3-row agg."""
+    from blackedge_ocr_spark.analysis.corpusops import data_split
+
+    return data_split(_docs(spark, sf_dir))
+
+
+def q_mixture_weights(spark, sf_dir) -> DataFrame:
+    """Uniform-target source-mixture weights: one combinable agg on
+    source + a scalar window over |sources| rows."""
+    from blackedge_ocr_spark.analysis.corpusops import mixture_weights
+
+    return mixture_weights(_docs(spark, sf_dir))

@@ -684,6 +684,10 @@ def build_oracles() -> dict[str, str]:
         "incremental_extract": sql_incremental_extract(),
         "span_packing": sql_span_packing(),
         "quality_sample": sql_quality_sample(),
+        # tokenizer / split / mixture (corpus assembly)
+        "bpe_pairs": sql_bpe_pairs(),
+        "data_split": sql_data_split(),
+        "mixture_weights": sql_mixture_weights(),
     }
     return out
 
@@ -2251,3 +2255,70 @@ SELECT source, count(*)::bigint AS n_docs, sum(kept)::bigint AS n_kept,
   floor(sum(kept)::double / count(*)::double * 1000000 + 0.5) / 1000000
     AS kept_frac
 FROM k GROUP BY source"""
+
+
+def sql_bpe_pairs() -> str:
+    """textstats.bpe_pairs mirror: adjacent-char pairs over DISTINCT
+    words weighted by word frequency; total order (n DESC, pair ASC)
+    pins the K boundary. range(1, len) is [1, len-1] (end-exclusive)
+    so a 1-char word emits no pairs — matching the engine's guarded
+    sequence()."""
+    from blackedge_ocr_spark.analysis.textstats import BPE_TOP_K
+
+    toks = tokens_sql("text")
+    return f"""
+WITH w AS (SELECT unnest({toks}) AS word FROM documents),
+f AS (SELECT word, count(*)::bigint AS freq FROM w GROUP BY word),
+p AS (SELECT unnest(list_transform(range(1, length(word)),
+          i -> substr(word, i::int, 2))) AS pair, freq
+      FROM f WHERE length(word) > 1)
+SELECT pair, sum(freq)::bigint AS n FROM p
+GROUP BY pair ORDER BY n DESC, pair ASC LIMIT {BPE_TOP_K}"""
+
+
+def sql_data_split() -> str:
+    """corpusops.data_split mirror: same seeded 24-bit hash-prefix
+    thresholds (identical hex literals via the shared constants)."""
+    from blackedge_ocr_spark.analysis.corpusops import (
+        SPLIT_SEED,
+        _VAL_HEX,
+        _VALTEST_HEX,
+    )
+
+    h = f"substr(md5('{SPLIT_SEED}:' || doc_id::varchar), 1, 6)"
+    toks = tokens_sql("text")
+    return f"""
+WITH s AS (SELECT
+    CASE WHEN {h} < '{_VAL_HEX}' THEN 'val'
+         WHEN {h} < '{_VALTEST_HEX}' THEN 'test'
+         ELSE 'train' END AS split,
+    len({toks})::bigint AS n_toks
+  FROM documents),
+g AS (SELECT split, count(*)::bigint AS n_docs,
+             sum(n_toks)::bigint AS n_tokens
+      FROM s GROUP BY split)
+SELECT split, n_docs, n_tokens,
+  floor(n_docs::double / (sum(n_docs) OVER ())::double * 1000000 + 0.5)
+    / 1000000 AS doc_share
+FROM g"""
+
+
+def sql_mixture_weights() -> str:
+    """corpusops.mixture_weights mirror: uniform token target per
+    source; min(1, target/observed) downweighting."""
+    toks = tokens_sql("text")
+    return f"""
+WITH s AS (SELECT source, len({toks})::bigint AS n_toks FROM documents),
+g AS (SELECT source, count(*)::bigint AS n_docs,
+             sum(n_toks)::bigint AS n_tokens
+      FROM s GROUP BY source),
+t AS (SELECT source, n_docs, n_tokens,
+        (sum(n_tokens) OVER ())::double AS tot,
+        (count(*) OVER ())::double AS n_src
+      FROM g)
+SELECT source, n_docs, n_tokens,
+  floor(n_tokens::double / tot * 1000000 + 0.5) / 1000000 AS token_share,
+  floor(CASE WHEN n_tokens > 0
+             THEN least(1.0, (tot / n_src) / n_tokens::double)
+             ELSE 1.0 END * 1000000 + 0.5) / 1000000 AS weight
+FROM t"""

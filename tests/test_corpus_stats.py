@@ -85,3 +85,65 @@ def test_snapshot_views_are_deterministic_projections(spark):
     assert revised.count() == b.filter(
         F.col("doc_id") % corpusops.DIFF_REV_MOD == 0
     ).count()
+
+
+def test_bpe_pairs_weighted_adjacent_char_pairs(spark):
+    # word freqs: abab x4, ab x1, x x2. "abab" emits ab,ba,ab;
+    # 1-char "x" emits nothing (the sequence(1,0) guard).
+    # ab = 4*2 + 1 = 9, ba = 4*1 = 4.
+    docs = spark.createDataFrame(
+        [(1, "abab abab ab"), (2, "abab x"), (3, "abab x")],
+        "doc_id long, text string",
+    )
+    got = {r["pair"]: r["n"] for r in textstats.bpe_pairs(docs).collect()}
+    assert got == {"ab": 9, "ba": 4}
+
+
+def test_bpe_pairs_order_and_limit(spark):
+    docs = spark.createDataFrame(
+        [(i, "zz aa") for i in range(5)], "doc_id long, text string"
+    )
+    rows = textstats.bpe_pairs(docs).collect()
+    # equal counts -> pair ASC breaks the tie deterministically
+    assert [r["pair"] for r in rows] == ["aa", "zz"]
+    assert [r["n"] for r in rows] == [5, 5]
+
+
+def test_data_split_partitions_every_doc_exactly_once(spark):
+    docs = spark.range(0, 1000).select(
+        F.col("id").alias("doc_id"),
+        F.lit("alpha beta gamma").alias("text"),
+    )
+    rows = {r["split"]: r for r in corpusops.data_split(docs).collect()}
+    assert set(rows) <= {"train", "val", "test"}
+    assert sum(r["n_docs"] for r in rows.values()) == 1000
+    assert sum(r["n_tokens"] for r in rows.values()) == 3000
+    # shares sum to ~1 and train dominates at 2%/2% val/test
+    assert abs(sum(r["doc_share"] for r in rows.values()) - 1.0) < 1e-5
+    assert rows["train"]["n_docs"] > 900
+
+
+def test_data_split_is_stable_under_resharding(spark):
+    docs = spark.range(0, 500).select(
+        F.col("id").alias("doc_id"), F.lit("w x y").alias("text")
+    )
+    a = {r["split"]: r["n_docs"] for r in corpusops.data_split(docs).collect()}
+    b = {
+        r["split"]: r["n_docs"]
+        for r in corpusops.data_split(docs.repartition(17)).collect()
+    }
+    assert a == b
+
+
+def test_mixture_weights_flatten_toward_uniform(spark):
+    # web: 8 docs x 4 tokens = 32; book: 2 x 2 = 4. target = 18.
+    rows = [(i, "a b c d", "web") for i in range(8)]
+    rows += [(100 + i, "a b", "book") for i in range(2)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    got = {r["source"]: r for r in corpusops.mixture_weights(docs).collect()}
+    assert got["web"]["n_tokens"] == 32 and got["book"]["n_tokens"] == 4
+    assert got["book"]["weight"] == 1.0  # under-represented: keep all
+    import math
+
+    want = math.floor(18.0 / 32.0 * 1e6 + 0.5) / 1e6
+    assert got["web"]["weight"] == want

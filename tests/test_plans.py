@@ -198,3 +198,31 @@ def test_top_terms_plans_as_take_ordered(spark):
 
     p = plans.formatted_plan(q_top_terms(spark, SF))
     assert "TakeOrderedAndProject" in p
+
+
+def test_bpe_pairs_two_combinable_aggs_no_python(spark):
+    """Pair counting must be two hash aggs (word, then pair) with a
+    TakeOrderedAndProject top-K — no global sort, no Python stage,
+    and pair generation over the DISTINCT-word table only."""
+    from blackedge_ocr_spark.queries import q_bpe_pairs
+
+    df = q_bpe_pairs(spark, SF)
+    assert plans.count_python_stages(df) == 0
+    p = plans.formatted_plan(df)
+    assert "TakeOrderedAndProject" in p
+    # word agg + pair agg (+ the starvation-gate spread at test SF)
+    assert plans.count_exchanges(df) <= 3
+
+
+def test_data_split_and_mixture_zero_corpus_shuffle(spark):
+    """Split manifest and mixture weights: the corpus contributes one
+    combinable agg each; the share/weight denominators are scalar
+    windows over the tiny agg output, never a second corpus pass."""
+    from blackedge_ocr_spark.queries import q_data_split, q_mixture_weights
+
+    for df in (q_data_split(spark, SF), q_mixture_weights(spark, SF)):
+        assert plans.count_python_stages(df) == 0
+        # spread gate + one agg exchange + tiny single-partition
+        # window exchange over <=|splits| / |sources| rows
+        assert plans.count_exchanges(df) <= 4
+        assert df.count() > 0
