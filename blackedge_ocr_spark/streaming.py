@@ -429,3 +429,83 @@ def stream_dedup(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def stream_incremental_extract(
+    spark: SparkSession,
+    input_dir: str,
+    output_dir: str,
+    checkpoint_dir: str,
+    registry_dir: str,
+    available_now: bool = True,
+    max_files_per_trigger: int = 1,
+):
+    """Streaming CDC extraction over continuous re-crawl ingest: the
+    streaming twin of ``incremental.incremental_extract``. Each
+    arriving snapshot file is spansified, content-fingerprinted
+    (``incremental.with_src_hash``) and anti-joined against a
+    persistent (doc_id, src_md5) registry, so the expensive Arrow OCR
+    stage runs ONLY over documents whose extraction input actually
+    changed since any prior crawl. Re-delivering an unchanged corpus
+    extracts ZERO documents.
+
+    Output contract: one extraction row per DISTINCT (doc_id,
+    src_md5) ever seen, tagged with the micro-batch id. The current-
+    snapshot view is recovered by semi-joining the latest snapshot's
+    fingerprints against the output — removed docs drop out by
+    construction, and a document REVERTED to earlier content needs no
+    new row (its extraction is already present and bit-identical;
+    the registry anti-join skips it on purpose).
+
+    State/scale notes mirror ``stream_dedup``: the registry is a disk
+    table, not streaming state (unbounded history; at fleet scale an
+    Iceberg table bucketed by doc_id — ADR-1's swap point — closing
+    the non-transactional two-writes window with one atomic commit).
+    Restarts are idempotent on the output as long as the registry
+    append of the failed attempt survived.
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql.utils import AnalysisException
+
+    from blackedge_ocr_spark.incremental import SRC_HASH_COL, with_src_hash
+    from blackedge_ocr_spark.pipeline import extract_documents
+
+    raw = (
+        spark.readStream.schema(RAW_DOCUMENTS_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(input_dir)
+    )
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        cur = with_src_hash(_spansify_batch(batch_df))
+        try:
+            seen = spark.read.parquet(registry_dir)
+            # AQE broadcasts the registry while small, falls back to a
+            # shuffled anti-join when it isn't (Iceberg form: both
+            # sides bucketed by doc_id, the join prunes to buckets).
+            delta = cur.join(seen, ["doc_id", SRC_HASH_COL], "left_anti")
+        except AnalysisException:  # first batch: no registry yet
+            delta = cur
+        delta = delta.persist()
+        if not delta.isEmpty():
+            result = extract_documents(
+                delta.drop(SRC_HASH_COL), query_col="query"
+            ).join(delta.select("doc_id", SRC_HASH_COL), "doc_id")
+            (
+                result.withColumn("batch_id", F.lit(batch_id))
+                .write.mode("append")
+                .parquet(output_dir)
+            )
+            delta.select("doc_id", SRC_HASH_COL).write.mode(
+                "append"
+            ).parquet(registry_dir)
+        delta.unpersist()
+
+    writer = raw.writeStream.foreachBatch(process_batch).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -633,3 +633,76 @@ def test_r3_matches_spark_round_on_decimal_ties(spark):
         .collect()
     ]
     assert [_r3(v) for v in vals] == jvm
+
+
+def test_stream_incremental_extract_cdc_parity_and_skip(spark, tmp_path):
+    """Streaming CDC extraction: (1) a re-crawl snapshot re-extracts
+    EXACTLY the batch twin's refreshed set (added + genuinely revised
+    docs), (2) re-delivering an unchanged corpus extracts zero
+    documents (the registry anti-join), and (3) the current-snapshot
+    view recovered from the output is bit-identical to the batch
+    incremental result."""
+    import os
+    import time
+
+    from blackedge_ocr_spark.analysis.corpusops import snapshot_views
+    from blackedge_ocr_spark.datagen import spansify_frame
+    from blackedge_ocr_spark.incremental import (
+        SRC_HASH_COL,
+        incremental_extract,
+        with_src_hash,
+    )
+    from blackedge_ocr_spark.pipeline import extract_documents
+    from blackedge_ocr_spark.streaming import stream_incremental_extract
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    a, b = snapshot_views(docs)
+    inp = tmp_path / "iin"
+    inp.mkdir()
+    # arrival order: snapshot A, snapshot B, then B re-delivered
+    for i, df in enumerate([a, b, b]):
+        d = tmp_path / f"snap{i}"
+        df.coalesce(1).write.mode("overwrite").parquet(str(d))
+        src = next(p for p in d.iterdir() if p.suffix == ".parquet")
+        dst = inp / f"file{i}.parquet"
+        shutil.copy(src, dst)
+        os.utime(dst, (time.time() + i, time.time() + i))
+
+    out, ckpt, reg = (
+        str(tmp_path / "iout"),
+        str(tmp_path / "ickpt"),
+        str(tmp_path / "ireg"),
+    )
+    q = stream_incremental_extract(
+        spark, str(inp), out, ckpt, reg, available_now=True
+    )
+    q.awaitTermination(300)
+    got = spark.read.parquet(out)
+
+    transform = lambda d: extract_documents(d, query_col="query")
+    prev = incremental_extract(spansify_frame(a), transform)
+    inc = incremental_extract(spansify_frame(b), transform, prev=prev)
+
+    b1 = {
+        r["doc_id"]
+        for r in got.filter(F.col("batch_id") == 1).select("doc_id").collect()
+    }
+    refreshed = {
+        r["doc_id"] for r in inc.filter("refreshed").select("doc_id").collect()
+    }
+    assert b1 == refreshed and len(b1) > 0
+
+    assert got.filter(F.col("batch_id") == 2).count() == 0
+
+    keys = with_src_hash(spansify_frame(b)).select("doc_id", SRC_HASH_COL)
+    view = got.join(keys, ["doc_id", SRC_HASH_COL], "left_semi")
+    assert view.count() == b.count()
+    sview = {
+        r["doc_id"]: r["c"]
+        for r in view.select("doc_id", F.md5("content").alias("c")).collect()
+    }
+    sbatch = {
+        r["doc_id"]: r["c"]
+        for r in inc.select("doc_id", F.md5("content").alias("c")).collect()
+    }
+    assert sview == sbatch
