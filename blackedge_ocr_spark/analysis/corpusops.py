@@ -52,7 +52,11 @@ def dup_ngram_stats(docs: DataFrame, n: int = NGRAM_N) -> DataFrame:
     recomputed lineages; at 100 TB the persist becomes a write to a
     scratch table. Measured sf1 cost is shuffle-bound (the gram rows
     themselves), not lineage-bound — the honest floor for a
-    corpus-wide gram count.
+    corpus-wide gram count. The staged cache cannot be unpersisted
+    here (the return is lazy); blocks are MEMORY_AND_DISK and LRU-
+    evictable, and a long-lived session repeating this operator
+    should release them via ``spark.catalog.clearCache()`` (the
+    bench harness runs one process per measurement).
 
     Empty documents survive with n_grams = 0 and dup_frac = 0.0
     (explode_outer + left join — mirrored by the oracle's LEFT JOIN
@@ -127,24 +131,13 @@ def corpus_sample(docs: DataFrame) -> DataFrame:
 
     Pure per-row predicate + one combinable agg on source: zero
     shuffle before the final hash agg at any scale."""
-    from blackedge_ocr_spark.analysis.textstats import _r6
+    from blackedge_ocr_spark.analysis.textstats import kept_rollup
 
     kept = (
         F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
         < F.lit(SAMPLE_HEX_LT)
     )
-    agg = docs.groupBy("source").agg(
-        F.count("*").alias("n_docs"),
-        F.sum(kept.cast("long")).alias("n_kept"),
-    )
-    return agg.select(
-        "source",
-        "n_docs",
-        "n_kept",
-        _r6(
-            F.col("n_kept").cast("double") / F.col("n_docs").cast("double")
-        ).alias("kept_frac"),
-    )
+    return kept_rollup(docs.select("source", kept.alias("kept")), "source")
 
 
 def token_packing(docs: DataFrame, cap: int = PACK_CAP) -> DataFrame:
@@ -444,7 +437,12 @@ def lang_rebalance(docs: DataFrame) -> DataFrame:
     O(sqrt(cap)), negligible at training scale. cap/n_l * 2^32 is
     evaluated in IEEE double (exact-rounded, engine-independent) to
     dodge the bigint overflow of cap * 2^32 at 10^12 docs."""
-    from blackedge_ocr_spark.analysis.textstats import _r6, predict_lang
+    from blackedge_ocr_spark.analysis.textstats import (
+        hex_threshold,
+        kept_rollup,
+        predict_lang,
+        seeded_hex,
+    )
 
     tagged = docs.select(
         "doc_id", predict_lang(F.col("text")).alias("lang")
@@ -460,50 +458,19 @@ def lang_rebalance(docs: DataFrame) -> DataFrame:
     )
     thr = F.when(
         F.col("n_l") > F.col("cap"),
-        F.lpad(
-            F.lower(
-                F.hex(
-                    F.floor(
-                        F.col("cap").cast("double")
-                        / F.col("n_l").cast("double")
-                        * F.lit(4294967296.0)
-                    ).cast("long")
-                )
-            ),
-            8,
-            "0",
+        hex_threshold(
+            F.col("cap").cast("double") / F.col("n_l").cast("double"), 8
         ),
     )
     thresholds = langs.select("lang", "n_l", cap.alias("cap")).select(
         "lang", thr.alias("thr")
     )
-    h = F.substring(
-        F.md5(
-            F.concat(
-                F.lit(REBALANCE_SEED + ":"), F.col("doc_id").cast("string")
-            )
-        ),
-        1,
-        8,
-    )
+    h = seeded_hex(REBALANCE_SEED, F.col("doc_id"), 8)
     kept = F.col("thr").isNull() | (h < F.col("thr"))
-    return (
-        tagged.join(F.broadcast(thresholds), "lang")
-        .groupBy("lang")
-        .agg(
-            F.count("*").alias("n_docs"),
-            F.sum(kept.cast("long")).alias("n_kept"),
-        )
-        .select(
-            "lang",
-            "n_docs",
-            "n_kept",
-            _r6(
-                F.col("n_kept").cast("double")
-                / F.col("n_docs").cast("double")
-            ).alias("kept_frac"),
-        )
+    staged = tagged.join(F.broadcast(thresholds), "lang").select(
+        "lang", kept.alias("kept")
     )
+    return kept_rollup(staged, "lang")
 
 
 # ------------------------------------------------------------------
@@ -586,15 +553,9 @@ def data_split(docs: DataFrame) -> DataFrame:
     denominator is a scalar window over those 3 rows, not a second
     pass over the corpus.
     """
-    from blackedge_ocr_spark.analysis.textstats import _r6
+    from blackedge_ocr_spark.analysis.textstats import _r6, seeded_hex
 
-    h = F.substring(
-        F.md5(
-            F.concat(F.lit(SPLIT_SEED + ":"), F.col("doc_id").cast("string"))
-        ),
-        1,
-        6,
-    )
+    h = seeded_hex(SPLIT_SEED, F.col("doc_id"), 6)
     split = (
         F.when(h < F.lit(_VAL_HEX), F.lit("val"))
         .when(h < F.lit(_VALTEST_HEX), F.lit("test"))

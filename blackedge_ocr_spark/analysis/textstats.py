@@ -84,6 +84,48 @@ def _r6(c: Column) -> Column:
     return F.floor(c * 1e6 + F.lit(0.5)) / 1e6
 
 
+def seeded_hex(seed: str, key, nchars: int) -> Column:
+    """First ``nchars`` hex digits of md5("seed:key") — the shared
+    per-doc uniform draw every deterministic sampling operator uses;
+    distinct seeds are independent streams. Engine-portable: DuckDB's
+    md5() emits the identical lowercase hex."""
+    return F.substring(
+        F.md5(F.concat(F.lit(seed + ":"), key.cast("string"))), 1, nchars
+    )
+
+
+def hex_threshold(frac, nchars: int) -> Column:
+    """floor(frac * 16^nchars) as a zero-padded ``nchars``-wide
+    lowercase hex literal — fixed-width string compare against
+    ``seeded_hex`` output keeps the whole keep-decision in portable
+    integer/hex ops (the float product is exact-rounded IEEE, bit-
+    identical across engines)."""
+    return F.lpad(
+        F.lower(
+            F.hex(F.floor(frac * F.lit(float(16**nchars))).cast("long"))
+        ),
+        nchars,
+        "0",
+    )
+
+
+def kept_rollup(staged: DataFrame, key: str) -> DataFrame:
+    """(key, n_docs, n_kept, kept_frac r6) manifest — the shared
+    rollup tail of the sampling operators. ``staged``: one row per
+    doc with ``key`` and a boolean ``kept``. One combinable agg."""
+    return staged.groupBy(key).agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.col("kept").cast("long")).alias("n_kept"),
+    ).select(
+        key,
+        "n_docs",
+        "n_kept",
+        _r6(
+            F.col("n_kept").cast("double") / F.col("n_docs").cast("double")
+        ).alias("kept_frac"),
+    )
+
+
 def _quality_exprs(col) -> tuple[Column, Column, Column, Column]:
     """(n_words, mean_len, stop_ratio, score) as raw expressions over
     one text column — shared by the per-doc report and the inline
@@ -254,8 +296,6 @@ def top_terms(docs: DataFrame) -> DataFrame:
     merges P*K rows — O(K) memory, no global sort, no second
     shuffle. The agg's exchange carries partial counts (map-side
     combine absorbs hot terms), never raw tokens."""
-    from blackedge_ocr_spark.functions.text import tokens
-
     return (
         docs.select(F.explode(tokens(F.col("text"))).alias("term"))
         .groupBy("term")
@@ -283,36 +323,10 @@ def quality_sample(docs: DataFrame) -> DataFrame:
     ops (the r6 quality itself is proven bit-identical by the
     quality_scores contract row)."""
     q6 = quality_col(F.col("text"))
-    h = F.substring(
-        F.md5(
-            F.concat(F.lit(QS_SEED + ":"), F.col("doc_id").cast("string"))
-        ),
-        1,
-        6,
-    )
-    thr = F.lpad(
-        F.lower(F.hex(F.floor(q6 * F.lit(16777216.0)).cast("long"))),
-        6,
-        "0",
-    )
+    h = seeded_hex(QS_SEED, F.col("doc_id"), 6)
+    thr = hex_threshold(q6, 6)
     kept = F.when(q6 >= 1.0, F.lit(True)).otherwise(h < thr)
-    staged = docs.select("source", kept.alias("kept"))
-    return (
-        staged.groupBy("source")
-        .agg(
-            F.count("*").alias("n_docs"),
-            F.sum(F.col("kept").cast("long")).alias("n_kept"),
-        )
-        .select(
-            "source",
-            "n_docs",
-            "n_kept",
-            _r6(
-                F.col("n_kept").cast("double")
-                / F.col("n_docs").cast("double")
-            ).alias("kept_frac"),
-        )
-    )
+    return kept_rollup(docs.select("source", kept.alias("kept")), "source")
 
 
 BPE_TOP_K = 100  # reported head of the pair-frequency table

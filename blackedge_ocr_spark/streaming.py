@@ -60,9 +60,15 @@ def stream_extract(
         # re-deriving from the columns).
         spans = _spansify_batch(batch_df)
         result = extract_documents(spans, query_col="query")
+        # Dynamic partition overwrite keyed on batch_id makes the sink
+        # idempotent under foreachBatch's at-least-once retries: a
+        # re-executed micro-batch REPLACES its own partition instead
+        # of appending a duplicate copy of every row.
         (
             result.withColumn("batch_id", F.lit(batch_id))
-            .write.mode("append")
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
             .parquet(output_dir)
         )
 
@@ -416,7 +422,12 @@ def stream_dedup(
             # to a shuffled anti-join when it isn't (the Iceberg form
             # buckets both sides by hash and prunes even that).
             fresh = firsts.join(seen, "content_hash", "left_anti")
-        except AnalysisException:  # first batch: no registry yet
+        except AnalysisException as e:
+            # ONLY a missing path means "first batch"; a corrupt or
+            # schema-conflicting registry must fail loudly, not
+            # silently disable dedup.
+            if (e.getErrorClass() or "") != "PATH_NOT_FOUND":
+                raise
             fresh = firsts
         fresh = fresh.persist()
         fresh.write.mode("append").parquet(output_dir)
@@ -486,16 +497,26 @@ def stream_incremental_extract(
             # shuffled anti-join when it isn't (Iceberg form: both
             # sides bucketed by doc_id, the join prunes to buckets).
             delta = cur.join(seen, ["doc_id", SRC_HASH_COL], "left_anti")
-        except AnalysisException:  # first batch: no registry yet
+        except AnalysisException as e:
+            # ONLY a missing path means "first batch". A corrupt or
+            # schema-conflicting registry must fail the query loudly —
+            # treating it as empty would silently re-emit the corpus.
+            if (e.getErrorClass() or "") != "PATH_NOT_FOUND":
+                raise
             delta = cur
         delta = delta.persist()
         if not delta.isEmpty():
             result = extract_documents(
                 delta.drop(SRC_HASH_COL), query_col="query"
             ).join(delta.select("doc_id", SRC_HASH_COL), "doc_id")
+            # batch_id partition overwrite: a retried micro-batch
+            # replaces its own output partition (idempotent even when
+            # the registry append of the failed attempt was lost).
             (
                 result.withColumn("batch_id", F.lit(batch_id))
-                .write.mode("append")
+                .write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("batch_id")
                 .parquet(output_dir)
             )
             delta.select("doc_id", SRC_HASH_COL).write.mode(
