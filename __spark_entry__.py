@@ -112,6 +112,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_pairs": q.q_bpe_pairs,
         "data_split": q.q_data_split,
         "mixture_weights": q.q_mixture_weights,
+        "media_dedup": q.q_media_dedup,
     }
     return out
 

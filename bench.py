@@ -45,6 +45,7 @@ BENCH_QUERIES = (
     "paragraph_dedup",
     "corpus_shuffle",
     "span_packing",
+    "bpe_pairs",
 )
 
 

@@ -217,3 +217,46 @@ def frame_sample(docs_spans: DataFrame, n: int = 4) -> DataFrame:
             ).alias("frame_ref"),
         )
     )
+
+
+PHASH_CELL = 64  # perceptual bucket cell width (px)
+
+
+def media_dedup(docs_spans: DataFrame) -> DataFrame:
+    """Cross-document media near-dup buckets: assets whose decoded
+    shape lands in the same (width//CELL, height//CELL, format) cell
+    are dedup candidates — the bucketing step of perceptual-hash
+    image dedup at web scale, where the same asset (logo, stock
+    photo, scanned form) is embedded in millions of pages. In
+    production the bucket key is a pHash / md5(bytes); the container
+    ships no imaging libs, so the decode-stub's deterministic
+    metadata stands in — the plumbing (media-span explode, Arrow
+    decode stage, combinable bucket agg, deterministic keeper) is
+    the real part.
+
+    Shape at scale: decode is the existing mapInPandas stage over
+    exploded media spans; then ONE combinable hash agg on the bucket
+    key — map-side combine absorbs hot buckets (the mirrored-logo
+    case), no join, no window. Keeper = lexicographic min of
+    'doc_id:media_ref', deterministic across engines, reruns and
+    partitionings.
+    """
+    meta = media_metadata(docs_spans)
+    key = F.md5(
+        F.concat_ws(
+            ":",
+            F.floor(F.col("width").cast("double") / PHASH_CELL).cast("long"),
+            F.floor(F.col("height").cast("double") / PHASH_CELL).cast(
+                "long"
+            ),
+            F.col("format"),
+        )
+    )
+    tagged = meta.select(
+        key.alias("bucket"),
+        F.concat_ws(":", "doc_id", "media_ref").alias("asset"),
+    )
+    return tagged.groupBy("bucket").agg(
+        F.count("*").alias("n_assets"),
+        F.min("asset").alias("keeper"),
+    )

@@ -1346,3 +1346,12 @@ def q_mixture_weights(spark, sf_dir) -> DataFrame:
     from blackedge_ocr_spark.analysis.corpusops import mixture_weights
 
     return mixture_weights(_docs(spark, sf_dir))
+
+
+def q_media_dedup(spark, sf_dir) -> DataFrame:
+    """Perceptual-bucket media dedup across documents: Arrow decode
+    stage + one combinable agg on the bucket key, deterministic
+    min-asset keeper."""
+    from blackedge_ocr_spark.analysis.media import media_dedup
+
+    return media_dedup(spansify_documents(spark, sf_dir))

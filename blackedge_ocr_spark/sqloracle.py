@@ -688,6 +688,7 @@ def build_oracles() -> dict[str, str]:
         "bpe_pairs": sql_bpe_pairs(),
         "data_split": sql_data_split(),
         "mixture_weights": sql_mixture_weights(),
+        "media_dedup": sql_media_dedup(),
     }
     return out
 
@@ -2322,3 +2323,22 @@ SELECT source, n_docs, n_tokens,
              THEN least(1.0, (tot / n_src) / n_tokens::double)
              ELSE 1.0 END * 1000000 + 0.5) / 1000000 AS weight
 FROM t"""
+
+
+def sql_media_dedup() -> str:
+    """media.media_dedup mirror over the decode-stub metadata: same
+    (width//CELL, height//CELL, format) bucket key, same min-asset
+    keeper."""
+    from blackedge_ocr_spark.analysis.media import PHASH_CELL
+
+    c = PHASH_CELL
+    return f"""
+WITH meta AS ({sql_media_meta()}),
+t AS (SELECT
+    md5(floor(width::double / {c})::bigint::varchar || ':'
+        || floor(height::double / {c})::bigint::varchar || ':'
+        || format) AS bucket,
+    doc_id || ':' || media_ref AS asset
+  FROM meta)
+SELECT bucket, count(*)::bigint AS n_assets, min(asset) AS keeper
+FROM t GROUP BY bucket"""

@@ -595,3 +595,33 @@ def test_quality_sample_rate_tracks_quality(spark):
     # deterministic across reruns
     again = {r["source"]: r["n_kept"] for r in quality_sample(d).collect()}
     assert again["rich"] == out["rich"]["n_kept"]
+
+
+def test_media_dedup_buckets_and_keeper(spark):
+    """Every media asset lands in exactly one bucket; keeper is the
+    lexicographic min 'doc_id:media_ref' of its bucket; bucket
+    membership agrees with a recomputed fake_decode."""
+    import math
+
+    from blackedge_ocr_spark.analysis.media import (
+        PHASH_CELL,
+        fake_decode,
+        media_dedup,
+        media_metadata,
+    )
+    from blackedge_ocr_spark.datagen import spansify_documents
+
+    d = spansify_documents(spark, SF)
+    out = media_dedup(d).collect()
+    meta = media_metadata(d).collect()
+    assert sum(r["n_assets"] for r in out) == len(meta)
+
+    # recompute buckets driver-side from the decode stub
+    want = {}
+    for m in meta:
+        w, h, fmt, _ = fake_decode(m["media_ref"])
+        k = (math.floor(w / PHASH_CELL), math.floor(h / PHASH_CELL), fmt)
+        want.setdefault(k, []).append(f"{m['doc_id']}:{m['media_ref']}")
+    assert len(out) == len(want)
+    keepers = {min(v) for v in want.values()}
+    assert {r["keeper"] for r in out} == keepers
