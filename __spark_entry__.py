@@ -113,6 +113,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "data_split": q.q_data_split,
         "mixture_weights": q.q_mixture_weights,
         "media_dedup": q.q_media_dedup,
+        "doc_features": q.q_doc_features,
     }
     return out
 

@@ -372,3 +372,36 @@ def bpe_pairs(docs: DataFrame) -> DataFrame:
         .orderBy(F.col("n").desc(), F.col("pair"))
         .limit(BPE_TOP_K)
     )
+
+
+def doc_features(docs: DataFrame) -> DataFrame:
+    """One-scan curation feature table: language, composite quality,
+    token counts and PII totals as a SINGLE fused projection — the
+    pass a production curation pipeline runs once per corpus instead
+    of five separate jobs re-reading 100 TB each. Every constituent
+    expression is the same Column used by its standalone operator
+    (predict_lang / quality_col / token_counts / scrub.pii_chain), so
+    the features are individually bit-proven by those contract rows;
+    fusing them is free — Catalyst collapses the whole row into one
+    codegen stage over a (doc_id, text)-pruned scan. Zero shuffle.
+    """
+    from blackedge_ocr_spark.analysis.scrub import _sum_counts, pii_chain
+
+    norm = normalize_text(F.col("text"))
+    ws = (
+        F.when(F.length(norm) == 0, F.lit(0))
+        .otherwise(F.size(F.split(norm, " ", -1)))
+        .cast("long")
+    )
+    bpe = F.size(F.regexp_extract_all(norm, F.lit(BPE_PATTERN), 0)).cast(
+        "long"
+    )
+    counts, _ = pii_chain(F.col("text"))
+    return docs.select(
+        "doc_id",
+        predict_lang(F.col("text")).alias("lang"),
+        quality_col(F.col("text")).alias("quality"),
+        ws.alias("ws_tokens"),
+        bpe.alias("bpe_tokens"),
+        _sum_counts(counts).cast("long").alias("n_pii"),
+    )

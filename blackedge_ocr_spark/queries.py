@@ -1355,3 +1355,16 @@ def q_media_dedup(spark, sf_dir) -> DataFrame:
     from blackedge_ocr_spark.analysis.media import media_dedup
 
     return media_dedup(spansify_documents(spark, sf_dir))
+
+
+def q_doc_features(spark, sf_dir) -> DataFrame:
+    """One-scan fused curation feature table over the PII-staged
+    corpus: lang + quality + token counts + PII total in a single
+    zero-shuffle projection."""
+    from blackedge_ocr_spark.analysis.textstats import doc_features
+
+    d = _docs(spark, sf_dir)
+    staged = d.select(
+        "doc_id", _pii_text(F.col("doc_id"), F.col("text")).alias("text")
+    )
+    return doc_features(staged)

@@ -689,6 +689,7 @@ def build_oracles() -> dict[str, str]:
         "data_split": sql_data_split(),
         "mixture_weights": sql_mixture_weights(),
         "media_dedup": sql_media_dedup(),
+        "doc_features": sql_doc_features(),
     }
     return out
 
@@ -2342,3 +2343,58 @@ t AS (SELECT
   FROM meta)
 SELECT bucket, count(*)::bigint AS n_assets, min(asset) AS keeper
 FROM t GROUP BY bucket"""
+
+
+def sql_doc_features() -> str:
+    """textstats.doc_features mirror: the standalone operators' exact
+    fragments (lang argmax, quality composite, token counts, PII
+    chain) composed over ONE staged text — the engine's fused
+    projection recomputed piecewise."""
+    from blackedge_ocr_spark.analysis.textstats import (
+        BPE_PATTERN,
+        LANG_PROFILES,
+        UNKNOWN_LANG,
+    )
+
+    toks = tokens_sql("text")
+    norm = norm_sql("text")
+    score = lambda ws: (
+        "len(list_filter(toks, t -> list_contains(["
+        + ", ".join(_sq(w) for w in ws)
+        + "], t)))"
+    )
+    names = [lang for lang, _ in LANG_PROFILES]
+    sel = ", ".join(f"{score(ws)} AS s_{lang}" for lang, ws in LANG_PROFILES)
+    whens = []
+    for lang in names:
+        conds = [f"s_{lang} > 0"] + [
+            f"s_{lang} >= s_{o}" for o in names if o != lang
+        ]
+        whens.append(f"WHEN {' AND '.join(conds)} THEN {_sq(lang)}")
+    lang_case = "CASE " + " ".join(whens) + f" ELSE {_sq(UNKNOWN_LANG)} END"
+    stop = score(LANG_PROFILES[0][1])
+    cnt, _ = _pii_chain_sql()
+    pii_total = " + ".join(cnt.values())
+    return f"""
+WITH src AS (SELECT doc_id, {pii_text_sql('doc_id', 'text')} AS text
+             FROM documents),
+t AS (SELECT doc_id, text, {toks} AS toks, {norm} AS norm FROM src),
+m AS (SELECT doc_id, text, toks, norm, {sel},
+        len(toks) AS n_words,
+        CASE WHEN len(toks) > 0
+             THEN list_sum(list_transform(toks, tk -> length(tk)::double))
+                  / len(toks)::double
+             ELSE 0.0 END AS mean_word_len,
+        CASE WHEN len(toks) > 0 THEN ({stop})::double / len(toks)::double
+             ELSE 0.0 END AS stop_ratio
+      FROM t)
+SELECT doc_id,
+  {lang_case} AS lang,
+  floor((0.5 * least(n_words::double / 50.0, 1.0) + 0.3 * stop_ratio
+         + 0.2 * least(mean_word_len / 8.0, 1.0)) * 1000000 + 0.5)
+    / 1000000 AS quality,
+  (CASE WHEN length(norm) = 0 THEN 0
+        ELSE len(str_split(norm, ' ')) END)::bigint AS ws_tokens,
+  len(regexp_extract_all(norm, {_sq(BPE_PATTERN)}))::bigint AS bpe_tokens,
+  ({pii_total})::bigint AS n_pii
+FROM m"""

@@ -147,3 +147,37 @@ def test_mixture_weights_flatten_toward_uniform(spark):
 
     want = math.floor(18.0 / 32.0 * 1e6 + 0.5) / 1e6
     assert got["web"]["weight"] == want
+
+
+def test_doc_features_matches_standalone_operators(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox and the lazy dog in the yard"),
+            (2, "der hund und die katze ist ein tier"),
+            (3, "contact user9@example.com or call (415) 555-0101 now"),
+            (4, ""),
+        ],
+        "doc_id long, text string",
+    )
+    feats = {r["doc_id"]: r for r in textstats.doc_features(docs).collect()}
+    langs = {
+        r["doc_id"]: r["predicted_lang"]
+        for r in textstats.language_id(docs).collect()
+    }
+    quals = {
+        r["doc_id"]: r["quality"]
+        for r in textstats.quality_scores(docs).collect()
+    }
+    toks = {
+        r["doc_id"]: (r["ws_tokens"], r["bpe_tokens"])
+        for r in textstats.token_counts(docs).collect()
+    }
+    from blackedge_ocr_spark.analysis import scrub
+
+    piis = {r["doc_id"]: r["n_pii"] for r in scrub.pii_scan(docs).collect()}
+    for d, r in feats.items():
+        assert r["lang"] == langs[d]
+        assert r["quality"] == quals[d]
+        assert (r["ws_tokens"], r["bpe_tokens"]) == toks[d]
+        assert r["n_pii"] == piis[d]
+    assert feats[2]["lang"] == "de" and feats[3]["n_pii"] == 2

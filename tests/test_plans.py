@@ -226,3 +226,14 @@ def test_data_split_and_mixture_zero_corpus_shuffle(spark):
         # window exchange over <=|splits| / |sources| rows
         assert plans.count_exchanges(df) <= 4
         assert df.count() > 0
+
+
+def test_doc_features_single_fused_projection(spark):
+    """The feature table must stay ONE zero-shuffle projection over
+    the pruned scan — no joins between the constituent operators, no
+    Python stage, no exchange beyond the starvation-gate spread."""
+    from blackedge_ocr_spark.queries import q_doc_features
+
+    df = q_doc_features(spark, SF)
+    assert plans.count_python_stages(df) == 0
+    assert plans.count_exchanges(df) <= 1  # the spread gate only
