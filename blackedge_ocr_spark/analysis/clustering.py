@@ -56,10 +56,12 @@ MAX_ROUNDS = 25  # 2^25-long label chains — far beyond any dup graph
 # loop — the same hybrid discipline as the k-means trainer
 # (analysis/ann.py): both engines reach the identical fixpoint (the
 # component-minimum labeling), so the switch is invisible to results
-# and is parity-tested. 5M edges ≈ 80 MB on the driver; the duplicate
-# subgraph of a 10^12-doc corpus exceeds this and takes the
+# and is parity-tested. The collect() cost is Python Row objects, not
+# raw bytes: ~150-300 B per edge (≈0.2-0.3 GB at 1M edges) — sized so
+# the shortcut stays cheap even on a default-memory driver; the
+# duplicate subgraph of a 10^12-doc corpus exceeds this and takes the
 # distributed path.
-DRIVER_EDGE_CAP = 5_000_000
+DRIVER_EDGE_CAP = 1_000_000
 
 
 def connected_components(
@@ -111,8 +113,15 @@ def _driver_union_find(edges: DataFrame, a: str, b: str) -> DataFrame:
             # component's minimum, matching the distributed fixpoint
             parent[max(ra, rb)] = min(ra, rb)
     rows = [(n, find(n)) for n in parent]
+    # Node type follows the edge columns (doc ids are string in the
+    # corpus contract, long in the test tables) — a hardcoded long
+    # schema would crash ONLY on the driver path of the hybrid, a
+    # cap-dependent failure. Python min/max on str is code-point
+    # order == Spark's UTF-8 binary order, so both engines still
+    # reach the identical component-minimum labeling.
+    node_type = dict(edges.dtypes)[a]
     return edges.sparkSession.createDataFrame(
-        rows, "node long, component long"
+        rows, f"node {node_type}, component {node_type}"
     )
 
 
@@ -134,42 +143,47 @@ def _distributed_components(
         .localCheckpoint()
     )
 
-    for _ in range(max_rounds):
-        # Propagate: lab(v) <- min(lab(v), min over neighbors' labels).
-        flowed = sym.join(
-            labels, sym["src"] == labels["node"], "inner"
-        ).select(F.col("dst").alias("node"), "lab")
-        new = (
-            labels.unionByName(flowed)
-            .groupBy("node")
-            .agg(F.min("lab").alias("lab"))
-        )
-        # Compress: lab(v) <- lab(lab(v)). Labels are node ids (min
-        # over a set containing the node itself), so the hop always
-        # resolves; left join + coalesce guards the fixpoint where
-        # lab(v) == v.
-        hop = new.select(
-            F.col("node").alias("h_node"), F.col("lab").alias("h_lab")
-        )
-        new = (
-            new.join(hop, new["lab"] == hop["h_node"], "left")
-            .select("node", F.coalesce("h_lab", "lab").alias("lab"))
-            .localCheckpoint()
-        )
-        changed = (
-            new.join(labels.withColumnRenamed("lab", "old"), "node")
-            .filter(F.col("lab") != F.col("old"))
-            .limit(1)
-            .count()
-        )
-        labels = new
-        if changed == 0:
-            break
-    else:
-        raise RuntimeError(
-            f"connected_components did not converge in {max_rounds} rounds"
-        )
-    sym.unpersist()
+    try:
+        for _ in range(max_rounds):
+            # Propagate: lab(v) <- min(lab(v), min over neighbors').
+            flowed = sym.join(
+                labels, sym["src"] == labels["node"], "inner"
+            ).select(F.col("dst").alias("node"), "lab")
+            new = (
+                labels.unionByName(flowed)
+                .groupBy("node")
+                .agg(F.min("lab").alias("lab"))
+            )
+            # Compress: lab(v) <- lab(lab(v)). Labels are node ids
+            # (min over a set containing the node itself), so the hop
+            # always resolves; left join + coalesce guards the
+            # fixpoint where lab(v) == v.
+            hop = new.select(
+                F.col("node").alias("h_node"), F.col("lab").alias("h_lab")
+            )
+            new = (
+                new.join(hop, new["lab"] == hop["h_node"], "left")
+                .select("node", F.coalesce("h_lab", "lab").alias("lab"))
+                .localCheckpoint()
+            )
+            changed = (
+                new.join(labels.withColumnRenamed("lab", "old"), "node")
+                .filter(F.col("lab") != F.col("old"))
+                .limit(1)
+                .count()
+            )
+            labels = new
+            if changed == 0:
+                break
+        else:
+            raise RuntimeError(
+                f"connected_components did not converge in {max_rounds}"
+                " rounds"
+            )
+    finally:
+        # also on the non-convergence raise — the persisted edge set
+        # must not outlive the call
+        sym.unpersist()
     return labels.select("node", F.col("lab").alias("component"))
 
 

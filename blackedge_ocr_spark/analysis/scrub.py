@@ -34,7 +34,11 @@ from blackedge_ocr_spark.functions.text import tokens
 # ("a@10.1.2.3.com") counts once, as email — so n_pii always equals
 # the number of replacements actually performed.
 PII_RULES: tuple[tuple[str, str, str], ...] = (
-    ("email", r"[a-z0-9][a-z0-9._%+-]*@[a-z0-9.-]+\.[a-z]{2,}", "<EMAIL>"),
+    # (?i): local-parts and hosts are case-preserving in the wild —
+    # 'JOHN@EXAMPLE.COM' must not escape redaction (and a mixed-case
+    # 'John@…' must not half-match from the second letter). Inline
+    # case-folding over ASCII classes is identical in Java and RE2.
+    ("email", r"(?i)[a-z0-9][a-z0-9._%+-]*@[a-z0-9.-]+\.[a-z]{2,}", "<EMAIL>"),
     ("ssn", r"\b\d{3}-\d{2}-\d{4}\b", "<SSN>"),
     ("card", r"\b\d{4} \d{4} \d{4} \d{4}\b", "<CARD>"),
     ("phone", r"\(\d{3}\) \d{3}-\d{4}", "<PHONE>"),
@@ -263,7 +267,14 @@ def extract_domain(col: Column) -> Column:
     missing path ("https://host"), ports and userinfo (stripped), and
     uppercase schemes/hosts — a blocked domain must never slip
     through on URL shape alone."""
-    return F.regexp_extract(F.lower(F.coalesce(col, F.lit(""))), DOMAIN_RE, 1)
+    host = F.regexp_extract(
+        F.lower(F.coalesce(col, F.lit(""))), DOMAIN_RE, 1
+    )
+    # strip the FQDN trailing dot: 'https://spam-mill.biz./p' resolves
+    # to the same host as 'spam-mill.biz' and must not dodge the
+    # blocklist (RE2 has no lookahead, so post-strip instead of
+    # excluding it in the host class)
+    return F.regexp_replace(host, r"\.+$", "")
 
 
 def domain_filter(docs: DataFrame) -> DataFrame:

@@ -78,7 +78,13 @@ def incremental_extract(
             cur.select("doc_id", SRC_HASH_COL), "doc_id"
         ).withColumn(REFRESHED_COL, F.lit(True))
 
-    keys = cur.select("doc_id", SRC_HASH_COL)
+    # The fingerprint projection feeds BOTH the delta anti-join and
+    # the carried semi-join (two branches of the final union) —
+    # persist it so the full-corpus to_json+md5 pass runs once, not
+    # once per branch. Rows are (doc_id, 32-hex) — far smaller than
+    # the spans they hash; evictable MEMORY_AND_DISK, same staging
+    # discipline as the LSH candidate tables.
+    keys = cur.select("doc_id", SRC_HASH_COL).persist()
     prev_keys = prev.select("doc_id", SRC_HASH_COL)
     # Delta = new or revised: fingerprint pair absent from prev.
     delta_ids = keys.join(
@@ -91,9 +97,14 @@ def incremental_extract(
     ).withColumn(REFRESHED_COL, F.lit(False))
 
     delta_docs = docs.join(delta_ids, "doc_id")
+    # Hash join-back over the DELTA only (same deterministic
+    # expression as `keys`) — tagging the few-% refreshed set must
+    # not rehash the full snapshot's span arrays.
     fresh = (
         transform(delta_docs)
-        .join(keys, "doc_id")
+        .join(with_src_hash(delta_docs, hash_cols).select(
+            "doc_id", SRC_HASH_COL
+        ), "doc_id")
         .withColumn(REFRESHED_COL, F.lit(True))
     )
     return fresh.unionByName(carried.select(*fresh.columns))

@@ -1933,7 +1933,9 @@ def sql_domain_filter() -> str:
     return f"""
 WITH t AS (SELECT doc_id, {url_sql('doc_id')} AS url FROM documents),
 d AS (SELECT doc_id,
-             regexp_extract(lower(url), {_sq(DOMAIN_RE)}, 1) AS domain
+             regexp_replace(
+               regexp_extract(lower(url), {_sq(DOMAIN_RE)}, 1),
+               '\\.+$', '') AS domain
       FROM t)
 SELECT doc_id, domain FROM d WHERE domain NOT IN ({blocked})"""
 

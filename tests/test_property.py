@@ -126,7 +126,7 @@ def test_dup_ngram_invariants(spark, docs):
 # parity is exact by construction; embedded REAL matches come from
 # interleaving crafted snippets with the soup.
 pii_soup = st.text(
-    alphabet="abc019@.-() ",
+    alphabet="abcABC019@.-() ",
     min_size=0,
     max_size=50,
 )
@@ -134,6 +134,8 @@ pii_snippets = st.lists(
     st.sampled_from(
         [
             "u1@ex.co",
+            "U1@EX.CO",
+            "MiXed@Ex.Co",
             "1.2.3.4",
             "(123) 456-7890",
             "123-45-6789",

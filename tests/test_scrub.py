@@ -212,3 +212,42 @@ def test_extract_domain_tolerates_url_shapes(spark):
     # and the filter actually blocks every one of those shapes
     survivors = scrub.domain_filter(d).collect()
     assert [r["doc_id"] for r in survivors] == [4]
+
+
+def test_pii_email_case_insensitive(spark):
+    rows = [
+        Row(doc_id=0, text="Contact JOHN@EXAMPLE.COM today"),
+        Row(doc_id=1, text="mail MiXed@Ex.Co please"),
+        Row(doc_id=2, text="lower a1@ex.co fine"),
+    ]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r["n_email"] for r in scrub.pii_scan(d).collect()}
+    assert got == {0: 1, 1: 1, 2: 1}
+    red = {
+        r["doc_id"]: r["r"]
+        for r in d.select(
+            "doc_id", scrub.redact_col(F.col("text")).alias("r")
+        ).collect()
+    }
+    # the WHOLE address is replaced, not a half-match from the
+    # second letter
+    assert red[0] == "Contact <EMAIL> today"
+    assert red[1] == "mail <EMAIL> please"
+
+
+def test_domain_filter_strips_fqdn_trailing_dot(spark):
+    rows = [
+        Row(doc_id=0, url="https://spam-mill.biz./p/1"),
+        Row(doc_id=1, url="https://news.example.org./p/2"),
+    ]
+    d = spark.createDataFrame(rows, "doc_id long, url string")
+    doms = {
+        r["doc_id"]: r["d"]
+        for r in d.select(
+            "doc_id", scrub.extract_domain(F.col("url")).alias("d")
+        ).collect()
+    }
+    assert doms == {0: "spam-mill.biz", 1: "news.example.org"}
+    # the FQDN form of a blocked host is still blocked
+    survivors = scrub.domain_filter(d).collect()
+    assert [r["doc_id"] for r in survivors] == [1]
