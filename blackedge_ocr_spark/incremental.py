@@ -97,14 +97,12 @@ def incremental_extract(
     ).withColumn(REFRESHED_COL, F.lit(False))
 
     delta_docs = docs.join(delta_ids, "doc_id")
-    # Hash join-back over the DELTA only (same deterministic
-    # expression as `keys`) — tagging the few-% refreshed set must
-    # not rehash the full snapshot's span arrays.
+    # Join-back reads the PERSISTED keys table (InMemoryTableScan) —
+    # tagging the few-% refreshed set costs a join against the cache,
+    # never a second full-corpus rehash of the span arrays.
     fresh = (
         transform(delta_docs)
-        .join(with_src_hash(delta_docs, hash_cols).select(
-            "doc_id", SRC_HASH_COL
-        ), "doc_id")
+        .join(keys, "doc_id")
         .withColumn(REFRESHED_COL, F.lit(True))
     )
     return fresh.unionByName(carried.select(*fresh.columns))
