@@ -114,6 +114,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mixture_weights": q.q_mixture_weights,
         "media_dedup": q.q_media_dedup,
         "doc_features": q.q_doc_features,
+        "vocab_coverage": q.q_vocab_coverage,
     }
     return out
 

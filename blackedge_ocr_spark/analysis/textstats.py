@@ -405,3 +405,42 @@ def doc_features(docs: DataFrame) -> DataFrame:
         bpe.alias("bpe_tokens"),
         _sum_counts(counts).cast("long").alias("n_pii"),
     )
+
+
+def vocab_coverage(docs: DataFrame, k: int = TOP_K_TERMS) -> DataFrame:
+    """Coverage of the corpus token stream by the exact top-``k``
+    vocabulary — the OOV-rate statistic a tokenizer builder checks
+    before freezing a vocab (single row: vocab_k, total_tokens,
+    in_vocab_tokens, r6 coverage).
+
+    Shape at scale: ONE combinable term agg over the exploded stream
+    (the same shuffle top_terms pays — the term-count table is
+    persisted so vocab selection and coverage both read it without a
+    second corpus pass), then the K-row vocabulary broadcasts back
+    for a LEFT SEMI over the O(vocabulary) count table. The corpus is
+    scanned once; everything after the term agg is
+    vocabulary-sized."""
+    counts = (
+        docs.select(F.explode(tokens(F.col("text"))).alias("term"))
+        .groupBy("term")
+        .agg(F.count("*").alias("n"))
+        .persist()  # O(vocabulary) rows; read by both branches below
+    )
+    vocab = (
+        counts.orderBy(F.col("n").desc(), F.col("term"))
+        .limit(k)
+        .select("term")
+    )
+    total = counts.agg(F.sum("n").alias("total_tokens"))
+    in_vocab = counts.join(F.broadcast(vocab), "term", "left_semi").agg(
+        F.sum("n").alias("in_vocab_tokens")
+    )
+    return total.crossJoin(in_vocab).select(
+        F.lit(k).alias("vocab_k"),
+        "total_tokens",
+        "in_vocab_tokens",
+        _r6(
+            F.col("in_vocab_tokens").cast("double")
+            / F.col("total_tokens").cast("double")
+        ).alias("coverage"),
+    )

@@ -1368,3 +1368,11 @@ def q_doc_features(spark, sf_dir) -> DataFrame:
         "doc_id", _pii_text(F.col("doc_id"), F.col("text")).alias("text")
     )
     return doc_features(staged)
+
+
+def q_vocab_coverage(spark, sf_dir) -> DataFrame:
+    """Top-K vocabulary coverage of the token stream: one corpus
+    scan, one combinable term agg, vocabulary-sized everything after."""
+    from blackedge_ocr_spark.analysis import textstats
+
+    return textstats.vocab_coverage(_docs(spark, sf_dir))

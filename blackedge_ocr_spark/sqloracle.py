@@ -690,6 +690,7 @@ def build_oracles() -> dict[str, str]:
         "mixture_weights": sql_mixture_weights(),
         "media_dedup": sql_media_dedup(),
         "doc_features": sql_doc_features(),
+        "vocab_coverage": sql_vocab_coverage(),
     }
     return out
 
@@ -2400,3 +2401,22 @@ SELECT doc_id,
   len(regexp_extract_all(norm, {_sq(BPE_PATTERN)}))::bigint AS bpe_tokens,
   ({pii_total})::bigint AS n_pii
 FROM m"""
+
+
+def sql_vocab_coverage() -> str:
+    """textstats.vocab_coverage mirror: same term counts, same
+    (n DESC, term ASC) top-K boundary, same r6 coverage."""
+    from blackedge_ocr_spark.analysis.textstats import TOP_K_TERMS
+
+    toks = tokens_sql("text")
+    return f"""
+WITH e AS (SELECT unnest({toks}) AS term FROM documents),
+c AS (SELECT term, count(*)::bigint AS n FROM e GROUP BY term),
+v AS (SELECT term FROM c ORDER BY n DESC, term ASC LIMIT {TOP_K_TERMS})
+SELECT {TOP_K_TERMS} AS vocab_k,
+  sum(n)::bigint AS total_tokens,
+  sum(CASE WHEN term IN (SELECT term FROM v) THEN n ELSE 0 END)::bigint
+    AS in_vocab_tokens,
+  floor(sum(CASE WHEN term IN (SELECT term FROM v) THEN n ELSE 0 END)::double
+        / sum(n)::double * 1000000 + 0.5) / 1000000 AS coverage
+FROM c"""

@@ -181,3 +181,15 @@ def test_doc_features_matches_standalone_operators(spark):
         assert (r["ws_tokens"], r["bpe_tokens"]) == toks[d]
         assert r["n_pii"] == piis[d]
     assert feats[2]["lang"] == "de" and feats[3]["n_pii"] == 2
+
+
+def test_vocab_coverage_exact_small_vocab(spark):
+    # counts: alpha 4, beta 2, gamma 1, zz 1. k=2 -> vocab {alpha,
+    # beta} covers 6 of 8 tokens.
+    docs = spark.createDataFrame(
+        [(1, "alpha alpha beta gamma"), (2, "alpha alpha beta zz")],
+        "doc_id long, text string",
+    )
+    r = textstats.vocab_coverage(docs, k=2).collect()[0]
+    assert (r["vocab_k"], r["total_tokens"], r["in_vocab_tokens"]) == (2, 8, 6)
+    assert r["coverage"] == 0.75
