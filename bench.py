@@ -46,6 +46,7 @@ BENCH_QUERIES = (
     "corpus_shuffle",
     "span_packing",
     "bpe_pairs",
+    "doc_features",
 )
 
 
