@@ -115,6 +115,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_dedup": q.q_media_dedup,
         "doc_features": q.q_doc_features,
         "vocab_coverage": q.q_vocab_coverage,
+        "domain_stats": q.q_domain_stats,
     }
     return out
 

@@ -297,3 +297,40 @@ def domain_filter(docs: DataFrame) -> DataFrame:
     return staged.join(F.broadcast(bl), "domain", "left_anti").select(
         "doc_id", "domain"
     )
+
+
+def domain_stats(docs: DataFrame) -> DataFrame:
+    """Host-reputation table over (url, text) documents: per-domain
+    doc count, mean quality and blocklist membership — the per-host
+    keep/drop signal web-curation pipelines build before sampling
+    (CCNet/RefinedWeb-style host statistics; public methods).
+
+    Determinism note: a double mean is summation-order-dependent, so
+    the quality aggregate sums EXACT micro-units instead — q6 is a
+    multiple of 1e-6 by construction, floor(q6*1e6+0.5) recovers the
+    integer exactly, and a long sum is order-free — then divides
+    once. Shape: one combinable agg on domain (hot hosts partial-
+    aggregate map-side); the blocked flag is a per-row literal-array
+    membership, no join.
+    """
+    from blackedge_ocr_spark.analysis.textstats import _r6, quality_col
+
+    qi = F.floor(quality_col(F.col("text")) * 1e6 + F.lit(0.5)).cast(
+        "long"
+    )
+    staged = docs.select(
+        extract_domain(F.col("url")).alias("domain"), qi.alias("qi")
+    )
+    return (
+        staged.groupBy("domain")
+        .agg(F.count("*").alias("n_docs"), F.sum("qi").alias("sq"))
+        .select(
+            "domain",
+            "n_docs",
+            _r6(
+                F.col("sq").cast("double")
+                / (F.col("n_docs").cast("double") * 1e6)
+            ).alias("mean_quality"),
+            F.col("domain").isin(*BLOCKED_DOMAINS).alias("blocked"),
+        )
+    )

@@ -1376,3 +1376,16 @@ def q_vocab_coverage(spark, sf_dir) -> DataFrame:
     from blackedge_ocr_spark.analysis import textstats
 
     return textstats.vocab_coverage(_docs(spark, sf_dir))
+
+
+def q_domain_stats(spark, sf_dir) -> DataFrame:
+    """Host-reputation table over the URL-staged corpus: exact
+    micro-unit quality mean per domain + blocklist flag; one
+    combinable agg."""
+    from blackedge_ocr_spark.analysis import scrub
+
+    d = _docs(spark, sf_dir)
+    staged = d.select(
+        _url_col(F.col("doc_id")).alias("url"), "text"
+    )
+    return scrub.domain_stats(staged)

@@ -691,6 +691,7 @@ def build_oracles() -> dict[str, str]:
         "media_dedup": sql_media_dedup(),
         "doc_features": sql_doc_features(),
         "vocab_coverage": sql_vocab_coverage(),
+        "domain_stats": sql_domain_stats(),
     }
     return out
 
@@ -2420,3 +2421,44 @@ SELECT {TOP_K_TERMS} AS vocab_k,
   floor(sum(CASE WHEN term IN (SELECT term FROM v) THEN n ELSE 0 END)::double
         / sum(n)::double * 1000000 + 0.5) / 1000000 AS coverage
 FROM c"""
+
+
+def sql_domain_stats() -> str:
+    """scrub.domain_stats mirror: identical micro-unit quality sum
+    (order-free long arithmetic) and host extraction."""
+    from blackedge_ocr_spark.analysis.scrub import BLOCKED_DOMAINS, DOMAIN_RE
+    from blackedge_ocr_spark.analysis.textstats import LANG_PROFILES
+
+    toks = tokens_sql("text")
+    stop = (
+        "len(list_filter(toks, t -> list_contains(["
+        + ", ".join(_sq(w) for w in LANG_PROFILES[0][1])
+        + "], t)))"
+    )
+    blocked = ", ".join(_sq(d) for d in BLOCKED_DOMAINS)
+    return f"""
+WITH s AS (SELECT {url_sql('doc_id')} AS url, text FROM documents),
+t AS (SELECT url, {toks} AS toks FROM s),
+m AS (SELECT url, len(toks) AS n_words,
+        CASE WHEN len(toks) > 0
+             THEN list_sum(list_transform(toks, tk -> length(tk)::double))
+                  / len(toks)::double
+             ELSE 0.0 END AS mean_word_len,
+        CASE WHEN len(toks) > 0 THEN ({stop})::double / len(toks)::double
+             ELSE 0.0 END AS stop_ratio
+      FROM t),
+q AS (SELECT
+        regexp_replace(
+          regexp_extract(lower(url), {_sq(DOMAIN_RE)}, 1),
+          '\\.+$', '') AS domain,
+        floor(floor((0.5 * least(n_words::double / 50.0, 1.0)
+                     + 0.3 * stop_ratio
+                     + 0.2 * least(mean_word_len / 8.0, 1.0))
+                    * 1000000 + 0.5) / 1000000 * 1000000 + 0.5)::bigint
+          AS qi
+      FROM m)
+SELECT domain, count(*)::bigint AS n_docs,
+  floor(sum(qi)::double / (count(*)::double * 1000000.0)
+        * 1000000 + 0.5) / 1000000 AS mean_quality,
+  domain IN ({blocked}) AS blocked
+FROM q GROUP BY domain"""

@@ -251,3 +251,30 @@ def test_domain_filter_strips_fqdn_trailing_dot(spark):
     # the FQDN form of a blocked host is still blocked
     survivors = scrub.domain_filter(d).collect()
     assert [r["doc_id"] for r in survivors] == [1]
+
+
+def test_domain_stats_exact_micro_unit_mean(spark):
+    rows = [
+        Row(url="https://spam-mill.biz/p/1",
+            text="the quick brown fox and the dog in a yard today"),
+        Row(url="https://spam-mill.biz/p/2", text=""),
+        Row(url="https://news.example.org/p/3",
+            text="the of to is in and a the of to"),
+    ]
+    d = spark.createDataFrame(rows, "url string, text string")
+    from blackedge_ocr_spark.analysis.textstats import quality_col
+    import math
+
+    q = [r["q"] for r in d.select(quality_col(F.col("text")).alias("q")).collect()]
+    got = {r["domain"]: r for r in scrub.domain_stats(d).collect()}
+    assert got["spam-mill.biz"]["n_docs"] == 2
+    assert got["spam-mill.biz"]["blocked"] is True
+    assert got["news.example.org"]["blocked"] is False
+    # mean is the exact micro-unit sum, not a float accumulation
+    want = (
+        math.floor(
+            (math.floor(q[0] * 1e6 + 0.5) + math.floor(q[1] * 1e6 + 0.5))
+            / (2 * 1e6) * 1e6 + 0.5
+        ) / 1e6
+    )
+    assert got["spam-mill.biz"]["mean_quality"] == want
