@@ -116,6 +116,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_features": q.q_doc_features,
         "vocab_coverage": q.q_vocab_coverage,
         "domain_stats": q.q_domain_stats,
+        "lm_scores": q.q_lm_scores,
     }
     return out
 

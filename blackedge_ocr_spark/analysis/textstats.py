@@ -444,3 +444,75 @@ def vocab_coverage(docs: DataFrame, k: int = TOP_K_TERMS) -> DataFrame:
             / F.col("total_tokens").cast("double")
         ).alias("coverage"),
     )
+
+
+LM_VOCAB_K = 512  # top-V unigram-LM vocabulary size
+
+
+def lm_scores(docs: DataFrame, v: int = LM_VOCAB_K) -> DataFrame:
+    """Unigram-LM mean log-probability per document — the
+    perplexity-proxy quality signal (CCNet-style LM filtering, public
+    method) with the corpus's own top-``v`` unigram distribution as
+    the model; OOV tokens get the 1/total floor probability.
+
+    Exact arithmetic: each term's log-prob is micro-unit-rounded ONCE
+    on the O(v) vocabulary table (floor(ln(p)*1e6+0.5) as long — the
+    per-term ln discipline term_doc_freq proved engine-identical);
+    per-doc sums are exact long adds, order-free under any
+    partitioning; one division at the end. A float mean would drift
+    with summation order and break cross-engine parity.
+
+    Shape at scale: two corpus passes, exactly like a real LM filter
+    (pass 1 trains the model: one combinable term agg; pass 2 scores:
+    explode + LEFT join against the BROADCAST v-row vocabulary — the
+    corpus never shuffles on term — then a combinable doc agg).
+    Zero-token docs survive via the final left join (score 0.0).
+    """
+    counts = (
+        docs.select(F.explode(tokens(F.col("text"))).alias("term"))
+        .groupBy("term")
+        .agg(F.count("*").alias("n"))
+        .persist()  # O(vocabulary); feeds total + top-V below
+    )
+    total = counts.agg(F.sum("n").alias("tot"))
+    li_expr = F.floor(
+        F.log(F.col("n").cast("double") / F.col("tot").cast("double"))
+        * 1e6
+        + F.lit(0.5)
+    ).cast("long")
+    vocab = (
+        counts.orderBy(F.col("n").desc(), F.col("term"))
+        .limit(v)
+        .crossJoin(F.broadcast(total))
+        .select("term", li_expr.alias("li"))
+    )
+    oov_li = F.floor(
+        F.log(F.lit(1.0) / F.col("tot").cast("double")) * 1e6 + F.lit(0.5)
+    ).cast("long")
+    ex = docs.select(
+        "doc_id", F.explode(tokens(F.col("text"))).alias("term")
+    )
+    scored = (
+        ex.join(F.broadcast(vocab), "term", "left")
+        .crossJoin(F.broadcast(total))
+        .select("doc_id", F.coalesce(F.col("li"), oov_li).alias("li"))
+    )
+    per_doc = scored.groupBy("doc_id").agg(
+        F.count("*").alias("n_toks"), F.sum("li").alias("s")
+    )
+    # _r6 over a negative mean: floor(x*1e6+0.5)/1e6 rounds half
+    # toward +inf on both engines — identical ops, parity holds.
+    mean = _r6(
+        F.col("s").cast("double") / (F.col("n_toks").cast("double") * 1e6)
+    )
+    return (
+        docs.select("doc_id")
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_toks", F.lit(0)).cast("long").alias("n_tokens"),
+            F.when(F.col("n_toks") > 0, mean)
+            .otherwise(F.lit(0.0))
+            .alias("lm_score"),
+        )
+    )

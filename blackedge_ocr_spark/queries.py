@@ -1389,3 +1389,11 @@ def q_domain_stats(spark, sf_dir) -> DataFrame:
         _url_col(F.col("doc_id")).alias("url"), "text"
     )
     return scrub.domain_stats(staged)
+
+
+def q_lm_scores(spark, sf_dir) -> DataFrame:
+    """Unigram-LM perplexity-proxy scores: LM-train agg + broadcast
+    vocab scoring pass, exact micro-unit log-prob arithmetic."""
+    from blackedge_ocr_spark.analysis import textstats
+
+    return textstats.lm_scores(_docs(spark, sf_dir))

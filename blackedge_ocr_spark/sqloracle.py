@@ -692,6 +692,7 @@ def build_oracles() -> dict[str, str]:
         "doc_features": sql_doc_features(),
         "vocab_coverage": sql_vocab_coverage(),
         "domain_stats": sql_domain_stats(),
+        "lm_scores": sql_lm_scores(),
     }
     return out
 
@@ -2462,3 +2463,33 @@ SELECT domain, count(*)::bigint AS n_docs,
         * 1000000 + 0.5) / 1000000 AS mean_quality,
   domain IN ({blocked}) AS blocked
 FROM q GROUP BY domain"""
+
+
+def sql_lm_scores() -> str:
+    """textstats.lm_scores mirror: same top-V boundary, same per-term
+    micro-unit ln rounding, same exact long sums."""
+    from blackedge_ocr_spark.analysis.textstats import LM_VOCAB_K
+
+    toks = tokens_sql("text")
+    return f"""
+WITH e AS (SELECT doc_id, unnest({toks}) AS term FROM documents),
+c AS (SELECT term, count(*)::bigint AS n FROM e GROUP BY term),
+t AS (SELECT sum(n)::double AS tot FROM c),
+v AS (SELECT term,
+        floor(ln(n::double / (SELECT tot FROM t)) * 1000000 + 0.5)::bigint
+          AS li
+      FROM c ORDER BY n DESC, term ASC LIMIT {LM_VOCAB_K}),
+s AS (SELECT e.doc_id,
+        coalesce(v.li,
+          floor(ln(1.0 / (SELECT tot FROM t)) * 1000000 + 0.5)::bigint)
+          AS li
+      FROM e LEFT JOIN v ON e.term = v.term),
+g AS (SELECT doc_id, count(*)::bigint AS n_toks, sum(li)::bigint AS s
+      FROM s GROUP BY doc_id)
+SELECT d.doc_id,
+  coalesce(g.n_toks, 0)::bigint AS n_tokens,
+  CASE WHEN g.n_toks > 0
+       THEN floor(g.s::double / (g.n_toks::double * 1000000.0)
+                  * 1000000 + 0.5) / 1000000
+       ELSE 0.0 END AS lm_score
+FROM documents d LEFT JOIN g ON d.doc_id = g.doc_id"""

@@ -193,3 +193,22 @@ def test_vocab_coverage_exact_small_vocab(spark):
     r = textstats.vocab_coverage(docs, k=2).collect()[0]
     assert (r["vocab_k"], r["total_tokens"], r["in_vocab_tokens"]) == (2, 8, 6)
     assert r["coverage"] == 0.75
+
+
+def test_lm_scores_exact_micro_unit_logprobs(spark):
+    # vocab (v=2, ties by term asc): a p=2/4, b p=1/4; c is OOV with
+    # the 1/total floor (also 1/4 here).
+    docs = spark.createDataFrame(
+        [(1, "a a b"), (2, "c"), (3, "")],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in textstats.lm_scores(docs, v=2).collect()}
+    li = lambda p: math.floor(math.log(p) * 1e6 + 0.5)
+    r6 = lambda x: math.floor(x * 1e6 + 0.5) / 1e6
+    assert got[1]["n_tokens"] == 3
+    assert got[1]["lm_score"] == r6((2 * li(0.5) + li(0.25)) / (3 * 1e6))
+    assert got[2]["n_tokens"] == 1  # OOV floor
+    assert got[2]["lm_score"] == r6(li(1 / 4) / 1e6)
+    assert got[3]["n_tokens"] == 0 and got[3]["lm_score"] == 0.0
+    # higher-probability text scores higher (both are negative)
+    assert got[1]["lm_score"] > got[2]["lm_score"]
