@@ -190,3 +190,40 @@ def test_pii_scan_and_redact_match_python_re(spark, parts):
             red = re.sub(pat, tok, red)
         assert got_scan[i]["n_pii"] == total
         assert got_red[i]["red"] == red, t
+
+
+bpe_docs = st.lists(
+    st.lists(
+        st.text(alphabet="abz01", min_size=1, max_size=6),
+        min_size=0,
+        max_size=10,
+    ),
+    min_size=1,
+    max_size=20,
+)
+
+
+@given(docs=bpe_docs)
+@SLOW
+def test_bpe_pairs_match_python_counter(spark, docs):
+    """Spark bpe_pairs == a pure-Python Counter over freq-weighted
+    adjacent char pairs of the word stream (1-char words emit none)."""
+    from collections import Counter
+
+    from blackedge_ocr_spark.analysis import textstats
+
+    rows = [(i, " ".join(ws)) for i, ws in enumerate(docs)]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["pair"]: r["n"] for r in textstats.bpe_pairs(d).collect()
+    }
+    want = Counter()
+    for ws in docs:
+        for w in ws:
+            for i in range(len(w) - 1):
+                want[w[i : i + 2]] += 1
+    # top-K truncation: compare on the K-boundary-free case
+    if len(want) <= textstats.BPE_TOP_K:
+        assert got == dict(want)
+    else:
+        assert all(got[p] == want[p] for p in got)
