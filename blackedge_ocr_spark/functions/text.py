@@ -20,8 +20,13 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 # Python re semantics for \s / \b / \w via Java's (?U) flag.
-_WS = r"(?U)\s+"
-_EDGE_WS = r"(?U)^\s+|\s+$"
+# [\s\x1c-\x1f]: Java (?U)\s is the Unicode White_Space property,
+# which EXCLUDES the legacy FS/GS/RS/US separators U+001C-001F;
+# Python's \s and str.strip() (the reference semantics,
+# content_normalizer.py) include them — carve them back in so a
+# control-separator-padded span normalizes identically.
+_WS = r"(?U)[\s\x1c-\x1f]+"
+_EDGE_WS = r"(?U)^[\s\x1c-\x1f]+|[\s\x1c-\x1f]+$"
 # reference: content_normalizer.py:99
 NUMBER_PATTERN = r"-?\d+(?:,\d{3})*(?:\.\d+)?%?"
 # reference: content_normalizer.py:137 (runs over lowercased text)

@@ -22,7 +22,7 @@ Streaming state, per SURVEY §4.3-4:
   on the bucket column), so a killed job resumes where it stopped.
 
 Lineage row: part_id, n_docs, n_spans, n_problem_docs, n_used_secondary,
-n_errors, wall_sec, batch — enough to audit completeness (sum of
+n_errors, batch_wall_sec, batch — enough to audit completeness (sum of
 n_docs vs source count) and locate data-quality hotspots per bucket.
 """
 
@@ -42,7 +42,10 @@ LINEAGE_SCHEMA = T.StructType(
         T.StructField("n_problem_docs", T.LongType(), False),
         T.StructField("n_used_secondary", T.LongType(), False),
         T.StructField("n_errors", T.LongType(), False),
-        T.StructField("wall_sec", T.DoubleType(), False),
+        # the BATCH's wall clock, identical on every bucket row of the
+        # batch (a per-bucket split would be a guess — buckets run
+        # concurrently inside one action); named to say so.
+        T.StructField("batch_wall_sec", T.DoubleType(), False),
         T.StructField("batch", T.IntegerType(), False),
     ]
 )
@@ -56,10 +59,18 @@ def with_bucket(df: DataFrame, n_buckets: int) -> DataFrame:
 
 
 def completed_buckets(spark: SparkSession, output: str) -> set[int]:
+    from pyspark.sql.utils import AnalysisException
+
     try:
         rows = spark.read.parquet(f"{output}/_lineage").select("part_id").collect()
         return {r["part_id"] for r in rows}
-    except Exception:  # no manifest yet (fresh run)
+    except AnalysisException as e:
+        # ONLY a missing manifest means "fresh run". A corrupt or
+        # unreadable manifest must fail loudly — treating it as fresh
+        # would reprocess every bucket AND append duplicate lineage
+        # rows, double-counting the completeness audit.
+        if (e.getErrorClass() or "") != "PATH_NOT_FOUND":
+            raise
         return set()
 
 
@@ -112,10 +123,23 @@ def run_with_checkpoint(
         # Metrics come from the files just written — auditing the
         # actual sink contents — rather than re-executing the whole
         # transform (including its Arrow OCR stage) a second time.
-        written = spark.read.parquet(f"{output}/data").filter(
-            F.col("part_id").isin(bucket_ids)
-        )
-        metrics = (
+        # An ALL-EMPTY batch commits only _SUCCESS (no footer to infer
+        # a schema from) — ack zero-doc lineage rows instead of
+        # crashing, or the rerun loops on the same empty batch forever.
+        from pyspark.sql.utils import AnalysisException
+
+        try:
+            written = spark.read.parquet(f"{output}/data").filter(
+                F.col("part_id").isin(bucket_ids)
+            )
+        except AnalysisException as e:
+            if (e.getErrorClass() or "") not in (
+                "UNABLE_TO_INFER_SCHEMA",
+                "PATH_NOT_FOUND",
+            ):
+                raise
+            written = None
+        metrics = [] if written is None else (
             written.groupBy("part_id")
             .agg(
                 F.count("*").alias("n_docs"),

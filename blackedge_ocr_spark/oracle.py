@@ -19,6 +19,7 @@ from blackedge_ocr_spark.constants import (
     CONTENT_SEPARATOR,
     ENCODING_ERROR_MARKERS,
     GEMINI_KEYWORDS,
+    LEVENSHTEIN_REPORT_MAX,
     MAX_GIBBERISH_RATIO,
     MAX_REPEATED_CHAR_LENGTH,
     MEDIA_KINDS,
@@ -274,7 +275,7 @@ def similarity_report(a: str, b: str) -> dict:
     }
     report["levenshtein"] = (
         levenshtein_similarity(a, b)
-        if len(a) < 5000 and len(b) < 5000
+        if len(a) < LEVENSHTEIN_REPORT_MAX and len(b) < LEVENSHTEIN_REPORT_MAX
         else None
     )
     return report
@@ -329,9 +330,17 @@ def fake_ocr_text(provider: str, media_ref: str) -> str:
 
 def _extract_spans(spans, provider: str):
     out = []
+    first_ref: dict = {}
     for kind, text, media_ref, offset in sorted(spans, key=lambda s: s[3]):
         if kind in MEDIA_KINDS:
-            text = "" if provider == "pdfplumber" else fake_ocr_text(provider, media_ref)
+            # duplicate-offset media: EVERY span of the run gets the
+            # FIRST ref's OCR text (operators/ocr.first_per_offset —
+            # first-wins, asserted by test_edge_cases.py)
+            ref = first_ref.setdefault(offset, media_ref)
+            text = (
+                "" if provider == "pdfplumber"
+                else fake_ocr_text(provider, ref)
+            )
         out.append((kind, text, media_ref, offset))
     return out
 
@@ -350,14 +359,17 @@ def expected_result(
     spans: iterable of (kind, text, media_ref, offset) tuples.
     """
     workflow = route_workflow(query, explicit)
-    provider = PRIMARY_PROVIDER[workflow]
+    # invalid explicit → workflow None → NULL-provider error row (the
+    # engine still fills media text with the stringified provider,
+    # "None:" — .get mirrors that instead of raising KeyError)
+    provider = PRIMARY_PROVIDER.get(workflow)
     out_spans = _extract_spans(spans, provider)
     content = CONTENT_SEPARATOR.join(s[1] for s in out_spans)
-    problems = [
-        (s[3], detect_problems(s[1]))
-        for s in out_spans
-        if detect_problems(s[1])
-    ]
+    problems = []
+    for s in out_spans:
+        labels = detect_problems(s[1])  # ten regex checks — run once
+        if labels:
+            problems.append((s[3], labels))
     validating = enable_validation and workflow in VALIDATING_WORKFLOWS
     similarity = None
     used_secondary = False

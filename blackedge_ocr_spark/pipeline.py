@@ -28,7 +28,6 @@ from blackedge_ocr_spark.constants import (
     VALIDATING_WORKFLOWS,
 )
 from blackedge_ocr_spark.functions.problems import problems_array
-from blackedge_ocr_spark.functions.similarity import similarity_by_method
 from blackedge_ocr_spark.operators.ocr import (
     _is_media as _is_media_span,
     fill_media_text,
@@ -273,7 +272,13 @@ def extract_documents(
             "doc_id",
             "left",
         )
-        df = df.join(F.broadcast(maps), "doc_id", "left")
+        # NO broadcast hint: the mega maps carry the LARGEST
+        # transcripts in the job (a 100k-media doc is ~20 MB per
+        # provider) — forcing a broadcast would collect exactly that
+        # to the driver. AQE broadcasts at runtime while the maps are
+        # small and falls back to a shuffled join when they are not;
+        # mega rows are few either way.
+        df = df.join(maps, "doc_id", "left")
         gated_media = F.when(~is_mega, F.col("_media")).otherwise(
             F.slice(F.col("_media"), 1, 0)
         )

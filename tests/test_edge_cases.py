@@ -116,3 +116,60 @@ def test_mega_media_chunk_parity(spark):
     assert base.keys() == split.keys()
     for k in base:
         assert base[k] == split[k], k
+
+
+def test_duplicate_offset_media_oracle_parity(spark):
+    """Engine and Python oracle agree on duplicate-offset media:
+    BOTH spans of the run carry the FIRST ref's OCR text."""
+    from blackedge_ocr_spark import oracle
+
+    spans = [
+        ("image", "", "refA", 1),
+        ("image", "", "refB", 1),
+        ("text", "plenty of ordinary text in this span here", "", 0),
+    ]
+    df = _df(spark, [("d1", spans, "", None)])
+    out = extract_documents(df, query_col="query").collect()[0]
+    want = oracle.expected_result("d1", spans, "")
+    got_spans = [tuple(s) for s in out["out_spans"]]
+    assert got_spans == want["out_spans"]
+    assert out["content"] == want["content"]
+    # and the two duplicate-offset spans really share refA's text
+    media_texts = {s[1] for s in got_spans if s[0] == "image"}
+    assert len(media_texts) == 1 and "refA" in next(iter(media_texts))
+
+
+def test_invalid_explicit_oracle_parity(spark):
+    """oracle.expected_result must express the NULL-workflow error
+    row instead of raising KeyError, matching the engine."""
+    from blackedge_ocr_spark import oracle
+
+    spans = [("image", "", "refZ", 0),
+             ("text", "hello world, plenty of text here", "", 1)]
+    df = _df(spark, [("x1", spans, "", "not_a_workflow")])
+    out = extract_documents(
+        df, query_col="query", explicit_col="explicit_workflow"
+    ).collect()[0]
+    want = oracle.expected_result("x1", spans, "", explicit="not_a_workflow")
+    assert want["workflow"] is None and want["provider"] is None
+    assert out["workflow"] is None and out["provider"] is None
+    assert [tuple(s) for s in out["out_spans"]] == want["out_spans"]
+    assert out["content"] == want["content"]
+
+
+def test_control_separator_whitespace_parity(spark):
+    """U+001C-001F: Python \\s (the reference) treats them as
+    whitespace; the engine's extended _WS/_EDGE_WS classes must too."""
+    from blackedge_ocr_spark import oracle
+    from blackedge_ocr_spark.functions.text import normalize_text
+
+    texts = ["\x1cpadded\x1f", "a\x1d\x1eb", "\x1c\x1d\x1e\x1f", "x" * 99 + "\x1c"]
+    df = spark.createDataFrame(
+        list(enumerate(texts)), "id long, t string"
+    )
+    got = {
+        r["id"]: r["n"]
+        for r in df.select("id", normalize_text("t").alias("n")).collect()
+    }
+    for i, t in enumerate(texts):
+        assert got[i] == oracle.normalize_text(t), repr(t)

@@ -33,6 +33,12 @@ def _texts():
         "snake_case under_score words",
         "a---PAGE-BREAK---b ---PAGE BREAK--- c [PAGE BREAK] d",
         "The quick brown fox! jumps; over: the lazy dog?",
+        # FS/GS/RS/US separators: Python \s (the reference) includes
+        # U+001C-001F, Java (?U)\s does not — the engine carves them
+        # back in (_WS/_EDGE_WS) so these normalize identically.
+        "\x1cpadded with file separator\x1f",
+        "mid\x1d\x1e gap",
+        "\x1c\x1d\x1e\x1f",
         "",
     ]
     return out

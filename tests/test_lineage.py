@@ -89,7 +89,7 @@ def test_lineage_metrics_account_for_every_doc(spark, tmp_path):
     assert {r["part_id"] for r in rows} == {0, 1, 2, 3}
     assert sum(r["n_docs"] for r in rows) == 500
     assert sum(r["n_errors"] for r in rows) == 0
-    assert all(r["wall_sec"] > 0 for r in rows)
+    assert all(r["batch_wall_sec"] > 0 for r in rows)
     # span totals match a direct count
     n_spans = docs.select(F.sum(F.size("spans"))).collect()[0][0]
     assert sum(r["n_spans"] for r in rows) == n_spans
@@ -97,3 +97,49 @@ def test_lineage_metrics_account_for_every_doc(spark, tmp_path):
     a = with_bucket(docs, 4).select("doc_id", "part_id").collect()
     b = with_bucket(docs, 4).select("doc_id", "part_id").collect()
     assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+def test_empty_first_batch_acks_and_completes(spark, tmp_path):
+    """A first batch whose buckets hold ZERO documents must ack
+    zero-doc lineage rows and continue — not crash on the schemaless
+    parquet dir and loop forever on rerun."""
+    import pyspark.sql.functions as F
+
+    from blackedge_ocr_spark.lineage import completed_buckets, with_bucket
+
+    # one doc whose bucket falls OUTSIDE the first batch (ids 0-3)
+    cand = spark.range(0, 64).select(F.col("id").cast("string").alias("doc_id"))
+    picked = (
+        with_bucket(cand, 16)
+        .filter(F.col("part_id") >= 8)
+        .limit(1)
+        .collect()[0]["doc_id"]
+    )
+    docs = spark.createDataFrame(
+        [(picked, "alpha beta gamma")], "doc_id string, text string"
+    )
+
+    def transform(d):
+        return d.select(
+            "doc_id",
+            F.array().cast(
+                "array<struct<kind:string,text:string,media_ref:string,offset:int>>"
+            ).alias("out_spans"),
+            F.array().cast(
+                "array<struct<offset:int,labels:array<string>>>"
+            ).alias("problems"),
+            F.lit(False).alias("used_secondary"),
+            F.lit("wf").alias("workflow"),
+        )
+
+    from blackedge_ocr_spark.lineage import run_with_checkpoint
+
+    report = run_with_checkpoint(
+        spark, docs, transform, str(tmp_path / "o"),
+        n_buckets=16, buckets_per_batch=4,
+    )
+    assert sorted(report["processed"]) == list(range(16))
+    assert completed_buckets(spark, str(tmp_path / "o")) == set(range(16))
+    lineage = spark.read.parquet(str(tmp_path / "o") + "/_lineage")
+    assert lineage.count() == 16
+    assert lineage.agg(F.sum("n_docs")).collect()[0][0] == 1
