@@ -112,10 +112,27 @@ def format_table(cells: Column) -> Column:
     return F.concat_ws("\n", F.transform(row_ids, row_text))
 
 
+def parse_layout_struct(doc_json: Column) -> Column:
+    """The from_json parse alone. MATERIALIZE this as a column
+    attribute (withColumn) before calling ``layout_pages`` — an
+    inlined parse referenced inside the per-page lambda is re-parsed
+    once per page element (O(pages x json_size); two JsonToStructs in
+    the optimized plan), the same inlined-expression trap documented
+    in operators/ocr.py."""
+    return F.from_json(doc_json, ANALYZE_RESULT_SCHEMA)["analyzeResult"]
+
+
 def parse_layout_json(doc_json: Column) -> Column:
-    """JSON string → array<struct<offset:int, text:string>> of page
-    texts in page order, tables appended to their page (T10 + J3)."""
-    parsed = F.from_json(doc_json, ANALYZE_RESULT_SCHEMA)["analyzeResult"]
+    """One-shot convenience (json in, pages out) for tests and small
+    payloads. Production materializes ``parse_layout_struct`` first
+    and calls ``layout_pages`` on the attribute."""
+    return layout_pages(parse_layout_struct(doc_json))
+
+
+def layout_pages(parsed: Column) -> Column:
+    """parsed analyzeResult struct (a MATERIALIZED attribute) →
+    array<struct<offset:int, text:string>> of page texts in page
+    order, tables appended to their page (T10 + J3)."""
     pages = parsed["pages"]
     tables = parsed["tables"]
 
@@ -135,7 +152,16 @@ def parse_layout_json(doc_json: Column) -> Column:
             "",
             F.transform(
                 page_tables,
-                lambda t: F.concat(F.lit("\nTABLE:\n"), format_table(t["cells"])),
+                # gate the marker on a non-empty body: a table with
+                # null/empty cells otherwise emits a dangling
+                # '\nTABLE:\n' that pollutes content and can trip the
+                # downstream whitespace/incomplete-table detectors
+                lambda t: F.when(
+                    F.length(format_table(t["cells"])) > 0,
+                    F.concat(
+                        F.lit("\nTABLE:\n"), format_table(t["cells"])
+                    ),
+                ).otherwise(F.lit("")),
             ),
         )
         return F.concat(lines, tables_text)

@@ -61,18 +61,6 @@ def fake_ocr_text(provider: str, media_ref: str, burn: int = 0) -> str:
     )
 
 
-@F.pandas_udf(T.ArrayType(T.StringType()))
-def _ocr_texts(media_refs: pd.Series, provider: pd.Series) -> pd.Series:
-    """Arrow-batched: media_refs array<string> per row → OCR text per
-    ref. A real model runner would flatten the batch into one tensor
-    here; the stand-in maps the deterministic transcript."""
-    out = []
-    for refs, prov in zip(media_refs, provider):
-        refs = list(refs) if refs is not None else []
-        out.append([fake_ocr_text(prov, r) for r in refs])
-    return pd.Series(out)
-
-
 def make_ocr_text_map(burn: int = 0):
     """Arrow-batched OCR-classify returning the offset→text map
     DIRECTLY, so the map reaches ``fill_media_text`` as an
@@ -261,6 +249,10 @@ def fake_ocr_text_jvm(provider: Column, media_ref: Column) -> Column:
     (tests, benchmarks of the non-inference stages), the Python
     boundary can be elided entirely. A real model keeps the Arrow
     path."""
+    # NULL provider (unroutable query, the error-row path): the Arrow
+    # twin f-strings it as "None" — coalesce so both paths stay
+    # bit-identical instead of concat null-propagating to NULL.
+    provider = F.coalesce(provider, F.lit("None"))
     h = F.md5(F.concat(provider, F.lit(":"), media_ref))
     num = lambda i: F.conv(F.substring(h, 1 + 4 * i, 4), 16, 10).cast(
         "long"

@@ -871,15 +871,22 @@ def _layout_json(doc_id: Column, text: Column) -> Column:
 def q_azure_layout(spark, sf_dir) -> DataFrame:
     """S7-S9/T9/T10/W2/J3: JSON layout payload → from_json parse →
     page texts with pivoted tables, page order restored."""
-    from blackedge_ocr_spark.functions.layout import parse_layout_json
+    from blackedge_ocr_spark.functions.layout import (
+        layout_pages,
+        parse_layout_struct,
+    )
 
     d = _docs(spark, sf_dir)
     doc_json = _layout_json(F.col("doc_id"), F.col("text"))
-    parsed = parse_layout_json(doc_json)
-    texts = F.transform(parsed, lambda x: x["text"])
+    # materialize the parse, then the page array, as ATTRIBUTES — an
+    # inlined parse inside the per-page lambda re-parses the whole
+    # JSON once per page (two JsonToStructs in the optimized plan)
+    d = d.withColumn("_layout", parse_layout_struct(doc_json))
+    d = d.withColumn("_pages", layout_pages(F.col("_layout")))
+    texts = F.transform(F.col("_pages"), lambda x: x["text"])
     return d.select(
         "doc_id",
-        F.size(parsed).cast("long").alias("n_pages"),
+        F.size(F.col("_pages")).cast("long").alias("n_pages"),
         F.md5(F.array_join(texts, "\x1f")).alias("content_md5"),
     )
 

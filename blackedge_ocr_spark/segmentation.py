@@ -73,6 +73,18 @@ class _BlockCollector(HTMLParser):
         self._flush()
         self._cur = {"tag": tag, "text": [], "link_chars": 0}
 
+    def _fold_cell(self) -> None:
+        """Fold an open <td>/<th> buffer into the current row — called
+        on explicit closes AND on the implicit closes real web HTML
+        uses constantly (a new <td>/<tr> start, or </tr>/</table>
+        without per-cell closes). Previously a new cell/row start
+        DISCARDED the open buffer, silently dropping nearly all cell
+        text from implicit-close tables."""
+        if self._cell is not None:
+            self._row = self._row if self._row is not None else []
+            self._row.append(" ".join("".join(self._cell).split()))
+            self._cell = None
+
     def _flush(self) -> None:
         if self._cur is not None:
             text = "".join(self._cur["text"]).strip()
@@ -99,10 +111,7 @@ class _BlockCollector(HTMLParser):
         a document truncated mid-table keeps its rows, like an
         unterminated paragraph keeps its text). Open cell/row buffers
         fold in first."""
-        if self._cell is not None:
-            self._row = self._row if self._row is not None else []
-            self._row.append(" ".join("".join(self._cell).split()))
-            self._cell = None
+        self._fold_cell()
         if self._row is not None:
             self._table.append(self._row)
             self._row = None
@@ -136,11 +145,23 @@ class _BlockCollector(HTMLParser):
             return
         if self._table is not None:
             if tag == "tr":
+                self._fold_cell()
                 if self._row is not None:
                     self._table.append(self._row)
                 self._row = []
             elif tag in ("td", "th"):
+                self._fold_cell()
                 self._cell = []
+            elif tag == "img":
+                # figures inside table cells still carry media refs —
+                # the image span is emitted BEFORE the enclosing table
+                # block (the table finalizes at </table>); without
+                # this the ref never reached the OCR-classify stage
+                src = dict(attrs).get("src") or ""
+                self.blocks.append(
+                    {"kind": "image", "tag": "img", "text": "",
+                     "media_ref": src}
+                )
             return
         if tag == "img":
             self._flush()
@@ -168,13 +189,13 @@ class _BlockCollector(HTMLParser):
                 self._finalize_table()
             return
         if self._table is not None:
-            if tag in ("td", "th") and self._cell is not None:
-                self._row = self._row if self._row is not None else []
-                self._row.append(" ".join("".join(self._cell).split()))
-                self._cell = None
-            elif tag == "tr" and self._row is not None:
-                self._table.append(self._row)
-                self._row = None
+            if tag in ("td", "th"):
+                self._fold_cell()
+            elif tag == "tr":
+                self._fold_cell()
+                if self._row is not None:
+                    self._table.append(self._row)
+                    self._row = None
             return
         if tag == "a":
             self._in_link = False
@@ -195,7 +216,11 @@ class _BlockCollector(HTMLParser):
         if self._cur is not None:
             self._cur["text"].append(data)
             if self._in_link:
-                self._cur["link_chars"] += len(data.strip())
+                # count NORMALIZED chars — the density denominator is
+                # the whitespace-collapsed block text, so counting raw
+                # stripped chars inflated density past 1.0 on anchors
+                # containing whitespace runs (pretty-printed HTML)
+                self._cur["link_chars"] += len(" ".join(data.split()))
 
     def close(self):
         super().close()

@@ -92,6 +92,18 @@ def doc_bundle(result: DataFrame, doc_id: str) -> dict[str, str]:
         raise KeyError(f"doc_id not found: {doc_id}")
     r = rows[0]
 
+    # workflow NULL is the error convention (routing.py) — mirror
+    # json_response's S11 envelope: the reference returns
+    # build_error_response for these (response_builder.py:190-210),
+    # never a success-shaped archive around null metadata.
+    if r["workflow"] is None:
+        return {
+            "error.json": json.dumps(
+                {"status": "error", "error": "Unknown workflow type"},
+                indent=2,
+            )
+        }
+
     metadata = {
         "workflow": r["workflow"],
         "provider": r["provider"],
@@ -128,9 +140,9 @@ def _bundle_readme(metadata, content, n_sections, validation) -> str:
     readme = f"""# PDF Extraction Results
 
 ## Summary
-- **Workflow**: {metadata.get("workflow", "Unknown")}
-- **Provider**: {metadata.get("provider", "Unknown")}
-- **Pages Processed**: {metadata.get("pages", "Unknown")}
+- **Workflow**: {metadata["workflow"]}
+- **Provider**: {metadata["provider"]}
+- **Pages Processed**: {metadata["pages"]}
 - **Content Length**: {len(content):,} characters
 
 ## Files Included

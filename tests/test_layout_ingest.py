@@ -113,3 +113,18 @@ def test_filename_sanitizer_truncation_parity(spark):
         ).collect()
     ]
     assert got == [_ref_sanitize(c) for c in cases]
+
+
+def test_empty_cells_table_emits_no_dangling_marker(spark):
+    import json as _json
+
+    payload = _json.dumps({"analyzeResult": {
+        "pages": [{"pageNumber": 1, "lines": [{"content": "pg"}]}],
+        "tables": [
+            {"boundingRegions": [{"pageNumber": 1}], "cells": None},
+            {"boundingRegions": [{"pageNumber": 1}], "cells": []},
+        ],
+    }})
+    df = spark.createDataFrame([(payload,)], "j string")
+    out = df.select(parse_layout_json(F.col("j")).alias("p")).collect()[0]["p"]
+    assert out[0]["text"] == "pg"  # no stray '\nTABLE:\n'

@@ -130,3 +130,39 @@ def test_malformed_html_robustness():
         f"<p>{keep}</p>"
     )
     assert [s[1] for s in spans] == [keep]
+
+
+def test_implicit_close_table_keeps_all_cells(spark):
+    """Real-web HTML with implicit </td>/</tr>: every cell survives
+    (a new td/tr start folds the open buffer, never discards it)."""
+    from blackedge_ocr_spark.segmentation import segment_html
+
+    spans = segment_html(
+        "<table><tr><td>alpha<td>beta</tr><tr><td>g<td>d</tr></table>"
+    )
+    assert spans == [("table", "alpha | beta\ng | d", "", 0)]
+    # fully implicit rows too (no </tr> at all)
+    spans2 = segment_html("<table><tr><td>x<td>y<tr><td>z</table>")
+    assert spans2 == [("table", "x | y\nz", "", 0)]
+
+
+def test_img_inside_table_emits_image_span(spark):
+    from blackedge_ocr_spark.segmentation import segment_html
+
+    spans = segment_html(
+        '<table><tr><td><img src="m1">cap</td></tr></table>'
+    )
+    assert spans == [("image", "", "m1", 0), ("table", "cap", "", 1)]
+
+
+def test_link_density_counts_normalized_chars(spark):
+    """Anchor text with whitespace runs must not inflate density past
+    the true collapsed ratio."""
+    from blackedge_ocr_spark.segmentation import segment_html
+
+    # linked chars (normalized) = len('a b') = 3; total text
+    # 'a b plus twenty more plain characters here ok' -> density
+    # well under 0.33, block must SURVIVE
+    html = "<p><a>a \n  b</a> plus twenty more plain characters here ok</p>"
+    spans = segment_html(html)
+    assert spans and spans[0][0] == "text"

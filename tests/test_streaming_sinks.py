@@ -706,3 +706,29 @@ def test_stream_incremental_extract_cdc_parity_and_skip(spark, tmp_path):
         for r in inc.select("doc_id", F.md5("content").alias("c")).collect()
     }
     assert sview == sbatch
+
+
+def test_doc_bundle_error_row_gets_error_envelope(spark):
+    """workflow-NULL rows must produce the S11 error archive, not a
+    success-shaped bundle around null metadata."""
+    import json as _json
+
+    from blackedge_ocr_spark.pipeline import extract_documents
+    from blackedge_ocr_spark.sinks import doc_bundle
+
+    schema = (
+        "doc_id string, spans array<struct<kind:string,text:string,"
+        "media_ref:string,offset:int>>, query string, explicit_workflow string"
+    )
+    df = spark.createDataFrame(
+        [("e1", [("text", "plenty of text in this span", "", 0)],
+          "", "not_a_workflow")], schema,
+    )
+    result = extract_documents(
+        df, query_col="query", explicit_col="explicit_workflow"
+    )
+    files = doc_bundle(result, "e1")
+    assert set(files) == {"error.json"}
+    assert _json.loads(files["error.json"]) == {
+        "status": "error", "error": "Unknown workflow type",
+    }
