@@ -246,6 +246,8 @@ def brute_force_topk(
 
     def score_blocks(batches):
         ids, qm = bq.value
+        if qm.size == 0:  # empty query set: a (0,) array cannot
+            return        # unpack into (nq, dims) — nothing to score
         nq, dims = qm.shape
         # sequential-in-j accumulation == the JVM/DuckDB left fold
         qnorm = np.zeros(nq)
@@ -915,7 +917,9 @@ def neardup_pairs(spark, sf_dir: str) -> DataFrame:
     j = a.join(b, "vec_id")
     cos = F.round(F.col("cos"), 6)
     return pairwise_cosine(j, "va", "vb", keep=["vec_id"]).select(
-        "vec_id", cos.alias("cos"), (cos >= 0.9).alias("is_neardup")
+        "vec_id",
+        cos.alias("cos"),
+        (cos >= NEARDUP_THRESHOLD).alias("is_neardup"),
     )
 
 

@@ -38,7 +38,6 @@ def word_shingles(col, n: int = SHINGLE_N) -> Column:
     Docs shorter than n tokens yield their full token join (one
     shingle), so tiny docs still dedupe."""
     toks = tokens(col)
-    joined = F.array_join(toks, " ")
     idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
     sh = F.transform(idx, lambda i: F.array_join(F.slice(toks, i + 1, n), " "))
     return F.when(F.size(toks) > 0, F.array_distinct(sh)).otherwise(
@@ -153,17 +152,27 @@ def lsh_band_keys(sig: Column, rows_per_band: int = LSH_ROWS_PER_BAND) -> Column
 
 
 def jaccard(a: Column, b: Column) -> Column:
-    """Set Jaccard of two distinct-element arrays; 1.0 when both empty."""
-    inter = F.size(F.array_intersect(a, b)).cast("double")
-    union = F.size(F.array_union(a, b)).cast("double")
-    return (
-        F.when((F.size(a) == 0) & (F.size(b) == 0), F.lit(1.0))
-        .when(union == 0, F.lit(0.0))
-        .otherwise(inter / union)
+    """Set Jaccard of two distinct-element arrays; 1.0 when both
+    empty. Delegates to the ONE guarded implementation
+    (functions/similarity.jaccard_terms_guarded) so the empty-side
+    semantics cannot drift between the dedup and similarity paths."""
+    from blackedge_ocr_spark.functions.similarity import (
+        jaccard_terms_guarded,
     )
 
+    return jaccard_terms_guarded(a, b)
 
-def with_dup_injection(docs: DataFrame, every: int = 10, id_offset: int = 1_000_000) -> DataFrame:
+
+# Injected-copy id offset: far above any real or replicated doc_id
+# (datagen replicas sit at 10^7 strides) so the injected stratum can
+# never collide with a real id and silently corrupt doc_id uniqueness.
+# Shared with sqloracle.DUP_CORPUS.
+DUP_ID_OFFSET = 10**12
+
+
+def with_dup_injection(
+    docs: DataFrame, every: int = 10, id_offset: int = DUP_ID_OFFSET
+) -> DataFrame:
     """Corpus + exact copies of every ``every``-th doc under a shifted
     doc_id — a deterministic duplicate stratum so dedup queries have
     true positives to find (the driver corpus is all-distinct)."""
@@ -376,20 +385,23 @@ def simhash_signatures(docs: DataFrame) -> DataFrame:
 
 def simhash_near_pairs(
     docs: DataFrame,
-    max_hamming: int = 6,
+    max_hamming: int = 3,
     bands: int = 4,
     bucket_cap: int = BUCKET_CAP,
 ) -> DataFrame:
     """SimHash near-duplicate pairs via band buckets: split the 64-bit
     signature into ``bands`` 16-bit bands; docs sharing any band are
-    candidates (a pair within Hamming distance 6 of a 4-band split
-    must agree exactly on >=1 band — pigeonhole); verify true Hamming
-    distance on candidates only. Sub-quadratic like MinHash-LSH, but
+    candidates; verify true Hamming distance on candidates only.
+    Pigeonhole RECALL GUARANTEE: a pair within Hamming distance
+    bands-1 must agree exactly on >=1 band, so the default is
+    max_hamming = bands - 1 = 3 — the classic 64-bit/4-block/k<=3
+    configuration of published simhash dedup (Manku et al. 2007). A
+    larger max_hamming returns extra (lucky-banding) pairs but is NOT
+    exhaustive at that distance; raise ``bands`` to >= max_hamming+1
+    for a guarantee. Sub-quadratic like MinHash-LSH, but
     over the bit signature. ``bucket_cap`` bounds the mirror-swamped
     bucket exactly like the LSH path (oracle-mirrored via
     row_number)."""
-    from pyspark.sql import functions as F
-
     from blackedge_ocr_spark.analysis.banding import in_bucket_pairs
 
     sigs = simhash_signatures(docs)
@@ -439,8 +451,8 @@ def simhash_near_pairs(
     hamming = F.size(
         F.filter(
             F.sequence(F.lit(0), F.lit(63)),
-            lambda i: F.substring(F.col("sig_a"), 1, 64).substr(i + 1, F.lit(1))
-            != F.substring(F.col("sig_b"), 1, 64).substr(i + 1, F.lit(1)),
+            lambda i: F.col("sig_a").substr(i + 1, F.lit(1))
+            != F.col("sig_b").substr(i + 1, F.lit(1)),
         )
     )
     return j.select(

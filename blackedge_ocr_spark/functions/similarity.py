@@ -66,12 +66,14 @@ def _cosine_from_multisets(a: Column, b: Column) -> Column:
     )
     tagged = F.array_sort(F.concat(side(a, 1, 0), side(b, 0, 1)))
     zero = F.lit(0.0)
-    # Seed prev with the FIRST key (type-generic: the multiset may be
-    # double or string), zero counts — the first merge step then takes
-    # the same-run branch, which is correct. prev is null only when
-    # the array is empty, in which case merge never runs.
+    # Seed prev from the RAW a[0] (type-generic: double or string) —
+    # NOT from tagged[0]: ArrayAggregate is CodegenFallback and its
+    # zero expression evaluates independently of the aggregate input,
+    # so referencing `tagged` there ran the O(n log n) sort TWICE per
+    # row. ANY seed key is correct with zero counts: same-run adds
+    # counts to zeros, flush adds 0*0 — both no-ops bit-for-bit.
     acc0 = F.struct(
-        F.get(tagged, 0)["k"].alias("prev"),
+        F.get(a, 0).alias("prev"),
         zero.alias("ca"), zero.alias("cb"),
         zero.alias("dot"), zero.alias("ma"), zero.alias("mb"),
     )

@@ -919,7 +919,8 @@ def q_ingest_validate(spark, sf_dir) -> DataFrame:
 
 
 def q_simhash_pairs(spark, sf_dir) -> DataFrame:
-    """SimHash banded near-dup pairs (hamming <= 6) over the corpus +
+    """SimHash banded near-dup pairs (hamming <= 3, the 4-band
+    pigeonhole guarantee) over the corpus +
     injected duplicate stratum."""
     from blackedge_ocr_spark.analysis import dedup
 

@@ -701,11 +701,17 @@ def build_oracles() -> dict[str, str]:
 # Training-data pipeline oracles (analysis subpackage mirrors)
 # ---------------------------------------------------------------------
 
-DUP_CORPUS = (
-    "corpus AS (SELECT doc_id, text FROM documents "
-    "UNION ALL SELECT doc_id + 1000000, text FROM documents "
-    "WHERE doc_id % 10 = 0)"
-)
+def _dup_corpus() -> str:
+    from blackedge_ocr_spark.analysis.dedup import DUP_ID_OFFSET
+
+    return (
+        "corpus AS (SELECT doc_id, text FROM documents "
+        f"UNION ALL SELECT doc_id + {DUP_ID_OFFSET}, text FROM documents "
+        "WHERE doc_id % 10 = 0)"
+    )
+
+
+DUP_CORPUS = _dup_corpus()
 
 
 def shingles_sql(c: str, n: int = 3) -> str:
@@ -1079,10 +1085,12 @@ FROM hits, nq"""
 
 
 def sql_embedding_neardup() -> str:
+    from blackedge_ocr_spark.analysis.ann import NEARDUP_THRESHOLD
+
     return f"""
 WITH {EMB}
 SELECT a.vec_id AS vec_id, round({cosine_sql('a.v', 'b.v')}, 6) AS cos,
-       round({cosine_sql('a.v', 'b.v')}, 6) >= 0.9 AS is_neardup
+       round({cosine_sql('a.v', 'b.v')}, 6) >= {NEARDUP_THRESHOLD} AS is_neardup
 FROM e a JOIN e b ON b.vec_id = a.vec_id + 1"""
 
 
@@ -1469,7 +1477,7 @@ FROM sx"""
 
 
 def sql_simhash_pairs(
-    max_hamming: int = 6, bands: int = 4, bucket_cap: int | None = None
+    max_hamming: int = 3, bands: int = 4, bucket_cap: int | None = None
 ) -> str:
     if bucket_cap is None:
         from blackedge_ocr_spark.analysis.dedup import BUCKET_CAP

@@ -23,7 +23,7 @@ def test_exact_dedup_finds_injected_duplicates(spark, docs):
     # every injected copy forms a group of exactly 2, keeper = original
     assert dup_groups.count() == n_injected
     assert dup_groups.filter(F.col("n_docs") != 2).count() == 0
-    assert dup_groups.filter(F.col("keep_doc_id") >= 1_000_000).count() == 0
+    assert dup_groups.filter(F.col("keep_doc_id") >= dedup.DUP_ID_OFFSET).count() == 0
 
 
 def test_lsh_pairs_recover_injected_duplicates(spark, docs):
@@ -35,7 +35,7 @@ def test_lsh_pairs_recover_injected_duplicates(spark, docs):
     injected = [r["doc_id"] for r in
                 docs.filter(F.col("doc_id") % 10 == 0).select("doc_id").collect()]
     for d in injected:
-        assert found.get((d, d + 1_000_000)) == 1.0, f"missing dup pair for {d}"
+        assert found.get((d, d + dedup.DUP_ID_OFFSET)) == 1.0, f"missing dup pair for {d}"
 
 
 def test_minhash_arrow_matches_jvm(spark, docs):
@@ -430,7 +430,7 @@ def test_production_pairs_equal_naive_pairs_between_keepers(spark, docs):
     }
     assert prod == expected
     # and the injected exact-duplicate pairs are exactly what it drops
-    assert all(p not in prod for p in naive if p[1] - p[0] == 1_000_000)
+    assert all(p not in prod for p in naive if p[1] - p[0] == dedup.DUP_ID_OFFSET)
 
 
 def test_pairwise_cosine_null_and_ragged_rows_yield_null(spark):
