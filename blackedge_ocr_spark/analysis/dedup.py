@@ -182,10 +182,19 @@ def with_dup_injection(
     return docs.unionByName(dups)
 
 
+def content_hash(col) -> Column:
+    """md5 of the comparison-normalized text — THE exact-dedup key.
+    Shared by ``exact_duplicates``, the survivor-apply join
+    (queries.q_dedup_apply) and the streaming registry, so the key
+    definition cannot drift between the group side and the join side
+    (drift would silently match nothing and drop the corpus)."""
+    return F.md5(normalize_for_comparison(col))
+
+
 def exact_duplicates(docs: DataFrame) -> DataFrame:
-    """Group by md5 of the comparison-normalized text: one row per
-    distinct content with the keeper (min doc_id) and the group size."""
-    h = F.md5(normalize_for_comparison(F.col("text")))
+    """Group by ``content_hash`` of the text: one row per distinct
+    content with the keeper (min doc_id) and the group size."""
+    h = content_hash(F.col("text"))
     return (
         docs.select(F.col("doc_id"), h.alias("content_hash"))
         .groupBy("content_hash")

@@ -47,6 +47,10 @@ LINEAGE_SCHEMA = T.StructType(
         # concurrently inside one action); named to say so.
         T.StructField("batch_wall_sec", T.DoubleType(), False),
         T.StructField("batch", T.IntegerType(), False),
+        # the bucketing the part_ids are defined AGAINST — resuming
+        # with a different --n-buckets silently loses (larger->smaller)
+        # or duplicates (smaller->larger) data, so the manifest pins it
+        T.StructField("n_buckets", T.IntegerType(), False),
     ]
 )
 
@@ -58,11 +62,27 @@ def with_bucket(df: DataFrame, n_buckets: int) -> DataFrame:
     )
 
 
-def completed_buckets(spark: SparkSession, output: str) -> set[int]:
+def completed_buckets(
+    spark: SparkSession, output: str, n_buckets: int | None = None
+) -> set[int]:
     from pyspark.sql.utils import AnalysisException
 
     try:
-        rows = spark.read.parquet(f"{output}/_lineage").select("part_id").collect()
+        manifest = spark.read.parquet(f"{output}/_lineage")
+        if n_buckets is not None and "n_buckets" in manifest.columns:
+            seen = {
+                r["n_buckets"]
+                for r in manifest.select("n_buckets").distinct().collect()
+            }
+            if seen and seen != {n_buckets}:
+                raise ValueError(
+                    f"checkpoint at {output} was written with "
+                    f"n_buckets={sorted(seen)} but this run uses "
+                    f"n_buckets={n_buckets}; part_ids are not "
+                    "comparable across bucketings — rerun with the "
+                    "original value or use a fresh output dir"
+                )
+        rows = manifest.select("part_id").collect()
         return {r["part_id"] for r in rows}
     except AnalysisException as e:
         # ONLY a missing manifest means "fresh run". A corrupt or
@@ -94,7 +114,7 @@ def run_with_checkpoint(
     Returns {"processed": [...part_ids...], "skipped": [...]}.
     """
     docs = with_bucket(docs, n_buckets)
-    done = completed_buckets(spark, output)
+    done = completed_buckets(spark, output, n_buckets)
     todo = sorted(set(range(n_buckets)) - done)
     batches = [
         todo[i : i + buckets_per_batch]
@@ -168,6 +188,7 @@ def run_with_checkpoint(
                     m["n_errors"] if m else 0,
                     float(wall),
                     bi,
+                    n_buckets,
                 )
             )
         spark.createDataFrame(rows, LINEAGE_SCHEMA).coalesce(1).write.mode(

@@ -210,6 +210,29 @@ def q_problems_rollup(spark, sf_dir) -> DataFrame:
 # ---------------------------------------------------------------------
 
 
+def _prepare_pair_frame(j: DataFrame, extra: tuple = ()) -> DataFrame:
+    """Materialize all four methods' prepared inputs ONCE per row as
+    column attributes (na/nb/ka/kb/fa/fb/la/lb) before the
+    interpreted higher-order math — inlining re-runs the regex
+    tokenization per lambda element (measured ~10x). ONE home for the
+    staging contract, shared by q_similarity_pairs and the A9
+    report."""
+    from blackedge_ocr_spark.functions import similarity as S
+
+    return j.select(
+        "doc_id",
+        *extra,
+        S.prepare(F.col("ta"), "number_frequency").alias("na"),
+        S.prepare(F.col("tb"), "number_frequency").alias("nb"),
+        S.prepare(F.col("ta"), "word_overlap").alias("ka"),
+        S.prepare(F.col("tb"), "word_overlap").alias("kb"),
+        S.prepare(F.col("ta"), "cosine").alias("fa"),
+        S.prepare(F.col("tb"), "cosine").alias("fb"),
+        S.prepare(F.col("ta"), "levenshtein").alias("la"),
+        S.prepare(F.col("tb"), "levenshtein").alias("lb"),
+    )
+
+
 def q_similarity_pairs(spark, sf_dir) -> DataFrame:
     """All four similarity methods over consecutive-doc pairs — the
     engine's one real join (J2 shape: two extractions of the same
@@ -229,22 +252,9 @@ def q_similarity_pairs(spark, sf_dir) -> DataFrame:
     # projection is compute-bound on tiny bytes, so AQE's size-based
     # coalesce would otherwise collapse it onto one core.
     j = a.join(b, "doc_id", "inner").repartition(_par(spark), "doc_id")
-    # Materialize derived arrays ONCE per row before the interpreted
-    # higher-order cosine math — inlining them would re-run the regex
-    # tokenization per lambda element (observed 10x slowdown).
     from blackedge_ocr_spark.functions import similarity as S
 
-    prep = j.select(
-        "doc_id",
-        S.prepare(F.col("ta"), "number_frequency").alias("na"),
-        S.prepare(F.col("tb"), "number_frequency").alias("nb"),
-        S.prepare(F.col("ta"), "word_overlap").alias("ka"),
-        S.prepare(F.col("tb"), "word_overlap").alias("kb"),
-        S.prepare(F.col("ta"), "cosine").alias("fa"),
-        S.prepare(F.col("tb"), "cosine").alias("fb"),
-        S.prepare(F.col("ta"), "levenshtein").alias("la"),
-        S.prepare(F.col("tb"), "levenshtein").alias("lb"),
-    )
+    prep = _prepare_pair_frame(j)
     return prep.select(
         "doc_id",
         F.round(S.multiset_cosine_guarded(F.col("na"), F.col("nb")), 6).alias("sim_number"),
@@ -964,14 +974,15 @@ def q_dedup_apply(spark, sf_dir) -> DataFrame:
     shape on (hash, keeper)). Survivor count == distinct contents;
     every dropped doc has a surviving twin."""
     from blackedge_ocr_spark.analysis import dedup
-    from blackedge_ocr_spark.functions.text import normalize_for_comparison
 
     corpus = dedup.with_dup_injection(
         _docs(spark, sf_dir).select("doc_id", "text")
     )
     groups = dedup.exact_duplicates(corpus)
+    # the SAME key expression as exact_duplicates (dedup.content_hash)
+    # — an inline re-derivation could drift and silently match nothing
     hashed = corpus.select(
-        "doc_id", F.md5(normalize_for_comparison(F.col("text"))).alias("content_hash")
+        "doc_id", dedup.content_hash(F.col("text")).alias("content_hash")
     )
     survivors = hashed.join(
         groups.select("content_hash", "keep_doc_id"),
@@ -1045,17 +1056,7 @@ def q_similarity_report(spark, sf_dir) -> DataFrame:
         numeric_text(F.col("doc_id"), grown).alias("tb"),
     )
     j = a.join(b, "doc_id").repartition(_par(spark), "doc_id")
-    prep = j.select(
-        "doc_id", "ta", "tb",
-        S.prepare(F.col("ta"), "number_frequency").alias("na"),
-        S.prepare(F.col("tb"), "number_frequency").alias("nb"),
-        S.prepare(F.col("ta"), "word_overlap").alias("ka"),
-        S.prepare(F.col("tb"), "word_overlap").alias("kb"),
-        S.prepare(F.col("ta"), "cosine").alias("fa"),
-        S.prepare(F.col("tb"), "cosine").alias("fb"),
-        S.prepare(F.col("ta"), "levenshtein").alias("la"),
-        S.prepare(F.col("tb"), "levenshtein").alias("lb"),
-    )
+    prep = _prepare_pair_frame(j, extra=("ta", "tb"))
     lev = F.when(
         (F.length("ta") < LEVENSHTEIN_REPORT_MAX)
         & (F.length("tb") < LEVENSHTEIN_REPORT_MAX),
@@ -1298,13 +1299,15 @@ def q_incremental_extract(spark, sf_dir) -> DataFrame:
     delta (~8% of B here); unchanged results carry forward through a
     hash-only semi-join (incremental.py)."""
     from blackedge_ocr_spark.analysis.corpusops import snapshot_views
-    from blackedge_ocr_spark.datagen import replicate_corpus, spansify_frame
+    from blackedge_ocr_spark.datagen import spansify_frame
     from blackedge_ocr_spark.incremental import incremental_extract
 
-    docs = spark.read.parquet(f"{sf_dir.rstrip('/')}/documents.parquet")
-    docs = docs.repartition(_par(spark), "doc_id")
-    docs = replicate_corpus(docs)
-    a_docs, b_docs = snapshot_views(docs)
+    # shared gated loader (_docs = read + spread_if_starved hash
+    # spread + replicate): the round-3 session-6 version re-read the
+    # parquet with an UNCONDITIONAL repartition — the exact
+    # full-corpus exchange the starvation gate exists to avoid at
+    # real scale, and a second load path that could drift from _docs.
+    a_docs, b_docs = snapshot_views(_docs(spark, sf_dir))
     transform = lambda d: pipeline_contract(
         extract_documents(d, query_col="query", enable_validation=True)
     )

@@ -61,15 +61,24 @@ def main(argv=None) -> int:
         buckets_per_batch=args.buckets_per_batch,
         max_batches=args.max_batches,
     )
-    lineage = spark.read.parquet(f"{args.output}/_lineage")
-    summary = lineage.agg(
-        *[F.sum(c).alias(c)
-          for c in ("n_docs", "n_spans", "n_problem_docs", "n_errors")]
-    ).collect()[0]
+    # a run that processed zero batches against a fresh output dir
+    # has no manifest yet — print an empty summary, don't crash
+    from pyspark.sql.utils import AnalysisException
+
+    try:
+        lineage = spark.read.parquet(f"{args.output}/_lineage")
+        summary = lineage.agg(
+            *[F.sum(c).alias(c)
+              for c in ("n_docs", "n_spans", "n_problem_docs", "n_errors")]
+        ).collect()[0].asDict()
+    except AnalysisException as e:
+        if (e.getErrorClass() or "") != "PATH_NOT_FOUND":
+            raise
+        summary = {}
     print(json.dumps({
         "processed": len(report["processed"]),
         "skipped": len(report["skipped"]),
-        "totals": summary.asDict(),
+        "totals": summary,
     }))
     spark.stop()
     return 0

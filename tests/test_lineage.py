@@ -143,3 +143,36 @@ def test_empty_first_batch_acks_and_completes(spark, tmp_path):
     lineage = spark.read.parquet(str(tmp_path / "o") + "/_lineage")
     assert lineage.count() == 16
     assert lineage.agg(F.sum("n_docs")).collect()[0][0] == 1
+
+
+def test_resume_with_different_n_buckets_refuses(spark, tmp_path):
+    """part_ids are defined against one bucketing — a resume with a
+    different --n-buckets must fail loudly, not silently skip or
+    duplicate work."""
+    import pyspark.sql.functions as F
+    import pytest
+
+    from blackedge_ocr_spark.lineage import run_with_checkpoint
+
+    docs = spark.createDataFrame(
+        [(str(i), "alpha beta") for i in range(20)],
+        "doc_id string, text string",
+    )
+
+    def transform(d):
+        return d.select(
+            "doc_id",
+            F.array().cast(
+                "array<struct<kind:string,text:string,media_ref:string,offset:int>>"
+            ).alias("out_spans"),
+            F.array().cast(
+                "array<struct<offset:int,labels:array<string>>>"
+            ).alias("problems"),
+            F.lit(False).alias("used_secondary"),
+            F.lit("wf").alias("workflow"),
+        )
+
+    out = str(tmp_path / "o")
+    run_with_checkpoint(spark, docs, transform, out, n_buckets=16)
+    with pytest.raises(ValueError, match="n_buckets"):
+        run_with_checkpoint(spark, docs, transform, out, n_buckets=64)
