@@ -103,11 +103,18 @@ def decontaminate(
     benchmark; every OTHER doc sharing at least one distinct n-gram
     with any benchmark doc is reported with its shared-gram count.
 
-    Shape at scale: the benchmark gram set is the SMALL side by
-    construction (1/bench_mod of the corpus, distinct grams only) —
-    it broadcasts, so the training corpus never shuffles: one scan,
-    map-side hash-join, one combinable agg. This is the same
-    broadcast discipline as ann.brute_force_topk's query side.
+    Shape at scale: the benchmark gram set is the RELATIVELY small
+    side (1/bench_mod of the corpus, distinct grams only) and
+    broadcasts here, so the training corpus never shuffles: one scan,
+    map-side hash-join, one combinable agg. HONEST LIMIT: relative
+    size is not absolute size — a real web-scale benchmark suite's
+    distinct grams can exceed the 8 GB broadcast ceiling; the
+    production fallbacks are (a) a Bloom filter over benchmark grams
+    broadcast in place of the exact set (false-positive docs get an
+    exact recheck) or (b) dropping the hint so AQE falls back to a
+    shuffled hash join — the same escape-hatch discipline as
+    token_packing_2p. Real benchmark suites (the actual use case) are
+    MB-scale and broadcast fine.
     """
     g = docs.select(
         "doc_id", F.explode(word_shingles(F.col("text"), n)).alias("gram")
@@ -282,12 +289,14 @@ def snapshot_diff(docs: DataFrame) -> DataFrame:
     already in the manifest; the classification and rollup are
     unchanged."""
     a, b = snapshot_views(docs)
+    # coalesce before md5: md5(NULL) is NULL, and a null-text doc in
+    # BOTH snapshots would read as "added" (h_a null) — the same
+    # null-text discipline every other operator applies
+    h_of = lambda: F.md5(F.coalesce(F.col("text"), F.lit("")))
     tagged = a.select(
-        "doc_id", F.md5(F.col("text")).alias("h"), F.lit("a").alias("side")
+        "doc_id", h_of().alias("h"), F.lit("a").alias("side")
     ).unionByName(
-        b.select(
-            "doc_id", F.md5(F.col("text")).alias("h"), F.lit("b").alias("side")
-        )
+        b.select("doc_id", h_of().alias("h"), F.lit("b").alias("side"))
     )
     j = tagged.groupBy("doc_id").agg(
         F.max(F.when(F.col("side") == "a", F.col("h"))).alias("h_a"),
@@ -500,10 +509,21 @@ def span_packing(spansified: DataFrame) -> DataFrame:
     two-phase split. Contrast with token_packing (doc-level corpus
     sharding); this packs WITHIN documents and keeps media interleaved.
     """
+    from blackedge_ocr_spark.constants import MEDIA_KINDS
+
     ex = spansified.select("doc_id", F.explode("spans").alias("s"))
+    # media = the SHARED MEDIA_KINDS contract ('image' AND 'page' —
+    # an image-only test dropped scanned-page spans to the text
+    # branch, costing 1 bogus token instead of the patch budget);
+    # text cost = the guarded whitespace count (split('') is [''],
+    # size 1 — an empty span must cost 0, not 1)
+    is_media_span = F.col("s.kind").isin(*MEDIA_KINDS)
+    ws = F.when(
+        F.length(F.col("s.text")) == 0, F.lit(0)
+    ).otherwise(F.size(F.split(F.col("s.text"), " ")))
     cost = (
-        F.when(F.col("s.kind") == "image", F.lit(IMG_TOKEN_COST))
-        .otherwise(F.size(F.split(F.col("s.text"), " ")))
+        F.when(is_media_span, F.lit(IMG_TOKEN_COST))
+        .otherwise(ws)
         .cast("long")
     )
     w = (
@@ -513,7 +533,7 @@ def span_packing(spansified: DataFrame) -> DataFrame:
     )
     staged = ex.select(
         "doc_id",
-        (F.col("s.kind") == "image").cast("long").alias("is_media"),
+        is_media_span.cast("long").alias("is_media"),
         cost.alias("cost"),
         F.sum(cost).over(w).alias("cum"),
     )

@@ -114,7 +114,7 @@ def fake_features(media_ref: str, dim: int = FEATURE_DIM) -> list[float]:
     Arrow batch shape (one array<double> per row) is the real one."""
     return [
         int(hashlib.md5(f"{media_ref}:{i}".encode()).hexdigest()[:4], 16)
-        / 65535.0
+        / 65536.0
         for i in range(dim)
     ]
 

@@ -14,7 +14,9 @@ from pyspark.sql import functions as F
 from blackedge_ocr_spark.functions.text import normalize_text, tokens
 
 # Stopword profiles for the n-gram/stopword language heuristic.
-# Priority order breaks score ties (first strictly-greater wins).
+# Priority order breaks score ties: the FIRST profile whose score is
+# positive and >= every other wins (see predict_lang) — en beats de
+# on an exact tie.
 LANG_PROFILES: tuple[tuple[str, tuple[str, ...]], ...] = (
     ("en", ("the", "a", "and", "of", "to", "is", "in")),
     ("de", ("der", "die", "das", "und", "ist", "ein")),
@@ -61,14 +63,26 @@ def language_id(docs: DataFrame) -> DataFrame:
     )
 
 
+def ws_tokens_col(col) -> Column:
+    """Whitespace-token count over the normalized text with the
+    empty-string guard (split('') is [''], size 1 — an empty doc must
+    count 0). THE one definition, shared by token_counts,
+    corpus_token_stats and doc_features so the guard cannot drift."""
+    norm = normalize_text(col)
+    return (
+        F.when(F.length(norm) == 0, F.lit(0))
+        .otherwise(F.size(F.split(norm, " ", -1)))
+        .cast("long")
+    )
+
+
 def token_counts(docs: DataFrame) -> DataFrame:
     """Whitespace tokens vs BPE-ish pre-tokens per doc."""
     norm = normalize_text(F.col("text"))
-    ws = F.size(F.split(norm, " ", -1)).cast("long")
     bpe = F.size(F.regexp_extract_all(norm, F.lit(BPE_PATTERN), 0)).cast("long")
     return docs.select(
         "doc_id",
-        F.when(F.length(norm) == 0, F.lit(0)).otherwise(ws).alias("ws_tokens"),
+        ws_tokens_col(F.col("text")).alias("ws_tokens"),
         bpe.alias("bpe_tokens"),
     )
 
@@ -99,13 +113,18 @@ def hex_threshold(frac, nchars: int) -> Column:
     lowercase hex literal — fixed-width string compare against
     ``seeded_hex`` output keeps the whole keep-decision in portable
     integer/hex ops (the float product is exact-rounded IEEE, bit-
-    identical across engines)."""
-    return F.lpad(
-        F.lower(
-            F.hex(F.floor(frac * F.lit(float(16**nchars))).cast("long"))
-        ),
-        nchars,
-        "0",
+    identical across engines).
+
+    frac >= 1 saturates to the sentinel "g" (> every hex digit, so
+    ``seeded_hex(...) < threshold`` is always true — keep ALL rows).
+    Without the guard, lpad TRUNCATED 16^nchars's nchars+1 hex digits
+    to a ~6% threshold — a catastrophic silent keep-rate for any
+    caller that didn't re-derive quality_sample's ad-hoc q >= 1
+    short-circuit. (Current callers all pre-guard; the helper now
+    owns the invariant.)"""
+    i = F.floor(frac * F.lit(float(16**nchars))).cast("long")
+    return F.when(i >= 16**nchars, F.lit("g")).otherwise(
+        F.lpad(F.lower(F.hex(i)), nchars, "0")
     )
 
 
@@ -237,14 +256,11 @@ def corpus_token_stats(docs: DataFrame) -> DataFrame:
     bucketed rank selection — the output contract is unchanged."""
     from pyspark.sql import Window
 
-    # ws_tokens is a pure projection (same expression token_counts
-    # emits) — compute it inline on the scan rather than joining
-    # token_counts(docs) back on doc_id, which would shuffle the full
-    # corpus twice for zero information.
-    norm = normalize_text(F.col("text"))
-    ws = F.when(F.length(norm) == 0, F.lit(0)).otherwise(
-        F.size(F.split(norm, " ", -1))
-    ).cast("long")
+    # ws_tokens is a pure projection (the shared ws_tokens_col
+    # expression token_counts emits) — compute it inline on the scan
+    # rather than joining token_counts(docs) back on doc_id, which
+    # would shuffle the full corpus twice for zero information.
+    ws = ws_tokens_col(F.col("text"))
     w = Window.partitionBy("source").orderBy("v", "doc_id")
     ranked = docs.select(
         "source",
@@ -388,11 +404,7 @@ def doc_features(docs: DataFrame) -> DataFrame:
     from blackedge_ocr_spark.analysis.scrub import _sum_counts, pii_chain
 
     norm = normalize_text(F.col("text"))
-    ws = (
-        F.when(F.length(norm) == 0, F.lit(0))
-        .otherwise(F.size(F.split(norm, " ", -1)))
-        .cast("long")
-    )
+    ws = ws_tokens_col(F.col("text"))
     bpe = F.size(F.regexp_extract_all(norm, F.lit(BPE_PATTERN), 0)).cast(
         "long"
     )
@@ -424,7 +436,9 @@ def vocab_coverage(docs: DataFrame, k: int = TOP_K_TERMS) -> DataFrame:
         docs.select(F.explode(tokens(F.col("text"))).alias("term"))
         .groupBy("term")
         .agg(F.count("*").alias("n"))
-        .persist()  # O(vocabulary) rows; read by both branches below
+        # one row per DISTINCT corpus term (see lm_scores' twin note);
+        # read by both the vocab head and the coverage sum below
+        .persist()
     )
     vocab = (
         counts.orderBy(F.col("n").desc(), F.col("term"))
@@ -472,7 +486,11 @@ def lm_scores(docs: DataFrame, v: int = LM_VOCAB_K) -> DataFrame:
         docs.select(F.explode(tokens(F.col("text"))).alias("term"))
         .groupBy("term")
         .agg(F.count("*").alias("n"))
-        .persist()  # O(vocabulary); feeds total + top-V below
+        # one row per DISTINCT corpus term — unbounded but orders of
+        # magnitude below the token stream; evictable MEMORY_AND_DISK,
+        # released by catalog.clearCache() in long-lived sessions
+        # (dup_ngram_stats discipline). Feeds total + top-V below.
+        .persist()
     )
     total = counts.agg(F.sum("n").alias("tot"))
     li_expr = F.floor(

@@ -768,7 +768,9 @@ def q_media_features(spark, sf_dir) -> DataFrame:
     feats = media_features(spansify_documents(spark, sf_dir))
     ints = F.transform(
         F.col("features"),
-        lambda f: F.round(f * 65535.0).cast("int").cast("string"),
+        # exact: quad/65536 is a power-of-two division, so the
+        # round-trip recovers the integer bit-exactly
+        lambda f: F.round(f * 65536.0).cast("int").cast("string"),
     )
     return feats.select(
         "doc_id", "media_ref",

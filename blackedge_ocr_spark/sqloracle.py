@@ -2044,11 +2044,12 @@ def sql_snapshot_diff() -> str:
     )
 
     return f"""
-WITH a AS (SELECT doc_id, md5(text) AS h_a FROM documents
+WITH a AS (SELECT doc_id, md5(coalesce(text, '')) AS h_a FROM documents
            WHERE doc_id % {DIFF_MOD} <> {DIFF_ADD}),
 b AS (SELECT doc_id,
-        md5(CASE WHEN doc_id % {DIFF_REV_MOD} = 0
-                 THEN text || {_sq(DIFF_REV_SUFFIX)} ELSE text END) AS h_b
+        md5(coalesce(CASE WHEN doc_id % {DIFF_REV_MOD} = 0
+                 THEN text || {_sq(DIFF_REV_SUFFIX)} ELSE text END, ''))
+          AS h_b
       FROM documents WHERE doc_id % {DIFF_MOD} <> {DIFF_DEL}),
 j AS (SELECT coalesce(a.doc_id, b.doc_id) AS doc_id, h_a, h_b
       FROM a FULL OUTER JOIN b ON a.doc_id = b.doc_id)
@@ -2205,13 +2206,16 @@ def sql_span_packing() -> str:
         IMG_TOKEN_COST,
         SEQ_BUDGET,
     )
+    from blackedge_ocr_spark.constants import MEDIA_KINDS
 
+    media_kinds = ", ".join(_sq(k) for k in MEDIA_KINDS)
     return f"""
 WITH {spansify_cte()},
 c AS (
   SELECT doc_id, "offset",
-    (kind = 'image')::bigint AS is_media,
-    (CASE WHEN kind = 'image' THEN {IMG_TOKEN_COST}
+    (kind IN ({media_kinds}))::bigint AS is_media,
+    (CASE WHEN kind IN ({media_kinds}) THEN {IMG_TOKEN_COST}
+          WHEN length(text) = 0 THEN 0
           ELSE len(str_split(text, ' ')) END)::bigint AS cost
   FROM sp
 ),

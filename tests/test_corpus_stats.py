@@ -212,3 +212,34 @@ def test_lm_scores_exact_micro_unit_logprobs(spark):
     assert got[3]["n_tokens"] == 0 and got[3]["lm_score"] == 0.0
     # higher-probability text scores higher (both are negative)
     assert got[1]["lm_score"] > got[2]["lm_score"]
+
+
+def test_hex_threshold_saturates_at_one(spark):
+    # frac >= 1 must map to the "g" sentinel (greater than every hex
+    # digit) so `hash < threshold` keeps ALL rows; the unguarded lpad
+    # used to TRUNCATE 0x1000000's 7 digits to a ~6% keep rate.
+    d = spark.range(1).select(
+        textstats.hex_threshold(F.lit(1.0), 6).alias("at_one"),
+        textstats.hex_threshold(F.lit(1.5), 6).alias("above"),
+        textstats.hex_threshold(F.lit(0.5), 6).alias("half"),
+        textstats.hex_threshold(F.lit(0.0), 6).alias("zero"),
+    )
+    r = d.collect()[0]
+    assert r["at_one"] == "g" and r["above"] == "g"
+    assert r["half"] == "800000" and r["zero"] == "000000"
+    assert "ffffff" < "g"  # every real 6-digit hash stays below "g"
+
+
+def test_ws_tokens_col_empty_and_null_guard(spark):
+    d = spark.createDataFrame(
+        [(1, "two words"), (2, ""), (3, None), (4, "   "), (5, "one")],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: r["n"]
+        for r in d.select(
+            "doc_id", textstats.ws_tokens_col(F.col("text")).alias("n")
+        ).collect()
+    }
+    # normalize_text collapses/strips whitespace, so "   " counts 0
+    assert got == {1: 2, 2: 0, 3: 0, 4: 0, 5: 1}

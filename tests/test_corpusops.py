@@ -324,3 +324,36 @@ def test_span_packing_restores_scrambled_span_order(spark):
     ra = sorted(map(tuple, corpusops.span_packing(a).collect()))
     rb = sorted(map(tuple, corpusops.span_packing(b).collect()))
     assert ra == rb and len(ra) == 2
+
+
+def test_span_packing_page_kind_and_empty_span_cost(spark):
+    # A scanned-'page' span is media (MEDIA_KINDS contract): fixed
+    # IMG_TOKEN_COST, counted in n_media. An empty text span costs 0
+    # (split('') is [''] — the naive size() would charge 1).
+    span = lambda off, kind, text: {
+        "kind": kind,
+        "text": text,
+        "media_ref": f"m-{off}" if kind in ("image", "page") else "",
+        "offset": off,
+    }
+    d = spark.createDataFrame(
+        [
+            {
+                "doc_id": 1,
+                "spans": [
+                    span(0, "text", "a b c"),
+                    span(1, "page", ""),
+                    span(2, "text", ""),
+                    span(3, "image", ""),
+                ],
+            }
+        ],
+        "doc_id long, spans array<struct<kind:string,text:string,"
+        "media_ref:string,offset:int>>",
+    )
+    out = corpusops.span_packing(d).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["n_spans"] == 4 and r["n_media"] == 2
+    # 3 words + 16 (page) + 0 (empty text) + 16 (image)
+    assert r["seq_tokens"] == 3 + 16 + 0 + 16
