@@ -117,6 +117,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocab_coverage": q.q_vocab_coverage,
         "domain_stats": q.q_domain_stats,
         "lm_scores": q.q_lm_scores,
+        # retrieval / collocation statistics
+        "bm25_topk": q.q_bm25_topk,
+        "cooccur_pmi": q.q_cooccur_pmi,
     }
     return out
 

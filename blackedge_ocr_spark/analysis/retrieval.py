@@ -1,0 +1,160 @@
+"""Corpus retrieval: BM25 scoring over an inverted posting table.
+
+The search primitive a training-data pipeline uses for targeted
+corpus mining (pull documents matching a topic query set) and for
+retrieval-based decontamination audits. Re-expressed Spark-first:
+postings are ONE combinable (doc_id, term) hash agg over the exploded
+token stream; the query set and all per-term statistics (df, idf) are
+broadcast; the corpus itself never shuffles on term. Reference
+analog: the keyword scoring in
+/root/reference/src/services/workflow_router.py:24-58 is the same
+match-terms-against-text primitive, scaled from one request to a
+corpus-wide ranked search.
+
+Determinism discipline (shared with textstats.lm_scores /
+term_doc_freq): ln once per term micro-unit-rounded on an O(terms)
+table, per-(term, doc) partial scores micro-unit-rounded ONCE, then
+exact long sums — order-free under any partitioning, identical in
+DuckDB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from blackedge_ocr_spark.functions.text import key_terms, tokens
+
+# BM25 shape parameters (the standard Robertson defaults).
+BM25_K1 = 1.2
+BM25_B = 0.75
+# Deterministic query synthesis: every doc with
+# doc_id % BM25_QRY_MOD == BM25_QRY_ADD contributes a query made of
+# its first BM25_QRY_TERMS sorted-distinct key terms (same derived-
+# query-set trick as corpusops.decontaminate's benchmark split).
+BM25_QRY_MOD = 50
+BM25_QRY_ADD = 7
+BM25_QRY_TERMS = 3
+BM25_TOP_K = 5
+
+
+def postings(docs: DataFrame) -> DataFrame:
+    """(doc_id, term, tf) inverted postings — one map-side-combinable
+    hash agg over the exploded token stream. The exchange carries
+    O(distinct (doc, term)) partial counts, never raw tokens."""
+    return (
+        docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+
+
+def query_set(docs: DataFrame) -> DataFrame:
+    """Deterministic (query_id, term) query table derived from the
+    corpus — a 1/BM25_QRY_MOD sample, each contributing its first
+    BM25_QRY_TERMS key terms. Tiny by construction: broadcasts."""
+    sel = docs.filter(F.col("doc_id") % BM25_QRY_MOD == BM25_QRY_ADD)
+    qterms = F.slice(key_terms(F.col("text")), 1, BM25_QRY_TERMS)
+    return sel.select(
+        F.col("doc_id").alias("query_id"), F.explode(qterms).alias("term")
+    )
+
+
+def bm25_topk(docs: DataFrame, k: int = BM25_TOP_K) -> DataFrame:
+    """Top-``k`` documents per query by BM25:
+
+        score(q, d) = sum_t idf(t) * tf * (k1+1)
+                              / (tf + k1 * (1 - b + b * len_d/avg_len))
+        idf(t) = ln((N - df + 0.5) / (df + 0.5) + 1)
+
+    Output: (query_id, doc_id, rank, score) — rank 1-based by score
+    desc, doc_id asc; score is the exact long micro-unit sum / 1e6.
+
+    Shape at scale: the full corpus is touched by exactly TWO
+    combinable aggs over one exploded-token pass (postings, and doc
+    lengths reduced FROM postings — the raw token stream shuffles
+    zero times, the (doc, term) partials once). Everything query-
+    side is broadcast: the query term set prunes postings with a
+    broadcast LEFT SEMI (matched postings are O(query terms x docs
+    containing them), not O(corpus)), df/idf are aggregated over that
+    pruned set and broadcast back, and the final per-(query, doc) agg
+    + per-query top-k window run over matched rows only. A 100 TB
+    corpus with a 1k-term query set moves only its matching postings
+    through the last two exchanges.
+
+    Determinism: idf is micro-unit-rounded once per term (O(query
+    terms) rows); each (term, doc) partial score is micro-unit-
+    rounded once; per-(query, doc) totals are exact long sums —
+    order-free, engine-identical. The tf-normalization ratio is pure
+    IEEE arithmetic over exact integers (tf, len_d) and the one
+    shared avg_len double, written identically in the DuckDB oracle.
+    """
+    # The inverted index is materialized once and read by three
+    # consumers (doc lengths, query pruning, scoring) — persisting it
+    # is exactly what a production search stack does (the postings
+    # table IS the index); evictable MEMORY_AND_DISK, O(distinct
+    # (doc, term)) not O(raw tokens).
+    post = postings(docs).persist()
+    # doc length table, reduced from postings (not a second corpus
+    # pass); avg_len as ONE double division of two exact longs
+    dlen = post.groupBy("doc_id").agg(F.sum("tf").alias("len_d"))
+    n_avg = F.broadcast(
+        dlen.agg(
+            F.count("*").alias("n_docs"),
+            (
+                F.sum("len_d").cast("double")
+                / F.count("*").cast("double")
+            ).alias("avg_len"),
+        )
+    )
+    q = query_set(docs)
+    qterms = F.broadcast(q.select("term").distinct())
+    # matched postings are O(docs containing query terms) — small by
+    # construction; persisted because both the df agg and the scoring
+    # join read them
+    matched = post.join(qterms, "term", "left_semi").persist()
+    # df over the PRUNED postings (a term's df is identical either
+    # way — postings hold every doc containing it)
+    idf_micro = F.floor(
+        F.log(
+            (F.col("n_docs").cast("double") - F.col("df").cast("double") + 0.5)
+            / (F.col("df").cast("double") + 0.5)
+            + 1.0
+        )
+        * 1e6
+        + F.lit(0.5)
+    ).cast("long")
+    idf = F.broadcast(
+        matched.groupBy("term")
+        .agg(F.count("*").alias("df"))
+        .crossJoin(n_avg)
+        .select("term", idf_micro.alias("idf_u"), "avg_len")
+    )
+    tf_d = F.col("tf").cast("double")
+    denom = tf_d + BM25_K1 * (
+        1.0 - BM25_B + BM25_B * F.col("len_d").cast("double") / F.col("avg_len")
+    )
+    part_u = F.floor(
+        F.col("idf_u").cast("double") * (tf_d * (BM25_K1 + 1.0) / denom)
+        + F.lit(0.5)
+    ).cast("long")
+    scored = (
+        matched.join(dlen, "doc_id")
+        .join(idf, "term")
+        .join(F.broadcast(q), "term")
+        .select("query_id", "doc_id", part_u.alias("part_u"))
+        .groupBy("query_id", "doc_id")
+        .agg(F.sum("part_u").alias("s_u"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("s_u").desc(), F.col("doc_id")
+    )
+    return (
+        scored.select(
+            "query_id",
+            "doc_id",
+            F.row_number().over(w).alias("rank"),
+            (F.col("s_u").cast("double") / 1e6).alias("score"),
+        )
+        .filter(F.col("rank") <= k)
+    )

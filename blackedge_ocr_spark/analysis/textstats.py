@@ -534,3 +534,87 @@ def lm_scores(docs: DataFrame, v: int = LM_VOCAB_K) -> DataFrame:
             .alias("lm_score"),
         )
     )
+
+
+# PMI co-occurrence: forward window size and output bounds.
+PMI_WINDOW = 2
+PMI_MIN_PAIR = 5
+PMI_TOP_K = 100
+
+
+def cooccur_pmi(
+    docs: DataFrame,
+    w: int = PMI_WINDOW,
+    min_pair: int = PMI_MIN_PAIR,
+    k: int = PMI_TOP_K,
+) -> DataFrame:
+    """Top-``k`` within-window token co-occurrence pairs with PMI —
+    the GloVe/word2vec-style corpus statistic an embedding or
+    collocation pass computes before training: (term_a, term_b,
+    n_pair, pmi) for ordered forward pairs (a at position i, b at
+    position i+1..i+w) with n_pair >= min_pair, top-k by n_pair desc
+    then (a, b) asc.
+
+        pmi = r6(ln( (c_ab / N_pairs) / ((c_a / N_tok) * (c_b / N_tok)) ))
+
+    Shape at scale: pair generation is a PURE per-row array
+    expression (transform-with-index + slice + flatten) — the token
+    stream is never self-joined on position, which would shuffle it
+    twice on (doc, pos) for zero information. The corpus is touched
+    by two combinable hash aggs (pairs, unigrams); the selected K
+    pairs broadcast into two joins against the O(vocabulary) unigram
+    table; totals ride as broadcast scalars. Intermediate blow-up is
+    bounded at w x tokens per row.
+
+    Determinism: counts are exact longs; the probability ratio is
+    pure IEEE arithmetic over exact longs written identically in the
+    DuckDB oracle; ln is micro-unit-rounded once per output pair
+    (the lm_scores ln discipline)."""
+    toks = tokens(F.col("text"))
+    pairs = F.flatten(
+        F.transform(
+            toks,
+            lambda t, i: F.transform(
+                F.slice(toks, i + F.lit(2), w),
+                lambda u: F.struct(t.alias("a"), u.alias("b")),
+            ),
+        )
+    )
+    pc = (
+        docs.select(F.explode(pairs).alias("p"))
+        .select("p.a", "p.b")
+        .groupBy("a", "b")
+        .agg(F.count("*").alias("n_pair"))
+        .persist()  # O(observed pairs); feeds total + selection below
+    )
+    uni = (
+        docs.select(F.explode(toks).alias("term"))
+        .groupBy("term")
+        .agg(F.count("*").alias("n"))
+        .persist()  # O(vocabulary); feeds total + two probe joins
+    )
+    n_pairs = pc.agg(F.sum("n_pair").alias("np"))
+    n_tok = uni.agg(F.sum("n").alias("nt"))
+    sel = (
+        pc.filter(F.col("n_pair") >= min_pair)
+        .orderBy(F.col("n_pair").desc(), "a", "b")
+        .limit(k)
+    )
+    # probe direction: the K-row selection broadcasts; the unigram
+    # table streams against it map-side and never shuffles
+    j1 = uni.selectExpr("term AS a", "n AS n_a").join(F.broadcast(sel), "a")
+    j2 = uni.selectExpr("term AS b", "n AS n_b").join(F.broadcast(j1), "b")
+    ratio = (F.col("n_pair").cast("double") / F.col("np").cast("double")) / (
+        (F.col("n_a").cast("double") / F.col("nt").cast("double"))
+        * (F.col("n_b").cast("double") / F.col("nt").cast("double"))
+    )
+    return (
+        j2.crossJoin(F.broadcast(n_pairs))
+        .crossJoin(F.broadcast(n_tok))
+        .select(
+            F.col("a").alias("term_a"),
+            F.col("b").alias("term_b"),
+            "n_pair",
+            _r6(F.log(ratio)).alias("pmi"),
+        )
+    )

@@ -1410,3 +1410,19 @@ def q_lm_scores(spark, sf_dir) -> DataFrame:
     from blackedge_ocr_spark.analysis import textstats
 
     return textstats.lm_scores(_docs(spark, sf_dir))
+
+
+def q_bm25_topk(spark, sf_dir) -> DataFrame:
+    """Corpus retrieval: BM25 top-k per derived query — broadcast
+    query/idf sides, postings from one combinable (doc, term) agg."""
+    from blackedge_ocr_spark.analysis import retrieval
+
+    return retrieval.bm25_topk(_docs(spark, sf_dir))
+
+
+def q_cooccur_pmi(spark, sf_dir) -> DataFrame:
+    """Collocation statistics: top window-co-occurrence pairs with
+    PMI — pure array-expression pair generation, two combinable aggs."""
+    from blackedge_ocr_spark.analysis import textstats
+
+    return textstats.cooccur_pmi(_docs(spark, sf_dir))

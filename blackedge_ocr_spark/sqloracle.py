@@ -693,6 +693,9 @@ def build_oracles() -> dict[str, str]:
         "vocab_coverage": sql_vocab_coverage(),
         "domain_stats": sql_domain_stats(),
         "lm_scores": sql_lm_scores(),
+        # retrieval / collocation statistics
+        "bm25_topk": sql_bm25_topk(),
+        "cooccur_pmi": sql_cooccur_pmi(),
     }
     return out
 
@@ -2505,3 +2508,95 @@ SELECT d.doc_id,
                   * 1000000 + 0.5) / 1000000
        ELSE 0.0 END AS lm_score
 FROM documents d LEFT JOIN g ON d.doc_id = g.doc_id"""
+
+
+def sql_bm25_topk() -> str:
+    """retrieval.bm25_topk mirror: identical postings/df/idf tables,
+    the per-(term, doc) partial micro-unit-rounded once, exact long
+    sums, same rank tie-break. Float constants are emitted with
+    repr() of the Python-computed doubles so DuckDB parses back the
+    bit-identical values Spark folded into its expression tree."""
+    from blackedge_ocr_spark.analysis.retrieval import (
+        BM25_B,
+        BM25_K1,
+        BM25_QRY_ADD,
+        BM25_QRY_MOD,
+        BM25_QRY_TERMS,
+        BM25_TOP_K,
+    )
+
+    toks = tokens_sql("text")
+    kt = key_terms_sql("text")
+    k1p1 = repr(BM25_K1 + 1.0)
+    one_b = repr(1.0 - BM25_B)
+    denom = (
+        f"(tf::double + {BM25_K1!r} * "
+        f"({one_b} + {BM25_B!r} * len_d::double / avg_len))"
+    )
+    part = (
+        f"floor(idf_u::double * (tf::double * {k1p1} / {denom})"
+        f" + 0.5)::bigint"
+    )
+    return f"""
+WITH t AS (SELECT doc_id, {toks} AS toks FROM documents),
+ex AS (SELECT doc_id, unnest(toks) AS term FROM t),
+post AS (SELECT doc_id, term, count(*)::bigint AS tf
+         FROM ex GROUP BY doc_id, term),
+dlen AS (SELECT doc_id, sum(tf)::bigint AS len_d FROM post GROUP BY doc_id),
+na AS (SELECT count(*)::double AS n_docs,
+              sum(len_d)::double / count(*)::double AS avg_len FROM dlen),
+q AS (SELECT doc_id AS query_id,
+             unnest(({kt})[1:{BM25_QRY_TERMS}]) AS term
+      FROM documents
+      WHERE doc_id % {BM25_QRY_MOD} = {BM25_QRY_ADD}),
+qt AS (SELECT DISTINCT term FROM q),
+m AS (SELECT post.* FROM post JOIN qt USING (term)),
+idf AS (SELECT term,
+          floor(ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+                * 1000000 + 0.5)::bigint AS idf_u,
+          avg_len
+        FROM (SELECT term, count(*)::double AS df FROM m GROUP BY term), na),
+s AS (SELECT q.query_id, m.doc_id, sum({part}) AS s_u
+      FROM m JOIN dlen USING (doc_id) JOIN idf USING (term)
+             JOIN q USING (term)
+      GROUP BY 1, 2)
+SELECT query_id, doc_id, rank, s_u::double / 1000000 AS score FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY s_u DESC, doc_id) AS rank
+  FROM s) WHERE rank <= {BM25_TOP_K}"""
+
+
+def sql_cooccur_pmi() -> str:
+    """textstats.cooccur_pmi mirror: position self-join replaces the
+    array pair expression (same forward (i, i+1..i+w] pairs), same
+    exact-long counts, same probability-ratio shape, same micro-unit
+    ln rounding, same selection tie-break."""
+    from blackedge_ocr_spark.analysis.textstats import (
+        PMI_MIN_PAIR,
+        PMI_TOP_K,
+        PMI_WINDOW,
+    )
+
+    toks = tokens_sql("text")
+    ratio = (
+        "(n_pair::double / np::double) / "
+        "((ua.n::double / nt::double) * (ub.n::double / nt::double))"
+    )
+    return f"""
+WITH t AS (SELECT doc_id, {toks} AS toks FROM documents),
+tok AS (SELECT doc_id, unnest(toks) AS term,
+               unnest(range(len(toks))) AS i FROM t),
+pr AS (SELECT x.term AS a, y.term AS b
+       FROM tok x JOIN tok y
+         ON x.doc_id = y.doc_id AND y.i > x.i AND y.i <= x.i + {PMI_WINDOW}),
+pc AS (SELECT a, b, count(*)::bigint AS n_pair FROM pr GROUP BY a, b),
+uni AS (SELECT term, count(*)::bigint AS n FROM tok GROUP BY term),
+np AS (SELECT sum(n_pair)::bigint AS np FROM pc),
+nt AS (SELECT sum(n)::bigint AS nt FROM uni),
+sel AS (SELECT * FROM pc WHERE n_pair >= {PMI_MIN_PAIR}
+        ORDER BY n_pair DESC, a, b LIMIT {PMI_TOP_K})
+SELECT sel.a AS term_a, sel.b AS term_b, sel.n_pair,
+  floor(ln({ratio}) * 1000000 + 0.5) / 1000000 AS pmi
+FROM sel
+JOIN uni ua ON ua.term = sel.a
+JOIN uni ub ON ub.term = sel.b, np, nt"""

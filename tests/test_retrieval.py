@@ -1,0 +1,117 @@
+"""BM25 retrieval and PMI collocation: values vs an independent
+pure-Python mirror, plus the shape contracts (rank density, bounds).
+"""
+
+from __future__ import annotations
+
+import math
+import re
+
+from blackedge_ocr_spark.analysis import retrieval, textstats
+
+
+def _py_tokens(text: str) -> list[str]:
+    # mirror of functions.text.tokens over simple ascii inputs
+    return re.findall(r"[a-z0-9]+", text.lower())
+
+
+def _py_bm25(corpus: dict[int, str], queries: dict[int, list[str]], k1, b):
+    post = {}
+    for d, text in corpus.items():
+        for t in _py_tokens(text):
+            post.setdefault(d, {}).setdefault(t, 0)
+            post[d][t] += 1
+    dlen = {d: sum(tfs.values()) for d, tfs in post.items() if tfs}
+    post = {d: tfs for d, tfs in post.items() if tfs}
+    n = len(dlen)
+    avg = sum(dlen.values()) / n
+    out = {}
+    for qid, terms in queries.items():
+        for t in terms:
+            df = sum(1 for tfs in post.values() if t in tfs)
+            if df == 0:
+                continue
+            idf_u = math.floor(
+                math.log((n - df + 0.5) / (df + 0.5) + 1.0) * 1e6 + 0.5
+            )
+            for d, tfs in post.items():
+                if t not in tfs:
+                    continue
+                tf = tfs[t]
+                denom = tf + k1 * (1 - b + b * dlen[d] / avg)
+                part = math.floor(idf_u * (tf * (k1 + 1.0) / denom) + 0.5)
+                out[(qid, d)] = out.get((qid, d), 0) + part
+    return {kk: v / 1e6 for kk, v in out.items()}
+
+
+def test_bm25_matches_python_mirror(spark):
+    # query docs: doc_id % BM25_QRY_MOD == BM25_QRY_ADD → id 7 here.
+    corpus = {
+        7: "apple banana cherry",  # the query doc
+        1: "apple apple apple apple",  # high tf, short
+        2: "apple banana apple banana cherry date elder fig grape",
+        3: "date elder fig",  # no query terms
+        4: "cherry",  # single-token doc
+    }
+    d = spark.createDataFrame(
+        list(corpus.items()), "doc_id long, text string"
+    )
+    got = {
+        (r["query_id"], r["doc_id"]): (r["rank"], r["score"])
+        for r in retrieval.bm25_topk(d).collect()
+    }
+    want = _py_bm25(
+        corpus,
+        {7: sorted({"apple", "banana", "cherry"})[: retrieval.BM25_QRY_TERMS]},
+        retrieval.BM25_K1,
+        retrieval.BM25_B,
+    )
+    assert set(got) == set(want)  # doc 3 never scores
+    for key, score in want.items():
+        assert got[key][1] == score
+    # ranks are dense 1..n ordered by score desc then doc_id
+    ranked = sorted(got.values())
+    assert [r for r, _ in ranked] == list(range(1, len(got) + 1))
+    scores = [v[1] for _, v in sorted(got.items(), key=lambda kv: kv[1][0])]
+    assert scores == sorted(scores, reverse=True)
+    # the query doc matches all three terms: it must rank first
+    assert got[(7, 7)][0] == 1
+
+
+def test_bm25_no_queries_yields_empty(spark):
+    d = spark.createDataFrame(
+        [(1, "apple"), (2, "banana")], "doc_id long, text string"
+    )
+    assert retrieval.bm25_topk(d).count() == 0
+
+
+def test_cooccur_pmi_counts_and_values(spark):
+    # w=2 forward pairs of "a b c a b": (a,b)x2 (a,c) (b,c) (b,a)
+    # (c,a) (c,b) — 7 pairs total; unigrams a:2 b:2 c:1, 5 tokens.
+    d = spark.createDataFrame(
+        [(1, "a b c a b")], "doc_id long, text string"
+    )
+    rows = textstats.cooccur_pmi(d, w=2, min_pair=1, k=100).collect()
+    got = {(r["term_a"], r["term_b"]): (r["n_pair"], r["pmi"]) for r in rows}
+    counts = {
+        ("a", "b"): 2, ("a", "c"): 1, ("b", "c"): 1,
+        ("b", "a"): 1, ("c", "a"): 1, ("c", "b"): 1,
+    }
+    assert {k: v[0] for k, v in got.items()} == counts
+    r6 = lambda x: math.floor(x * 1e6 + 0.5) / 1e6
+    for (a, b), n in counts.items():
+        uni = {"a": 2, "b": 2, "c": 1}
+        want = r6(math.log((n / 7) / ((uni[a] / 5) * (uni[b] / 5))))
+        assert got[(a, b)][1] == want, (a, b)
+
+
+def test_cooccur_pmi_min_pair_and_topk_bound(spark):
+    d = spark.createDataFrame(
+        [(i, "x y x y z q") for i in range(10)], "doc_id long, text string"
+    )
+    rows = textstats.cooccur_pmi(d, w=1, min_pair=10, k=2).collect()
+    # adjacent pairs per doc: (x,y) (y,x) (x,y) (y,z) (z,q) → x10 docs
+    # min_pair=10 keeps all five kinds; k=2 keeps the top two by
+    # count desc then (a, b) asc → (x,y) n=20, then (y,x) n=10
+    got = [(r["term_a"], r["term_b"], r["n_pair"]) for r in rows]
+    assert sorted(got) == [("x", "y", 20), ("y", "x", 10)]
