@@ -115,3 +115,75 @@ def test_cooccur_pmi_min_pair_and_topk_bound(spark):
     # count desc then (a, b) asc → (x,y) n=20, then (y,x) n=10
     got = [(r["term_a"], r["term_b"], r["n_pair"]) for r in rows]
     assert sorted(got) == [("x", "y", 20), ("y", "x", 10)]
+
+
+def test_cooccur_and_bm25_random_parity(spark):
+    # Randomized ascii word-soup corpus vs the pure-Python mirrors —
+    # pins the windowed pair generation and the postings/df/idf
+    # arithmetic on larger, unstructured input (the adversarial
+    # unicode tokenizer edge cases live in test_random_parity).
+    import random
+    from collections import Counter
+
+    rng = random.Random(20260819)
+    vocab = ["alpha", "beta", "gamma", "delta", "eps", "zeta", "eta"]
+    corpus = {
+        i: " ".join(rng.choice(vocab) for _ in range(rng.randint(0, 40)))
+        for i in range(120)
+    }
+    d = spark.createDataFrame(
+        list(corpus.items()), "doc_id long, text string"
+    )
+
+    # --- cooccur_pmi ---
+    w, min_pair, k = 2, 3, 25
+    pair_c, uni_c = Counter(), Counter()
+    for text in corpus.values():
+        toks = _py_tokens(text)
+        uni_c.update(toks)
+        for i, t in enumerate(toks):
+            for u in toks[i + 1 : i + 1 + w]:
+                pair_c[(t, u)] += 1
+    np_, nt = sum(pair_c.values()), sum(uni_c.values())
+    sel = sorted(
+        (p for p in pair_c.items() if p[1] >= min_pair),
+        key=lambda kv: (-kv[1], kv[0]),
+    )[:k]
+    r6 = lambda x: math.floor(x * 1e6 + 0.5) / 1e6
+    want = {
+        (a, b): (n, r6(math.log((n / np_) / ((uni_c[a] / nt) * (uni_c[b] / nt)))))
+        for (a, b), n in sel
+    }
+    got = {
+        (r["term_a"], r["term_b"]): (r["n_pair"], r["pmi"])
+        for r in textstats.cooccur_pmi(d, w=w, min_pair=min_pair, k=k).collect()
+    }
+    assert got == want
+
+    # --- bm25_topk: scores match for every emitted (query, doc) ---
+    queries = {
+        i: sorted(
+            {t for t in _py_tokens(text) if len(t) >= 3}
+        )[: retrieval.BM25_QRY_TERMS]
+        for i, text in corpus.items()
+        if i % retrieval.BM25_QRY_MOD == retrieval.BM25_QRY_ADD
+    }
+    want_scores = _py_bm25(
+        corpus, queries, retrieval.BM25_K1, retrieval.BM25_B
+    )
+    rows = retrieval.bm25_topk(d).collect()
+    assert rows, "query docs exist by construction"
+    for r in rows:
+        assert r["score"] == want_scores[(r["query_id"], r["doc_id"])]
+    # per-query: emitted set = top-k of the mirror with the same
+    # (score desc, doc_id asc) tie-break
+    by_q = {}
+    for (qid, doc), s in want_scores.items():
+        by_q.setdefault(qid, []).append((-s, doc))
+    for qid, lst in by_q.items():
+        topk = [doc for _, doc in sorted(lst)[: retrieval.BM25_TOP_K]]
+        got_docs = [
+            r["doc_id"] for r in sorted(rows, key=lambda r: r["rank"])
+            if r["query_id"] == qid
+        ]
+        assert got_docs == topk, qid
