@@ -120,6 +120,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # retrieval / collocation statistics
         "bm25_topk": q.q_bm25_topk,
         "cooccur_pmi": q.q_cooccur_pmi,
+        "quality_classifier": q.q_quality_classifier,
     }
     return out
 

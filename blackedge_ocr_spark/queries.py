@@ -1426,3 +1426,13 @@ def q_cooccur_pmi(spark, sf_dir) -> DataFrame:
     from blackedge_ocr_spark.analysis import textstats
 
     return textstats.cooccur_pmi(_docs(spark, sf_dir))
+
+
+def q_quality_classifier(spark, sf_dir) -> DataFrame:
+    """Trainable curation classifier: 3 exact GD iterations as chained
+    combinable aggs + broadcast weight state; per-doc r6 scores."""
+    from blackedge_ocr_spark.analysis.classifier import (
+        train_quality_classifier,
+    )
+
+    return train_quality_classifier(_docs(spark, sf_dir))

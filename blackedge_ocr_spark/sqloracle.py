@@ -696,6 +696,7 @@ def build_oracles() -> dict[str, str]:
         # retrieval / collocation statistics
         "bm25_topk": sql_bm25_topk(),
         "cooccur_pmi": sql_cooccur_pmi(),
+        "quality_classifier": sql_quality_classifier(),
     }
     return out
 
@@ -2600,3 +2601,81 @@ SELECT sel.a AS term_a, sel.b AS term_b, sel.n_pair,
 FROM sel
 JOIN uni ua ON ua.term = sel.a
 JOIN uni ub ON ub.term = sel.b, np, nt"""
+
+
+def sql_quality_classifier() -> str:
+    """classifier.train_quality_classifier mirror: the GD loop
+    unrolled as LR_ITERS (gradient, weight) CTE pairs over the same
+    staged feature table — identical z/p/gradient expression shapes,
+    identical micro-unit rounding, exact long weight state."""
+    from blackedge_ocr_spark.analysis.classifier import (
+        LR_ITERS,
+        LR_POS_LANG,
+        LR_RATE,
+        LR_X1_SCALE,
+    )
+    from blackedge_ocr_spark.analysis.textstats import LANG_PROFILES
+
+    toks = tokens_sql("text")
+    norm = norm_sql("text")
+    stop = (
+        "len(list_filter(toks, t -> list_contains(["
+        + ", ".join(_sq(w) for w in LANG_PROFILES[0][1])
+        + "], t)))"
+    )
+    ws = (
+        f"(CASE WHEN length(norm) = 0 THEN 0 "
+        f"ELSE len(str_split(norm, ' ')) END)::bigint"
+    )
+    z = (
+        "(w0_u::double / 1000000.0 + w1_u::double / 1000000.0 * x1"
+        " + w2_u::double / 1000000.0 * x2)"
+    )
+    p = f"(1.0 / (1.0 + exp(-{z})))"
+    gsum = lambda xj, j: (
+        f"sum(floor((({p} - y) * {xj}) * 1000000.0 + 0.5))::bigint AS g{j}"
+    )
+    steps = []
+    prev = "w0"
+    for i in range(1, LR_ITERS + 1):
+        steps.append(
+            f"g{i} AS (SELECT {gsum('1.0', 0)}, {gsum('x1', 1)}, "
+            f"{gsum('x2', 2)}, count(*)::bigint AS n, "
+            f"max(w0_u) AS w0_u, max(w1_u) AS w1_u, max(w2_u) AS w2_u "
+            f"FROM f, {prev})"
+        )
+        upd = ", ".join(
+            f"(w{j}_u - floor({LR_RATE!r} * (g{j}::double / n::double)"
+            f" + 0.5)::bigint)::bigint AS w{j}_u"
+            for j in range(3)
+        )
+        steps.append(f"w{i} AS (SELECT {upd} FROM g{i})")
+        prev = f"w{i}"
+    chain = ",\n".join(steps)
+    return f"""
+WITH l AS ({lang_sel_sql('lang')}),
+t AS (SELECT doc_id, {toks} AS toks, {norm} AS norm FROM documents),
+m AS (
+  SELECT doc_id, len(toks) AS n_words, {ws} AS ws,
+    CASE WHEN len(toks) > 0
+         THEN list_sum(list_transform(toks, tk -> length(tk)::double))
+              / len(toks)::double
+         ELSE 0.0 END AS mean_word_len,
+    CASE WHEN len(toks) > 0 THEN ({stop})::double / len(toks)::double
+         ELSE 0.0 END AS stop_ratio
+  FROM t
+),
+f AS (
+  SELECT m.doc_id,
+    CASE WHEN l.lang = {_sq(LR_POS_LANG)} THEN 1.0 ELSE 0.0 END AS y,
+    least(ws::double / {LR_X1_SCALE!r}, 1.0) AS x1,
+    floor((0.5 * least(n_words::double / 50.0, 1.0) + 0.3 * stop_ratio
+           + 0.2 * least(mean_word_len / 8.0, 1.0)) * 1000000 + 0.5)
+      / 1000000 AS x2
+  FROM m JOIN l USING (doc_id)
+),
+w0 AS (SELECT 0::bigint AS w0_u, 0::bigint AS w1_u, 0::bigint AS w2_u),
+{chain}
+SELECT doc_id, y::bigint AS label,
+  floor({p} * 1000000 + 0.5) / 1000000 AS score
+FROM f, {prev}"""
