@@ -65,6 +65,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_neardup": q.q_embedding_neardup,
         "embedding_neardup_lsh": q.q_embedding_neardup_lsh,
         "neardup_recall": q.q_neardup_recall,
+        "semantic_dedup": q.q_semantic_dedup,
         "lang_id": q.q_lang_id,
         "token_counts": q.q_token_counts,
         "quality_scores": q.q_quality_scores,

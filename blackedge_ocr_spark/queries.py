@@ -574,6 +574,18 @@ def q_neardup_recall(spark, sf_dir) -> DataFrame:
     )
 
 
+def q_semantic_dedup(spark, sf_dir) -> DataFrame:
+    """SemDeDup-style semantic dedup: k-means-trained clusters (the
+    ann_ivf_kmeans chain) → within-cluster first-wins near-dup at the
+    contract threshold. One cid exchange; dropped ids broadcast."""
+    from blackedge_ocr_spark.analysis import ann
+    from blackedge_ocr_spark.analysis.semdedup import semantic_dedup
+
+    return semantic_dedup(
+        spark, sf_dir, threshold=ann.NEARDUP_CONTRACT_THRESHOLD
+    )
+
+
 def q_lang_id(spark, sf_dir) -> DataFrame:
     from blackedge_ocr_spark.analysis import textstats
 

@@ -640,6 +640,7 @@ def build_oracles() -> dict[str, str]:
         "embedding_neardup": sql_embedding_neardup(),
         "embedding_neardup_lsh": sql_embedding_neardup_lsh(),
         "neardup_recall": sql_neardup_recall(),
+        "semantic_dedup": sql_semantic_dedup(),
         "lang_id": sql_lang_id(),
         "token_counts": sql_token_counts(),
         "quality_scores": sql_quality_scores(),
@@ -987,22 +988,25 @@ SELECT q_id, rank, neighbor_id, cos FROM (
   FROM s) WHERE rank <= {k}"""
 
 
-def sql_ann_ivf_kmeans_topk(
-    k: int = 5, query_every: int = 50, centroid_every: int | None = None,
-    probe: int = 3, iters: int = 3, train_every: int = 4,
-) -> str:
-    """analysis.ann.ivf_kmeans_topk mirror: the same IVF search over
-    k-means-TRAINED centroids. Lloyd iterations are UNROLLED as CTE
-    chains (fixed iteration count → finite SQL); cross-engine
-    bit-parity of the update step comes from fixed-point sums —
-    vectors quantized to 1e-6 bigints (floor(x·1e6+0.5), the exact op
-    the Spark side applies), per-(cid,dim) sums in exact integer
-    arithmetic (order-independent, unlike double sums), mean = one
-    double division. Assignment is the same first-max fold-order
-    cosine as sql_ann_ivf_topk. Training reads only the sampled
+def _kmeans_assigned_parts(
+    centroid_every: int | None = None, iters: int = 3, train_every: int = 4,
+) -> list[str]:
+    """Shared CTE chain ending in ``scored``/``assigned``: the
+    k-means-TRAINED centroids and the full-corpus nearest-centroid
+    assignment. Lloyd iterations are UNROLLED as CTE chains (fixed
+    iteration count → finite SQL); cross-engine bit-parity of the
+    update step comes from fixed-point sums — vectors quantized to
+    1e-6 bigints (floor(x·1e6+0.5), the exact op the Spark side
+    applies), per-(cid,dim) sums in exact integer arithmetic
+    (order-independent, unlike double sums), mean = one double
+    division. Assignment is the same first-max fold-order cosine as
+    sql_ann_ivf_topk. Training reads only the sampled
     every-``train_every``-th vectors (eq), matching
-    ann.kmeans_centroids' sampled training; the final assignment and
-    the query set still range over the full corpus (e)."""
+    ann.kmeans_centroids' sampled training; the final assignment
+    still ranges over the full corpus (e). One builder feeds BOTH
+    consumers — ``sql_ann_ivf_kmeans_topk`` and
+    ``sql_semantic_dedup`` — so the trained-index recipe cannot
+    drift between them."""
     sims = f"list_transform(cents, c -> {cosine_sql('v', 'c.cv')})"
     quant = "list_transform(v, x -> CAST(floor(x * 1000000.0 + 0.5) AS BIGINT))"
     parts = [
@@ -1035,6 +1039,20 @@ def sql_ann_ivf_kmeans_topk(
   SELECT vec_id, v,
          (cents[list_position(sims, list_max(sims))]).cid AS cid
   FROM scored)""",
+    ]
+    return parts
+
+
+def sql_ann_ivf_kmeans_topk(
+    k: int = 5, query_every: int = 50, centroid_every: int | None = None,
+    probe: int = 3, iters: int = 3, train_every: int = 4,
+) -> str:
+    """analysis.ann.ivf_kmeans_topk mirror: the same IVF search over
+    k-means-TRAINED centroids (CTE chain shared with
+    ``sql_semantic_dedup`` via ``_kmeans_assigned_parts``); probe the
+    ``probe`` closest trained lists, exact cosine re-rank."""
+    parts = _kmeans_assigned_parts(centroid_every, iters, train_every)
+    parts += [
         f"""qp AS (
   SELECT vec_id AS q_id, v AS qv,
          unnest(list_transform(
@@ -1055,6 +1073,49 @@ SELECT q_id, rank, neighbor_id, cos FROM (
   SELECT *, row_number() OVER (PARTITION BY q_id
             ORDER BY cos DESC, neighbor_id) AS rank
   FROM s) WHERE rank <= {k}"""
+
+
+def sql_semantic_dedup(
+    threshold: float | None = None, cluster_cap: int | None = None,
+) -> str:
+    """analysis.semdedup.semantic_dedup mirror: within each trained
+    k-means cluster (the SAME unrolled Lloyd chain as
+    ``sql_ann_ivf_kmeans_topk`` — shared builder), cap members to the
+    ``cluster_cap`` lowest vec_ids (row_number, the banding-cap
+    rule), score in-cluster (a < b) pairs with the fold-order cosine,
+    and mark b a duplicate iff some lower-id member reaches the
+    rounded threshold. First-wins by vec_id, a plain EXISTS — exactly
+    the Spark keeper rule."""
+    from blackedge_ocr_spark.analysis import ann, semdedup
+
+    tau = (
+        threshold
+        if threshold is not None
+        else ann.NEARDUP_CONTRACT_THRESHOLD
+    )
+    cap = (
+        cluster_cap
+        if cluster_cap is not None
+        else semdedup.SEMDEDUP_CLUSTER_CAP
+    )
+    parts = _kmeans_assigned_parts()
+    parts += [
+        f"""capped AS (
+  SELECT vec_id, v, cid FROM (
+    SELECT vec_id, v, cid,
+           row_number() OVER (PARTITION BY cid ORDER BY vec_id) AS rn
+    FROM assigned) WHERE rn <= {cap})""",
+        f"""dup AS (
+  SELECT DISTINCT b.vec_id
+  FROM capped a JOIN capped b
+    ON a.cid = b.cid AND a.vec_id < b.vec_id
+  WHERE round({cosine_sql('a.v', 'b.v')}, 6) >= {tau!r})""",
+    ]
+    ctes = ",\n".join(parts)
+    return f"""
+WITH {ctes}
+SELECT a.vec_id, a.cid, (dup.vec_id IS NOT NULL) AS is_dup
+FROM assigned a LEFT JOIN dup ON a.vec_id = dup.vec_id"""
 
 
 def sql_ann_recall(k: int = 5) -> str:
