@@ -66,6 +66,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_neardup_lsh": q.q_embedding_neardup_lsh,
         "neardup_recall": q.q_neardup_recall,
         "semantic_dedup": q.q_semantic_dedup,
+        "ann_sq8_topk": q.q_ann_sq8_topk,
         "lang_id": q.q_lang_id,
         "token_counts": q.q_token_counts,
         "quality_scores": q.q_quality_scores,

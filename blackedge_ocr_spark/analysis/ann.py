@@ -307,6 +307,117 @@ def brute_force_topk(
     )
 
 
+SQ8_SCALE = 127  # int8 code range: codes land in [-127, 127]
+
+
+def sq8_codes(vec: Column) -> Column:
+    """Scalar int8 quantization: per-vector max-|x| scale, code_i =
+    floor(x_i·127/m + 0.5) ∈ [-127, 127] (HALF_UP, the house
+    rounding op). The codes are what a 10^12-vector fleet would
+    actually hold in memory — 4× smaller than float32, 8× smaller
+    than the float64 math type — so the brute-force scan's working
+    set shrinks by the same factor and the integer-dot kernel beats
+    the float path on memory bandwidth. An all-zero vector maps to
+    all-zero codes (the unguarded form divides by m = 0).
+
+    Determinism: max, multiply, divide and floor are single
+    correctly-rounded IEEE ops in the same order on both engines —
+    no sum, no fold-order concern at all."""
+    m = F.array_max(F.transform(vec, lambda x: F.abs(x)))
+    return F.when(
+        m == 0.0, F.transform(vec, lambda x: F.lit(0).cast("int"))
+    ).otherwise(
+        F.transform(
+            vec,
+            lambda x: F.floor(x * F.lit(127.0) / m + F.lit(0.5)).cast("int"),
+        )
+    )
+
+
+def sq8_topk(
+    spark, sf_dir: str, k: int = DEFAULT_K, query_every: int = QUERY_EVERY
+) -> DataFrame:
+    """Approximate cosine top-k over int8-quantized codes — the
+    memory-scale variant of ``brute_force_topk``: same broadcast-
+    queries × partitioned-corpus shape (the corpus never shuffles),
+    but each vector is 64 int8 codes instead of 64 float64s, and the
+    block kernel is ONE exact int64 matmul per (queries × batch)
+    block instead of a dims-ordered float accumulation loop.
+
+    score = cos of the CODE vectors: dot(qa, qb) and both squared
+    norms are exact integer sums (order-free — no fold-order
+    discipline needed, the property the float kernels spend their
+    docstrings on), and the final divide is one double op; the
+    per-vector scales cancel in the ratio, so code-cosine ≈ true
+    cosine with only rounding-grid error. ``recall_vs_exact`` ('sq8'
+    row) quantifies that error against the float64 baseline — the
+    number a fleet reads before switching its scan to int8.
+    """
+    import numpy as np
+    import pandas as pd
+
+    corpus = _load(spark, sf_dir).select(
+        "vec_id", sq8_codes(F.col("v")).alias("c")
+    )
+    qrows = (
+        corpus.filter(F.col("vec_id") % query_every == 0)
+        .select(F.col("vec_id").alias("q_id"), F.col("c").alias("qc"))
+        .collect()
+    )
+    q_ids = np.array([r["q_id"] for r in qrows], dtype=np.int64)
+    Q = np.array([r["qc"] for r in qrows], dtype=np.int64)
+    bq = spark.sparkContext.broadcast((q_ids, Q))
+
+    def score_blocks(batches):
+        ids, qm = bq.value
+        if qm.size == 0:
+            return
+        nq = qm.shape[0]
+        # exact: |codes| <= 127, dims = 64 -> |dot| <= 64*127^2 ~ 1e6
+        qsq = (qm * qm).sum(axis=1)  # int64, exact
+        qn = np.sqrt(qsq.astype(np.float64))
+        for pdf in batches:
+            if len(pdf) == 0 or nq == 0:
+                continue
+            vid = pdf["vec_id"].to_numpy(dtype=np.int64)
+            V = np.array(list(pdf["c"]), dtype=np.int64)
+            dots = qm @ V.T  # int64 matmul: exact, order-free
+            vsq = (V * V).sum(axis=1)
+            vn = np.sqrt(vsq.astype(np.float64))
+            denom = np.multiply.outer(qn, vn)
+            with np.errstate(invalid="ignore", divide="ignore"):
+                cos = np.where(denom == 0.0, 0.0, dots / denom)
+            self_mask = np.equal.outer(ids, vid)
+            cos_sel = np.where(self_mask, -np.inf, cos)
+            n = len(vid)
+            kth = (
+                np.sort(cos_sel, axis=1)[:, -min(k, n)]
+                if n > 0
+                else np.full(nq, -np.inf)
+            )
+            keep = (cos_sel >= (kth[:, None] - 2e-6)) & ~self_mask
+            qi, vi = np.nonzero(keep)
+            yield pd.DataFrame(
+                {
+                    "q_id": ids[qi],
+                    "neighbor_id": vid[vi],
+                    "cos": cos[qi, vi],
+                }
+            )
+
+    scored = corpus.mapInPandas(
+        score_blocks, schema="q_id long, neighbor_id long, cos double"
+    ).select("q_id", "neighbor_id", F.round(F.col("cos"), 6).alias("cos"))
+    w = Window.partitionBy("q_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "rank", "neighbor_id", "cos")
+    )
+
+
 def _flip_bit(bucket: Column, i: int, n_planes: int = N_PLANES) -> Column:
     flipped = F.when(
         F.substring(bucket, i + 1, 1) == "0", F.lit("1")
@@ -877,6 +988,11 @@ def recall_vs_exact(
                 F.lit("ivf_kmeans").alias("method"), "q_id", "neighbor_id"
             )
         )
+        .unionByName(
+            sq8_topk(spark, sf_dir, k, query_every).select(
+                F.lit("sq8").alias("method"), "q_id", "neighbor_id"
+            )
+        )
     )
     hit0 = (
         approx.join(exact, ["q_id", "neighbor_id"], "left_semi")
@@ -887,7 +1003,7 @@ def recall_vs_exact(
     # show recall 0.0, not vanish from the report (sparse buckets at
     # high n_planes are exactly the regime this audit exposes).
     methods = spark.createDataFrame(
-        [("lsh",), ("ivf",), ("ivf_kmeans",)], "method string"
+        [("lsh",), ("ivf",), ("ivf_kmeans",), ("sq8",)], "method string"
     )
     hits = methods.join(hit0, "method", "left").select(
         "method", F.coalesce("hits", F.lit(0).cast("long")).alias("hits")

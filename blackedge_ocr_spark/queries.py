@@ -524,6 +524,18 @@ def q_ann_ivf_kmeans_topk(spark, sf_dir) -> DataFrame:
                     "neighbor_id", "cos")
 
 
+def q_ann_sq8_topk(spark, sf_dir) -> DataFrame:
+    """Int8-scalar-quantized brute-force top-5 — the memory-scale
+    scan (4× smaller working set than float32, exact int64 dot
+    kernel); its quantization error shows up as the 'sq8' row of
+    ann_recall."""
+    from blackedge_ocr_spark.analysis import ann
+
+    r = ann.sq8_topk(spark, sf_dir)
+    return r.select("q_id", F.col("rank").cast("long").alias("rank"),
+                    "neighbor_id", "cos")
+
+
 def q_ann_recall(spark, sf_dir) -> DataFrame:
     """recall@5 of the LSH and IVF paths vs the exact baseline —
     quantifies the approximation the other ann queries only assert

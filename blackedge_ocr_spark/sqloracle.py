@@ -641,6 +641,7 @@ def build_oracles() -> dict[str, str]:
         "embedding_neardup_lsh": sql_embedding_neardup_lsh(),
         "neardup_recall": sql_neardup_recall(),
         "semantic_dedup": sql_semantic_dedup(),
+        "ann_sq8_topk": sql_ann_sq8_topk(),
         "lang_id": sql_lang_id(),
         "token_counts": sql_token_counts(),
         "quality_scores": sql_quality_scores(),
@@ -1075,6 +1076,41 @@ SELECT q_id, rank, neighbor_id, cos FROM (
   FROM s) WHERE rank <= {k}"""
 
 
+def sql_ann_sq8_topk(k: int = 5, query_every: int = 50) -> str:
+    """ann.sq8_topk mirror: per-vector max-|x| int8 quantization
+    (floor(x·127/m + 0.5), all-zero vectors → all-zero codes), then
+    cosine of the CODE vectors. dot and both squared norms are exact
+    integer sums — order-free, so the only double ops are two sqrts,
+    one multiply and one divide, bit-identical to the numpy int64
+    kernel."""
+    idot = (
+        "list_sum(list_transform(range(len({a})), "
+        "i -> {a}[i + 1]::BIGINT * {b}[i + 1]::BIGINT))::BIGINT"
+    )
+    return f"""
+WITH {EMB},
+mm AS (SELECT vec_id, v,
+              list_max(list_transform(v, x -> abs(x))) AS mx FROM e),
+cod AS (SELECT vec_id,
+  CASE WHEN mx = 0 THEN list_transform(v, x -> 0)
+       ELSE list_transform(v,
+            x -> CAST(floor(x * 127.0 / mx + 0.5) AS INTEGER)) END AS c
+  FROM mm),
+cs AS (SELECT vec_id, c, {idot.format(a='c', b='c')} AS sv FROM cod),
+q AS (SELECT vec_id AS q_id, c AS qc, sv AS sq FROM cs
+      WHERE vec_id % {query_every} = 0),
+s AS (SELECT q_id, vec_id AS neighbor_id,
+             round(CASE WHEN sq * sv = 0 THEN 0.0
+                   ELSE ({idot.format(a='qc', b='c')})::DOUBLE
+                        / (sqrt(sq::DOUBLE) * sqrt(sv::DOUBLE)) END,
+                   6) AS cos
+      FROM cs, q WHERE vec_id != q_id)
+SELECT q_id, rank, neighbor_id, cos FROM (
+  SELECT *, row_number() OVER (PARTITION BY q_id
+            ORDER BY cos DESC, neighbor_id) AS rank
+  FROM s) WHERE rank <= {k}"""
+
+
 def sql_semantic_dedup(
     threshold: float | None = None, cluster_cap: int | None = None,
 ) -> str:
@@ -1128,12 +1164,15 @@ WITH exact AS (SELECT q_id, neighbor_id FROM ({sql_ann_topk(k)})),
 lsh AS (SELECT q_id, neighbor_id FROM ({sql_ann_lsh_topk(k)})),
 ivf AS (SELECT q_id, neighbor_id FROM ({sql_ann_ivf_topk(k)})),
 ivfk AS (SELECT q_id, neighbor_id FROM ({sql_ann_ivf_kmeans_topk(k)})),
+sq8 AS (SELECT q_id, neighbor_id FROM ({sql_ann_sq8_topk(k)})),
 u AS (SELECT 'lsh' AS method, q_id, neighbor_id FROM lsh
       UNION ALL
       SELECT 'ivf' AS method, q_id, neighbor_id FROM ivf
       UNION ALL
-      SELECT 'ivf_kmeans' AS method, q_id, neighbor_id FROM ivfk),
-methods AS (SELECT unnest(['lsh', 'ivf', 'ivf_kmeans']) AS method),
+      SELECT 'ivf_kmeans' AS method, q_id, neighbor_id FROM ivfk
+      UNION ALL
+      SELECT 'sq8' AS method, q_id, neighbor_id FROM sq8),
+methods AS (SELECT unnest(['lsh', 'ivf', 'ivf_kmeans', 'sq8']) AS method),
 hit0 AS (SELECT method, count(*)::bigint AS hits
          FROM u SEMI JOIN exact USING (q_id, neighbor_id)
          GROUP BY method),
