@@ -442,6 +442,193 @@ def stream_dedup(
     return writer.start()
 
 
+def stream_neardup(
+    spark: SparkSession,
+    input_dir: str,
+    output_dir: str,
+    checkpoint_dir: str,
+    bands_dir: str,
+    sigs_dir: str,
+    min_jaccard: float = 0.5,
+    bucket_cap: int = 128,
+    available_now: bool = True,
+    max_files_per_trigger: int = 1,
+):
+    """Streaming NEAR-duplicate suppression of continuous document
+    ingest: MinHash-LSH band keys against a PERSISTENT band registry,
+    exact shingle-Jaccard verification against a persistent shingle
+    store — the streaming twin of ``dedup.lsh_candidate_pairs``.
+
+    Drop rule (identical to the batch pair semantics, so the twin is
+    checkable): document b is suppressed iff SOME earlier document a
+    (a < b, earlier batch or earlier in this batch) shares any capped
+    LSH band bucket with b AND true shingle Jaccard(a, b) ≥
+    ``min_jaccard``. "Earlier" means any seen document — dropped
+    documents still register, exactly as every doc appears on the
+    doc_a side of the batch pair set. Per micro-batch:
+
+    1. shingle + MinHash-sign the batch once (the Arrow signature
+       path), explode band keys, drop NULL keys (empty docs) — the
+       batch pass discipline;
+    2. cap each (band, key) bucket at ``bucket_cap`` members GLOBALLY:
+       global position = registered prior count + in-batch rank by
+       doc_id. With in-id-order arrival this reproduces the batch
+       rule's lowest-id cap exactly (out-of-order arrival degrades
+       the cap to first-arrival — documented approximation, same
+       trade ``stream_dedup`` makes for min-id);
+    3. candidates = (prior registered member × eligible batch doc) on
+       the bucket key, plus in-bucket pairs among eligible batch
+       docs; verify with the true shingle Jaccard (prior shingles
+       from the store, batch shingles in hand);
+    4. survivors append to the sink; ALL batch docs append their
+       shingles, and their cap-eligible band rows, to the registries.
+
+    Scale notes mirror ``stream_dedup``: registries are disk tables,
+    not streaming state (near-dup history is unbounded; the Iceberg
+    form buckets both by key — ADR-1's swap point — and keeps the
+    per-bucket counts as a compacted stats table instead of the
+    per-batch groupBy here). The shingle store is O(corpus tokens);
+    a fleet trades it for signature-only verification (estimated
+    Jaccard) when storage dominates — kept exact here so the batch
+    twin parity is bit-checkable.
+    """
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+    from pyspark.sql.utils import AnalysisException
+
+    from blackedge_ocr_spark.analysis.dedup import (
+        jaccard,
+        lsh_band_keys,
+        minhash_signature_arrow,
+        word_shingles,
+    )
+
+    raw = (
+        spark.readStream.schema(RAW_DOCUMENTS_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(input_dir)
+    )
+    cols = [f.name for f in RAW_DOCUMENTS_SCHEMA.fields]
+
+    def _read_or_none(path: str):
+        try:
+            return spark.read.parquet(path)
+        except AnalysisException as e:
+            if (e.getErrorClass() or "") != "PATH_NOT_FOUND":
+                raise
+            return None
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        sh = batch_df.withColumn(
+            "shingles", word_shingles(F.col("text"))
+        ).withColumn("sig", minhash_signature_arrow(F.col("shingles")))
+        sh = sh.persist()
+        banded = (
+            sh.select(
+                "doc_id", F.explode(lsh_band_keys(F.col("sig"))).alias("bk")
+            )
+            .select("doc_id", "bk.band", "bk.key")
+            .filter(F.col("key").isNotNull())
+        )
+
+        prior_bands = _read_or_none(bands_dir)
+        if prior_bands is not None:
+            counts = prior_bands.groupBy("band", "key").agg(
+                F.count("*").alias("n_prior")
+            )
+            banded = banded.join(counts, ["band", "key"], "left").withColumn(
+                "n_prior", F.coalesce("n_prior", F.lit(0))
+            )
+        else:
+            banded = banded.withColumn("n_prior", F.lit(0))
+        w = Window.partitionBy("band", "key").orderBy("doc_id")
+        eligible = (
+            banded.withColumn("pos", F.row_number().over(w) + F.col("n_prior"))
+            .filter(F.col("pos") <= bucket_cap)
+            .select("band", "key", "doc_id")
+            .persist()
+        )
+
+        from blackedge_ocr_spark.analysis.banding import in_bucket_pairs
+
+        in_batch = in_bucket_pairs(
+            eligible, "doc_id", "doc_a", "doc_b", bucket_cap
+        )
+        if prior_bands is not None:
+            cross = (
+                prior_bands.join(
+                    eligible.select(
+                        "band", "key", F.col("doc_id").alias("doc_new")
+                    ),
+                    ["band", "key"],
+                )
+                .filter(F.col("doc_id") != F.col("doc_new"))
+                .select(
+                    F.least("doc_id", "doc_new").alias("doc_a"),
+                    F.greatest("doc_id", "doc_new").alias("doc_b"),
+                )
+            )
+            pairs = in_batch.unionByName(cross).distinct()
+        else:
+            pairs = in_batch
+        pairs = pairs.persist()
+
+        batch_sh = sh.select("doc_id", "shingles")
+        prior_sh = _read_or_none(sigs_dir)
+        all_sh = (
+            batch_sh
+            if prior_sh is None
+            else batch_sh.unionByName(prior_sh)
+        )
+        cand = pairs.select(
+            F.explode(F.array("doc_a", "doc_b")).alias("doc_id")
+        ).distinct()
+        cand_sh = all_sh.join(F.broadcast(cand), "doc_id").persist()
+        cand_sh.count()
+        verified = (
+            pairs.join(
+                F.broadcast(
+                    cand_sh.select(
+                        F.col("doc_id").alias("doc_a"),
+                        F.col("shingles").alias("sh_a"),
+                    )
+                ),
+                "doc_a",
+            )
+            .join(
+                F.broadcast(
+                    cand_sh.select(
+                        F.col("doc_id").alias("doc_b"),
+                        F.col("shingles").alias("sh_b"),
+                    )
+                ),
+                "doc_b",
+            )
+            .filter(
+                F.round(jaccard(F.col("sh_a"), F.col("sh_b")), 6)
+                >= min_jaccard
+            )
+        )
+        dropped = verified.select(F.col("doc_b").alias("doc_id")).distinct()
+        survivors = batch_df.join(dropped, "doc_id", "left_anti").select(*cols)
+        survivors.write.mode("append").parquet(output_dir)
+        # ALL batch docs register (dropped docs still anchor future
+        # pairs on their doc_a side, exactly like the batch pair set)
+        sh.select("doc_id", "shingles").write.mode("append").parquet(sigs_dir)
+        eligible.write.mode("append").parquet(bands_dir)
+        for df in (cand_sh, pairs, eligible, sh):
+            df.unpersist()
+
+    writer = raw.writeStream.foreachBatch(process_batch).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def stream_incremental_extract(
     spark: SparkSession,
     input_dir: str,

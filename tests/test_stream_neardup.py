@@ -1,0 +1,114 @@
+"""Streaming MinHash-LSH near-dup: survivors match the batch pair
+semantics (drop b iff some earlier a shares a capped bucket AND true
+shingle Jaccard >= threshold), and the persistent registries make a
+restarted query suppress near-dups of pre-restart documents.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import time
+
+import pyspark.sql.functions as F
+
+SF = "/root/testdata/sf0.001"
+
+
+def _write_in_order(tmp_path, inp, frames):
+    """One parquet file per frame, mtimes ascending so the file
+    stream delivers them in id order (the cap-parity assumption)."""
+    inp.mkdir(exist_ok=True)
+    for i, df in enumerate(frames):
+        stage = tmp_path / f"s{i}"
+        df.coalesce(1).write.mode("overwrite").parquet(str(stage))
+        src = next(p for p in stage.iterdir() if p.suffix == ".parquet")
+        dst = inp / f"file{i}.parquet"
+        shutil.copy(src, dst)
+        os.utime(dst, (time.time() + i, time.time() + i))
+
+
+def _batch_dropped(full, min_jaccard=0.5):
+    from blackedge_ocr_spark.analysis import dedup
+
+    pairs = dedup.lsh_candidate_pairs(full, min_jaccard=min_jaccard)
+    return {r["doc_b"] for r in pairs.select("doc_b").distinct().collect()}
+
+
+def test_stream_neardup_matches_batch_pairs_and_survives_restart(
+    spark, tmp_path
+):
+    from blackedge_ocr_spark.streaming import stream_neardup
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    # near-copies: every 10th doc with a short appended tail — high
+    # but non-1.0 shingle Jaccard; plus one exact copy and one
+    # genuinely new doc
+    near = (
+        docs.filter(F.col("doc_id") % 10 == 0)
+        .withColumn("doc_id", F.col("doc_id") + 1_000_000)
+        .withColumn("text", F.concat(F.col("text"), F.lit(" tail word")))
+    )
+    exact = (
+        docs.filter(F.col("doc_id") == 3)
+        .withColumn("doc_id", F.lit(1_500_000).cast("long"))
+    )
+    fresh = docs.limit(1).select(
+        F.lit(2_000_000).cast("long").alias("doc_id"),
+        F.lit(
+            "completely unrelated brand new content about nothing else"
+        ).alias("text"),
+        "lang", "source", "n_chars",
+    )
+    inp = tmp_path / "nin"
+    _write_in_order(
+        tmp_path, inp, [docs, near.unionByName(exact).unionByName(fresh)]
+    )
+    out, ckpt = str(tmp_path / "nout"), str(tmp_path / "nckpt")
+    bands, sigs = str(tmp_path / "nbands"), str(tmp_path / "nsigs")
+
+    q = stream_neardup(spark, str(inp), out, ckpt, bands, sigs)
+    q.awaitTermination(300)
+
+    got = {r["doc_id"] for r in spark.read.parquet(out).collect()}
+    full = docs.unionByName(near).unionByName(exact).unionByName(fresh)
+    expect = {
+        r["doc_id"] for r in full.select("doc_id").collect()
+    } - _batch_dropped(full)
+    assert got == expect
+    assert 2_000_000 in got  # the new doc always survives
+    assert 1_500_000 not in got  # the exact copy never does
+
+    # restart: late near-copies of pre-restart docs + one new doc —
+    # the registries (not the checkpoint) must carry the history
+    late = (
+        docs.filter(F.col("doc_id") % 7 == 0)
+        .withColumn("doc_id", F.col("doc_id") + 3_000_000)
+        .withColumn("text", F.concat(F.col("text"), F.lit(" tail word")))
+    )
+    fresh2 = docs.limit(1).select(
+        F.lit(4_000_000).cast("long").alias("doc_id"),
+        F.lit("another never before seen unique late document").alias(
+            "text"
+        ),
+        "lang", "source", "n_chars",
+    )
+    stage = tmp_path / "s9"
+    late.unionByName(fresh2).coalesce(1).write.mode("overwrite").parquet(
+        str(stage)
+    )
+    src = next(p for p in stage.iterdir() if p.suffix == ".parquet")
+    dst = inp / "file9.parquet"
+    shutil.copy(src, dst)
+    os.utime(dst, (time.time() + 9, time.time() + 9))
+
+    q2 = stream_neardup(spark, str(inp), out, ckpt, bands, sigs)
+    q2.awaitTermination(300)
+
+    got2 = {r["doc_id"] for r in spark.read.parquet(out).collect()}
+    full2 = full.unionByName(late).unionByName(fresh2)
+    expect2 = {
+        r["doc_id"] for r in full2.select("doc_id").collect()
+    } - _batch_dropped(full2)
+    assert got2 == expect2
+    assert 4_000_000 in got2
