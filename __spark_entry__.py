@@ -67,6 +67,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "neardup_recall": q.q_neardup_recall,
         "semantic_dedup": q.q_semantic_dedup,
         "ann_sq8_topk": q.q_ann_sq8_topk,
+        "hll_distinct": q.q_hll_distinct,
+        "cms_topk": q.q_cms_topk,
         "lang_id": q.q_lang_id,
         "token_counts": q.q_token_counts,
         "quality_scores": q.q_quality_scores,

@@ -1,0 +1,222 @@
+"""Cardinality and frequency sketches with exact-audit reporting.
+
+At 100 TB, exact `COUNT(DISTINCT)` and exact heavy-hitter tables are
+the profiling queries a fleet runs FIRST — and the sketch versions
+(HyperLogLog registers, count-min counters) are what it actually
+keeps, because their state is O(registers), mergeable map-side, and
+shippable between jobs. Spark's own `approx_count_distinct` IS an
+HLL++; this module implements the sketch arithmetic explicitly so
+(a) the register tables are first-class DataFrames a pipeline can
+persist/merge across corpus deltas, and (b) every number is
+bit-reproducible in the DuckDB oracle — the same determinism
+discipline as the rest of the engine (Spark's built-in sketch is
+not cross-engine mirrorable).
+
+Both operators follow the ann_recall audit pattern: emit the sketch
+estimate NEXT TO the exact value, so the report itself quantifies
+the error a user would accept before switching the big corpus to
+sketch-only mode.
+
+Cross-engine determinism:
+- hashing is md5-hex, consumed as STRINGS (bucket = hex prefix) and
+  leading-zero runs (regexp over the hex window + a nibble CASE) —
+  no integer conversion, no platform hash;
+- HLL's Σ2^(-M_j) is computed SCALED as Σ2^(53-M_j) in exact int64
+  arithmetic (max 256·2^53 = 2^61 — order-free, the same
+  fixed-point trick the k-means/lm paths use), with ONE double
+  division at the end;
+- the small-range correction's ln() is micro-unit-rounded once (the
+  lm_scores house rule);
+- count-min is pure integer counting end-to-end.
+
+Reference analog: none — the reference has no corpus-profiling
+surface; this extends the training-data-pipeline brief
+(corpus_stats / top_terms are the exact twins).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from blackedge_ocr_spark.functions.text import tokens
+
+HLL_P = 8                      # 2^8 = 256 registers
+HLL_M = 1 << HLL_P
+HLL_WINDOW = 13                # hex chars scanned for the zero run: 52 bits
+HLL_RHO_CAP = 4 * HLL_WINDOW + 1
+# alpha_m·m²·2^52-scaled numerator, computed ONCE here and inlined as
+# the identical double literal in the SQL oracle (sqloracle imports
+# it) — the engines never re-derive it.
+HLL_ALPHA = 0.7213 / (1.0 + 1.079 / HLL_M)
+HLL_NUMER = HLL_ALPHA * HLL_M * HLL_M * float(1 << (HLL_RHO_CAP - 1))
+CMS_DEPTH = 4                  # independent hash rows
+CMS_SLOT_HEX = 3               # 3 hex chars → 4096 slots per row
+CMS_TOP_K = 20                 # audited heavy hitters
+
+
+def _rho(col) -> "F.Column":
+    """Leading-zero-run rank over the 52-bit hex window following the
+    register prefix: 4·(leading '0' hex chars) + the first non-zero
+    nibble's own leading zeros + 1, capped when the window is all
+    zeros. String ops + one CASE — identical in DuckDB."""
+    win = F.substring(col, HLL_P // 4 + 1, HLL_WINDOW)
+    zeros = F.length(F.regexp_extract(win, "^(0*)", 1))
+    nib = F.substring(win, zeros + 1, 1)
+    extra = (
+        F.when(nib == "1", 3)
+        .when(nib.isin("2", "3"), 2)
+        .when(nib.isin("4", "5", "6", "7"), 1)
+        .otherwise(0)
+    )
+    return F.when(zeros == HLL_WINDOW, F.lit(HLL_RHO_CAP)).otherwise(
+        zeros * 4 + extra + 1
+    )
+
+
+def hll_registers(docs: DataFrame) -> DataFrame:
+    """(source, bucket, m) HLL register table over the corpus term
+    stream — the persistable/mergeable sketch state. NO distinct
+    pass: max-rho absorbs duplicate terms, so the input is the raw
+    token explode and the only exchange is the O(sources × 256)
+    register agg (map-side combinable max)."""
+    h = F.md5(F.col("term"))
+    return (
+        docs.select(
+            "source", F.explode(tokens(F.col("text"))).alias("term")
+        )
+        .select(
+            "source",
+            F.substring(h, 1, HLL_P // 4).alias("bucket"),
+            _rho(h).alias("rho"),
+        )
+        .groupBy("source", "bucket")
+        .agg(F.max("rho").alias("m"))
+    )
+
+
+def hll_distinct(docs: DataFrame) -> DataFrame:
+    """Per-source distinct-term cardinality: HLL estimate audited
+    against the exact count — (source, n_exact, n_hll, rel_err).
+
+    The exact side costs the O(distinct) shuffle the sketch exists to
+    avoid; it is part of the REPORT (the audit pattern), not of the
+    production sketch path, which is ``hll_registers`` alone."""
+    regs = hll_registers(docs)
+    agg = regs.groupBy("source").agg(
+        F.sum(
+            F.expr(f"shiftleft(cast(1 as bigint), {HLL_RHO_CAP - 1} - m)")
+        ).alias("s_present"),
+        F.count("*").alias("n_regs"),
+    )
+    v = (F.lit(HLL_M) - F.col("n_regs")).cast("long")
+    s = (
+        F.col("s_present")
+        + v * F.lit(1 << (HLL_RHO_CAP - 1)).cast("long")
+    ).cast("double")
+    e_raw = F.lit(HLL_NUMER) / s
+    # small-range (linear counting) branch: micro-rounded ln, the
+    # lm_scores discipline
+    ln_mv = (
+        F.floor(F.log(F.lit(float(HLL_M)) / v.cast("double")) * 1e6 + 0.5)
+        / 1e6
+    )
+    est = F.when(
+        (e_raw <= F.lit(2.5 * HLL_M)) & (v > 0), F.lit(float(HLL_M)) * ln_mv
+    ).otherwise(e_raw)
+    sketch = agg.select(
+        "source", (F.floor(est * 1e6 + F.lit(0.5)) / 1e6).alias("n_hll")
+    )
+    exact = (
+        docs.select(
+            "source", F.explode(tokens(F.col("text"))).alias("term")
+        )
+        .groupBy("source")
+        .agg(F.countDistinct("term").alias("n_exact"))
+    )
+    rel = (
+        F.floor(
+            F.abs(F.col("n_hll") - F.col("n_exact").cast("double"))
+            / F.col("n_exact").cast("double")
+            * 1e6
+            + F.lit(0.5)
+        )
+        / 1e6
+    )
+    return exact.join(sketch, "source").select(
+        "source", "n_exact", "n_hll", rel.alias("rel_err")
+    )
+
+
+def _cms_slot(term, row: int) -> "F.Column":
+    """Row-``row``'s slot key: 3-hex-char prefix of the salted md5 —
+    kept as a string, no integer conversion."""
+    return F.substring(
+        F.md5(F.concat(F.lit(f"{row}:"), term)), 1, CMS_SLOT_HEX
+    )
+
+
+def cms_counters(docs: DataFrame) -> DataFrame:
+    """(row, slot, n) count-min counter table over the corpus token
+    stream — CMS_DEPTH rows × 4096 slots of exact int64 counts. The
+    token explode fans out ×CMS_DEPTH before ONE combinable agg;
+    counter state is O(depth × width), mergeable by addition."""
+    keys = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("row"), _cms_slot(F.col("term"), i).alias("slot")
+            )
+            for i in range(CMS_DEPTH)
+        ]
+    )
+    return (
+        docs.select(
+            F.explode(tokens(F.col("text"))).alias("term")
+        )
+        .select(F.explode(keys).alias("k"))
+        .groupBy("k.row", "k.slot")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+def cms_topk(docs: DataFrame, k: int = CMS_TOP_K) -> DataFrame:
+    """Heavy-hitter audit: the exact top-``k`` corpus terms (the
+    top_terms total order) with their count-min estimates —
+    (term, n_exact, n_cms, overcount). n_cms = min over the term's
+    CMS_DEPTH counters ≥ n_exact always (pure integer arithmetic, so
+    the inequality is structural, not numeric). The probe side is k
+    terms × depth keys — it broadcasts into the counter table."""
+    counters = cms_counters(docs)
+    exact = (
+        docs.select(F.explode(tokens(F.col("text"))).alias("term"))
+        .groupBy("term")
+        .agg(F.count("*").alias("n_exact"))
+        .orderBy(F.col("n_exact").desc(), F.col("term"))
+        .limit(k)
+    )
+    probes = exact.select(
+        "term",
+        "n_exact",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("row"),
+                        _cms_slot(F.col("term"), i).alias("slot"),
+                    )
+                    for i in range(CMS_DEPTH)
+                ]
+            )
+        ).alias("k"),
+    ).select("term", "n_exact", "k.row", "k.slot")
+    est = (
+        probes.join(counters, ["row", "slot"])
+        .groupBy("term", "n_exact")
+        .agg(F.min("n").alias("n_cms"))
+    )
+    return est.select(
+        "term",
+        "n_exact",
+        "n_cms",
+        (F.col("n_cms") - F.col("n_exact")).alias("overcount"),
+    )

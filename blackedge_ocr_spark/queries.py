@@ -586,6 +586,24 @@ def q_neardup_recall(spark, sf_dir) -> DataFrame:
     )
 
 
+def q_hll_distinct(spark, sf_dir) -> DataFrame:
+    """Per-source distinct-term cardinality: explicit HyperLogLog
+    registers (persistable/mergeable sketch state, exact-int64
+    Σ2^-M) audited against the exact count."""
+    from blackedge_ocr_spark.analysis import sketches
+
+    return sketches.hll_distinct(_docs(spark, sf_dir))
+
+
+def q_cms_topk(spark, sf_dir) -> DataFrame:
+    """Heavy-hitter audit: exact top-20 corpus terms with their
+    count-min estimates (pure-integer sketch; overcount ≥ 0 is
+    structural)."""
+    from blackedge_ocr_spark.analysis import sketches
+
+    return sketches.cms_topk(_docs(spark, sf_dir))
+
+
 def q_semantic_dedup(spark, sf_dir) -> DataFrame:
     """SemDeDup-style semantic dedup: k-means-trained clusters (the
     ann_ivf_kmeans chain) → within-cluster first-wins near-dup at the

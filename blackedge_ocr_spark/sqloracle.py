@@ -642,6 +642,8 @@ def build_oracles() -> dict[str, str]:
         "neardup_recall": sql_neardup_recall(),
         "semantic_dedup": sql_semantic_dedup(),
         "ann_sq8_topk": sql_ann_sq8_topk(),
+        "hll_distinct": sql_hll_distinct(),
+        "cms_topk": sql_cms_topk(),
         "lang_id": sql_lang_id(),
         "token_counts": sql_token_counts(),
         "quality_scores": sql_quality_scores(),
@@ -2249,6 +2251,100 @@ def sql_top_terms() -> str:
 WITH e AS (SELECT unnest({toks}) AS term FROM documents)
 SELECT term, count(*)::bigint AS n FROM e
 GROUP BY term ORDER BY n DESC, term ASC LIMIT {TOP_K_TERMS}"""
+
+
+def sql_hll_distinct() -> str:
+    """sketches.hll_distinct mirror: same md5-hex register recipe
+    (bucket = 2-hex prefix, rho from the leading-zero run of the
+    13-hex window via regexp + nibble CASE), Σ2^(-M) scaled to exact
+    int64 arithmetic (1 << (52 - m)), the shared HLL_NUMER double
+    literal, micro-rounded ln in the linear-counting branch."""
+    from blackedge_ocr_spark.analysis.sketches import (
+        HLL_M,
+        HLL_NUMER,
+        HLL_RHO_CAP,
+        HLL_WINDOW,
+    )
+
+    toks = tokens_sql("text")
+    shift = HLL_RHO_CAP - 1
+    return f"""
+WITH tok AS (SELECT source, unnest({toks}) AS term FROM documents),
+hh AS (SELECT source, md5(term) AS h FROM tok),
+rr AS (SELECT source, substr(h, 1, 2) AS bucket,
+              length(regexp_extract(substr(h, 3, {HLL_WINDOW}),
+                                    '^(0*)', 1)) AS zeros,
+              substr(substr(h, 3, {HLL_WINDOW}),
+                     length(regexp_extract(substr(h, 3, {HLL_WINDOW}),
+                                           '^(0*)', 1)) + 1, 1) AS nib
+       FROM hh),
+rho AS (SELECT source, bucket,
+               CASE WHEN zeros = {HLL_WINDOW} THEN {HLL_RHO_CAP}
+                    ELSE zeros * 4 +
+                         (CASE WHEN nib = '1' THEN 3
+                               WHEN nib IN ('2', '3') THEN 2
+                               WHEN nib IN ('4', '5', '6', '7') THEN 1
+                               ELSE 0 END) + 1 END AS rho
+        FROM rr),
+regs AS (SELECT source, bucket, max(rho) AS m FROM rho
+         GROUP BY source, bucket),
+agg AS (SELECT source,
+               sum(1::BIGINT << ({shift} - m))::BIGINT AS s_present,
+               count(*)::BIGINT AS n_regs
+        FROM regs GROUP BY source),
+est AS (SELECT source,
+               {HLL_M} - n_regs AS v,
+               {HLL_NUMER!r} /
+                 (s_present + ({HLL_M} - n_regs) * (1::BIGINT << {shift})
+                 )::DOUBLE AS e_raw
+        FROM agg),
+hll AS (SELECT source,
+               floor((CASE WHEN e_raw <= {2.5 * HLL_M!r} AND v > 0
+                      THEN {float(HLL_M)!r} *
+                           (floor(ln({float(HLL_M)!r} / v::DOUBLE)
+                                  * 1000000 + 0.5) / 1000000)
+                      ELSE e_raw END) * 1000000 + 0.5) / 1000000 AS n_hll
+        FROM est),
+exact AS (SELECT source, count(DISTINCT term)::BIGINT AS n_exact
+          FROM tok GROUP BY source)
+SELECT source, n_exact, n_hll,
+       floor(abs(n_hll - n_exact::DOUBLE) / n_exact::DOUBLE
+             * 1000000 + 0.5) / 1000000 AS rel_err
+FROM exact JOIN hll USING (source)"""
+
+
+def sql_cms_topk() -> str:
+    """sketches.cms_topk mirror: salted-md5 3-hex slots, exact
+    integer counters, min-over-rows estimate for the exact top-K
+    terms — pure integer arithmetic end-to-end."""
+    from blackedge_ocr_spark.analysis.sketches import (
+        CMS_DEPTH,
+        CMS_SLOT_HEX,
+        CMS_TOP_K,
+    )
+
+    toks = tokens_sql("text")
+    rows = "\n   UNION ALL ".join(
+        f"SELECT {i} AS row, substr(md5('{i}:' || term), 1, "
+        f"{CMS_SLOT_HEX}) AS slot FROM tok"
+        for i in range(CMS_DEPTH)
+    )
+    probe_rows = "\n   UNION ALL ".join(
+        f"SELECT term, n_exact, {i} AS row, "
+        f"substr(md5('{i}:' || term), 1, {CMS_SLOT_HEX}) AS slot FROM exact"
+        for i in range(CMS_DEPTH)
+    )
+    return f"""
+WITH tok AS (SELECT unnest({toks}) AS term FROM documents),
+c AS (SELECT row, slot, count(*)::BIGINT AS n FROM (
+   {rows}) GROUP BY row, slot),
+exact AS (SELECT term, count(*)::BIGINT AS n_exact FROM tok
+          GROUP BY term ORDER BY n_exact DESC, term LIMIT {CMS_TOP_K}),
+probes AS (
+   {probe_rows}),
+est AS (SELECT term, n_exact, min(n)::BIGINT AS n_cms
+        FROM probes JOIN c USING (row, slot) GROUP BY term, n_exact)
+SELECT term, n_exact, n_cms, n_cms - n_exact AS overcount FROM est"""
 
 
 def sql_incremental_extract() -> str:

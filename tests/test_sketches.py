@@ -1,0 +1,112 @@
+"""Sketch arithmetic pinned against pure-Python mirrors: the HLL
+register recipe and estimator, and the count-min structural
+guarantees.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+
+from blackedge_ocr_spark.analysis.sketches import (
+    CMS_DEPTH,
+    CMS_SLOT_HEX,
+    HLL_M,
+    HLL_NUMER,
+    HLL_P,
+    HLL_RHO_CAP,
+    HLL_WINDOW,
+)
+
+
+def _py_rho(h: str) -> int:
+    win = h[HLL_P // 4 : HLL_P // 4 + HLL_WINDOW]
+    zeros = len(win) - len(win.lstrip("0"))
+    if zeros == HLL_WINDOW:
+        return HLL_RHO_CAP
+    nib = win[zeros]
+    extra = 3 if nib == "1" else 2 if nib in "23" else 1 if nib in "4567" else 0
+    return zeros * 4 + extra + 1
+
+
+def _py_hll(terms) -> float:
+    regs: dict[str, int] = {}
+    for t in set(terms):
+        h = hashlib.md5(t.encode()).hexdigest()
+        b = h[: HLL_P // 4]
+        regs[b] = max(regs.get(b, 0), _py_rho(h))
+    shift = HLL_RHO_CAP - 1
+    s = sum(1 << (shift - m) for m in regs.values())
+    v = HLL_M - len(regs)
+    s += v * (1 << shift)
+    e_raw = HLL_NUMER / float(s)
+    if e_raw <= 2.5 * HLL_M and v > 0:
+        lnv = math.floor(math.log(float(HLL_M) / v) * 1e6 + 0.5) / 1e6
+        est = float(HLL_M) * lnv
+    else:
+        est = e_raw
+    return math.floor(est * 1e6 + 0.5) / 1e6
+
+
+def _docs_df(spark, rows):
+    return spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+
+
+def test_hll_matches_python_mirror_and_error_bound(spark):
+    from blackedge_ocr_spark.analysis import sketches
+
+    # two sources: small vocab (linear-counting branch) and a larger
+    # one (2000 distinct terms — the raw-estimator branch)
+    small = " ".join(f"word{i}" for i in range(40))
+    big_terms = [f"tok{i}" for i in range(2000)]
+    rows = [(0, small, "en", "s_small", len(small))]
+    for j in range(20):
+        chunk = " ".join(big_terms[j * 100 : (j + 1) * 100])
+        rows.append((10 + j, chunk, "en", "s_big", len(chunk)))
+    out = {
+        r["source"]: r
+        for r in sketches.hll_distinct(_docs_df(spark, rows)).collect()
+    }
+    assert out["s_small"]["n_exact"] == 40
+    assert out["s_big"]["n_exact"] == 2000
+    assert out["s_small"]["n_hll"] == _py_hll([f"word{i}" for i in range(40)])
+    assert out["s_big"]["n_hll"] == _py_hll(big_terms)
+    # ~1.04/sqrt(256) std error: generous 4-sigma bound
+    assert out["s_big"]["rel_err"] < 0.26
+    assert out["s_small"]["rel_err"] < 0.26
+
+
+def test_cms_structural_guarantees(spark):
+    from blackedge_ocr_spark.analysis import sketches
+
+    # skewed corpus: one heavy term + long tail
+    rows = []
+    for j in range(10):
+        text = " ".join(["heavy"] * 50 + [f"tail{j}_{i}" for i in range(50)])
+        rows.append((j, text, "en", "s", len(text)))
+    out = sketches.cms_topk(_docs_df(spark, rows)).collect()
+    by_term = {r["term"]: r for r in out}
+    assert by_term["heavy"]["n_exact"] == 500
+    for r in out:
+        assert r["n_cms"] >= r["n_exact"]  # CMS never undercounts
+        assert r["overcount"] == r["n_cms"] - r["n_exact"]
+    # python mirror of the heavy term's counters
+    slots = {
+        (i, hashlib.md5(f"{i}:heavy".encode()).hexdigest()[:CMS_SLOT_HEX])
+        for i in range(CMS_DEPTH)
+    }
+    counts = []
+    for i, slot in slots:
+        c = 0
+        for j in range(10):
+            toks = ["heavy"] * 50 + [f"tail{j}_{k}" for k in range(50)]
+            c += sum(
+                1
+                for t in toks
+                if hashlib.md5(f"{i}:{t}".encode()).hexdigest()[:CMS_SLOT_HEX]
+                == slot
+            )
+        counts.append(c)
+    assert by_term["heavy"]["n_cms"] == min(counts)
