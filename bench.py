@@ -47,6 +47,11 @@ BENCH_QUERIES = (
     "span_packing",
     "bpe_pairs",
     "doc_features",
+    "quality_classifier",
+    "semantic_dedup",
+    "ann_sq8_topk",
+    "hll_distinct",
+    "cms_topk",
 )
 
 

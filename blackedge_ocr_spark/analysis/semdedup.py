@@ -67,8 +67,16 @@ def semantic_dedup_df(
     matrix); the ONLY corpus-sized exchange is the cid hash partition
     feeding the window + self-join, and AQE handles a skewed cluster
     on top of the cap. The dropped-id set is O(duplicates) and joins
-    back as a broadcast."""
-    assigned = assign_centroids(corpus, cents, keep=["vec_id", "v"])
+    back as a broadcast.
+
+    ``assigned`` is persisted because THREE subtrees consume it (both
+    self-join sides and the final output projection) — unpersisted,
+    Spark re-runs the scan + the centroid-assignment kernel once per
+    subtree (observed as 3× MapInPandas in the physical plan; the
+    assignment is the corpus × centroids hot loop, so that triples
+    the dominant cost). MEMORY_AND_DISK default = the disk-backed
+    staging a fleet would use."""
+    assigned = assign_centroids(corpus, cents, keep=["vec_id", "v"]).persist()
 
     # Cap each cluster to its lowest ids before pairing — identical
     # rule to banding.in_bucket_pairs, expressed as a window so the
