@@ -69,6 +69,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_sq8_topk": q.q_ann_sq8_topk,
         "hll_distinct": q.q_hll_distinct,
         "cms_topk": q.q_cms_topk,
+        "classifier_calibration": q.q_classifier_calibration,
+        "source_mirror_stats": q.q_source_mirror_stats,
         "lang_id": q.q_lang_id,
         "token_counts": q.q_token_counts,
         "quality_scores": q.q_quality_scores,

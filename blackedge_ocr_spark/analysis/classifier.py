@@ -132,3 +132,40 @@ def train_quality_classifier(
         F.col("y").cast("long").alias("label"),
         _r6(p_col()).alias("score"),
     )
+
+
+CAL_BINS = 10  # score deciles
+
+
+def calibration_report(scored: DataFrame) -> DataFrame:
+    """(bin, n, n_pos, pos_rate): decile calibration of the trained
+    scores against the weak labels — the table a curation team reads
+    before trusting the classifier's threshold (a well-calibrated
+    bootstrap shows pos_rate rising monotonically with the bin).
+
+    bin = least(9, floor(score·10)) so score 1.0 lands in the top
+    decile; pos_rate is the micro-unit-rounded exact ratio of two
+    long counts. One combinable agg over ≤ 10 groups — nothing
+    about the corpus shuffles beyond the 10-row exchange."""
+    b = F.least(
+        F.lit(CAL_BINS - 1).cast("long"),
+        F.floor(F.col("score") * CAL_BINS),
+    )
+    return (
+        scored.groupBy(b.alias("bin"))
+        .agg(F.count("*").alias("n"), F.sum("label").alias("n_pos"))
+        .select(
+            "bin",
+            "n",
+            "n_pos",
+            (
+                F.floor(
+                    F.col("n_pos").cast("double")
+                    / F.col("n").cast("double")
+                    * 1e6
+                    + F.lit(0.5)
+                )
+                / 1e6
+            ).alias("pos_rate"),
+        )
+    )

@@ -467,3 +467,44 @@ def simhash_near_pairs(
     return j.select(
         "doc_a", "doc_b", hamming.cast("long").alias("hamming")
     ).filter(F.col("hamming") <= max_hamming)
+
+
+def source_mirror_stats(
+    docs: DataFrame, min_jaccard: float = 0.5
+) -> DataFrame:
+    """Cross-source near-dup rollup — mirror-site detection: which
+    sources copy from which. (source_a, source_b, n_pairs,
+    mean_jaccard) over the verified LSH pair set, sources in doc-id
+    order (a < b), so a mirror shows up as (origin, mirror) mass.
+
+    Shape: the pair set is O(near-dups) and BROADCASTS into the two
+    source-attachment joins — the corpus projection streams past it
+    twice, never shuffling; the final agg groups O(pairs) rows by a
+    |sources|² key space. mean_jaccard goes through the micro-unit
+    trick: each r6 jaccard recovers its exact integer (floor(j·1e6 +
+    0.5)), the sum is exact longs (order-free), one double division
+    at the end."""
+    pairs = lsh_candidate_pairs(
+        docs.select("doc_id", "text"), min_jaccard=min_jaccard
+    )
+    sa = docs.select(
+        F.col("doc_id").alias("doc_a"), F.col("source").alias("source_a")
+    )
+    sb = docs.select(
+        F.col("doc_id").alias("doc_b"), F.col("source").alias("source_b")
+    )
+    j = sa.join(F.broadcast(pairs), "doc_a")
+    j = sb.join(F.broadcast(j), "doc_b")
+    mean_j = (
+        F.floor(
+            F.sum(
+                F.floor(F.col("jaccard") * 1e6 + F.lit(0.5)).cast("long")
+            ).cast("double")
+            / F.count("*").cast("double")
+            + F.lit(0.5)
+        )
+        / 1e6
+    )
+    return j.groupBy("source_a", "source_b").agg(
+        F.count("*").alias("n_pairs"), mean_j.alias("mean_jaccard")
+    )

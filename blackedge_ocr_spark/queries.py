@@ -586,6 +586,32 @@ def q_neardup_recall(spark, sf_dir) -> DataFrame:
     )
 
 
+def q_classifier_calibration(spark, sf_dir) -> DataFrame:
+    """Decile calibration table of the trained quality classifier:
+    per score bin, doc count + weak-label positive rate."""
+    from blackedge_ocr_spark.analysis.classifier import (
+        calibration_report,
+        train_quality_classifier,
+    )
+
+    return calibration_report(train_quality_classifier(_docs(spark, sf_dir)))
+
+
+def q_source_mirror_stats(spark, sf_dir) -> DataFrame:
+    """Mirror-site detection: cross-source rollup of verified LSH
+    near-dup pairs over the corpus + a 'mirror' stratum (every 10th
+    doc re-hosted under the mirror source)."""
+    from blackedge_ocr_spark.analysis import dedup
+
+    d = _docs(spark, sf_dir).select("doc_id", "text", "source")
+    mirrored = d.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + dedup.DUP_ID_OFFSET).alias("doc_id"),
+        "text",
+        F.lit("mirror").alias("source"),
+    )
+    return dedup.source_mirror_stats(d.unionByName(mirrored))
+
+
 def q_hll_distinct(spark, sf_dir) -> DataFrame:
     """Per-source distinct-term cardinality: explicit HyperLogLog
     registers (persistable/mergeable sketch state, exact-int64

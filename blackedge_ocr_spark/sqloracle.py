@@ -644,6 +644,8 @@ def build_oracles() -> dict[str, str]:
         "ann_sq8_topk": sql_ann_sq8_topk(),
         "hll_distinct": sql_hll_distinct(),
         "cms_topk": sql_cms_topk(),
+        "classifier_calibration": sql_classifier_calibration(),
+        "source_mirror_stats": sql_source_mirror_stats(),
         "lang_id": sql_lang_id(),
         "token_counts": sql_token_counts(),
         "quality_scores": sql_quality_scores(),
@@ -2251,6 +2253,48 @@ def sql_top_terms() -> str:
 WITH e AS (SELECT unnest({toks}) AS term FROM documents)
 SELECT term, count(*)::bigint AS n FROM e
 GROUP BY term ORDER BY n DESC, term ASC LIMIT {TOP_K_TERMS}"""
+
+
+def sql_classifier_calibration() -> str:
+    """classifier.calibration_report mirror over the unrolled-GD
+    score table: decile binning (least(9, floor(score·10))) and the
+    micro-unit-rounded positive rate."""
+    from blackedge_ocr_spark.analysis.classifier import CAL_BINS
+
+    return f"""
+WITH sc AS ({sql_quality_classifier()})
+SELECT least({CAL_BINS - 1}, floor(score * {CAL_BINS}))::BIGINT AS bin,
+       count(*)::BIGINT AS n,
+       sum(label)::BIGINT AS n_pos,
+       floor(sum(label)::DOUBLE / count(*)::DOUBLE * 1000000 + 0.5)
+         / 1000000 AS pos_rate
+FROM sc GROUP BY 1"""
+
+
+def sql_source_mirror_stats() -> str:
+    """dedup.source_mirror_stats mirror: the identical LSH pair chain
+    over the corpus + 'mirror' stratum, sources attached per pair
+    side, mean jaccard via exact micro-unit sums."""
+    from blackedge_ocr_spark.analysis.dedup import DUP_ID_OFFSET
+
+    extra = f"""
+mcorp AS (SELECT doc_id, text FROM documents
+          UNION ALL SELECT doc_id + {DUP_ID_OFFSET}, text FROM documents
+          WHERE doc_id % 10 = 0),"""
+    inner = sql_dedup_lsh_pairs(source="mcorp", extra_ctes=extra)
+    return f"""
+WITH mc AS (SELECT doc_id, source FROM documents
+            UNION ALL
+            SELECT doc_id + {DUP_ID_OFFSET}, 'mirror' FROM documents
+            WHERE doc_id % 10 = 0),
+p AS ({inner})
+SELECT sa.source AS source_a, sb.source AS source_b,
+       count(*)::BIGINT AS n_pairs,
+       floor(sum(floor(jaccard * 1000000 + 0.5))::DOUBLE
+             / count(*)::DOUBLE + 0.5) / 1000000 AS mean_jaccard
+FROM p JOIN mc sa ON p.doc_a = sa.doc_id
+       JOIN mc sb ON p.doc_b = sb.doc_id
+GROUP BY sa.source, sb.source"""
 
 
 def sql_hll_distinct() -> str:
