@@ -69,6 +69,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_sq8_topk": q.q_ann_sq8_topk,
         "hll_distinct": q.q_hll_distinct,
         "cms_topk": q.q_cms_topk,
+        "bloom_probe": q.q_bloom_probe,
+        "minhash_jaccard_est": q.q_minhash_jaccard_est,
+        "winnow_pairs": q.q_winnow_pairs,
         "classifier_calibration": q.q_classifier_calibration,
         "source_mirror_stats": q.q_source_mirror_stats,
         "lang_id": q.q_lang_id,

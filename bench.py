@@ -52,6 +52,8 @@ BENCH_QUERIES = (
     "ann_sq8_topk",
     "hll_distinct",
     "cms_topk",
+    "winnow_pairs",
+    "bloom_probe",
 )
 
 

@@ -220,3 +220,96 @@ def cms_topk(docs: DataFrame, k: int = CMS_TOP_K) -> DataFrame:
         "n_cms",
         (F.col("n_cms") - F.col("n_exact")).alias("overcount"),
     )
+
+
+# ------------------------------------------------- Bloom membership
+
+BLOOM_DEPTH = 2      # hash functions (rows)
+BLOOM_SLOT_HEX = 3   # 3 hex chars → 4096 slots per row
+
+
+def _bloom_slot(key, row: int) -> "F.Column":
+    """Row-``row``'s bit address for a content key: 3-hex-char prefix
+    of the salted md5 — string-keyed like the CMS slots, no integer
+    conversion."""
+    return F.substring(
+        F.md5(F.concat(F.lit(f"bf{row}:"), key)), 1, BLOOM_SLOT_HEX
+    )
+
+
+def bloom_bits(docs: DataFrame) -> DataFrame:
+    """(row, slot) occupancy table of a partitioned Bloom filter over
+    the corpus CONTENT-HASH keys (dedup.content_hash — the exact-dedup
+    identity). This is the persistable membership pre-filter a
+    100 TB incremental ingest asks before shuffling anything: "has
+    this content been seen?" State is at most BLOOM_DEPTH × 4096
+    rows, built by ONE map-side-combinable distinct, mergeable across
+    corpus deltas by union+distinct, and broadcastable into every
+    probe join. Sized for the audit corpus (~12% per-row load at 500
+    keys → observable FP rate); a production filter scales
+    BLOOM_SLOT_HEX up, nothing else changes."""
+    from blackedge_ocr_spark.analysis.dedup import content_hash
+
+    key = content_hash(F.col("text"))
+    ks = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("row"), _bloom_slot(key, i).alias("slot")
+            )
+            for i in range(BLOOM_DEPTH)
+        ]
+    )
+    return (
+        docs.select(F.explode(ks).alias("k"))
+        .select("k.row", "k.slot")
+        .distinct()
+    )
+
+
+def bloom_probe(docs: DataFrame) -> DataFrame:
+    """Membership audit (the hll/cms pattern): probe the Bloom filter
+    with every corpus content key ('member' — must hit, structurally)
+    and one derived absent key per document ('absent' — any hit is a
+    false positive), emitting (doc_id, kind, hit, false_pos) so the
+    report itself measures the FP rate a user would accept before
+    trusting the filter as a dedup pre-screen.
+
+    Shape: the bit table BROADCASTS (<= depth x 4096 rows) into one
+    left join per depth row — the probe stream never shuffles and
+    there is no aggregation: hit = AND over the depth presence
+    flags, a pure projection after the broadcasts."""
+    from blackedge_ocr_spark.analysis.dedup import content_hash
+
+    bits = bloom_bits(docs)
+    key = content_hash(F.col("text"))
+    probes = docs.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                F.struct(F.lit("member").alias("kind"), key.alias("key")),
+                F.struct(
+                    F.lit("absent").alias("kind"),
+                    F.md5(F.concat(key, F.lit(":absent"))).alias("key"),
+                ),
+            )
+        ).alias("p"),
+    ).select("doc_id", "p.kind", "p.key")
+    out = probes
+    flags = []
+    for i in range(BLOOM_DEPTH):
+        b = bits.filter(F.col("row") == i).select(
+            F.col("slot").alias(f"_slot{i}"), F.lit(True).alias(f"_hit{i}")
+        )
+        out = out.withColumn(
+            f"_slot{i}", _bloom_slot(F.col("key"), i)
+        ).join(F.broadcast(b), f"_slot{i}", "left")
+        flags.append(F.coalesce(F.col(f"_hit{i}"), F.lit(False)))
+    hit = flags[0]
+    for fcol in flags[1:]:
+        hit = hit & fcol
+    return out.select(
+        "doc_id",
+        "kind",
+        hit.alias("hit"),
+        ((F.col("kind") == "absent") & hit).alias("false_pos"),
+    )

@@ -1504,3 +1504,34 @@ def q_quality_classifier(spark, sf_dir) -> DataFrame:
     )
 
     return train_quality_classifier(_docs(spark, sf_dir))
+
+
+def q_minhash_jaccard_est(spark, sf_dir) -> DataFrame:
+    """MinHash estimator accuracy audit: signature-agreement estimate
+    next to the exact shingle Jaccard over consecutive-id probe
+    pairs (the table a user sizes MINHASH_K by)."""
+    from blackedge_ocr_spark.analysis import dedup
+
+    return dedup.minhash_jaccard_audit(_docs(spark, sf_dir))
+
+
+def q_winnow_pairs(spark, sf_dir) -> DataFrame:
+    """Winnowed-fingerprint copy-detection pairs (MOSS-style): docs
+    sharing >= 2 winnowed kgram fingerprints, with the overlap
+    fraction — fires on one long copied passage, not just global
+    similarity. Capped fingerprint buckets, corpus never self-joins."""
+    from blackedge_ocr_spark.analysis import dedup
+
+    corpus = dedup.with_dup_injection(
+        _docs(spark, sf_dir).select("doc_id", "text")
+    )
+    return dedup.winnow_overlap_pairs(corpus)
+
+
+def q_bloom_probe(spark, sf_dir) -> DataFrame:
+    """Bloom membership pre-filter audit: member probes (must hit)
+    and derived absent probes (hits = false positives) against the
+    broadcastable (row, slot) bit table over content-hash keys."""
+    from blackedge_ocr_spark.analysis import sketches
+
+    return sketches.bloom_probe(_docs(spark, sf_dir))

@@ -644,6 +644,9 @@ def build_oracles() -> dict[str, str]:
         "ann_sq8_topk": sql_ann_sq8_topk(),
         "hll_distinct": sql_hll_distinct(),
         "cms_topk": sql_cms_topk(),
+        "bloom_probe": sql_bloom_probe(),
+        "minhash_jaccard_est": sql_minhash_jaccard_est(),
+        "winnow_pairs": sql_winnow_pairs(),
         "classifier_calibration": sql_classifier_calibration(),
         "source_mirror_stats": sql_source_mirror_stats(),
         "lang_id": sql_lang_id(),
@@ -2919,3 +2922,107 @@ w0 AS (SELECT 0::bigint AS w0_u, 0::bigint AS w1_u, 0::bigint AS w2_u),
 SELECT doc_id, y::bigint AS label,
   floor({p} * 1000000 + 0.5) / 1000000 AS score
 FROM f, {prev}"""
+
+
+def sql_minhash_jaccard_est() -> str:
+    """dedup.minhash_jaccard_audit mirror: signature agreement
+    fraction vs exact shingle Jaccard over consecutive-id pairs.
+    NULL signature components (empty-shingle docs) drop out of the
+    lambda filter in both engines."""
+    from blackedge_ocr_spark.analysis.dedup import MINHASH_K
+
+    return f"""
+WITH sh AS (SELECT doc_id, {shingles_sql('text')} AS sh FROM documents),
+hs AS (SELECT doc_id, sh, {shingle_hashes_sql('sh')} AS hs FROM sh),
+sig AS (SELECT doc_id, sh, {minhash_sig_sql('hs')} AS sig FROM hs),
+p AS (SELECT a.doc_id AS doc_a, a.doc_id + 1 AS doc_b,
+             a.sh AS sh_a, b.sh AS sh_b, a.sig AS sig_a, b.sig AS sig_b
+      FROM sig a JOIN sig b ON b.doc_id = a.doc_id + 1),
+m AS (SELECT doc_a, doc_b,
+        round({jaccard_sql('sh_a', 'sh_b')}, 6) AS j_exact,
+        round(len(list_filter(range(1, {MINHASH_K + 1}),
+                              i -> sig_a[i] = sig_b[i]))
+              / {MINHASH_K}.0, 6) AS j_est
+      FROM p)
+SELECT doc_a, doc_b, j_exact, j_est,
+       round(abs(j_est - j_exact), 6) AS abs_err
+FROM m"""
+
+
+def sql_winnow_pairs() -> str:
+    """dedup.winnow_overlap_pairs mirror: word-aligned gram hashes,
+    per-window mins (winnowing), capped fingerprint buckets via
+    row_number, shared-count >= WINNOW_MIN_SHARED, overlap =
+    n_shared / min set size."""
+    from blackedge_ocr_spark.analysis.dedup import (
+        BUCKET_CAP,
+        WINNOW_GRAM,
+        WINNOW_MIN_SHARED,
+        WINNOW_W,
+    )
+
+    toks = tokens_sql("text")
+    return f"""
+WITH {DUP_CORPUS},
+t AS (SELECT doc_id, {toks} AS toks FROM corpus),
+g AS (SELECT doc_id, toks,
+        greatest(len(toks) - {WINNOW_GRAM - 1}, 1) AS n_gram FROM t),
+h AS (SELECT doc_id, n_gram, list_transform(range(n_gram),
+        i -> md5(array_to_string(
+               list_slice(toks, i + 1, i + {WINNOW_GRAM}), ' '))) AS hashes,
+        len(toks) AS n_toks
+      FROM g),
+f AS (SELECT doc_id,
+        CASE WHEN n_toks > 0 THEN list_distinct(list_transform(
+          range(greatest(n_gram - {WINNOW_W}, 0) + 1),
+          i -> list_aggregate(list_slice(hashes, i + 1, i + {WINNOW_W}),
+                              'min')))
+        ELSE []::varchar[] END AS fps FROM h),
+e AS (SELECT doc_id, unnest(fps) AS fp FROM f),
+capped AS (SELECT fp, doc_id FROM (
+    SELECT fp, doc_id,
+           row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+    FROM e) WHERE rn <= {BUCKET_CAP}),
+pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+          FROM capped a JOIN capped b
+          ON a.fp = b.fp AND a.doc_id < b.doc_id),
+shared AS (SELECT doc_a, doc_b, count(*)::bigint AS n_shared
+           FROM pairs GROUP BY 1, 2
+           HAVING count(*) >= {WINNOW_MIN_SHARED}),
+sizes AS (SELECT doc_id, len(fps) AS n_fps FROM f)
+SELECT doc_a, doc_b, n_shared,
+  round(n_shared::double / least(sa.n_fps, sb.n_fps)::double, 6) AS overlap
+FROM shared
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b"""
+
+
+def sql_bloom_probe() -> str:
+    """sketches.bloom_probe mirror: salted-md5 hex-prefix slots over
+    the content-hash key, per-row occupancy sets, hit = AND over the
+    depth membership tests."""
+    from blackedge_ocr_spark.analysis.sketches import (
+        BLOOM_DEPTH,
+        BLOOM_SLOT_HEX,
+    )
+
+    key_expr = f"md5({normalize_for_comparison_sql('text')})"
+    bit_ctes = ",\n".join(
+        f"b{i} AS (SELECT DISTINCT substr(md5('bf{i}:' || key), 1, "
+        f"{BLOOM_SLOT_HEX}) AS slot FROM keyed)"
+        for i in range(BLOOM_DEPTH)
+    )
+    hit = " AND ".join(
+        f"substr(md5('bf{i}:' || key), 1, {BLOOM_SLOT_HEX}) "
+        f"IN (SELECT slot FROM b{i})"
+        for i in range(BLOOM_DEPTH)
+    )
+    return f"""
+WITH keyed AS (SELECT doc_id, {key_expr} AS key FROM documents),
+probes AS (
+  SELECT doc_id, 'member' AS kind, key FROM keyed
+  UNION ALL
+  SELECT doc_id, 'absent' AS kind, md5(key || ':absent') AS key FROM keyed),
+{bit_ctes},
+m AS (SELECT doc_id, kind, ({hit}) AS hit FROM probes)
+SELECT doc_id, kind, hit, (kind = 'absent' AND hit) AS false_pos FROM m"""

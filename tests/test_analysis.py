@@ -625,3 +625,51 @@ def test_media_dedup_buckets_and_keeper(spark):
     assert len(out) == len(want)
     keepers = {min(v) for v in want.values()}
     assert {r["keeper"] for r in out} == keepers
+
+
+def test_minhash_audit_estimator_structure(spark):
+    """Identical neighbors estimate 1.0 exactly; disjoint neighbors
+    estimate 0.0; the est column is always a multiple of 1/K."""
+    from blackedge_ocr_spark.analysis import dedup
+
+    same = "alpha beta gamma delta epsilon zeta eta theta"
+    other = "one two three four five six seven eight nine ten"
+    rows = [(0, same), (1, same), (2, other)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_a"]: r for r in dedup.minhash_jaccard_audit(df).collect()}
+    assert out[0]["j_exact"] == 1.0 and out[0]["j_est"] == 1.0
+    assert out[0]["abs_err"] == 0.0
+    assert out[1]["j_exact"] == 0.0 and out[1]["j_est"] == 0.0
+    for r in out.values():
+        k = dedup.MINHASH_K
+        assert abs(r["j_est"] * k - round(r["j_est"] * k)) < 1e-6
+
+
+def test_winnow_detects_embedded_copied_passage(spark):
+    """A long passage copied into otherwise-different documents
+    produces a winnow pair; fully different documents do not."""
+    from blackedge_ocr_spark.analysis import dedup
+
+    passage = (
+        "the quick brown fox jumps over the lazy dog near the river "
+        "bank while autumn leaves drift slowly through the cold air "
+        "and distant bells ring across the quiet valley floor"
+    )
+    a = "report alpha introduction section " + passage + " appendix one"
+    b = "minutes of the beta committee " + passage + " closing remarks"
+    c = (
+        "completely unrelated text about quantum chromodynamics and "
+        "lattice gauge simulations on distributed hardware clusters "
+        "with no shared phrasing whatsoever in any window at all here"
+    )
+    df = spark.createDataFrame(
+        [(0, a), (1, b), (2, c)], "doc_id long, text string"
+    )
+    pairs = {
+        (r["doc_a"], r["doc_b"]): r
+        for r in dedup.winnow_overlap_pairs(df).collect()
+    }
+    assert (0, 1) in pairs
+    assert pairs[(0, 1)]["n_shared"] >= 2
+    assert 0 < pairs[(0, 1)]["overlap"] <= 1.0
+    assert all(2 not in k for k in pairs)

@@ -110,3 +110,47 @@ def test_cms_structural_guarantees(spark):
             )
         counts.append(c)
     assert by_term["heavy"]["n_cms"] == min(counts)
+
+
+def test_bloom_members_always_hit_and_fp_mirror(spark):
+    import hashlib as _h
+
+    from blackedge_ocr_spark.analysis import sketches
+    from blackedge_ocr_spark.analysis.sketches import (
+        BLOOM_DEPTH,
+        BLOOM_SLOT_HEX,
+    )
+
+    rows = [
+        (i, f"unique document body {i} with words {i * 7}", "en", "s", 30)
+        for i in range(200)
+    ]
+    out = sketches.bloom_probe(_docs_df(spark, rows)).collect()
+    members = [r for r in out if r["kind"] == "member"]
+    absents = [r for r in out if r["kind"] == "absent"]
+    assert len(members) == 200 and len(absents) == 200
+    assert all(r["hit"] for r in members)          # structural: no FN
+    assert all(not r["false_pos"] for r in members)
+    # python mirror of the FP count on the absent probes
+    def _norm(t: str) -> str:
+        import re
+
+        return re.sub(r"\s+", " ", t.lower()).strip()
+
+    keys = [_h.md5(_norm(t).encode()).hexdigest() for _, t, *_ in rows]
+    bits = {
+        (i, _h.md5(f"bf{i}:{k}".encode()).hexdigest()[:BLOOM_SLOT_HEX])
+        for k in keys
+        for i in range(BLOOM_DEPTH)
+    }
+    fp = 0
+    for k in keys:
+        ak = _h.md5(f"{k}:absent".encode()).hexdigest()
+        if all(
+            (i, _h.md5(f"bf{i}:{ak}".encode()).hexdigest()[:BLOOM_SLOT_HEX])
+            in bits
+            for i in range(BLOOM_DEPTH)
+        ):
+            fp += 1
+    assert sum(r["false_pos"] for r in absents) == fp
+    assert fp / 200 < 0.2  # sized for an observable-but-small FP rate
