@@ -70,6 +70,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_distinct": q.q_hll_distinct,
         "cms_topk": q.q_cms_topk,
         "bloom_probe": q.q_bloom_probe,
+        "sampled_quantiles": q.q_sampled_quantiles,
         "minhash_jaccard_est": q.q_minhash_jaccard_est,
         "winnow_pairs": q.q_winnow_pairs,
         "classifier_calibration": q.q_classifier_calibration,

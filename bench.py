@@ -54,6 +54,7 @@ BENCH_QUERIES = (
     "cms_topk",
     "winnow_pairs",
     "bloom_probe",
+    "sampled_quantiles",
 )
 
 

@@ -313,3 +313,100 @@ def bloom_probe(docs: DataFrame) -> DataFrame:
         hit.alias("hit"),
         ((F.col("kind") == "absent") & hit).alias("false_pos"),
     )
+
+
+# -------------------------------------------------- sampled quantiles
+
+QSAMPLE_SALT = "qs:"   # sample-membership hash salt
+QSAMPLE_KEEP = 4       # keep docs whose first salted-md5 hex char is
+                       # < this bound → a deterministic 4/16 sample
+                       # (contract scale; a 100 TB corpus drops this
+                       # to 1/16 or lower — only the literal changes)
+
+
+def quantile_sample(docs: DataFrame) -> DataFrame:
+    """The quantile 'sketch' state: a DETERMINISTIC hash-sample
+    of (source, v=ws_tokens, doc_id) rows. Membership is a pure
+    predicate on md5(salt || doc_id) — the same doc is sampled in
+    every run and every corpus delta, so sample tables merge by plain
+    union (the property reservoir sampling lacks) and the state is
+    O(n·keep/16), shippable between jobs like the HLL/CMS/Bloom tables."""
+    from blackedge_ocr_spark.analysis.textstats import ws_tokens_col
+
+    vals = docs.select(
+        "source",
+        ws_tokens_col(F.col("text")).alias("v"),
+        "doc_id",
+    )
+    member = (
+        F.substring(
+            F.md5(
+                F.concat(F.lit(QSAMPLE_SALT), F.col("doc_id").cast("string"))
+            ),
+            1,
+            1,
+        )
+        < F.lit(f"{QSAMPLE_KEEP:x}")
+    )
+    return vals.filter(member)
+
+
+def sampled_quantiles(docs: DataFrame) -> DataFrame:
+    """Quantile estimation audit (the hll/cms/bloom pattern): per-
+    source p50/p90/p99 token-count percentiles from the hash
+    sample NEXT TO the exact rank-selection values, long format
+    (source, pct, n_docs, n_sample, exact, est, abs_err) — the table
+    a user reads before replacing the exact per-source sort with the
+    sample at 100 TB (a 16/keep× cut of the ranked-window input; the
+    percentile DEFINITION is shared code, textstats.rank_percentiles,
+    so the two paths cannot drift). Sources with an empty sample keep
+    NULL est/abs_err — the audit exposes coverage gaps instead of
+    masking them."""
+    from blackedge_ocr_spark.analysis.textstats import (
+        PCTS,
+        rank_percentiles,
+        ws_tokens_col,
+    )
+
+    vals = docs.select(
+        "source",
+        ws_tokens_col(F.col("text")).alias("v"),
+        "doc_id",
+    )
+    exact = rank_percentiles(vals)
+    est = rank_percentiles(quantile_sample(docs)).select(
+        "source",
+        F.col("n_docs").alias("n_sample"),
+        *[
+            F.col(f"p{int(p * 100)}_tokens").alias(f"e{int(p * 100)}")
+            for p in PCTS
+        ],
+    )
+    j = exact.join(est, "source", "left")
+    longf = j.select(
+        "source",
+        "n_docs",
+        F.coalesce("n_sample", F.lit(0)).alias("n_sample"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(int(p * 100)).alias("pct"),
+                        F.col(f"p{int(p * 100)}_tokens").alias("exact"),
+                        F.col(f"e{int(p * 100)}").alias("est"),
+                    )
+                    for p in PCTS
+                ]
+            )
+        ).alias("q"),
+    )
+    err = F.floor(F.abs(F.col("q.est") - F.col("q.exact")) * 1e6 + F.lit(0.5)) / 1e6
+    return longf.select(
+        "source",
+        "n_docs",
+        "n_sample",
+        "q.pct",
+        "q.exact",
+        "q.est",
+        err.alias("abs_err"),
+    )

@@ -241,32 +241,20 @@ def term_doc_freq(docs: DataFrame) -> DataFrame:
 PCTS: tuple[float, ...] = (0.5, 0.9, 0.99)
 
 
-def corpus_token_stats(docs: DataFrame) -> DataFrame:
-    """Per-source corpus shape report: doc count plus EXACT
-    percentile_cont-style p50/p90/p99 of whitespace token counts,
-    computed distributively — rank selection over a per-source sorted
-    window, never a driver-side collect or a single-node sort.
-
-    Interpolation formula (idx = p·(n-1); v[floor] + frac·(v[ceil] -
-    v[floor])) is spelled out identically in the DuckDB oracle, so
-    parity is by construction. Shape: ONE exchange on source serves
-    both the rank window and the final agg (same partitioning); the
-    per-source sort spills, it does not OOM. At 100 TB per-source
-    value sets, swap the window for approx_percentile or a two-pass
-    bucketed rank selection — the output contract is unchanged."""
+def rank_percentiles(vals: DataFrame) -> DataFrame:
+    """EXACT percentile_cont-style p50/p90/p99 over (source, v,
+    doc_id) rows via distributed rank selection — a per-source sorted
+    window, never a driver collect or single-node sort. Interpolation
+    (idx = p·(n-1); v[floor] + frac·(v[ceil] - v[floor])) is spelled
+    out identically in the DuckDB oracle. ONE exchange on source
+    serves both the rank window and the final agg. Shared by
+    corpus_token_stats (full corpus) and sketches.sampled_quantiles
+    (hash-sample estimate), so the percentile definition cannot drift
+    between the exact and sketch paths."""
     from pyspark.sql import Window
 
-    # ws_tokens is a pure projection (the shared ws_tokens_col
-    # expression token_counts emits) — compute it inline on the scan
-    # rather than joining token_counts(docs) back on doc_id, which
-    # would shuffle the full corpus twice for zero information.
-    ws = ws_tokens_col(F.col("text"))
     w = Window.partitionBy("source").orderBy("v", "doc_id")
-    ranked = docs.select(
-        "source",
-        ws.alias("v"),
-        "doc_id",
-    ).select(
+    ranked = vals.select(
         "source",
         "v",
         (F.row_number().over(w) - 1).alias("r"),
@@ -296,6 +284,21 @@ def corpus_token_stats(docs: DataFrame) -> DataFrame:
         )
         cols.append(_r6(v).alias(f"p{t}_tokens"))
     return agged.select(*cols)
+
+
+def corpus_token_stats(docs: DataFrame) -> DataFrame:
+    """Per-source corpus shape report: doc count plus EXACT
+    p50/p90/p99 of whitespace token counts (rank_percentiles). At
+    100 TB per-source value sets, swap the window for a two-pass
+    bucketed rank selection — the output contract is unchanged;
+    sketches.sampled_quantiles is the cheap estimate with an error
+    audit against this exact path."""
+    # ws_tokens is a pure projection (the shared ws_tokens_col
+    # expression token_counts emits) — compute it inline on the scan
+    # rather than joining token_counts(docs) back on doc_id, which
+    # would shuffle the full corpus twice for zero information.
+    ws = ws_tokens_col(F.col("text"))
+    return rank_percentiles(docs.select("source", ws.alias("v"), "doc_id"))
 
 
 TOP_K_TERMS = 100  # vocabulary head size, shared with the oracle

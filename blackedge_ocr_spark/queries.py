@@ -1535,3 +1535,12 @@ def q_bloom_probe(spark, sf_dir) -> DataFrame:
     from blackedge_ocr_spark.analysis import sketches
 
     return sketches.bloom_probe(_docs(spark, sf_dir))
+
+
+def q_sampled_quantiles(spark, sf_dir) -> DataFrame:
+    """Quantile-sketch audit: per-source token-count percentiles from
+    the deterministic hash sample next to the exact rank-selection
+    values (long format; NULL est exposes unsampled sources)."""
+    from blackedge_ocr_spark.analysis import sketches
+
+    return sketches.sampled_quantiles(_docs(spark, sf_dir))

@@ -645,6 +645,7 @@ def build_oracles() -> dict[str, str]:
         "hll_distinct": sql_hll_distinct(),
         "cms_topk": sql_cms_topk(),
         "bloom_probe": sql_bloom_probe(),
+        "sampled_quantiles": sql_sampled_quantiles(),
         "minhash_jaccard_est": sql_minhash_jaccard_est(),
         "winnow_pairs": sql_winnow_pairs(),
         "classifier_calibration": sql_classifier_calibration(),
@@ -3026,3 +3027,71 @@ probes AS (
 {bit_ctes},
 m AS (SELECT doc_id, kind, ({hit}) AS hit FROM probes)
 SELECT doc_id, kind, hit, (kind = 'absent' AND hit) AS false_pos FROM m"""
+
+
+def _pct_select_sql(rel: str, n_alias: str, prefix: str) -> str:
+    """Rank-selection percentile block (textstats.rank_percentiles
+    mirror — same formula sql_corpus_stats spells out) over relation
+    ``rel`` with (source, v, doc_id) columns, emitting
+    (source, {n_alias}, {prefix}50, {prefix}90, {prefix}99)."""
+    from blackedge_ocr_spark.analysis.textstats import PCTS
+
+    idx_cols = ", ".join(
+        f"{p} * (n - 1)::double AS i{int(p * 100)}" for p in PCTS
+    )
+    pieces = []
+    for p in PCTS:
+        t = int(p * 100)
+        lo = f"max(CASE WHEN r = floor(i{t}) THEN v END)::double"
+        hi = f"max(CASE WHEN r = ceil(i{t}) THEN v END)::double"
+        frac = f"(max(i{t}) - floor(max(i{t})))"
+        v = f"({lo} + {frac} * ({hi} - {lo}))"
+        pieces.append(f"floor({v} * 1000000 + 0.5) / 1000000 AS {prefix}{t}")
+    sel = ",\n  ".join(pieces)
+    return f"""SELECT source, max(n)::bigint AS {n_alias},
+  {sel}
+FROM (SELECT source, v, r, n, {idx_cols}
+      FROM (SELECT source, v, doc_id,
+              row_number() OVER (PARTITION BY source ORDER BY v, doc_id) - 1
+                AS r,
+              count(*) OVER (PARTITION BY source) AS n
+            FROM {rel}))
+GROUP BY source"""
+
+
+def sql_sampled_quantiles() -> str:
+    """sketches.sampled_quantiles mirror: deterministic md5 hex-bound
+    doc sample, identical rank-selection percentiles on both sides, long
+    format with NULL est for unsampled sources."""
+    from blackedge_ocr_spark.analysis.sketches import (
+        QSAMPLE_KEEP,
+        QSAMPLE_SALT,
+    )
+    from blackedge_ocr_spark.analysis.textstats import PCTS
+
+    norm = norm_sql("text")
+    ws = (
+        f"(CASE WHEN length({norm}) = 0 THEN 0 "
+        f"ELSE len(str_split({norm}, ' ')) END)::bigint"
+    )
+    member = (
+        f"substr(md5('{QSAMPLE_SALT}' || doc_id), 1, 1) "
+        f"< '{QSAMPLE_KEEP:x}'"
+    )
+    rows = "\nUNION ALL\n".join(
+        f"SELECT source, n_docs, coalesce(n_sample, 0) AS n_sample, "
+        f"{int(p * 100)} AS pct, x{int(p * 100)} AS exact, "
+        f"e{int(p * 100)} AS est, "
+        f"floor(abs(e{int(p * 100)} - x{int(p * 100)}) * 1000000 + 0.5) "
+        f"/ 1000000 AS abs_err FROM j"
+        for p in PCTS
+    )
+    return f"""
+WITH tc AS (SELECT doc_id, source, {ws} AS v FROM documents),
+sm AS (SELECT * FROM tc WHERE {member}),
+ex AS ({_pct_select_sql('tc', 'n_docs', 'x')}),
+es AS ({_pct_select_sql('sm', 'n_sample', 'e')}),
+j AS (SELECT ex.source, ex.n_docs, ex.x50, ex.x90, ex.x99,
+             es.n_sample, es.e50, es.e90, es.e99
+      FROM ex LEFT JOIN es ON ex.source = es.source)
+{rows}"""

@@ -154,3 +154,46 @@ def test_bloom_members_always_hit_and_fp_mirror(spark):
             fp += 1
     assert sum(r["false_pos"] for r in absents) == fp
     assert fp / 200 < 0.2  # sized for an observable-but-small FP rate
+
+
+def test_sampled_quantiles_matches_python_mirror(spark):
+    import hashlib as _h
+
+    from blackedge_ocr_spark.analysis import sketches
+    from blackedge_ocr_spark.analysis.sketches import (
+        QSAMPLE_KEEP,
+        QSAMPLE_SALT,
+    )
+
+    # source 'a': 40 docs with token counts 1..40; 'b': never sampled
+    # coverage is possible but unlikely to be empty at 40 docs
+    rows = [
+        (i, " ".join(f"w{j}" for j in range(i + 1)), "en", "a", 10)
+        for i in range(40)
+    ]
+    rows.append((1000, "solo doc here", "en", "b", 10))
+    out = sketches.sampled_quantiles(_docs_df(spark, rows)).collect()
+    by = {(r["source"], r["pct"]): r for r in out}
+    assert len(out) == 6  # 2 sources x 3 pcts
+
+    def pct_cont(vals, p):
+        vals = sorted(vals)
+        idx = p * (len(vals) - 1)
+        lo, hi = int(idx // 1), -(-idx // 1)
+        import math
+
+        v = vals[int(lo)] + (idx - lo) * (vals[int(hi)] - vals[int(lo)])
+        return math.floor(v * 1e6 + 0.5) / 1e6
+
+    sampled = [
+        i + 1
+        for i in range(40)
+        if _h.md5(f"{QSAMPLE_SALT}{i}".encode()).hexdigest()[0]
+        < f"{QSAMPLE_KEEP:x}"
+    ]
+    assert by[("a", 50)]["n_sample"] == len(sampled)
+    for p in (50, 90, 99):
+        assert by[("a", p)]["exact"] == pct_cont(list(range(1, 41)), p / 100)
+        assert by[("a", p)]["est"] == pct_cont(sampled, p / 100)
+    # source b: single doc, sampled or not — exact always present
+    assert by[("b", 50)]["exact"] == 3.0
