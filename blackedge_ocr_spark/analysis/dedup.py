@@ -651,12 +651,25 @@ def winnow_overlap_pairs(
         .groupBy("p.doc_a", "p.doc_b")
         .agg(F.count("*").alias("n_shared"))
         .filter(F.col("n_shared") >= min_shared)
+        .persist()
     )
-    sizes = fsets.select("doc_id", F.size("fps").alias("n_fps"))
     cand = shared.select(
         F.explode(F.array("doc_a", "doc_b")).alias("doc_id")
     ).distinct()
-    cand_sizes = sizes.join(F.broadcast(cand), "doc_id")
+    # O(candidates) staging tables, persisted + eagerly materialized
+    # so the fingerprint/bucket chain runs ONCE (not once per each of
+    # the three downstream consumers) and the two size broadcasts
+    # can't race a cold cache — the lsh_candidate_pairs discipline.
+    # Set sizes are re-winnowed ONLY for candidate docs (broadcast
+    # semi-join first, then fingerprint the surviving minority — the
+    # LSH-verify rule), never carried through the fp shuffle and
+    # never recomputed corpus-wide.
+    cand_sizes = (
+        winnow_fingerprint_sets(docs.join(F.broadcast(cand), "doc_id"))
+        .select("doc_id", F.size("fps").alias("n_fps"))
+        .persist()
+    )
+    cand_sizes.count()
     out = (
         shared.join(
             F.broadcast(

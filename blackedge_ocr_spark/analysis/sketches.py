@@ -225,15 +225,20 @@ def cms_topk(docs: DataFrame, k: int = CMS_TOP_K) -> DataFrame:
 # ------------------------------------------------- Bloom membership
 
 BLOOM_DEPTH = 2      # hash functions (rows)
-BLOOM_SLOT_HEX = 3   # 3 hex chars → 4096 slots per row
+BLOOM_SLOT_HEX = 3   # 3 hex chars → 4096 slots per row (audit sizing)
+BLOOM_GATE_HEX = 5   # 5 hex chars → 1M slots per row (streaming-dedup
+                     # registry gate sizing)
 
 
-def _bloom_slot(key, row: int) -> "F.Column":
-    """Row-``row``'s bit address for a content key: 3-hex-char prefix
-    of the salted md5 — string-keyed like the CMS slots, no integer
-    conversion."""
+def _bloom_slot(key, row: int, hex_chars: int = BLOOM_SLOT_HEX) -> "F.Column":
+    """Row-``row``'s bit address for a content key: ``hex_chars``-hex
+    prefix of the salted md5 — string-keyed like the CMS slots, no
+    integer conversion. The audit filter uses 3 chars (4096 slots,
+    observable FP rate at contract scale); the streaming dedup gate
+    uses 5 (1M slots/row — sized so a million-hash registry stays
+    ~mid-load instead of saturating)."""
     return F.substring(
-        F.md5(F.concat(F.lit(f"bf{row}:"), key)), 1, BLOOM_SLOT_HEX
+        F.md5(F.concat(F.lit(f"bf{row}:"), key)), 1, hex_chars
     )
 
 
@@ -280,7 +285,13 @@ def bloom_probe(docs: DataFrame) -> DataFrame:
     flags, a pure projection after the broadcasts."""
     from blackedge_ocr_spark.analysis.dedup import content_hash
 
-    bits = bloom_bits(docs)
+    # The bit table is consumed once per depth row (two broadcast
+    # builds); persist + eager count so the distinct-build shuffle
+    # runs once, not once per consumer (the lsh_candidate_pairs
+    # staging discipline — concurrent broadcast builds both miss a
+    # cold cache).
+    bits = bloom_bits(docs).persist()
+    bits.count()
     key = content_hash(F.col("text"))
     probes = docs.select(
         "doc_id",

@@ -359,6 +359,7 @@ def stream_dedup(
     registry_dir: str,
     available_now: bool = True,
     max_files_per_trigger: int = 1,
+    bloom_dir: str | None = None,
 ):
     """Streaming exact deduplication of continuous document ingest:
     first-arrival-wins on md5(comparison-normalized text), against a
@@ -391,6 +392,21 @@ def stream_dedup(
     residual two-writes gap (output committed, registry append lost,
     crash between) is the known non-transactional-sink window; ADR-1's
     Iceberg swap closes it with a single atomic multi-table commit.
+
+    Bloom front (``bloom_dir``): the "Bloom-fronted store" above,
+    implemented. A persistent (row, slot) occupancy table
+    (sketches.bloom_bits discipline, 5-hex slots → 1M/row) mirrors
+    the hash registry; each batch probes it FIRST via broadcast
+    joins. Misses are DEFINITELY new (Bloom has no false negatives)
+    and skip the O(all-history) registry anti-join entirely — only
+    hits (true dups + the FP sliver) pay it. On a mostly-novel ingest
+    the big join's probe side shrinks to the duplicate fraction,
+    while output equality with the ungated path is exact (pytest
+    asserts it): FPs merely route a new doc through the exact check,
+    which passes it. The bloom table is bounded (depth × 1M rows at
+    saturation — at which load a production job re-sizes the slot
+    width), mergeable by union, and appended per batch like the
+    registry.
     """
     from pyspark.sql import functions as F
     from pyspark.sql.utils import AnalysisException
@@ -415,24 +431,98 @@ def stream_dedup(
             .agg(F.min_by(F.struct(*cols), F.col("doc_id")).alias("r"))
             .select("content_hash", "r.*")
         )
-        try:
-            seen = spark.read.parquet(registry_dir).select("content_hash")
+
+        def _read_or_first_batch(path: str):
+            """Registry read that treats ONLY a missing path as 'first
+            batch'; a corrupt or schema-conflicting table must fail
+            loudly, not silently disable dedup."""
+            try:
+                return spark.read.parquet(path)
+            except AnalysisException as e:
+                if (e.getErrorClass() or "") != "PATH_NOT_FOUND":
+                    raise
+                return None
+
+        out_cols = firsts.columns
+        definitely_new = None
+        probed_cache = None
+        candidates = firsts
+        if bloom_dir is not None:
+            bits = _read_or_first_batch(bloom_dir)
+            if bits is not None:
+                from blackedge_ocr_spark.analysis.sketches import (
+                    BLOOM_DEPTH,
+                    BLOOM_GATE_HEX,
+                    _bloom_slot,
+                )
+
+                # appended per batch, so dedupe on read; stays tiny
+                bits = bits.distinct()
+                probed, flags = firsts, []
+                for i in range(BLOOM_DEPTH):
+                    b = bits.filter(F.col("row") == i).select(
+                        F.col("slot").alias(f"_s{i}"),
+                        F.lit(True).alias(f"_h{i}"),
+                    )
+                    probed = probed.withColumn(
+                        f"_s{i}",
+                        _bloom_slot(F.col("content_hash"), i, BLOOM_GATE_HEX),
+                    ).join(F.broadcast(b), f"_s{i}", "left")
+                    flags.append(F.coalesce(F.col(f"_h{i}"), F.lit(False)))
+                hit = flags[0]
+                for fc in flags[1:]:
+                    hit = hit & fc
+                probed = probed.withColumn("_hit", hit).persist()
+                probed_cache = probed
+                definitely_new = probed.filter(~F.col("_hit")).select(out_cols)
+                candidates = probed.filter(F.col("_hit")).select(out_cols)
+
+        seen = _read_or_first_batch(registry_dir)
+        if seen is not None:
             # no broadcast hint: the registry grows to O(distinct
             # corpus) — AQE broadcasts while it's small and falls back
             # to a shuffled anti-join when it isn't (the Iceberg form
-            # buckets both sides by hash and prunes even that).
-            fresh = firsts.join(seen, "content_hash", "left_anti")
-        except AnalysisException as e:
-            # ONLY a missing path means "first batch"; a corrupt or
-            # schema-conflicting registry must fail loudly, not
-            # silently disable dedup.
-            if (e.getErrorClass() or "") != "PATH_NOT_FOUND":
-                raise
-            fresh = firsts
+            # buckets both sides by hash and prunes even that). With
+            # the bloom front, only the hit sliver reaches this join.
+            checked = candidates.join(
+                seen.select("content_hash"), "content_hash", "left_anti"
+            )
+        else:
+            checked = candidates
+        fresh = (
+            checked
+            if definitely_new is None
+            else definitely_new.unionByName(checked)
+        )
         fresh = fresh.persist()
         fresh.write.mode("append").parquet(output_dir)
         fresh.select("content_hash").write.mode("append").parquet(registry_dir)
+        if bloom_dir is not None:
+            from blackedge_ocr_spark.analysis.sketches import (
+                BLOOM_DEPTH,
+                BLOOM_GATE_HEX,
+                _bloom_slot,
+            )
+
+            new_bits = fresh.select(
+                F.explode(
+                    F.array(
+                        *[
+                            F.struct(
+                                F.lit(i).alias("row"),
+                                _bloom_slot(
+                                    F.col("content_hash"), i, BLOOM_GATE_HEX
+                                ).alias("slot"),
+                            )
+                            for i in range(BLOOM_DEPTH)
+                        ]
+                    )
+                ).alias("k")
+            ).select("k.row", "k.slot").distinct()
+            new_bits.write.mode("append").parquet(bloom_dir)
         fresh.unpersist()
+        if probed_cache is not None:
+            probed_cache.unpersist()
 
     writer = raw.writeStream.foreachBatch(process_batch).option(
         "checkpointLocation", checkpoint_dir

@@ -732,3 +732,81 @@ def test_doc_bundle_error_row_gets_error_envelope(spark):
     assert _json.loads(files["error.json"]) == {
         "status": "error", "error": "Unknown workflow type",
     }
+
+
+def test_stream_dedup_bloom_gate_is_output_identical(spark, tmp_path):
+    """The Bloom-fronted registry (bloom_dir) must not change the
+    survivor set — FPs route through the exact check, misses are
+    definitely new — while maintaining a bounded (row, slot) table
+    that every registered hash hits (no false negatives)."""
+    import os
+    import time
+
+    from blackedge_ocr_spark.analysis import dedup
+    from blackedge_ocr_spark.analysis.sketches import (
+        BLOOM_DEPTH,
+        BLOOM_GATE_HEX,
+        _bloom_slot,
+    )
+    from blackedge_ocr_spark.streaming import stream_dedup
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    dups = (
+        docs.filter(F.col("doc_id") % 10 == 0)
+        .withColumn("doc_id", F.col("doc_id") + 1_000_000)
+    )
+    extra = docs.limit(1).withColumn("doc_id", F.lit(2_000_000)).withColumn(
+        "text", F.lit("a fresh bloom gated document")
+    )
+    inp = tmp_path / "bin"
+    inp.mkdir()
+    docs.coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "b1"))
+    dups.unionByName(extra).coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "b2")
+    )
+    for i, stage in enumerate(["b1", "b2"]):
+        src = next(
+            p for p in (tmp_path / stage).iterdir() if p.suffix == ".parquet"
+        )
+        dst = inp / f"file{i}.parquet"
+        shutil.copy(src, dst)
+        os.utime(dst, (time.time() + i, time.time() + i))
+
+    out, ckpt, reg, blm = (
+        str(tmp_path / "bout"), str(tmp_path / "bckpt"),
+        str(tmp_path / "breg"), str(tmp_path / "bbloom"),
+    )
+    q = stream_dedup(
+        spark, str(inp), out, ckpt, reg, available_now=True, bloom_dir=blm
+    )
+    q.awaitTermination(300)
+
+    got_ids = {
+        r["doc_id"]
+        for r in spark.read.parquet(out).select("doc_id").collect()
+    }
+    full = docs.unionByName(dups).unionByName(extra)
+    keepers = {
+        r["keep_doc_id"]
+        for r in dedup.exact_duplicates(full).select("keep_doc_id").collect()
+    }
+    assert got_ids == keepers
+    # bloom table: bounded shape, and NO false negative — every
+    # registered hash probes to all-rows-present
+    bits = spark.read.parquet(blm).distinct()
+    n_hashes = spark.read.parquet(reg).distinct().count()
+    assert bits.count() <= BLOOM_DEPTH * n_hashes
+    assert {r["row"] for r in bits.select("row").distinct().collect()} == set(
+        range(BLOOM_DEPTH)
+    )
+    reg_df = spark.read.parquet(reg)
+    for i in range(BLOOM_DEPTH):
+        missing = (
+            reg_df.withColumn(
+                "slot", _bloom_slot(F.col("content_hash"), i, BLOOM_GATE_HEX)
+            )
+            .withColumn("row", F.lit(i))
+            .join(bits, ["row", "slot"], "left_anti")
+            .count()
+        )
+        assert missing == 0
