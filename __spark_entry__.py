@@ -71,6 +71,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cms_topk": q.q_cms_topk,
         "bloom_probe": q.q_bloom_probe,
         "sampled_quantiles": q.q_sampled_quantiles,
+        "lang_confusion": q.q_lang_confusion,
         "minhash_jaccard_est": q.q_minhash_jaccard_est,
         "winnow_pairs": q.q_winnow_pairs,
         "classifier_calibration": q.q_classifier_calibration,

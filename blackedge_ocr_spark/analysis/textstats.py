@@ -621,3 +621,23 @@ def cooccur_pmi(
             _r6(F.log(ratio)).alias("pmi"),
         )
     )
+
+
+def lang_confusion(docs: DataFrame) -> DataFrame:
+    """Language-ID evaluation against the corpus ground-truth ``lang``
+    column: the (true_lang, predicted_lang, n) confusion matrix — the
+    table a user reads before trusting the n-gram heuristic to drive
+    lang_rebalance / filtering decisions at corpus scale.
+
+    Shape: the prediction is a pure per-row expression computed
+    INLINE on the scan (no join back on doc_id — the corpus_curation
+    lesson), so the whole query is a zero-shuffle projection into one
+    combinable agg over a |langs|² key space."""
+    return (
+        docs.select(
+            F.col("lang").alias("true_lang"),
+            predict_lang(F.col("text")).alias("predicted_lang"),
+        )
+        .groupBy("true_lang", "predicted_lang")
+        .agg(F.count("*").alias("n"))
+    )

@@ -1544,3 +1544,11 @@ def q_sampled_quantiles(spark, sf_dir) -> DataFrame:
     from blackedge_ocr_spark.analysis import sketches
 
     return sketches.sampled_quantiles(_docs(spark, sf_dir))
+
+
+def q_lang_confusion(spark, sf_dir) -> DataFrame:
+    """Language-ID confusion matrix vs the ground-truth lang column
+    (zero-shuffle projection + one combinable agg)."""
+    from blackedge_ocr_spark.analysis import textstats
+
+    return textstats.lang_confusion(_docs(spark, sf_dir))

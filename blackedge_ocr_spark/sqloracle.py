@@ -646,6 +646,7 @@ def build_oracles() -> dict[str, str]:
         "cms_topk": sql_cms_topk(),
         "bloom_probe": sql_bloom_probe(),
         "sampled_quantiles": sql_sampled_quantiles(),
+        "lang_confusion": sql_lang_confusion(),
         "minhash_jaccard_est": sql_minhash_jaccard_est(),
         "winnow_pairs": sql_winnow_pairs(),
         "classifier_calibration": sql_classifier_calibration(),
@@ -3095,3 +3096,14 @@ j AS (SELECT ex.source, ex.n_docs, ex.x50, ex.x90, ex.x99,
              es.n_sample, es.e50, es.e90, es.e99
       FROM ex LEFT JOIN es ON ex.source = es.source)
 {rows}"""
+
+
+def sql_lang_confusion() -> str:
+    """textstats.lang_confusion mirror: the shared lang_sel_sql
+    prediction joined to the ground-truth column, counted per cell."""
+    return f"""
+WITH pred AS ({lang_sel_sql()}),
+d AS (SELECT doc_id, lang AS true_lang FROM documents)
+SELECT true_lang, predicted_lang, count(*)::bigint AS n
+FROM d JOIN pred USING (doc_id)
+GROUP BY 1, 2"""

@@ -243,3 +243,27 @@ def test_ws_tokens_col_empty_and_null_guard(spark):
     }
     # normalize_text collapses/strips whitespace, so "   " counts 0
     assert got == {1: 2, 2: 0, 3: 0, 4: 0, 5: 1}
+
+
+def test_lang_confusion_sums_and_diagonal(spark):
+    """The confusion matrix partitions the corpus (cell counts sum to
+    n_docs) and agrees cell-wise with language_id joined to truth."""
+    import pyspark.sql.functions as F
+
+    from blackedge_ocr_spark.analysis import textstats
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    m = textstats.lang_confusion(docs).collect()
+    assert sum(r["n"] for r in m) == docs.count()
+    # cross-check against the standalone prediction query
+    pred = textstats.language_id(docs)
+    joined = (
+        docs.select("doc_id", F.col("lang").alias("true_lang"))
+        .join(pred, "doc_id")
+        .groupBy("true_lang", "predicted_lang")
+        .count()
+    )
+    want = {(r["true_lang"], r["predicted_lang"]): r["count"]
+            for r in joined.collect()}
+    got = {(r["true_lang"], r["predicted_lang"]): r["n"] for r in m}
+    assert got == want
