@@ -45,11 +45,14 @@ HLL_P = 8                      # 2^8 = 256 registers
 HLL_M = 1 << HLL_P
 HLL_WINDOW = 13                # hex chars scanned for the zero run: 52 bits
 HLL_RHO_CAP = 4 * HLL_WINDOW + 1
-# alpha_m·m²·2^52-scaled numerator, computed ONCE here and inlined as
+# alpha_m·m²·2^53-scaled numerator, computed ONCE here and inlined as
 # the identical double literal in the SQL oracle (sqloracle imports
-# it) — the engines never re-derive it.
+# it) — the engines never re-derive it. The scale is 2^HLL_RHO_CAP so
+# the per-register shift 53-m stays in [0, 52] even when a register
+# saturates at the cap (52-m would shift by -1 there: Long.MIN_VALUE
+# in Spark, an OutOfRange error in DuckDB).
 HLL_ALPHA = 0.7213 / (1.0 + 1.079 / HLL_M)
-HLL_NUMER = HLL_ALPHA * HLL_M * HLL_M * float(1 << (HLL_RHO_CAP - 1))
+HLL_NUMER = HLL_ALPHA * HLL_M * HLL_M * float(1 << HLL_RHO_CAP)
 CMS_DEPTH = 4                  # independent hash rows
 CMS_SLOT_HEX = 3               # 3 hex chars → 4096 slots per row
 CMS_TOP_K = 20                 # audited heavy hitters
@@ -105,14 +108,14 @@ def hll_distinct(docs: DataFrame) -> DataFrame:
     regs = hll_registers(docs)
     agg = regs.groupBy("source").agg(
         F.sum(
-            F.expr(f"shiftleft(cast(1 as bigint), {HLL_RHO_CAP - 1} - m)")
+            F.expr(f"shiftleft(cast(1 as bigint), {HLL_RHO_CAP} - m)")
         ).alias("s_present"),
         F.count("*").alias("n_regs"),
     )
     v = (F.lit(HLL_M) - F.col("n_regs")).cast("long")
     s = (
         F.col("s_present")
-        + v * F.lit(1 << (HLL_RHO_CAP - 1)).cast("long")
+        + v * F.lit(1 << HLL_RHO_CAP).cast("long")
     ).cast("double")
     e_raw = F.lit(HLL_NUMER) / s
     # small-range (linear counting) branch: micro-rounded ln, the

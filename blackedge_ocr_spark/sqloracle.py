@@ -2306,7 +2306,8 @@ def sql_hll_distinct() -> str:
     """sketches.hll_distinct mirror: same md5-hex register recipe
     (bucket = 2-hex prefix, rho from the leading-zero run of the
     13-hex window via regexp + nibble CASE), Σ2^(-M) scaled to exact
-    int64 arithmetic (1 << (52 - m)), the shared HLL_NUMER double
+    int64 arithmetic (1 << (53 - m), in-range at the rho cap), the
+    shared HLL_NUMER double
     literal, micro-rounded ln in the linear-counting branch."""
     from blackedge_ocr_spark.analysis.sketches import (
         HLL_M,
@@ -2316,7 +2317,7 @@ def sql_hll_distinct() -> str:
     )
 
     toks = tokens_sql("text")
-    shift = HLL_RHO_CAP - 1
+    shift = HLL_RHO_CAP
     return f"""
 WITH tok AS (SELECT source, unnest({toks}) AS term FROM documents),
 hh AS (SELECT source, md5(term) AS h FROM tok),

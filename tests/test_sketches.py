@@ -35,7 +35,7 @@ def _py_hll(terms) -> float:
         h = hashlib.md5(t.encode()).hexdigest()
         b = h[: HLL_P // 4]
         regs[b] = max(regs.get(b, 0), _py_rho(h))
-    shift = HLL_RHO_CAP - 1
+    shift = HLL_RHO_CAP
     s = sum(1 << (shift - m) for m in regs.values())
     v = HLL_M - len(regs)
     s += v * (1 << shift)
