@@ -94,6 +94,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "routing_errors": q.q_routing_errors,
         "dedup_apply": q.q_dedup_apply,
         "corpus_curation": q.q_corpus_curation,
+        "curation_funnel": q.q_curation_funnel,
         "final_content": q.q_final_content,
         "similarity_report": q.q_similarity_report,
         "event_rollup": q.q_event_rollup,
@@ -110,6 +111,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_redact": q.q_pii_redact,
         "repetition_stats": q.q_repetition_stats,
         "paragraph_dedup": q.q_paragraph_dedup,
+        "boilerplate_strip": q.q_boilerplate_strip,
         "domain_filter": q.q_domain_filter,
         # training-order / chunking / mix rebalance / vocabulary
         "corpus_shuffle": q.q_corpus_shuffle,

@@ -69,6 +69,11 @@ URL_HOSTS: tuple[str, ...] = (
 
 LINE_SEP = "\n"  # line/paragraph delimiter for repetition + para dedup
 
+# A line is corpus boilerplate when its exact text occurs in at least
+# this many DISTINCT documents (CCNet / RefinedWeb-style navigation /
+# footer stripping). Shared with sqloracle.sql_boilerplate_strip.
+BOILERPLATE_MIN_DOCS = 3
+
 
 def _pii_count(col: Column, pattern: str) -> Column:
     return F.size(F.regexp_extract_all(col, F.lit(pattern), F.lit(0)))
@@ -254,6 +259,64 @@ def paragraph_dedup(docs: DataFrame) -> DataFrame:
                         F.collect_list(F.when(kept, F.struct("idx", "para")))
                     ),
                     lambda s: s["para"],
+                ),
+                LINE_SEP,
+            )
+        ).alias("kept_md5"),
+    )
+
+
+def boilerplate_strip(docs: DataFrame) -> DataFrame:
+    """Corpus-frequency boilerplate line removal (the CCNet /
+    RefinedWeb navigation-and-footer stage): a line whose exact text
+    appears in >= BOILERPLATE_MIN_DOCS DISTINCT documents is
+    boilerplate, and ALL of its occurrences drop — everywhere.
+    Complementary to ``paragraph_dedup``, which keeps the first copy
+    of every paragraph: dedup preserves one "subscribe to our
+    newsletter" for the corpus, boilerplate-strip removes the phrase
+    from the corpus entirely. Returns per-doc
+    (n_lines, n_kept, kept_md5) with the surviving text re-joined in
+    original order.
+
+    Scale shape: posexplode -> two combinable hash aggs for the
+    distinct-doc line frequency ((h, doc_id) dedup partial-aggregates
+    map-side, so a footer in 10^9 docs collapses per task before the
+    exchange) -> the SMALL filtered boilerplate set joins back on h
+    (it is the high-DF tail only, orders of magnitude under the
+    distinct-line count — broadcastable in practice; AQE handles the
+    general case and skew-splits hot hashes) -> one per-doc hash agg
+    reassembles. No window over the line hash: a window would sort
+    every copy of a hot footer in one task.
+
+    Reference analog: none (per-doc service) — extends the engine per
+    the training-data-pipeline brief, alongside paragraph_dedup.
+    """
+    lines = F.split(F.coalesce(F.col("text"), F.lit("")), LINE_SEP, -1)
+    ex = docs.select(
+        "doc_id", F.posexplode(lines).alias("idx", "line")
+    ).select("doc_id", "idx", "line", F.md5("line").alias("h"))
+    # distinct-doc frequency per line md5 (text equality and md5
+    # equality coincide, as in paragraph_dedup)
+    hot = (
+        ex.select("h", "doc_id")
+        .distinct()
+        .groupBy("h")
+        .agg(F.count("*").alias("nd"))
+        .filter(F.col("nd") >= BOILERPLATE_MIN_DOCS)
+        .select("h", F.lit(True).alias("_bp"))
+    )
+    j = ex.join(hot, "h", "left")
+    kept = F.col("_bp").isNull()
+    return j.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_lines"),
+        F.sum(kept.cast("int")).cast("long").alias("n_kept"),
+        F.md5(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.when(kept, F.struct("idx", "line")))
+                    ),
+                    lambda s: s["line"],
                 ),
                 LINE_SEP,
             )

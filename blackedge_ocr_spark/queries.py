@@ -810,6 +810,20 @@ def q_paragraph_dedup(spark, sf_dir) -> DataFrame:
     return scrub.paragraph_dedup(staged)
 
 
+def q_boilerplate_strip(spark, sf_dir) -> DataFrame:
+    """Corpus-frequency boilerplate line removal over the line-staged
+    corpus: the injected pool lines (and the ''-chunk lines of short
+    docs) cross the distinct-doc threshold and drop everywhere; the
+    per-doc 60-char body chunks survive."""
+    from blackedge_ocr_spark.analysis import scrub
+
+    d = _docs(spark, sf_dir)
+    staged = d.select(
+        "doc_id", _lined_text(F.col("doc_id"), F.col("text")).alias("text")
+    )
+    return scrub.boilerplate_strip(staged)
+
+
 def q_domain_filter(spark, sf_dir) -> DataFrame:
     """Broadcast domain-blocklist survivors over the URL-staged
     corpus (BroadcastHashJoin LeftAnti; corpus never shuffles)."""
@@ -1090,6 +1104,75 @@ def q_corpus_curation(spark, sf_dir) -> DataFrame:
             F.count("*").alias("n_docs"),
             F.sum(F.col("keep").cast("long")).alias("n_kept"),
         )
+    )
+
+
+def q_curation_funnel(spark, sf_dir) -> DataFrame:
+    """End-to-end curation FUNNEL: the per-stage survivor counts a
+    100 TB curation job reports before tokenization — cumulative
+    gates ingested -> exact-dedup keeper -> lang == en -> quality >=
+    0.5 -> zero problems -> PII-free, one row per stage. Runs over
+    the dup-injected + PII-staged corpus so every gate has true
+    positives to drop.
+
+    Scale shape: ONE full-corpus exchange (the groupBy on h; the scan
+    spreads are the shared starvation gate, no-ops at real scale).
+    The dedup key is content_hash of the PRE-staging text (the
+    injected copies differ post-staging: PII snippets key on doc_id);
+    every quality gate is evaluated as a per-row flag on the scan and
+    PACKED with the doc id into one long (doc_id*16 + flag bits), so
+    the keeper's flags ride min(long) in the SAME map-side-combinable
+    HashAggregate that dedups — no join-back, no window over hot
+    content hashes, and no min(struct), which Spark can only plan as
+    a SortAggregate (a per-partition sort of the full corpus). The
+    funnel sums are a scalar agg over the O(distinct) group table.
+    Stage semantics: dedup drops non-keeper copies, so later gates
+    see only keeper flags.
+    """
+    from blackedge_ocr_spark.analysis import dedup, scrub, textstats
+    from blackedge_ocr_spark.functions.problems import problems_array
+
+    d = dedup.with_dup_injection(
+        _docs(spark, sf_dir).select("doc_id", "text")
+    )
+    staged_text = _pii_text(F.col("doc_id"), F.col("text"))
+    counts, _ = scrub.pii_chain(staged_text)
+    bits = [
+        (textstats.predict_lang(staged_text) == "en", 8),
+        (textstats.quality_col(staged_text) >= 0.5, 4),
+        (F.size(problems_array(staged_text)) == 0, 2),
+        (scrub._sum_counts(counts) == 0, 1),
+    ]
+    packed = F.col("doc_id") * 16
+    for flag, bit in bits:
+        packed = packed + flag.cast("long") * bit
+    grp = (
+        d.select(
+            dedup.content_hash(F.col("text")).alias("h"),
+            packed.alias("p"),
+        )
+        .groupBy("h")
+        .agg(F.count("*").alias("n_all"), F.min("p").alias("k"))
+    )
+    en = F.col("k").bitwiseAND(8) > 0
+    gq = F.col("k").bitwiseAND(4) > 0
+    cl = F.col("k").bitwiseAND(2) > 0
+    pf = F.col("k").bitwiseAND(1) > 0
+    stages = [
+        ("s2", F.lit(True)),
+        ("s3", en),
+        ("s4", en & gq),
+        ("s5", en & gq & cl),
+        ("s6", en & gq & cl & pf),
+    ]
+    agg = grp.agg(
+        F.sum("n_all").cast("long").alias("s1"),
+        *[F.sum(c.cast("long")).alias(n) for n, c in stages],
+    )
+    return agg.selectExpr(
+        "stack(6, 'ingested', s1, 'exact_dedup', s2, 'lang_en', s3,"
+        " 'quality', s4, 'clean', s5, 'pii_free', s6)"
+        " AS (stage, n_docs)"
     )
 
 

@@ -669,6 +669,7 @@ def build_oracles() -> dict[str, str]:
         "routing_errors": sql_routing_errors(),
         "dedup_apply": sql_dedup_apply(),
         "corpus_curation": sql_corpus_curation(),
+        "curation_funnel": sql_curation_funnel(),
         "final_content": sql_final_content(),
         "similarity_report": sql_similarity_report(),
         "event_rollup": sql_event_rollup(),
@@ -686,6 +687,7 @@ def build_oracles() -> dict[str, str]:
         "pii_redact": sql_pii_redact(),
         "repetition_stats": sql_repetition_stats(),
         "paragraph_dedup": sql_paragraph_dedup(),
+        "boilerplate_strip": sql_boilerplate_strip(),
         "domain_filter": sql_domain_filter(),
         # training-order / chunking / mix rebalance / vocabulary
         "corpus_shuffle": sql_corpus_shuffle(),
@@ -1718,6 +1720,84 @@ SELECT source, count(*)::bigint AS n_docs,
 FROM k GROUP BY source"""
 
 
+def sql_curation_funnel() -> str:
+    """queries.q_curation_funnel mirror: cumulative gate counts over
+    the dup-injected + PII-staged corpus. Dedup key = md5 of the
+    comparison-normalized PRE-staging text; keeper flags via
+    arg_min(flag, doc_id) — semantically the keeper's flag, same as
+    Spark's min over the packed (doc_id*16 + flag bits) long, since
+    doc_id is distinct per group.
+    Quality threshold through the shared floor(x*1e6+0.5)/1e6
+    micro-round (textstats._r6)."""
+    from blackedge_ocr_spark.analysis.textstats import LANG_PROFILES, UNKNOWN_LANG
+
+    h = f"md5({normalize_for_comparison_sql('text')})"
+    flags = d_flags_sql("text")
+    clean = "NOT (" + " OR ".join(flags.values()) + ")"
+    toks = tokens_sql("text")
+    score = lambda ws: (
+        "len(list_filter(toks, t -> list_contains(["
+        + ", ".join(_sq(w) for w in ws)
+        + "], t)))"
+    )
+    names = [lang for lang, _ in LANG_PROFILES]
+    sel = ", ".join(f"{score(ws)} AS s_{lang}" for lang, ws in LANG_PROFILES)
+    whens = []
+    for lang in names:
+        conds = [f"s_{lang} > 0"] + [
+            f"s_{lang} >= s_{o}" for o in names if o != lang
+        ]
+        whens.append(f"WHEN {' AND '.join(conds)} THEN {_sq(lang)}")
+    lang_case = "CASE " + " ".join(whens) + f" ELSE {_sq(UNKNOWN_LANG)} END"
+    stop_en = score(LANG_PROFILES[0][1])
+    cnt, _ = _pii_chain_sql()
+    pii_total = " + ".join(cnt.values())
+    quality = (
+        "floor((0.5 * least(n_words::double / 50.0, 1.0)"
+        " + 0.3 * stop_ratio"
+        " + 0.2 * least(mean_word_len / 8.0, 1.0)) * 1000000 + 0.5)"
+        " / 1000000"
+    )
+    return f"""
+WITH {DUP_CORPUS},
+src AS (SELECT doc_id, {h} AS h,
+               {pii_text_sql('doc_id', 'text')} AS text
+        FROM corpus),
+t AS (SELECT doc_id, h, text, {toks} AS toks FROM src),
+m AS (SELECT doc_id, h, text,
+        {sel},
+        len(toks) AS n_words,
+        CASE WHEN len(toks) > 0
+             THEN list_sum(list_transform(toks, tk -> length(tk)::double))
+                  / len(toks)::double
+             ELSE 0.0 END AS mean_word_len,
+        CASE WHEN len(toks) > 0 THEN ({stop_en})::double / len(toks)::double
+             ELSE 0.0 END AS stop_ratio
+      FROM t),
+f AS (SELECT doc_id, h,
+        (({lang_case}) = 'en') AS en,
+        ({quality} >= 0.5) AS gq,
+        ({clean}) AS cl,
+        (({pii_total}) = 0) AS pf
+      FROM m),
+g AS (SELECT h, count(*) AS n_all,
+             arg_min(en, doc_id) AS en, arg_min(gq, doc_id) AS gq,
+             arg_min(cl, doc_id) AS cl, arg_min(pf, doc_id) AS pf
+      FROM f GROUP BY h),
+s AS (SELECT sum(n_all)::bigint AS s1, count(*)::bigint AS s2,
+             sum(en::int)::bigint AS s3,
+             sum((en AND gq)::int)::bigint AS s4,
+             sum((en AND gq AND cl)::int)::bigint AS s5,
+             sum((en AND gq AND cl AND pf)::int)::bigint AS s6
+      FROM g)
+SELECT 'ingested' AS stage, s1 AS n_docs FROM s
+UNION ALL SELECT 'exact_dedup', s2 FROM s
+UNION ALL SELECT 'lang_en', s3 FROM s
+UNION ALL SELECT 'quality', s4 FROM s
+UNION ALL SELECT 'clean', s5 FROM s
+UNION ALL SELECT 'pii_free', s6 FROM s"""
+
+
 def sql_final_content() -> str:
     """Full extract-then-validate chain, final content as md5."""
     validating = ", ".join(_sq(w) for w in VALIDATING_WORKFLOWS)
@@ -2045,6 +2125,30 @@ SELECT doc_id, count(*)::bigint AS n_paras,
   md5(coalesce(string_agg(CASE WHEN rn = 1 THEN para END, chr(10)
                           ORDER BY idx), '')) AS kept_md5
 FROM k GROUP BY doc_id"""
+
+
+def sql_boilerplate_strip() -> str:
+    """scrub.boilerplate_strip mirror: distinct-doc frequency per
+    line VALUE (== per line md5 — equality of the text and of its
+    hash coincide), keep = under the shared threshold, surviving text
+    re-joined in idx order (all-NULL string_agg coalesces to '',
+    matching Spark's empty collect_list)."""
+    from blackedge_ocr_spark.analysis.scrub import BOILERPLATE_MIN_DOCS
+
+    lined = lined_text_sql("doc_id", "text")
+    return f"""
+WITH t AS (SELECT doc_id, str_split({lined}, chr(10)) AS lst FROM documents),
+ex AS (SELECT doc_id, i - 1 AS idx, lst[i] AS line
+       FROM t, unnest(range(1, len(lst) + 1)) AS r(i)),
+c AS (SELECT line, count(DISTINCT doc_id) AS nd FROM ex GROUP BY line),
+f AS (SELECT ex.doc_id, ex.idx, ex.line,
+             (c.nd < {BOILERPLATE_MIN_DOCS}) AS keep
+      FROM ex JOIN c USING (line))
+SELECT doc_id, count(*)::bigint AS n_lines,
+  sum(keep::int)::bigint AS n_kept,
+  md5(coalesce(string_agg(CASE WHEN keep THEN line END, chr(10)
+                          ORDER BY idx), '')) AS kept_md5
+FROM f GROUP BY doc_id"""
 
 
 def sql_domain_filter() -> str:

@@ -237,3 +237,30 @@ def test_doc_features_single_fused_projection(spark):
     df = q_doc_features(spark, SF)
     assert plans.count_python_stages(df) == 0
     assert plans.count_exchanges(df) <= 1  # the spread gate only
+
+
+def test_curation_funnel_hash_agg_no_joinback(spark):
+    """The funnel's keeper flags ride the packed-long min inside the
+    dedup HashAggregate itself: no join back on the content hash, no
+    window, and no SortAggregate (min(struct) would force one — a
+    per-partition sort of the full corpus). Exchanges: two starvation
+    spreads + the groupBy(h) + the scalar funnel agg."""
+    from blackedge_ocr_spark.queries import q_curation_funnel
+
+    df = q_curation_funnel(spark, SF)
+    p = plans.formatted_plan(df)
+    assert plans.count_python_stages(df) == 0
+    assert "SortAggregate" not in p and "Join" not in p
+    assert plans.count_exchanges(df) <= 4
+
+
+def test_boilerplate_strip_hot_set_broadcasts(spark):
+    """The filtered boilerplate set (high-DF lines only) must come
+    back as a BROADCAST join against the exploded lines — the corpus
+    never shuffles on the line hash for the flagging step."""
+    from blackedge_ocr_spark.queries import q_boilerplate_strip
+
+    df = q_boilerplate_strip(spark, SF)
+    p = plans.formatted_plan(df)
+    assert "BroadcastHashJoin" in p
+    assert plans.count_python_stages(df) == 0

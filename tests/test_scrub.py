@@ -117,6 +117,64 @@ def test_paragraph_dedup_within_doc_repeat_drops(spark):
     assert r["kept_md5"] == hashlib.md5(b"x\ny").hexdigest()
 
 
+def test_boilerplate_strip_drops_every_copy(spark):
+    # "footer" appears in 3 distinct docs (>= BOILERPLATE_MIN_DOCS):
+    # ALL copies drop, including the first — the contrast with
+    # paragraph_dedup, which keeps one. "twice" is in only 2 docs and
+    # survives everywhere.
+    d = _docs_df(
+        spark,
+        [
+            (0, "alpha\nfooter\ntwice"),
+            (1, "footer\nbeta"),
+            (2, "footer\ntwice"),
+        ],
+    )
+    out = {r["doc_id"]: r for r in scrub.boilerplate_strip(d).collect()}
+    assert out[0]["n_lines"] == 3 and out[0]["n_kept"] == 2
+    assert out[0]["kept_md5"] == hashlib.md5(b"alpha\ntwice").hexdigest()
+    assert out[1]["n_kept"] == 1
+    assert out[1]["kept_md5"] == hashlib.md5(b"beta").hexdigest()
+    assert out[2]["n_kept"] == 1
+    assert out[2]["kept_md5"] == hashlib.md5(b"twice").hexdigest()
+
+
+def test_boilerplate_strip_counts_distinct_docs_not_copies(spark):
+    # A line repeated 5x inside ONE doc is df=1 — not boilerplate;
+    # a doc that is ALL boilerplate keeps nothing but never vanishes.
+    d = _docs_df(
+        spark,
+        [
+            (0, "x\nx\nx\nx\nx"),
+            (1, "nav\nown1"),
+            (2, "nav\nown2"),
+            (3, "nav"),
+        ],
+    )
+    out = {r["doc_id"]: r for r in scrub.boilerplate_strip(d).collect()}
+    assert out[0]["n_lines"] == 5 and out[0]["n_kept"] == 5
+    assert out[1]["n_kept"] == 1 and out[2]["n_kept"] == 1
+    assert out[3]["n_lines"] == 1 and out[3]["n_kept"] == 0
+    assert out[3]["kept_md5"] == hashlib.md5(b"").hexdigest()
+
+
+def test_curation_funnel_monotone_stages(spark):
+    from blackedge_ocr_spark.queries import q_curation_funnel
+
+    rows = {
+        r["stage"]: r["n_docs"]
+        for r in q_curation_funnel(spark, "/root/testdata/sf0.001").collect()
+    }
+    order = [
+        "ingested", "exact_dedup", "lang_en", "quality", "clean", "pii_free",
+    ]
+    assert set(rows) == set(order)
+    ns = [rows[s] for s in order]
+    assert ns == sorted(ns, reverse=True), ns
+    # dup injection guarantees the dedup gate really drops copies
+    assert ns[0] > ns[1] > 0
+
+
 def test_domain_filter_broadcast_anti_join(spark):
     rows = [
         Row(doc_id=0, url="https://spam-mill.biz/p/0"),
