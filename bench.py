@@ -55,6 +55,8 @@ BENCH_QUERIES = (
     "winnow_pairs",
     "bloom_probe",
     "sampled_quantiles",
+    "boilerplate_strip",
+    "curation_funnel",
 )
 
 
