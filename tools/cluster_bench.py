@@ -43,7 +43,15 @@ LOG = os.path.join(REPO, "BENCH", "logs", "cluster_r3.jsonl")
 # the 4-core small cluster must finish in sane wall time.
 QUERIES = {"pipeline_extract": 96, "extract_content": 384,
            "similarity_pairs": 12}
-SIZES = (4, 16)  # cores.max: N and 4N
+# cores.max N and 4N. Override: SPARK_GRAFT_SIZES="2,8".
+# 4,16 uses 2 vs 8 executor JVMs (the 16-core size saturates the
+# host's ~16 physical cores once 8 JVMs' GC/netty threads and Python
+# pools stack on top — contention a real 4N-machine fleet would not
+# pay); 2,8 (1 vs 4 executors) stays comfortably inside the physical
+# cores and is the cleaner adding-machines proxy on one host.
+SIZES = tuple(
+    int(s) for s in os.environ.get("SPARK_GRAFT_SIZES", "4,16").split(",")
+)
 
 
 def run_one(cores: int, sf_dir: str, query: str) -> dict:
