@@ -27,6 +27,11 @@ import zipfile
 HERE = os.path.dirname(os.path.abspath(__file__))
 REPO = os.path.dirname(HERE)
 SPARK_SUBMIT = shutil.which("spark-submit") or "/opt/spark/bin/spark-submit"
+# Default: cold local[8] JVM. Point at a live standalone master
+# (SPARK_GRAFT_MASTER=spark://127.0.0.1:7077) to run the identical
+# deployment against REAL remote executor JVMs — the package then
+# reaches executors only through spark-submit's --py-files shipping.
+MASTER = os.environ.get("SPARK_GRAFT_MASTER", "local[8]")
 
 
 def build_zip(dest: str) -> str:
@@ -47,8 +52,11 @@ def build_zip(dest: str) -> str:
 def submit(zpath: str, scratch: str, out: str, extra: list[str]) -> dict:
     cmd = [
         SPARK_SUBMIT,
-        "--master", "local[8]",
+        "--master", MASTER,
         "--conf", "spark.sql.shuffle.partitions=32",
+        "--conf", "spark.cores.max=8",
+        "--conf", "spark.executor.cores=2",
+        "--conf", "spark.executor.memory=4g",
         "--py-files", zpath,
         os.path.join(scratch, "job.py"),
         "--output", out,
