@@ -55,6 +55,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_lsh_pairs": q.q_dedup_lsh_pairs,
         "dedup_production_pairs": q.q_dedup_production_pairs,
         "dedup_clusters": q.q_dedup_clusters,
+        "cluster_keeper_quality": q.q_cluster_keeper_quality,
         "dedup_simhash": q.q_dedup_simhash,
         "ngram_jaccard": q.q_ngram_jaccard,
         "ann_topk": q.q_ann_topk,

@@ -1380,6 +1380,59 @@ def q_dedup_clusters(spark, sf_dir) -> DataFrame:
     return clustering.dedup_clusters(corpus)
 
 
+# Packing shift for the quality-keeper argmax: doc ids reach
+# DUP_ID_OFFSET (1e12) + n, quality micro-units reach 1e6, so
+# qi * 4e12 + id stays under 4.0e18 < int64 max. Shared with
+# sqloracle.sql_cluster_keeper_quality.
+KEEPER_SHIFT = 4 * 10**12
+
+
+def q_cluster_keeper_quality(spark, sf_dir) -> DataFrame:
+    """Quality-aware duplicate-cluster keeper: per transitive cluster
+    keep the HIGHEST-quality member (min doc_id tie-break) — the
+    production keeper rule (FineWeb-style pipelines keep the best
+    copy, not the first seen; exact-dup members tie on quality and
+    fall back to min id, so this strictly generalizes the
+    `dedup_clusters` keeper). Returns (cluster_id, n_docs,
+    keep_doc_id, keep_quality).
+
+    Scale shape: quality is a per-row expression packed WITH the
+    doc id into one long (qi * 4e12 + (4e12-1-doc_id)), so the argmax
+    is max(long) in a map-side-combinable HashAggregate on cluster_id
+    — the funnel's packed-keeper discipline again: no join-back after
+    the agg, no max(struct) SortAggregate, no window over hot
+    clusters. The cluster join itself ships 16 bytes/doc.
+    """
+    from blackedge_ocr_spark.analysis import clustering, dedup
+    from blackedge_ocr_spark.analysis.textstats import quality_col
+
+    corpus = dedup.with_dup_injection(
+        _docs(spark, sf_dir).select("doc_id", "text")
+    )
+    clusters = clustering.dedup_clusters(corpus)
+    qi = F.floor(quality_col(F.col("text")) * 1e6 + F.lit(0.5)).cast("long")
+    packed = qi * F.lit(KEEPER_SHIFT) + (
+        F.lit(KEEPER_SHIFT - 1) - F.col("doc_id")
+    )
+    staged = corpus.select("doc_id", packed.alias("p"))
+    j = clusters.select("doc_id", "cluster_id").join(staged, "doc_id")
+    mp = F.col("mp")
+    return (
+        j.groupBy("cluster_id")
+        .agg(F.count("*").cast("long").alias("n_docs"), F.max("p").alias("mp"))
+        .select(
+            "cluster_id",
+            "n_docs",
+            (F.lit(KEEPER_SHIFT - 1) - F.pmod(mp, F.lit(KEEPER_SHIFT))).alias(
+                "keep_doc_id"
+            ),
+            (
+                F.expr(f"mp div {KEEPER_SHIFT}").cast("double") / 1e6
+            ).alias("keep_quality"),
+        )
+    )
+
+
 def q_term_doc_freq(spark, sf_dir) -> DataFrame:
     """Corpus IDF table: distinct-term explode → one combinable hash
     agg on term; corpus size joins in as a broadcast scalar."""

@@ -630,6 +630,7 @@ def build_oracles() -> dict[str, str]:
         "dedup_lsh_pairs": sql_dedup_lsh_pairs(),
         "dedup_production_pairs": sql_dedup_production_pairs(),
         "dedup_clusters": sql_dedup_clusters(),
+        "cluster_keeper_quality": sql_cluster_keeper_quality(),
         "dedup_simhash": sql_dedup_simhash(),
         "ngram_jaccard": sql_ngram_jaccard(),
         "ann_topk": sql_ann_topk(),
@@ -2197,6 +2198,49 @@ walk(node, lab) AS (
 SELECT node AS doc_id, min(lab) AS cluster_id,
        (min(lab) = node) AS is_keeper
 FROM walk GROUP BY node"""
+
+
+def sql_cluster_keeper_quality() -> str:
+    """queries.q_cluster_keeper_quality mirror: the SAME transitive
+    clusters (sql_dedup_clusters as a subquery), the SAME packed long
+    max (qi * 4e12 + (4e12-1-doc_id)) and the same decode — argmax by
+    quality, min-id tie-break, all exact integer arithmetic."""
+    from blackedge_ocr_spark.analysis.textstats import LANG_PROFILES
+    from blackedge_ocr_spark.queries import KEEPER_SHIFT
+
+    toks = tokens_sql("text")
+    stop = (
+        "len(list_filter(toks, t -> list_contains(["
+        + ", ".join(_sq(w) for w in LANG_PROFILES[0][1])
+        + "], t)))"
+    )
+    clusters = sql_dedup_clusters()
+    return f"""
+WITH {DUP_CORPUS},
+t AS (SELECT doc_id, {toks} AS toks FROM corpus),
+m AS (SELECT doc_id, len(toks) AS n_words,
+        CASE WHEN len(toks) > 0
+             THEN list_sum(list_transform(toks, tk -> length(tk)::double))
+                  / len(toks)::double
+             ELSE 0.0 END AS mean_word_len,
+        CASE WHEN len(toks) > 0 THEN ({stop})::double / len(toks)::double
+             ELSE 0.0 END AS stop_ratio
+      FROM t),
+q AS (SELECT doc_id,
+        floor(floor((0.5 * least(n_words::double / 50.0, 1.0)
+                     + 0.3 * stop_ratio
+                     + 0.2 * least(mean_word_len / 8.0, 1.0))
+                    * 1000000 + 0.5) / 1000000 * 1000000 + 0.5)::bigint
+          AS qi
+      FROM m),
+c AS (SELECT doc_id, cluster_id FROM ({clusters}) walk_out),
+p AS (SELECT c.cluster_id,
+             q.qi * {KEEPER_SHIFT} + ({KEEPER_SHIFT} - 1 - q.doc_id) AS p
+      FROM c JOIN q USING (doc_id))
+SELECT cluster_id, count(*)::bigint AS n_docs,
+  ({KEEPER_SHIFT} - 1 - (max(p) % {KEEPER_SHIFT}))::bigint AS keep_doc_id,
+  (max(p) // {KEEPER_SHIFT})::double / 1000000.0 AS keep_quality
+FROM p GROUP BY cluster_id"""
 
 
 def sql_term_doc_freq() -> str:

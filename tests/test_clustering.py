@@ -151,3 +151,49 @@ def test_cluster_ids_consistent_with_pair_relations(spark):
         clusters.setdefault(c, []).append(d)
     for c, members in clusters.items():
         assert c == min(members)
+
+
+def test_cluster_keeper_quality_argmax_min_id_tiebreak(spark):
+    """keep_doc_id must be the max-quality member of its cluster with
+    min-id tie-break, verified against an independent per-doc quality
+    recomputation on the sf0.001 corpus (exact-dup members tie on
+    identical text, so injected pairs fall back to the base id)."""
+    from blackedge_ocr_spark.analysis.textstats import quality_col
+    from blackedge_ocr_spark.queries import (
+        _docs,
+        q_cluster_keeper_quality,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    out = {r["cluster_id"]: r for r in
+           q_cluster_keeper_quality(spark, sf).collect()}
+
+    corpus = dedup.with_dup_injection(
+        _docs(spark, sf).select("doc_id", "text")
+    )
+    members = {}
+    assigned = clustering.dedup_clusters(corpus).collect()
+    for r in assigned:
+        members.setdefault(r["cluster_id"], []).append(r["doc_id"])
+    qi = {
+        r["doc_id"]: r["qi"]
+        for r in corpus.select(
+            "doc_id",
+            F.floor(quality_col(F.col("text")) * 1e6 + F.lit(0.5))
+            .cast("long").alias("qi"),
+        ).collect()
+    }
+
+    assert sum(r["n_docs"] for r in out.values()) == len(qi)
+    assert set(out) == set(members)
+    ties_broken = 0
+    for cid, mids in members.items():
+        best_q = max(qi[m] for m in mids)
+        best_ids = [m for m in mids if qi[m] == best_q]
+        if len(best_ids) > 1:
+            ties_broken += 1
+        r = out[cid]
+        assert r["n_docs"] == len(mids)
+        assert r["keep_doc_id"] == min(best_ids), (cid, mids)
+        assert r["keep_quality"] == best_q / 1e6
+    assert ties_broken > 0  # injected exact dups guarantee real ties
