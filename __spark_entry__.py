@@ -113,6 +113,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_stats": q.q_repetition_stats,
         "paragraph_dedup": q.q_paragraph_dedup,
         "boilerplate_strip": q.q_boilerplate_strip,
+        "url_dedup": q.q_url_dedup,
         "domain_filter": q.q_domain_filter,
         # training-order / chunking / mix rebalance / vocabulary
         "corpus_shuffle": q.q_corpus_shuffle,

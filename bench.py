@@ -57,6 +57,7 @@ BENCH_QUERIES = (
     "sampled_quantiles",
     "boilerplate_strip",
     "curation_funnel",
+    "url_dedup",
 )
 
 

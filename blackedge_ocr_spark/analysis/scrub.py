@@ -266,6 +266,82 @@ def paragraph_dedup(docs: DataFrame) -> DataFrame:
     )
 
 
+# Tracking query parameters dropped by url_canonical (the usual
+# analytics/click-id set). Alternation-only regex — identical
+# semantics in Java regex (Spark) and RE2 (DuckDB).
+TRACKING_PARAM_RE = r"^(utm_[a-z0-9_]*|fbclid|gclid|msclkid|mc_cid|mc_eid)="
+
+
+def url_canonical(col: Column) -> Column:
+    """Canonical form of a URL — the key for URL-level dedup, the
+    FIRST dedup stage crawl pipelines run (before any content hash):
+    lowercased scheme and host, userinfo and default :80/:443 port
+    stripped, FQDN trailing dot stripped, fragment dropped, tracking
+    params (TRACKING_PARAM_RE) removed and the surviving query params
+    SORTED, empty path normalized to '/'. Non-URL input (no scheme or
+    no host) canonicalizes to '' — the no-key convention, matching
+    extract_domain's ''.
+
+    Built from parts (extract scheme / authority / path+query, then
+    rebuild) rather than in-place rewrites, so no lookaround is
+    needed — every regex here is in the Java==RE2 common subset like
+    the PII rules above. Pure zero-shuffle projection.
+    """
+    u = F.trim(F.coalesce(col, F.lit("")))
+    scheme = F.lower(
+        F.regexp_extract(u, r"^([A-Za-z][A-Za-z0-9+.\-]*)://", 1)
+    )
+    rest = F.regexp_replace(u, r"^[A-Za-z][A-Za-z0-9+.\-]*://", "")
+    auth = F.regexp_extract(rest, r"^([^/?#]*)", 1)
+    host = F.lower(F.regexp_replace(auth, r"^[^@]*@", ""))
+    host = F.regexp_replace(host, r":(80|443)$", "")
+    host = F.regexp_replace(host, r"\.+$", "")
+    pe = F.regexp_replace(rest, r"^[^/?#]*", "")
+    pe = F.regexp_replace(pe, r"#.*$", "")
+    path = F.regexp_extract(pe, r"^([^?]*)", 1)
+    path = F.when(path == "", F.lit("/")).otherwise(path)
+    query = F.regexp_extract(pe, r"\?(.*)$", 1)
+    params = F.array_sort(
+        F.filter(
+            F.split(query, "&", -1),
+            lambda p: (p != "") & ~p.rlike(TRACKING_PARAM_RE),
+        )
+    )
+    q2 = F.array_join(params, "&")
+    canon = F.concat(
+        scheme,
+        F.lit("://"),
+        host,
+        path,
+        F.when(q2 == "", F.lit("")).otherwise(F.concat(F.lit("?"), q2)),
+    )
+    return F.when((scheme == "") | (host == ""), F.lit("")).otherwise(canon)
+
+
+def url_dedup(docs: DataFrame) -> DataFrame:
+    """URL-level first-wins dedup over (doc_id, url): per doc the
+    canonical URL and whether this doc is the lowest-id holder of it.
+    Scale shape: canonical key is a per-row projection on the scan;
+    keeper = min hash-agg on the key (map-side combinable — a
+    mirrored URL in 10^9 docs partial-aggregates per task), AQE
+    skew-join back. Same discipline as paragraph_dedup; no window
+    over hot URLs."""
+    staged = docs.select(
+        "doc_id", url_canonical(F.col("url")).alias("canon")
+    )
+    keeper = staged.groupBy("canon").agg(
+        F.min("doc_id").alias("_keep_id")
+    )
+    return (
+        staged.join(keeper, "canon")
+        .select(
+            "doc_id",
+            "canon",
+            (F.col("doc_id") == F.col("_keep_id")).alias("is_keeper"),
+        )
+    )
+
+
 def boilerplate_strip(docs: DataFrame) -> DataFrame:
     """Corpus-frequency boilerplate line removal (the CCNet /
     RefinedWeb navigation-and-footer stage): a line whose exact text

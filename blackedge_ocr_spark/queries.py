@@ -763,6 +763,62 @@ def _url_col(doc_id):
     )
 
 
+def _messy_url(doc_id):
+    """Deterministic messy-URL staging for the canonicalizer: doc 2k
+    and 2k+1 reference the SAME page (page = doc_id // 2, host keyed
+    on page) through different mess — uppercase scheme/host +
+    fragment, userinfo + default port, tracking params, unsorted
+    params, FQDN trailing dot, missing path — so URL dedup has true
+    positives whose canonical forms must collide exactly. Mirrored by
+    sqloracle.messy_url_sql; keep the variant ORDER in lockstep."""
+    from blackedge_ocr_spark.analysis.scrub import URL_HOSTS
+
+    page = F.floor(doc_id / 2).cast("long")
+    host = F.element_at(
+        F.array(*[F.lit(h) for h in URL_HOSTS]),
+        (F.pmod(page, F.lit(len(URL_HOSTS))) + 1).cast("int"),
+    )
+    base = F.concat(
+        F.lit("https://"), host, F.lit("/p/"), page.cast("string")
+    )
+    variants = F.array(
+        base,
+        F.concat(
+            F.lit("HTTPS://"), F.upper(host), F.lit("/p/"),
+            page.cast("string"), F.lit("#frag"),
+        ),
+        F.concat(
+            F.lit("https://u@"), host, F.lit(":443/p/"),
+            page.cast("string"),
+        ),
+        F.concat(base, F.lit("?utm_source=feed&utm_campaign=x")),
+        F.concat(base, F.lit("?b=2&a=1")),
+        F.concat(base, F.lit("?a=1&utm_medium=em&b=2")),
+        F.concat(
+            F.lit("https://"), host, F.lit("./p/"), page.cast("string")
+        ),
+        F.concat(F.lit("https://"), host),
+    )
+    return F.element_at(
+        variants, (F.pmod(doc_id, F.lit(8)) + 1).cast("int")
+    )
+
+
+def q_url_dedup(spark, sf_dir) -> DataFrame:
+    """URL canonicalization + first-wins URL dedup over the
+    messy-URL-staged corpus: variant pairs (clean, +fragment),
+    (userinfo+port, +tracking) and (unsorted, tracking-mixed) must
+    canonicalize identically — their second doc loses the keeper
+    flag; the missing-path variant is its own page and keeps."""
+    from blackedge_ocr_spark.analysis import scrub
+
+    d = _docs(spark, sf_dir)
+    staged = d.select(
+        "doc_id", _messy_url(F.col("doc_id")).alias("url")
+    )
+    return scrub.url_dedup(staged)
+
+
 def q_pii_scan(spark, sf_dir) -> DataFrame:
     """Per-doc PII counts by rule (email/ssn/card/phone/ip) over the
     PII-staged corpus — zero-shuffle regexp projection."""

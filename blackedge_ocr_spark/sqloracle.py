@@ -689,6 +689,7 @@ def build_oracles() -> dict[str, str]:
         "repetition_stats": sql_repetition_stats(),
         "paragraph_dedup": sql_paragraph_dedup(),
         "boilerplate_strip": sql_boilerplate_strip(),
+        "url_dedup": sql_url_dedup(),
         "domain_filter": sql_domain_filter(),
         # training-order / chunking / mix rebalance / vocabulary
         "corpus_shuffle": sql_corpus_shuffle(),
@@ -2020,6 +2021,72 @@ def url_sql(doc: str) -> str:
         f"('https://' || (CASE ({doc} % {len(URL_HOSTS)}){whens} END)"
         f" || '/p/' || {doc}::varchar)"
     )
+
+
+def messy_url_sql(doc: str) -> str:
+    """queries._messy_url mirror — variant order in lockstep."""
+    from blackedge_ocr_spark.analysis.scrub import URL_HOSTS
+
+    page = f"({doc} // 2)"
+    host_whens = "".join(
+        f" WHEN {i} THEN {_sq(h)}" for i, h in enumerate(URL_HOSTS)
+    )
+    host = f"(CASE ({page} % {len(URL_HOSTS)}){host_whens} END)"
+    pv = f"{page}::varchar"
+    base = f"('https://' || {host} || '/p/' || {pv})"
+    return f"""(CASE ({doc} % 8)
+  WHEN 0 THEN {base}
+  WHEN 1 THEN 'HTTPS://' || upper({host}) || '/p/' || {pv} || '#frag'
+  WHEN 2 THEN 'https://u@' || {host} || ':443/p/' || {pv}
+  WHEN 3 THEN {base} || '?utm_source=feed&utm_campaign=x'
+  WHEN 4 THEN {base} || '?b=2&a=1'
+  WHEN 5 THEN {base} || '?a=1&utm_medium=em&b=2'
+  WHEN 6 THEN 'https://' || {host} || './p/' || {pv}
+  ELSE 'https://' || {host}
+END)"""
+
+
+def sql_url_dedup() -> str:
+    """scrub.url_dedup mirror: the same part-wise canonicalization
+    (every regex single-match-at-most, so DuckDB's first-match
+    regexp_replace equals Spark's global one), list_sort ==
+    array_sort on ASCII params, first-wins keeper by min doc_id."""
+    from blackedge_ocr_spark.analysis.scrub import TRACKING_PARAM_RE
+
+    return f"""
+WITH s AS (SELECT doc_id, trim({messy_url_sql('doc_id')}) AS u
+           FROM documents),
+a AS (SELECT doc_id, u,
+        lower(regexp_extract(u, '^([A-Za-z][A-Za-z0-9+.\\-]*)://', 1))
+          AS scheme,
+        regexp_replace(u, '^[A-Za-z][A-Za-z0-9+.\\-]*://', '') AS rest
+      FROM s),
+b AS (SELECT doc_id, scheme,
+        regexp_replace(regexp_replace(
+          lower(regexp_replace(regexp_extract(rest, '^([^/?#]*)', 1),
+                               '^[^@]*@', '')),
+          ':(80|443)$', ''), '\\.+$', '') AS host,
+        regexp_replace(regexp_replace(rest, '^[^/?#]*', ''),
+                       '#.*$', '') AS pe
+      FROM a),
+c AS (SELECT doc_id, scheme, host,
+        CASE WHEN regexp_extract(pe, '^([^?]*)', 1) = '' THEN '/'
+             ELSE regexp_extract(pe, '^([^?]*)', 1) END AS path,
+        coalesce(array_to_string(
+          list_sort(list_filter(
+            str_split(regexp_extract(pe, '\\?(.*)$', 1), '&'),
+            p -> p <> '' AND NOT regexp_matches(p, {_sq(TRACKING_PARAM_RE)})
+          )), '&'), '') AS q2
+      FROM b),
+k AS (SELECT doc_id,
+        CASE WHEN scheme = '' OR host = '' THEN ''
+             ELSE scheme || '://' || host || path ||
+                  (CASE WHEN q2 = '' THEN '' ELSE '?' || q2 END)
+        END AS canon
+      FROM c)
+SELECT doc_id, canon,
+  (doc_id = min(doc_id) OVER (PARTITION BY canon)) AS is_keeper
+FROM k"""
 
 
 def _pii_chain_sql() -> tuple[dict[str, str], str]:

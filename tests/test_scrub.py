@@ -336,3 +336,50 @@ def test_domain_stats_exact_micro_unit_mean(spark):
         ) / 1e6
     )
     assert got["spam-mill.biz"]["mean_quality"] == want
+
+
+def test_url_canonical_normalizations(spark):
+    cases = [
+        # (input, canonical)
+        ("https://Example.COM/p/1", "https://example.com/p/1"),
+        ("HTTPS://HOST.ORG/p/1#frag", "https://host.org/p/1"),
+        ("https://user:pw@host.org:443/p/1", "https://host.org/p/1"),
+        ("http://host.org:80/a", "http://host.org/a"),
+        ("https://host.org./p/1", "https://host.org/p/1"),
+        ("https://host.org", "https://host.org/"),
+        ("https://h.io/p?b=2&a=1", "https://h.io/p?a=1&b=2"),
+        ("https://h.io/p?utm_source=x&a=1&fbclid=y", "https://h.io/p?a=1"),
+        ("https://h.io/p?utm_source=x", "https://h.io/p"),
+        ("no url here", ""),
+        ("", ""),
+        (None, ""),
+        # non-default port and uncommon params survive
+        ("https://h.io:8443/p?z=1", "https://h.io:8443/p?z=1"),
+    ]
+    df = spark.createDataFrame(
+        [Row(doc_id=i, url=u) for i, (u, _) in enumerate(cases)],
+        "doc_id long, url string",
+    )
+    got = {
+        r["doc_id"]: r["c"]
+        for r in df.select(
+            "doc_id", scrub.url_canonical(F.col("url")).alias("c")
+        ).collect()
+    }
+    for i, (u, want) in enumerate(cases):
+        assert got[i] == want, (u, got[i], want)
+
+
+def test_url_dedup_first_wins_on_canonical_collision(spark):
+    df = spark.createDataFrame(
+        [
+            Row(doc_id=0, url="https://h.io/p?b=2&a=1"),
+            Row(doc_id=1, url="HTTPS://H.IO/p?a=1&utm_source=x&b=2#f"),
+            Row(doc_id=2, url="https://h.io/other"),
+        ],
+        "doc_id long, url string",
+    )
+    out = {r["doc_id"]: r for r in scrub.url_dedup(df).collect()}
+    assert out[0]["canon"] == out[1]["canon"] == "https://h.io/p?a=1&b=2"
+    assert out[0]["is_keeper"] and not out[1]["is_keeper"]
+    assert out[2]["is_keeper"]
