@@ -2046,22 +2046,25 @@ def messy_url_sql(doc: str) -> str:
 END)"""
 
 
-def sql_url_dedup() -> str:
-    """scrub.url_dedup mirror: the same part-wise canonicalization
-    (every regex single-match-at-most, so DuckDB's first-match
+def url_canon_sql(src: str, idcol: str, urlexpr: str) -> str:
+    """scrub.url_canonical mirror as a full ``SELECT {idcol}, canon
+    FROM {src}`` query — the same part-wise canonicalization (every
+    regex single-match-at-most, so DuckDB's first-match
     regexp_replace equals Spark's global one), list_sort ==
-    array_sort on ASCII params, first-wins keeper by min doc_id."""
+    array_sort (binary string order in both engines), coalesce
+    around array_to_string (NULL for an empty list in DuckDB where
+    Spark's array_join gives '')."""
     from blackedge_ocr_spark.analysis.scrub import TRACKING_PARAM_RE
 
     return f"""
-WITH s AS (SELECT doc_id, trim({messy_url_sql('doc_id')}) AS u
-           FROM documents),
-a AS (SELECT doc_id, u,
+WITH s AS (SELECT {idcol}, trim({urlexpr}) AS u
+           FROM {src}),
+a AS (SELECT {idcol}, u,
         lower(regexp_extract(u, '^([A-Za-z][A-Za-z0-9+.\\-]*)://', 1))
           AS scheme,
         regexp_replace(u, '^[A-Za-z][A-Za-z0-9+.\\-]*://', '') AS rest
       FROM s),
-b AS (SELECT doc_id, scheme,
+b AS (SELECT {idcol}, scheme,
         regexp_replace(regexp_replace(
           lower(regexp_replace(regexp_extract(rest, '^([^/?#]*)', 1),
                                '^[^@]*@', '')),
@@ -2069,7 +2072,7 @@ b AS (SELECT doc_id, scheme,
         regexp_replace(regexp_replace(rest, '^[^/?#]*', ''),
                        '#.*$', '') AS pe
       FROM a),
-c AS (SELECT doc_id, scheme, host,
+c AS (SELECT {idcol}, scheme, host,
         CASE WHEN regexp_extract(pe, '^([^?]*)', 1) = '' THEN '/'
              ELSE regexp_extract(pe, '^([^?]*)', 1) END AS path,
         coalesce(array_to_string(
@@ -2077,13 +2080,23 @@ c AS (SELECT doc_id, scheme, host,
             str_split(regexp_extract(pe, '\\?(.*)$', 1), '&'),
             p -> p <> '' AND NOT regexp_matches(p, {_sq(TRACKING_PARAM_RE)})
           )), '&'), '') AS q2
-      FROM b),
-k AS (SELECT doc_id,
-        CASE WHEN scheme = '' OR host = '' THEN ''
-             ELSE scheme || '://' || host || path ||
-                  (CASE WHEN q2 = '' THEN '' ELSE '?' || q2 END)
-        END AS canon
-      FROM c)
+      FROM b)
+SELECT {idcol},
+  CASE WHEN scheme = '' OR host = '' THEN ''
+       ELSE scheme || '://' || host || path ||
+            (CASE WHEN q2 = '' THEN '' ELSE '?' || q2 END)
+  END AS canon
+FROM c"""
+
+
+def sql_url_dedup() -> str:
+    """scrub.url_dedup mirror: url_canon_sql over the messy-URL
+    staging, first-wins keeper by min doc_id per canonical."""
+    inner = url_canon_sql(
+        "documents", "doc_id", messy_url_sql("doc_id")
+    )
+    return f"""
+WITH k AS ({inner})
 SELECT doc_id, canon,
   (doc_id = min(doc_id) OVER (PARTITION BY canon)) AS is_keeper
 FROM k"""

@@ -195,3 +195,78 @@ def test_wordrun_duckdb_mirror_fuzz(spark):
         assert got[i]["wc"] == wc, (i, docs[i][1])
         assert list(got[i]["toks"]) == list(toks), (i, docs[i][1])
         assert sorted(got[i]["kt"]) == sorted(kt), (i, docs[i][1])
+
+
+def test_url_canonical_duckdb_mirror_fuzz(spark):
+    """Spark scrub.url_canonical vs the DuckDB url_canon_sql mirror
+    on adversarial URLs: duplicate/valueless/empty params, empty
+    query/fragment, other schemes, non-default ports, userinfo with
+    password, mixed-case everything, percent-encodings, unicode
+    path/params, fragments containing '?', whitespace padding, and
+    non-URLs. Also asserts idempotence: canonicalizing a canonical
+    form is a fixpoint."""
+    import duckdb
+    import pandas as pd
+
+    from blackedge_ocr_spark.analysis.scrub import url_canonical
+    from blackedge_ocr_spark.sqloracle import url_canon_sql
+
+    seeds = [
+        "https://h.io/p?a=1&a=1&b",
+        "https://h.io/p?",
+        "https://h.io/p#",
+        "#only-a-fragment",
+        "ftp://H.IO/x",
+        "https://h.io:8080/p",
+        "http://h.io:80/p",
+        "https://h.io:443/p",
+        "https://u:pw@h.io./p/",
+        "HtTpS://MiXeD.CaSe/PathCase",
+        "https://h.io/p?utm_source=&x=1",
+        "https://h.io/p?&&a=1",
+        "no scheme at all",
+        "",
+        "http://",
+        "https:///path-no-host",
+        "  https://h.io/x  ",
+        "https://h.io/a?b=c#d?e",
+        "https://héllo.io/π?q=λ",
+        "https://h.io/a%20b?x=%7E",
+        "https://h.io/p?gclid=1&fbclid=2&msclkid=3&mc_cid=4&mc_eid=5",
+        "https://h.io/p?utm_=1&utmx=2",  # utm_ prefix rule boundary
+    ]
+    rng = random.Random(20260819)
+    hosts = ["h.io", "A.B.C.example", "x.y.", "u@h.io", "u:p@H.iO:443"]
+    paths = ["", "/", "/p/1", "/A%2FB", "/π"]
+    queries = ["", "?a=1", "?b=2&a=1", "?utm_source=x&z=9", "?a&b=", "#f",
+               "?a=1#f?g"]
+    docs = [(i, s) for i, s in enumerate(seeds)]
+    for i in range(len(seeds), 160):
+        docs.append((
+            i,
+            rng.choice(["https://", "HTTP://", "", "s3://"])
+            + rng.choice(hosts) + rng.choice(paths) + rng.choice(queries),
+        ))
+
+    df = spark.createDataFrame(docs, "id long, url string")
+    got = {
+        r["id"]: r["c"]
+        for r in df.select(
+            "id", url_canonical(F.col("url")).alias("c")
+        ).collect()
+    }
+    # idempotence on the Spark side
+    got2 = {
+        r["id"]: r["c2"]
+        for r in df.select(
+            "id",
+            url_canonical(url_canonical(F.col("url"))).alias("c2"),
+        ).collect()
+    }
+
+    con = duckdb.connect()
+    con.register("urls", pd.DataFrame(docs, columns=["id", "url"]))
+    want = dict(con.sql(url_canon_sql("urls", "id", "url")).fetchall())
+    for i, u in docs:
+        assert got[i] == want[i], (u, got[i], want[i])
+        assert got2[i] == got[i], ("not idempotent", u, got[i], got2[i])
