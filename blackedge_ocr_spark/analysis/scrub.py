@@ -275,12 +275,16 @@ TRACKING_PARAM_RE = r"^(utm_[a-z0-9_]*|fbclid|gclid|msclkid|mc_cid|mc_eid)="
 def url_canonical(col: Column) -> Column:
     """Canonical form of a URL — the key for URL-level dedup, the
     FIRST dedup stage crawl pipelines run (before any content hash):
-    lowercased scheme and host, userinfo and default :80/:443 port
-    stripped, FQDN trailing dot stripped, fragment dropped, tracking
-    params (TRACKING_PARAM_RE) removed and the surviving query params
+    lowercased scheme and host, userinfo stripped (to the LAST '@'),
+    scheme-default port stripped (http:80 / https:443 ONLY — an http
+    service on :443 keeps it), FQDN trailing dot stripped even when a
+    port follows, fragment dropped, tracking params
+    (TRACKING_PARAM_RE) removed and the surviving query params
     SORTED, empty path normalized to '/'. Non-URL input (no scheme or
     no host) canonicalizes to '' — the no-key convention, matching
-    extract_domain's ''.
+    extract_domain's ''. Non-numeric port-ish suffixes after the
+    first ':' of the host are treated as garbage and dropped; IPv6
+    bracket hosts are out of scope.
 
     Built from parts (extract scheme / authority / path+query, then
     rebuild) rather than in-place rewrites, so no lookaround is
@@ -293,9 +297,26 @@ def url_canonical(col: Column) -> Column:
     )
     rest = F.regexp_replace(u, r"^[A-Za-z][A-Za-z0-9+.\-]*://", "")
     auth = F.regexp_extract(rest, r"^([^/?#]*)", 1)
-    host = F.lower(F.regexp_replace(auth, r"^[^@]*@", ""))
-    host = F.regexp_replace(host, r":(80|443)$", "")
-    host = F.regexp_replace(host, r"\.+$", "")
+    # userinfo ends at the LAST '@' (greedy ^.*@ — 'u@p@h.io' is
+    # userinfo 'u@p', same resource as 'p@h.io'; stripping only to
+    # the first '@' would break the canonical fixpoint)
+    hp = F.lower(F.regexp_replace(auth, r"^.*@", ""))
+    # split name:port BEFORE dot-stripping so 'h.io.:8080' loses its
+    # FQDN dot too; anything after the first ':' that is not all
+    # digits is garbage, not a port, and drops (IPv6 bracket hosts
+    # are out of scope, documented)
+    name = F.regexp_replace(
+        F.regexp_extract(hp, r"^([^:]*)", 1), r"\.+$", ""
+    )
+    port = F.regexp_extract(hp, r"^[^:]*:([0-9]+)$", 1)
+    # default ports are scheme-specific: only http:80 and https:443
+    # are identities; an http service genuinely on :443 keeps it
+    default = ((scheme == "http") & (port == "80")) | (
+        (scheme == "https") & (port == "443")
+    )
+    host = F.when(
+        (port == "") | default, name
+    ).otherwise(F.concat(name, F.lit(":"), port))
     pe = F.regexp_replace(rest, r"^[^/?#]*", "")
     pe = F.regexp_replace(pe, r"#.*$", "")
     path = F.regexp_extract(pe, r"^([^?]*)", 1)
@@ -325,7 +346,9 @@ def url_dedup(docs: DataFrame) -> DataFrame:
     keeper = min hash-agg on the key (map-side combinable — a
     mirrored URL in 10^9 docs partial-aggregates per task), AQE
     skew-join back. Same discipline as paragraph_dedup; no window
-    over hot URLs."""
+    over hot URLs. Docs WITHOUT a parseable URL (canon '') are
+    unconditional keepers — '' is the no-key convention, not a real
+    shared URL, and no-URL docs must never dedup against each other."""
     staged = docs.select(
         "doc_id", url_canonical(F.col("url")).alias("canon")
     )
@@ -337,7 +360,10 @@ def url_dedup(docs: DataFrame) -> DataFrame:
         .select(
             "doc_id",
             "canon",
-            (F.col("doc_id") == F.col("_keep_id")).alias("is_keeper"),
+            (
+                (F.col("canon") == "")
+                | (F.col("doc_id") == F.col("_keep_id"))
+            ).alias("is_keeper"),
         )
     )
 

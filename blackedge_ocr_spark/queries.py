@@ -809,7 +809,10 @@ def q_url_dedup(spark, sf_dir) -> DataFrame:
     messy-URL-staged corpus: variant pairs (clean, +fragment),
     (userinfo+port, +tracking) and (unsorted, tracking-mixed) must
     canonicalize identically — their second doc loses the keeper
-    flag; the missing-path variant is its own page and keeps."""
+    flag. The missing-path variant canonicalizes to the host ROOT
+    ('https://host/'), so every variant-7 doc on the same host
+    collides into one root-URL cluster — the mirrored-homepage case,
+    a larger dedup group by design."""
     from blackedge_ocr_spark.analysis import scrub
 
     d = _docs(spark, sf_dir)

@@ -107,6 +107,85 @@ def key_terms_sql(c: str, min_length: int = 3) -> str:
     return f"list_sort(list_distinct({tokens_sql(c, min_length)}))"
 
 
+# --- shared lang-ID / quality fragments -------------------------------
+# ONE definition each for the language-score selects, the argmax CASE
+# and the composite quality formula: these appear in half a dozen
+# oracles (lang_id, quality_scores, doc_features, corpus_curation,
+# curation_funnel, cluster_keeper, domain_stats, lang_confusion,
+# lang_rebalance, quality_sample) and hand-maintained copies WILL
+# drift from textstats.predict_lang / quality_col.
+
+
+def lang_score_sql(ws) -> str:
+    """Stopword-hit count of one language profile over a column named
+    ``toks`` — textstats.lang_scores mirror for a single profile."""
+    return (
+        "len(list_filter(toks, t -> list_contains(["
+        + ", ".join(_sq(w) for w in ws)
+        + "], t)))"
+    )
+
+
+def lang_scores_sel_sql() -> str:
+    """``<score> AS s_<lang>, ...`` select list over ``toks``."""
+    from blackedge_ocr_spark.analysis.textstats import LANG_PROFILES
+
+    return ", ".join(
+        f"{lang_score_sql(ws)} AS s_{lang}" for lang, ws in LANG_PROFILES
+    )
+
+
+def lang_case_sql() -> str:
+    """Argmax CASE over the ``s_<lang>`` columns — priority order
+    breaks ties, all-zero falls to UNKNOWN_LANG (textstats.predict_lang
+    mirror)."""
+    from blackedge_ocr_spark.analysis.textstats import (
+        LANG_PROFILES,
+        UNKNOWN_LANG,
+    )
+
+    names = [lang for lang, _ in LANG_PROFILES]
+    whens = []
+    for lang in names:
+        conds = [f"s_{lang} > 0"] + [
+            f"s_{lang} >= s_{o}" for o in names if o != lang
+        ]
+        whens.append(f"WHEN {' AND '.join(conds)} THEN {_sq(lang)}")
+    return "CASE " + " ".join(whens) + f" ELSE {_sq(UNKNOWN_LANG)} END"
+
+
+def stop_score_sql() -> str:
+    """English-profile stopword hits over ``toks`` (the quality
+    signal's stop count)."""
+    from blackedge_ocr_spark.analysis.textstats import LANG_PROFILES
+
+    return lang_score_sql(LANG_PROFILES[0][1])
+
+
+def measures_sql() -> str:
+    """``n_words, mean_word_len, stop_ratio`` select fragment over a
+    column named ``toks`` — textstats._quality_exprs measures."""
+    return f"""len(toks) AS n_words,
+        CASE WHEN len(toks) > 0
+             THEN list_sum(list_transform(toks, tk -> length(tk)::double))
+                  / len(toks)::double
+             ELSE 0.0 END AS mean_word_len,
+        CASE WHEN len(toks) > 0 THEN ({stop_score_sql()})::double
+                  / len(toks)::double
+             ELSE 0.0 END AS stop_ratio"""
+
+
+QUALITY_RAW_SQL = (
+    "(0.5 * least(n_words::double / 50.0, 1.0) + 0.3 * stop_ratio"
+    " + 0.2 * least(mean_word_len / 8.0, 1.0))"
+)
+# textstats._r6 of the raw composite — the exact engine value
+QUALITY_R6_SQL = f"(floor({QUALITY_RAW_SQL} * 1000000 + 0.5) / 1000000)"
+# exact integer micro-units of the r6 value (q6 is a multiple of 1e-6
+# by construction, so this floor recovers the integer exactly)
+QUALITY_MICRO_SQL = f"floor({QUALITY_R6_SQL} * 1000000 + 0.5)::bigint"
+
+
 def word_count_sql(c: str) -> str:
     return f"len(regexp_extract_all({c}, {_sq(WORDRUN)}))"
 
@@ -1331,28 +1410,11 @@ FROM truth, found"""
 def lang_sel_sql(alias: str = "predicted_lang") -> str:
     """``SELECT doc_id, <lang> FROM documents`` — the textstats
     language-ID mirror, shared by sql_lang_id and sql_lang_rebalance."""
-    from blackedge_ocr_spark.analysis.textstats import LANG_PROFILES, UNKNOWN_LANG
-
     toks = tokens_sql("text")
-    score = lambda ws: (
-        "len(list_filter(toks, t -> list_contains(["
-        + ", ".join(_sq(w) for w in ws)
-        + "], t)))"
-    )
-    names = [lang for lang, _ in LANG_PROFILES]
-    scores = {lang: f"s_{lang}" for lang in names}
-    sel = ", ".join(f"{score(ws)} AS s_{lang}" for lang, ws in LANG_PROFILES)
-    whens = []
-    for lang in names:
-        conds = [f"{scores[lang]} > 0"] + [
-            f"{scores[lang]} >= {scores[o]}" for o in names if o != lang
-        ]
-        whens.append(f"WHEN {' AND '.join(conds)} THEN {_sq(lang)}")
-    case = "CASE " + " ".join(whens) + f" ELSE {_sq(UNKNOWN_LANG)} END"
     return (
         f"WITH t AS (SELECT doc_id, {toks} AS toks FROM documents), "
-        f"s AS (SELECT doc_id, {sel} FROM t) "
-        f"SELECT doc_id, {case} AS {alias} FROM s"
+        f"s AS (SELECT doc_id, {lang_scores_sel_sql()} FROM t) "
+        f"SELECT doc_id, {lang_case_sql()} AS {alias} FROM s"
     )
 
 
@@ -1374,31 +1436,16 @@ FROM n"""
 
 
 def sql_quality_scores() -> str:
-    from blackedge_ocr_spark.analysis.textstats import LANG_PROFILES
-
     toks = tokens_sql("text")
-    stop = (
-        "len(list_filter(toks, t -> list_contains(["
-        + ", ".join(_sq(w) for w in LANG_PROFILES[0][1])
-        + "], t)))"
-    )
     return f"""
 WITH t AS (SELECT doc_id, {toks} AS toks FROM documents),
-m AS (
-  SELECT doc_id, len(toks) AS n_words,
-    CASE WHEN len(toks) > 0
-         THEN list_sum(list_transform(toks, tk -> length(tk)::double)) / len(toks)::double
-         ELSE 0.0 END AS mean_word_len,
-    CASE WHEN len(toks) > 0 THEN ({stop})::double / len(toks)::double
-         ELSE 0.0 END AS stop_ratio
+m AS (SELECT doc_id, {measures_sql()}
   FROM t
 )
 SELECT doc_id, n_words::bigint AS n_words,
   floor(mean_word_len * 1000000 + 0.5) / 1000000 AS mean_word_len,
   floor(stop_ratio * 1000000 + 0.5) / 1000000 AS stopword_ratio,
-  floor((0.5 * least(n_words::double / 50.0, 1.0) + 0.3 * stop_ratio
-         + 0.2 * least(mean_word_len / 8.0, 1.0)) * 1000000 + 0.5)
-    / 1000000 AS quality
+  {QUALITY_R6_SQL} AS quality
 FROM m"""
 
 
@@ -1676,45 +1723,25 @@ JOIN groups g ON h.content_hash = g.content_hash
 
 
 def sql_corpus_curation() -> str:
-    from blackedge_ocr_spark.analysis.textstats import LANG_PROFILES, UNKNOWN_LANG
-
     flags = d_flags_sql("text")
     clean = "NOT (" + " OR ".join(flags.values()) + ")"
     toks = tokens_sql("text")
-    score = lambda ws: (
-        "len(list_filter(toks, t -> list_contains(["
-        + ", ".join(_sq(w) for w in ws)
-        + "], t)))"
-    )
-    names = [lang for lang, _ in LANG_PROFILES]
-    sel = ", ".join(f"{score(ws)} AS s_{lang}" for lang, ws in LANG_PROFILES)
-    whens = []
-    for lang in names:
-        conds = [f"s_{lang} > 0"] + [
-            f"s_{lang} >= s_{o}" for o in names if o != lang
-        ]
-        whens.append(f"WHEN {' AND '.join(conds)} THEN {_sq(lang)}")
-    lang_case = "CASE " + " ".join(whens) + f" ELSE {_sq(UNKNOWN_LANG)} END"
-    stop_en = score(LANG_PROFILES[0][1])
+    # quality via the shared floor micro-round (QUALITY_R6_SQL) — the
+    # exact _r6 the engine computes; the earlier round(...,6) form
+    # agreed only when no value sat on a .5 boundary in binary.
     return f"""
 WITH t AS (SELECT doc_id, source, text, {toks} AS toks FROM documents),
-s AS (SELECT doc_id, source, text, toks, {sel} FROM t),
+s AS (SELECT doc_id, source, text, toks, {lang_scores_sel_sql()} FROM t),
 m AS (
   SELECT doc_id, source, text,
-    ({lang_case}) AS lang_pred,
-    len(toks) AS n_words,
-    CASE WHEN len(toks) > 0
-         THEN list_sum(list_transform(toks, tk -> length(tk)::double)) / len(toks)::double
-         ELSE 0.0 END AS mean_word_len,
-    CASE WHEN len(toks) > 0 THEN ({stop_en})::double / len(toks)::double
-         ELSE 0.0 END AS stop_ratio
+    ({lang_case_sql()}) AS lang_pred,
+    {measures_sql()}
   FROM s
 ),
 k AS (
   SELECT doc_id, source,
     (({clean}) AND lang_pred = 'en' AND
-     round(0.5 * least(n_words::double / 50.0, 1.0) + 0.3 * stop_ratio
-           + 0.2 * least(mean_word_len / 8.0, 1.0), 6) >= 0.5) AS keep
+     {QUALITY_R6_SQL} >= 0.5) AS keep
   FROM m
 )
 SELECT source, count(*)::bigint AS n_docs,
@@ -1731,35 +1758,12 @@ def sql_curation_funnel() -> str:
     doc_id is distinct per group.
     Quality threshold through the shared floor(x*1e6+0.5)/1e6
     micro-round (textstats._r6)."""
-    from blackedge_ocr_spark.analysis.textstats import LANG_PROFILES, UNKNOWN_LANG
-
     h = f"md5({normalize_for_comparison_sql('text')})"
     flags = d_flags_sql("text")
     clean = "NOT (" + " OR ".join(flags.values()) + ")"
     toks = tokens_sql("text")
-    score = lambda ws: (
-        "len(list_filter(toks, t -> list_contains(["
-        + ", ".join(_sq(w) for w in ws)
-        + "], t)))"
-    )
-    names = [lang for lang, _ in LANG_PROFILES]
-    sel = ", ".join(f"{score(ws)} AS s_{lang}" for lang, ws in LANG_PROFILES)
-    whens = []
-    for lang in names:
-        conds = [f"s_{lang} > 0"] + [
-            f"s_{lang} >= s_{o}" for o in names if o != lang
-        ]
-        whens.append(f"WHEN {' AND '.join(conds)} THEN {_sq(lang)}")
-    lang_case = "CASE " + " ".join(whens) + f" ELSE {_sq(UNKNOWN_LANG)} END"
-    stop_en = score(LANG_PROFILES[0][1])
     cnt, _ = _pii_chain_sql()
     pii_total = " + ".join(cnt.values())
-    quality = (
-        "floor((0.5 * least(n_words::double / 50.0, 1.0)"
-        " + 0.3 * stop_ratio"
-        " + 0.2 * least(mean_word_len / 8.0, 1.0)) * 1000000 + 0.5)"
-        " / 1000000"
-    )
     return f"""
 WITH {DUP_CORPUS},
 src AS (SELECT doc_id, {h} AS h,
@@ -1767,18 +1771,12 @@ src AS (SELECT doc_id, {h} AS h,
         FROM corpus),
 t AS (SELECT doc_id, h, text, {toks} AS toks FROM src),
 m AS (SELECT doc_id, h, text,
-        {sel},
-        len(toks) AS n_words,
-        CASE WHEN len(toks) > 0
-             THEN list_sum(list_transform(toks, tk -> length(tk)::double))
-                  / len(toks)::double
-             ELSE 0.0 END AS mean_word_len,
-        CASE WHEN len(toks) > 0 THEN ({stop_en})::double / len(toks)::double
-             ELSE 0.0 END AS stop_ratio
+        {lang_scores_sel_sql()},
+        {measures_sql()}
       FROM t),
 f AS (SELECT doc_id, h,
-        (({lang_case}) = 'en') AS en,
-        ({quality} >= 0.5) AS gq,
+        (({lang_case_sql()}) = 'en') AS en,
+        ({QUALITY_R6_SQL} >= 0.5) AS gq,
         ({clean}) AS cl,
         (({pii_total}) = 0) AS pf
       FROM m),
@@ -2064,14 +2062,21 @@ a AS (SELECT {idcol}, u,
           AS scheme,
         regexp_replace(u, '^[A-Za-z][A-Za-z0-9+.\\-]*://', '') AS rest
       FROM s),
-b AS (SELECT {idcol}, scheme,
-        regexp_replace(regexp_replace(
-          lower(regexp_replace(regexp_extract(rest, '^([^/?#]*)', 1),
-                               '^[^@]*@', '')),
-          ':(80|443)$', ''), '\\.+$', '') AS host,
+b0 AS (SELECT {idcol}, scheme,
+        lower(regexp_replace(regexp_extract(rest, '^([^/?#]*)', 1),
+                             '^.*@', '')) AS hp,
         regexp_replace(regexp_replace(rest, '^[^/?#]*', ''),
                        '#.*$', '') AS pe
       FROM a),
+b AS (SELECT {idcol}, scheme, pe,
+        (CASE WHEN port = '' OR (scheme = 'http' AND port = '80')
+                   OR (scheme = 'https' AND port = '443')
+              THEN name ELSE name || ':' || port END) AS host
+      FROM (SELECT {idcol}, scheme, pe,
+              regexp_replace(regexp_extract(hp, '^([^:]*)', 1),
+                             '\\.+$', '') AS name,
+              regexp_extract(hp, '^[^:]*:([0-9]+)$', 1) AS port
+            FROM b0) hb),
 c AS (SELECT {idcol}, scheme, host,
         CASE WHEN regexp_extract(pe, '^([^?]*)', 1) = '' THEN '/'
              ELSE regexp_extract(pe, '^([^?]*)', 1) END AS path,
@@ -2098,7 +2103,8 @@ def sql_url_dedup() -> str:
     return f"""
 WITH k AS ({inner})
 SELECT doc_id, canon,
-  (doc_id = min(doc_id) OVER (PARTITION BY canon)) AS is_keeper
+  (canon = '' OR doc_id = min(doc_id) OVER (PARTITION BY canon))
+    AS is_keeper
 FROM k"""
 
 
@@ -2285,33 +2291,16 @@ def sql_cluster_keeper_quality() -> str:
     clusters (sql_dedup_clusters as a subquery), the SAME packed long
     max (qi * 4e12 + (4e12-1-doc_id)) and the same decode — argmax by
     quality, min-id tie-break, all exact integer arithmetic."""
-    from blackedge_ocr_spark.analysis.textstats import LANG_PROFILES
     from blackedge_ocr_spark.queries import KEEPER_SHIFT
 
     toks = tokens_sql("text")
-    stop = (
-        "len(list_filter(toks, t -> list_contains(["
-        + ", ".join(_sq(w) for w in LANG_PROFILES[0][1])
-        + "], t)))"
-    )
     clusters = sql_dedup_clusters()
     return f"""
 WITH {DUP_CORPUS},
 t AS (SELECT doc_id, {toks} AS toks FROM corpus),
-m AS (SELECT doc_id, len(toks) AS n_words,
-        CASE WHEN len(toks) > 0
-             THEN list_sum(list_transform(toks, tk -> length(tk)::double))
-                  / len(toks)::double
-             ELSE 0.0 END AS mean_word_len,
-        CASE WHEN len(toks) > 0 THEN ({stop})::double / len(toks)::double
-             ELSE 0.0 END AS stop_ratio
+m AS (SELECT doc_id, {measures_sql()}
       FROM t),
-q AS (SELECT doc_id,
-        floor(floor((0.5 * least(n_words::double / 50.0, 1.0)
-                     + 0.3 * stop_ratio
-                     + 0.2 * least(mean_word_len / 8.0, 1.0))
-                    * 1000000 + 0.5) / 1000000 * 1000000 + 0.5)::bigint
-          AS qi
+q AS (SELECT doc_id, {QUALITY_MICRO_SQL} AS qi
       FROM m),
 c AS (SELECT doc_id, cluster_id FROM ({clusters}) walk_out),
 p AS (SELECT c.cluster_id,
@@ -2714,31 +2703,18 @@ FROM cm GROUP BY doc_id, seq_id"""
 def sql_quality_sample() -> str:
     """textstats.quality_sample mirror: same r6 quality composite as
     sql_quality_scores, same seeded 24-bit hex threshold."""
-    from blackedge_ocr_spark.analysis.textstats import LANG_PROFILES, QS_SEED
+    from blackedge_ocr_spark.analysis.textstats import QS_SEED
 
     toks = tokens_sql("text")
-    stop = (
-        "len(list_filter(toks, t -> list_contains(["
-        + ", ".join(_sq(w) for w in LANG_PROFILES[0][1])
-        + "], t)))"
-    )
     h = f"substr(md5({_sq(QS_SEED + ':')} || doc_id::varchar), 1, 6)"
     return f"""
 WITH t AS (SELECT doc_id, source, {toks} AS toks FROM documents),
 m AS (
-  SELECT doc_id, source, len(toks) AS n_words,
-    CASE WHEN len(toks) > 0
-         THEN list_sum(list_transform(toks, tk -> length(tk)::double)) / len(toks)::double
-         ELSE 0.0 END AS mean_word_len,
-    CASE WHEN len(toks) > 0 THEN ({stop})::double / len(toks)::double
-         ELSE 0.0 END AS stop_ratio
+  SELECT doc_id, source, {measures_sql()}
   FROM t
 ),
 q AS (
-  SELECT doc_id, source,
-    floor((0.5 * least(n_words::double / 50.0, 1.0) + 0.3 * stop_ratio
-           + 0.2 * least(mean_word_len / 8.0, 1.0)) * 1000000 + 0.5)
-      / 1000000 AS q6
+  SELECT doc_id, source, {QUALITY_R6_SQL} AS q6
   FROM m
 ),
 k AS (
@@ -2845,49 +2821,22 @@ def sql_doc_features() -> str:
     fragments (lang argmax, quality composite, token counts, PII
     chain) composed over ONE staged text — the engine's fused
     projection recomputed piecewise."""
-    from blackedge_ocr_spark.analysis.textstats import (
-        BPE_PATTERN,
-        LANG_PROFILES,
-        UNKNOWN_LANG,
-    )
+    from blackedge_ocr_spark.analysis.textstats import BPE_PATTERN
 
     toks = tokens_sql("text")
     norm = norm_sql("text")
-    score = lambda ws: (
-        "len(list_filter(toks, t -> list_contains(["
-        + ", ".join(_sq(w) for w in ws)
-        + "], t)))"
-    )
-    names = [lang for lang, _ in LANG_PROFILES]
-    sel = ", ".join(f"{score(ws)} AS s_{lang}" for lang, ws in LANG_PROFILES)
-    whens = []
-    for lang in names:
-        conds = [f"s_{lang} > 0"] + [
-            f"s_{lang} >= s_{o}" for o in names if o != lang
-        ]
-        whens.append(f"WHEN {' AND '.join(conds)} THEN {_sq(lang)}")
-    lang_case = "CASE " + " ".join(whens) + f" ELSE {_sq(UNKNOWN_LANG)} END"
-    stop = score(LANG_PROFILES[0][1])
     cnt, _ = _pii_chain_sql()
     pii_total = " + ".join(cnt.values())
     return f"""
 WITH src AS (SELECT doc_id, {pii_text_sql('doc_id', 'text')} AS text
              FROM documents),
 t AS (SELECT doc_id, text, {toks} AS toks, {norm} AS norm FROM src),
-m AS (SELECT doc_id, text, toks, norm, {sel},
-        len(toks) AS n_words,
-        CASE WHEN len(toks) > 0
-             THEN list_sum(list_transform(toks, tk -> length(tk)::double))
-                  / len(toks)::double
-             ELSE 0.0 END AS mean_word_len,
-        CASE WHEN len(toks) > 0 THEN ({stop})::double / len(toks)::double
-             ELSE 0.0 END AS stop_ratio
+m AS (SELECT doc_id, text, toks, norm, {lang_scores_sel_sql()},
+        {measures_sql()}
       FROM t)
 SELECT doc_id,
-  {lang_case} AS lang,
-  floor((0.5 * least(n_words::double / 50.0, 1.0) + 0.3 * stop_ratio
-         + 0.2 * least(mean_word_len / 8.0, 1.0)) * 1000000 + 0.5)
-    / 1000000 AS quality,
+  {lang_case_sql()} AS lang,
+  {QUALITY_R6_SQL} AS quality,
   (CASE WHEN length(norm) = 0 THEN 0
         ELSE len(str_split(norm, ' ')) END)::bigint AS ws_tokens,
   len(regexp_extract_all(norm, {_sq(BPE_PATTERN)}))::bigint AS bpe_tokens,
@@ -2918,35 +2867,19 @@ def sql_domain_stats() -> str:
     """scrub.domain_stats mirror: identical micro-unit quality sum
     (order-free long arithmetic) and host extraction."""
     from blackedge_ocr_spark.analysis.scrub import BLOCKED_DOMAINS, DOMAIN_RE
-    from blackedge_ocr_spark.analysis.textstats import LANG_PROFILES
 
     toks = tokens_sql("text")
-    stop = (
-        "len(list_filter(toks, t -> list_contains(["
-        + ", ".join(_sq(w) for w in LANG_PROFILES[0][1])
-        + "], t)))"
-    )
     blocked = ", ".join(_sq(d) for d in BLOCKED_DOMAINS)
     return f"""
 WITH s AS (SELECT {url_sql('doc_id')} AS url, text FROM documents),
 t AS (SELECT url, {toks} AS toks FROM s),
-m AS (SELECT url, len(toks) AS n_words,
-        CASE WHEN len(toks) > 0
-             THEN list_sum(list_transform(toks, tk -> length(tk)::double))
-                  / len(toks)::double
-             ELSE 0.0 END AS mean_word_len,
-        CASE WHEN len(toks) > 0 THEN ({stop})::double / len(toks)::double
-             ELSE 0.0 END AS stop_ratio
+m AS (SELECT url, {measures_sql()}
       FROM t),
 q AS (SELECT
         regexp_replace(
           regexp_extract(lower(url), {_sq(DOMAIN_RE)}, 1),
           '\\.+$', '') AS domain,
-        floor(floor((0.5 * least(n_words::double / 50.0, 1.0)
-                     + 0.3 * stop_ratio
-                     + 0.2 * least(mean_word_len / 8.0, 1.0))
-                    * 1000000 + 0.5) / 1000000 * 1000000 + 0.5)::bigint
-          AS qi
+        {QUALITY_MICRO_SQL} AS qi
       FROM m)
 SELECT domain, count(*)::bigint AS n_docs,
   floor(sum(qi)::double / (count(*)::double * 1000000.0)
@@ -3088,15 +3021,8 @@ def sql_quality_classifier() -> str:
         LR_RATE,
         LR_X1_SCALE,
     )
-    from blackedge_ocr_spark.analysis.textstats import LANG_PROFILES
-
     toks = tokens_sql("text")
     norm = norm_sql("text")
-    stop = (
-        "len(list_filter(toks, t -> list_contains(["
-        + ", ".join(_sq(w) for w in LANG_PROFILES[0][1])
-        + "], t)))"
-    )
     ws = (
         f"(CASE WHEN length(norm) = 0 THEN 0 "
         f"ELSE len(str_split(norm, ' ')) END)::bigint"
@@ -3130,22 +3056,14 @@ def sql_quality_classifier() -> str:
 WITH l AS ({lang_sel_sql('lang')}),
 t AS (SELECT doc_id, {toks} AS toks, {norm} AS norm FROM documents),
 m AS (
-  SELECT doc_id, len(toks) AS n_words, {ws} AS ws,
-    CASE WHEN len(toks) > 0
-         THEN list_sum(list_transform(toks, tk -> length(tk)::double))
-              / len(toks)::double
-         ELSE 0.0 END AS mean_word_len,
-    CASE WHEN len(toks) > 0 THEN ({stop})::double / len(toks)::double
-         ELSE 0.0 END AS stop_ratio
+  SELECT doc_id, {ws} AS ws, {measures_sql()}
   FROM t
 ),
 f AS (
   SELECT m.doc_id,
     CASE WHEN l.lang = {_sq(LR_POS_LANG)} THEN 1.0 ELSE 0.0 END AS y,
     least(ws::double / {LR_X1_SCALE!r}, 1.0) AS x1,
-    floor((0.5 * least(n_words::double / 50.0, 1.0) + 0.3 * stop_ratio
-           + 0.2 * least(mean_word_len / 8.0, 1.0)) * 1000000 + 0.5)
-      / 1000000 AS x2
+    {QUALITY_R6_SQL} AS x2
   FROM m JOIN l USING (doc_id)
 ),
 w0 AS (SELECT 0::bigint AS w0_u, 0::bigint AS w1_u, 0::bigint AS w2_u),

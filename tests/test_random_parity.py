@@ -234,6 +234,10 @@ def test_url_canonical_duckdb_mirror_fuzz(spark):
         "https://h.io/a%20b?x=%7E",
         "https://h.io/p?gclid=1&fbclid=2&msclkid=3&mc_cid=4&mc_eid=5",
         "https://h.io/p?utm_=1&utmx=2",  # utm_ prefix rule boundary
+        "https://a@b@h.io/x",            # double '@' userinfo
+        "https://h.io.:8080/x",          # FQDN dot before a port
+        "http://h.io:443/x",             # non-default port for scheme
+        "https://h.io:80:90/x",          # garbage port-ish suffix
     ]
     rng = random.Random(20260819)
     hosts = ["h.io", "A.B.C.example", "x.y.", "u@h.io", "u:p@H.iO:443"]

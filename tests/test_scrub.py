@@ -355,6 +355,14 @@ def test_url_canonical_normalizations(spark):
         (None, ""),
         # non-default port and uncommon params survive
         ("https://h.io:8443/p?z=1", "https://h.io:8443/p?z=1"),
+        # default ports are scheme-specific: http on :443 (and https
+        # on :80) are REAL ports and survive
+        ("http://h.io:443/x", "http://h.io:443/x"),
+        ("https://h.io:80/x", "https://h.io:80/x"),
+        # userinfo strips to the LAST '@' (fixpoint property)
+        ("https://u@p@h.io/x", "https://h.io/x"),
+        # FQDN dot strips even when a port follows
+        ("https://h.io.:8080/x", "https://h.io:8080/x"),
     ]
     df = spark.createDataFrame(
         [Row(doc_id=i, url=u) for i, (u, _) in enumerate(cases)],

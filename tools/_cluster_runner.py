@@ -27,12 +27,16 @@ EXEC_CORES = 2
 
 
 def _engine_zip() -> str:
+    # Rebuilt EVERY run (cheap — a few hundred KB of .py): a cached
+    # zip would silently ship stale engine code to executors after a
+    # source edit, attributing measurements to code that didn't run.
     path = "/tmp/engine_cluster.zip"
-    if not os.path.exists(path):
-        subprocess.run(
-            ["zip", "-qr", path, "blackedge_ocr_spark"],
-            cwd=REPO, check=True,
-        )
+    if os.path.exists(path):
+        os.unlink(path)
+    subprocess.run(
+        ["zip", "-qr", path, "blackedge_ocr_spark"],
+        cwd=REPO, check=True,
+    )
     return path
 
 
