@@ -227,3 +227,43 @@ def test_bpe_pairs_match_python_counter(spark, docs):
         assert got == dict(want)
     else:
         assert all(got[p] == want[p] for p in got)
+
+
+line_soup = st.lists(
+    st.sampled_from(["nav", "footer", "own", "x", "", "a b", "?"]),
+    min_size=0,
+    max_size=6,
+)
+
+
+@given(docs=st.lists(line_soup, min_size=1, max_size=24))
+@SLOW
+def test_boilerplate_strip_matches_python_model(spark, docs):
+    """boilerplate_strip == the obvious python model: count DISTINCT
+    docs per exact line, drop every occurrence of lines at or over
+    the threshold, reassemble in order."""
+    import hashlib
+    from collections import defaultdict
+
+    from blackedge_ocr_spark.analysis.scrub import (
+        BOILERPLATE_MIN_DOCS,
+        boilerplate_strip,
+    )
+
+    rows = [(i, "\n".join(lines)) for i, lines in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in boilerplate_strip(df).collect()}
+
+    df_count = defaultdict(set)
+    for i, text in rows:
+        for line in text.split("\n"):
+            df_count[line].add(i)
+    hot = {l for l, ds in df_count.items() if len(ds) >= BOILERPLATE_MIN_DOCS}
+    for i, text in rows:
+        lines = text.split("\n")
+        kept = [l for l in lines if l not in hot]
+        r = got[i]
+        assert r["n_lines"] == len(lines)
+        assert r["n_kept"] == len(kept)
+        want = hashlib.md5("\n".join(kept).encode()).hexdigest()
+        assert r["kept_md5"] == want, (i, lines, kept)
