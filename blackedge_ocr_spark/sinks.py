@@ -208,3 +208,96 @@ def write_bucketed(
         .sortBy(key)
         .saveAsTable(table)
     )
+
+
+def _shard_stats(df: DataFrame):
+    """Per-shard (n_docs, n_tokens, checksum) aggregate over a frame
+    with (shard, doc_id, text). The checksum is ORDER-FREE — a
+    decimal(38,0) sum of a 60-bit md5 prefix of 'doc_id:text' — so
+    shards written by different task layouts (or merged across
+    resumed writes) reproduce it exactly; tokens are the guarded
+    whitespace count (empty text costs 0)."""
+    ws = F.when(F.length("text") == 0, F.lit(0)).otherwise(
+        F.size(F.split(F.col("text"), " "))
+    ).cast("long")
+    chk = F.conv(
+        F.substring(
+            F.md5(F.concat_ws(":", F.col("doc_id"), F.col("text"))), 1, 15
+        ),
+        16,
+        10,
+    ).cast("decimal(38,0)")
+    return df.groupBy("shard").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum(ws).alias("n_tokens"),
+        F.sum(chk).cast("decimal(38,0)").alias("checksum"),
+    )
+
+
+def write_training_shards(assigned: DataFrame, path: str) -> dict:
+    """Training-shard sink — the deliverable of the assembly chain:
+    the shuffled corpus (corpusops.corpus_shuffle output joined with
+    its payload: shard, pos, doc_id, text) lands parquet-partitioned
+    by shard (each shard read back ordered by pos IS the training
+    order), with a ``_manifest.json`` next to the data (the
+    underscore prefix keeps Spark's parquet reader from treating it
+    as data) recording per-shard doc counts, token sums and the
+    order-free content checksum plus totals. Returns the manifest.
+
+    Scale shape: the stats pass is ONE combinable hash agg on shard
+    (256 rows reach the driver — bounded regardless of corpus size);
+    the write itself is the partitionBy parquet pattern every shard
+    store (and the Iceberg swap per ADR-1) uses. The manifest is what
+    makes the artifact consumable without trust: a dataloader fleet
+    (or a resumed writer) runs ``verify_training_shards`` before
+    training instead of discovering truncation mid-epoch.
+    """
+    stats = {
+        r["shard"]: {
+            "n_docs": r["n_docs"],
+            "n_tokens": r["n_tokens"],
+            "checksum": str(r["checksum"]),
+        }
+        for r in _shard_stats(assigned).collect()
+    }
+    assigned.write.mode("overwrite").partitionBy("shard").parquet(path)
+    manifest = {
+        "shards": stats,
+        "n_shards": len(stats),
+        "n_docs": sum(s["n_docs"] for s in stats.values()),
+        "n_tokens": sum(s["n_tokens"] for s in stats.values()),
+    }
+    with open(f"{path.rstrip('/')}/_manifest.json", "w") as f:
+        json.dump(manifest, f, indent=1, sort_keys=True)
+    return manifest
+
+
+def verify_training_shards(spark, path: str) -> dict:
+    """Integrity check of a shard store against its manifest: re-derive
+    every per-shard statistic from the written files and report
+    missing/extra/mismatching shards. Returns {"ok": bool,
+    "missing": [...], "extra": [...], "mismatched": [...]}.
+    The checksum's order-freeness makes this pass/fail exact — not a
+    row-count heuristic: one flipped byte in one doc flips a shard's
+    checksum."""
+    with open(f"{path.rstrip('/')}/_manifest.json") as f:
+        manifest = json.load(f)
+    got = {
+        r["shard"]: (r["n_docs"], r["n_tokens"], str(r["checksum"]))
+        for r in _shard_stats(spark.read.parquet(path)).collect()
+    }
+    want = {
+        s: (v["n_docs"], v["n_tokens"], v["checksum"])
+        for s, v in manifest["shards"].items()
+    }
+    missing = sorted(set(want) - set(got))
+    extra = sorted(set(got) - set(want))
+    mismatched = sorted(
+        s for s in set(want) & set(got) if want[s] != got[s]
+    )
+    return {
+        "ok": not (missing or extra or mismatched),
+        "missing": missing,
+        "extra": extra,
+        "mismatched": mismatched,
+    }
