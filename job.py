@@ -71,6 +71,15 @@ def main(argv=None) -> int:
             *[F.sum(c).alias(c)
               for c in ("n_docs", "n_spans", "n_problem_docs", "n_errors")]
         ).collect()[0].asDict()
+        # compute wall = sum of per-batch walls (batch_wall_sec is
+        # identical on every bucket row of a batch — distinct first).
+        # Excludes JVM/session startup; cumulative across resumed
+        # runs sharing this output dir.
+        wall = (
+            lineage.select("batch", "batch_wall_sec").distinct()
+            .agg(F.sum("batch_wall_sec")).collect()[0][0]
+        )
+        summary["wall_s"] = round(float(wall), 3)
     except AnalysisException as e:
         if (e.getErrorClass() or "") != "PATH_NOT_FOUND":
             raise

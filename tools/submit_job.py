@@ -62,6 +62,12 @@ def submit(zpath: str, scratch: str, out: str, extra: list[str]) -> dict:
         "--output", out,
         "--n-buckets", "8",
         "--buckets-per-batch", "2",
+        # job.py must receive the master EXPLICITLY: build_session
+        # falls back to local[n] when none is passed, which would
+        # silently override spark-submit's --master and run the
+        # whole job in-process (caught by checking the standalone
+        # master's log for the app registration).
+        "--master", MASTER,
     ] + extra
     r = subprocess.run(
         cmd, capture_output=True, text=True, cwd=scratch, check=True
