@@ -136,6 +136,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk": q.q_bm25_topk,
         "cooccur_pmi": q.q_cooccur_pmi,
         "quality_classifier": q.q_quality_classifier,
+        # tokenizer training loop + exact substring dedup
+        "bpe_train": q.q_bpe_train,
+        "bpe_encode": q.q_bpe_encode,
+        "substring_dedup": q.q_substring_dedup,
     }
     return out
 

@@ -499,3 +499,156 @@ def domain_stats(docs: DataFrame) -> DataFrame:
             F.col("domain").isin(*BLOCKED_DOMAINS).alias("blocked"),
         )
     )
+
+
+# --- exact substring-duplication (Lee et al. 2022 style) --------------
+
+# Token width of the duplicate-detection grams. Lee et al. use a
+# 50-token threshold on real corpora; 8 keeps the synthetic testdata's
+# natural + injected duplicate runs detectable.
+SUB_GRAM_K = 8
+# Injected "quoting" stratum: every QUOTE_EVERY-th doc gets a synthetic
+# citing document that reproduces QUOTE_WIDTH of its tokens verbatim
+# (from 1-based token QUOTE_START) behind a unique preamble — the
+# deterministic cross-document duplicated substring the detector must
+# find. Offset disjoint from dedup.DUP_ID_OFFSET's stratum.
+QUOTE_ID_OFFSET = 2 * 10**12
+QUOTE_EVERY = 10
+QUOTE_START = 6
+QUOTE_WIDTH = 19
+
+
+def with_quote_injection(docs: DataFrame, every: int = QUOTE_EVERY) -> DataFrame:
+    """Corpus + synthetic quoting docs (see QUOTE_* above). The quote
+    is built from the NORMALIZED token stream, so re-tokenizing the
+    injected doc reproduces the source's token slice exactly."""
+    toks = tokens(F.col("text"))
+    quote = F.concat_ws(
+        " ", F.slice(toks, QUOTE_START, QUOTE_WIDTH)
+    )
+    q = docs.filter(F.col("doc_id") % every == 0).select(
+        (F.col("doc_id") + F.lit(QUOTE_ID_OFFSET)).alias("doc_id"),
+        F.concat(F.lit("quoted passage follows "), quote).alias("text"),
+    )
+    return docs.select("doc_id", "text").unionByName(q)
+
+
+def substring_dedup(docs: DataFrame, k: int = SUB_GRAM_K) -> DataFrame:
+    """Exact substring-duplication removal — the Lee et al. 2022
+    "Deduplicating Training Data Makes Language Models Better" stage:
+    any k-token run whose exact text occurs MORE THAN ONCE anywhere in
+    the corpus (another doc or the same doc) marks its k positions
+    duplicated; overlapping marks merge into maximal runs, and the doc
+    keeps only tokens outside every run. Returns per-doc
+    (n_tokens, dup_tokens, dup_frac, n_runs, kept_md5) where kept_md5
+    fingerprints the deduplicated text in original token order.
+
+    This is the suffix-array stage of the paper re-expressed in
+    relational form: fixed-k gram occurrence counting is exactly the
+    k-prefix bucketing of the suffix array, and the interval union
+    reproduces its maximal-match coalescing for matches >= k.
+
+    Shape at scale: posexplode gram starts -> combinable hash agg on
+    the gram hash (map-side combine absorbs hot grams) -> the ids-only
+    duplicate set joins BACK on the hash (inner, AQE skew-split; only
+    (doc_id, position) pairs shuffle — never gram text) -> per-doc
+    collect of DUPLICATE positions only (rare at real dup rates) ->
+    the interval fold and token filtering run in-array, zero further
+    shuffle. The corpus token arrays are scanned twice (gram pass +
+    reassembly join) — at 100 TB the staged-candidates discipline
+    (analysis/dedup.py) applies: persist/write the exploded gram table
+    once if the lineage recompute dominates.
+
+    Reference analog: none (per-doc service) — extends the engine per
+    the training-data-pipeline brief.
+    """
+    corpus = with_quote_injection(docs)
+    t = corpus.select("doc_id", tokens(F.col("text")).alias("toks"))
+    n = F.size("toks")
+    starts = F.when(
+        n >= k, F.sequence(F.lit(1), n - k + 1)
+    ).otherwise(F.array().cast("array<int>"))
+    # Staged once (the dup_ngrams / LSH candidate discipline): the
+    # gram table feeds BOTH the count agg and the join-back — without
+    # the persist each side re-runs tokenize+slice+md5 over the
+    # corpus. MEMORY_AND_DISK + LRU-evictable; at 100 TB this becomes
+    # a scratch-table write.
+    ex = (
+        t.select("doc_id", "toks", F.explode(starts).alias("p"))
+        .select(
+            "doc_id",
+            "p",
+            F.md5(
+                F.concat_ws(" ", F.slice(F.col("toks"), F.col("p"), k))
+            ).alias("g"),
+        )
+        .persist()
+    )
+    dup = (
+        ex.groupBy("g")
+        .agg(F.count("*").alias("cnt"))
+        .filter(F.col("cnt") >= 2)
+        .select("g")
+    )
+    perdoc = (
+        ex.join(dup, "g")
+        .groupBy("doc_id")
+        .agg(F.array_sort(F.collect_list("p")).alias("ps"))
+    )
+    j = t.join(perdoc, "doc_id", "left").select(
+        "doc_id",
+        "toks",
+        F.coalesce(F.col("ps"), F.array().cast("array<int>")).alias("ps"),
+    )
+    iv_t = "array<struct<s:int,e:int>>"
+    last = lambda acc: F.element_at(acc, -1)  # noqa: E731
+    ivs = F.aggregate(
+        F.col("ps"),
+        F.array().cast(iv_t),
+        lambda acc, p: F.when(
+            (F.size(acc) > 0) & (p <= last(acc)["e"]),
+            F.concat(
+                F.slice(acc, 1, F.size(acc) - 1),
+                F.array(
+                    F.struct(
+                        last(acc)["s"].alias("s"),
+                        F.greatest(last(acc)["e"], p + k).alias("e"),
+                    )
+                ),
+            ),
+        ).otherwise(
+            F.concat(
+                acc,
+                F.array(
+                    F.struct(p.alias("s"), (p + k).alias("e"))
+                ),
+            )
+        ),
+    )
+    staged = j.select("doc_id", "toks", ivs.alias("ivs"))
+    kept = F.filter(
+        F.col("toks"),
+        lambda x, i: ~F.exists(
+            F.col("ivs"),
+            lambda iv: (iv["s"] <= i + 1) & (i + 1 < iv["e"]),
+        ),
+    )
+    out = staged.select(
+        "doc_id",
+        F.size("toks").cast("long").alias("n_tokens"),
+        (F.size("toks") - F.size(kept)).cast("long").alias("dup_tokens"),
+        F.size("ivs").cast("long").alias("n_runs"),
+        F.md5(F.concat_ws(" ", kept)).alias("kept_md5"),
+    )
+    frac = F.when(
+        F.col("n_tokens") > 0,
+        F.col("dup_tokens").cast("double") / F.col("n_tokens").cast("double"),
+    ).otherwise(F.lit(0.0))
+    return out.select(
+        "doc_id",
+        "n_tokens",
+        "dup_tokens",
+        _r6(frac).alias("dup_frac"),
+        "n_runs",
+        "kept_md5",
+    )

@@ -1747,3 +1747,32 @@ def q_lang_confusion(spark, sf_dir) -> DataFrame:
     from blackedge_ocr_spark.analysis import textstats
 
     return textstats.lang_confusion(_docs(spark, sf_dir))
+
+
+def q_bpe_train(spark, sf_dir) -> DataFrame:
+    """BPE tokenizer training loop (N_MERGES iterations): ONE
+    corpus-sized combinable word-count agg, then per-iteration
+    pair-count + TakeOrderedAndProject argmax over the cached
+    distinct-word table (the corpus never re-enters the loop)."""
+    from blackedge_ocr_spark.analysis import bpe
+
+    return bpe.bpe_train(_docs(spark, sf_dir))
+
+
+def q_bpe_encode(spark, sf_dir) -> DataFrame:
+    """Corpus-wide encoding with the learned merges: trained vocab
+    (word -> symbol count) BROADCASTS to the exploded token stream;
+    one combinable per-doc agg. Unseen words fall back to char
+    count."""
+    from blackedge_ocr_spark.analysis import bpe
+
+    return bpe.bpe_encode(_docs(spark, sf_dir))
+
+
+def q_substring_dedup(spark, sf_dir) -> DataFrame:
+    """Exact substring-duplication removal (Lee et al. 2022): dup
+    k-gram starts via combinable gram agg + ids-only join-back,
+    in-array interval union, per-doc kept-text fingerprint."""
+    from blackedge_ocr_spark.analysis import scrub
+
+    return scrub.substring_dedup(_docs(spark, sf_dir).select("doc_id", "text"))

@@ -791,6 +791,10 @@ def build_oracles() -> dict[str, str]:
         "bm25_topk": sql_bm25_topk(),
         "cooccur_pmi": sql_cooccur_pmi(),
         "quality_classifier": sql_quality_classifier(),
+        # tokenizer training loop + exact substring dedup
+        "bpe_train": sql_bpe_train(),
+        "bpe_encode": sql_bpe_encode(),
+        "substring_dedup": sql_substring_dedup(),
     }
     return out
 
@@ -3254,3 +3258,161 @@ d AS (SELECT doc_id, lang AS true_lang FROM documents)
 SELECT true_lang, predicted_lang, count(*)::bigint AS n
 FROM d JOIN pred USING (doc_id)
 GROUP BY 1, 2"""
+
+
+# ---------------------------------------------------------------------
+# BPE tokenizer training + exact substring dedup (analysis/bpe.py,
+# analysis/scrub.py) — iterative oracles, unrolled one CTE stage per
+# merge like the k-means chains above.
+# ---------------------------------------------------------------------
+
+def _bpe_base_sql() -> str:
+    """w0 = distinct-word frequencies; s0 = initial char symbols."""
+    toks = tokens_sql("text")
+    return f"""
+w0 AS (SELECT word, count(*)::bigint AS freq
+       FROM (SELECT unnest({toks}) AS word FROM documents) GROUP BY word),
+s0 AS (SELECT word, freq,
+         list_transform(range(1, length(word) + 1),
+                        i -> substr(word, i::int, 1)) AS syms
+       FROM w0)"""
+
+
+def _bpe_stage_sql(i: int) -> str:
+    """Stage i: p{i} counts adjacent-symbol pairs weighted by word
+    freq, m{i} picks the (n DESC, lhs, rhs) argmax, s{i} applies the
+    merge with the IDENTICAL left fold as bpe.apply_merge (the
+    accumulator starts as the first wrapped symbol, so the first
+    lambda call sees acc=[sym1] — same as Spark's empty-init fold
+    after its first append)."""
+    p = i - 1
+    return f"""
+p{i} AS (SELECT unnest(list_transform(range(1, len(syms)),
+             j -> {{'lhs': syms[j::int], 'rhs': syms[(j+1)::int]}})) AS pr,
+             freq
+         FROM s{p} WHERE len(syms) >= 2),
+m{i} AS (SELECT pr.lhs AS lhs, pr.rhs AS rhs, sum(freq)::bigint AS n,
+                {i} AS rank
+         FROM p{i} GROUP BY pr.lhs, pr.rhs
+         ORDER BY n DESC, lhs, rhs LIMIT 1),
+s{i} AS (SELECT word, freq,
+           list_reduce(list_transform(syms, s -> [s]),
+             (acc, x) -> CASE
+               WHEN len(acc) > 0 AND acc[-1] = lhs AND x[1] = rhs
+               THEN list_concat(acc[1:len(acc)-1], [lhs || rhs])
+               ELSE list_concat(acc, x) END) AS syms
+         FROM s{p} CROSS JOIN m{i})"""
+
+
+def _bpe_chain_sql(n_merges: int) -> str:
+    return _bpe_base_sql() + "," + ",".join(
+        _bpe_stage_sql(i) for i in range(1, n_merges + 1)
+    )
+
+
+def sql_bpe_train() -> str:
+    """bpe.bpe_train mirror: the learned merge table, one unrolled
+    stage per rank."""
+    from blackedge_ocr_spark.analysis.bpe import N_MERGES
+
+    union = "\nUNION ALL\n".join(
+        f"SELECT rank, lhs, rhs, n FROM m{i}"
+        for i in range(1, N_MERGES + 1)
+    )
+    return f"WITH{_bpe_chain_sql(N_MERGES)}\n{union}"
+
+
+def sql_bpe_encode() -> str:
+    """bpe.bpe_encode mirror: per-doc token/BPE-symbol counts with the
+    trained vocab joined back to the exploded corpus token stream.
+    Empty docs survive via the LEFT JOIN from the un-exploded side
+    (the dup_ngrams discipline)."""
+    from blackedge_ocr_spark.analysis.bpe import N_MERGES
+
+    toks = tokens_sql("text")
+    return f"""
+WITH{_bpe_chain_sql(N_MERGES)},
+vocab AS (SELECT word, len(syms)::bigint AS n_syms FROM s{N_MERGES}),
+t AS (SELECT doc_id, {toks} AS toks FROM documents),
+ex AS (SELECT doc_id, unnest(toks) AS word FROM t),
+jj AS (SELECT ex.doc_id,
+              coalesce(v.n_syms, length(ex.word))::bigint AS ns
+       FROM ex LEFT JOIN vocab v USING (word)),
+a AS (SELECT doc_id, count(*)::bigint AS n_tokens,
+             sum(ns)::bigint AS n_bpe
+      FROM jj GROUP BY doc_id)
+SELECT t.doc_id,
+       coalesce(a.n_tokens, 0)::bigint AS n_tokens,
+       coalesce(a.n_bpe, 0)::bigint AS n_bpe,
+       CASE WHEN coalesce(a.n_tokens, 0) > 0
+            THEN floor(a.n_bpe::double / a.n_tokens::double * 1e6 + 0.5)
+                 / 1e6
+            ELSE 0.0 END AS syms_per_word
+FROM t LEFT JOIN a USING (doc_id)"""
+
+
+def sql_substring_dedup() -> str:
+    """scrub.substring_dedup mirror: quote-injected corpus, duplicated
+    k-gram starts, the identical interval-union fold, and the kept
+    token filter via the flattened covered-position list."""
+    from blackedge_ocr_spark.analysis.scrub import (
+        QUOTE_EVERY,
+        QUOTE_ID_OFFSET,
+        QUOTE_START,
+        QUOTE_WIDTH,
+        SUB_GRAM_K,
+    )
+
+    k = SUB_GRAM_K
+    toks = tokens_sql("text")
+    slice_hi = QUOTE_START + QUOTE_WIDTH - 1
+    return f"""
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + {QUOTE_ID_OFFSET},
+         'quoted passage follows ' ||
+         array_to_string(({toks})[{QUOTE_START}:{slice_hi}], ' ')
+  FROM documents WHERE doc_id % {QUOTE_EVERY} = 0),
+t AS (SELECT doc_id, {toks} AS toks FROM corpus),
+ex AS (SELECT doc_id, toks,
+              unnest(CASE WHEN len(toks) >= {k}
+                          THEN range(1, len(toks) - {k} + 2)
+                          ELSE [] END) AS p
+       FROM t),
+gr AS (SELECT doc_id, p,
+              md5(array_to_string(toks[p:p + {k - 1}], ' ')) AS g
+       FROM ex),
+cnt AS (SELECT g FROM gr GROUP BY g HAVING count(*) >= 2),
+pd AS (SELECT doc_id, list_sort(list(p)) AS ps
+       FROM gr JOIN cnt USING (g) GROUP BY doc_id),
+jj AS (SELECT t.doc_id, t.toks, coalesce(pd.ps, []) AS ps
+       FROM t LEFT JOIN pd USING (doc_id)),
+iv AS (SELECT doc_id, toks,
+  CASE WHEN len(ps) = 0 THEN CAST([] AS STRUCT(s BIGINT, e BIGINT)[])
+  ELSE list_reduce(list_transform(ps, p -> [{{'s': p, 'e': p + {k}}}]),
+    (acc, x) -> CASE
+      WHEN len(acc) > 0 AND x[1].s <= acc[-1].e
+      THEN list_concat(acc[1:len(acc)-1],
+                       [{{'s': acc[-1].s,
+                          'e': greatest(acc[-1].e, x[1].e)}}])
+      ELSE list_concat(acc, x) END) END AS ivs
+  FROM jj),
+ke AS (SELECT doc_id, len(toks)::bigint AS n_tokens,
+              len(ivs)::bigint AS n_runs,
+              list_transform(
+                list_filter(range(1, len(toks) + 1),
+                  q -> NOT list_contains(
+                    flatten(list_transform(ivs, v -> range(v.s, v.e))),
+                    q)),
+                q -> toks[q]) AS kept
+       FROM iv)
+SELECT doc_id, n_tokens,
+       (n_tokens - len(kept))::bigint AS dup_tokens,
+       CASE WHEN n_tokens > 0
+            THEN floor((n_tokens - len(kept))::double / n_tokens::double
+                       * 1e6 + 0.5) / 1e6
+            ELSE 0.0 END AS dup_frac,
+       n_runs,
+       md5(coalesce(array_to_string(kept, ' '), '')) AS kept_md5
+FROM ke"""

@@ -391,3 +391,73 @@ def test_url_dedup_first_wins_on_canonical_collision(spark):
     assert out[0]["canon"] == out[1]["canon"] == "https://h.io/p?a=1&b=2"
     assert out[0]["is_keeper"] and not out[1]["is_keeper"]
     assert out[2]["is_keeper"]
+
+
+def test_substring_dedup_interval_union_and_kept_text(spark):
+    # doc 0 (40 distinct tokens) gets an injected quote doc carrying
+    # tokens 6..24 (1-based, width 19) verbatim: every 8-gram inside
+    # that window duplicates, the marks union into ONE maximal run
+    # [6, 25), and both docs lose exactly 19 tokens.
+    words = " ".join(f"w{i}" for i in range(40))
+    d = _docs_df(
+        spark,
+        [
+            (0, words),
+            (1, "totally unique text nothing repeats here at all ever"),
+            (2, " ".join(["rep"] * 16)),  # self-duplicating doc
+        ],
+    )
+    out = {r["doc_id"]: r for r in scrub.substring_dedup(d).collect()}
+    r0 = out[0]
+    assert (r0["n_tokens"], r0["dup_tokens"], r0["n_runs"]) == (40, 19, 1)
+    kept = [f"w{i}" for i in range(40) if not (5 <= i <= 23)]
+    assert r0["kept_md5"] == hashlib.md5(
+        " ".join(kept).encode()
+    ).hexdigest()
+    # unique doc untouched
+    assert out[1]["dup_tokens"] == 0 and out[1]["n_runs"] == 0
+    assert out[1]["kept_md5"] == hashlib.md5(
+        b"totally unique text nothing repeats here at all ever"
+    ).hexdigest()
+    # 16x same token: every gram identical -> whole doc one run, empty
+    # survivor text
+    r2 = out[2]
+    assert (r2["dup_tokens"], r2["n_runs"]) == (16, 1)
+    assert r2["kept_md5"] == hashlib.md5(b"").hexdigest()
+    assert r2["dup_frac"] == 1.0
+    # the injected quote doc itself: 3 preamble tokens survive
+    rq = out[scrub.QUOTE_ID_OFFSET]
+    assert (rq["n_tokens"], rq["dup_tokens"]) == (22, 19)
+    assert rq["kept_md5"] == hashlib.md5(
+        b"quoted passage follows"
+    ).hexdigest()
+
+
+def test_substring_dedup_two_disjoint_runs(spark):
+    # two duplicated windows separated by unique filler merge into TWO
+    # runs, not one. doc 10 (%10==0) quotes tokens 6..24 of doc 10;
+    # doc 3 repeats doc 10's tokens 30..38 (8-gram) verbatim once.
+    base = [f"t{i}" for i in range(40)]
+    d = _docs_df(
+        spark,
+        [
+            (10, " ".join(base)),
+            (3, "filler one two three " + " ".join(base[29:37])),
+        ],
+    )
+    r = {x["doc_id"]: x for x in scrub.substring_dedup(d).collect()}[10]
+    # run A: quote window [6, 25); run B: tokens 30..37 -> [30, 38)
+    assert r["n_runs"] == 2
+    assert r["dup_tokens"] == 19 + 8
+    kept = base[:5] + base[24:29] + base[37:]
+    assert r["kept_md5"] == hashlib.md5(
+        " ".join(kept).encode()
+    ).hexdigest()
+
+
+def test_substring_dedup_short_and_empty_docs(spark):
+    d = _docs_df(spark, [(1, "short doc"), (2, "")])
+    out = {r["doc_id"]: r for r in scrub.substring_dedup(d).collect()}
+    assert out[1]["n_tokens"] == 2 and out[1]["dup_tokens"] == 0
+    assert out[2]["n_tokens"] == 0 and out[2]["dup_frac"] == 0.0
+    assert out[2]["kept_md5"] == hashlib.md5(b"").hexdigest()
