@@ -58,6 +58,8 @@ BENCH_QUERIES = (
     "boilerplate_strip",
     "curation_funnel",
     "url_dedup",
+    "bpe_train",
+    "substring_dedup",
 )
 
 

@@ -626,12 +626,28 @@ def substring_dedup(docs: DataFrame, k: int = SUB_GRAM_K) -> DataFrame:
         ),
     )
     staged = j.select("doc_id", "toks", ivs.alias("ivs"))
-    kept = F.filter(
-        F.col("toks"),
-        lambda x, i: ~F.exists(
-            F.col("ivs"),
-            lambda iv: (iv["s"] <= i + 1) & (i + 1 < iv["e"]),
-        ),
+    # Surviving tokens = the GAP SEGMENTS between merged runs, sliced
+    # out directly — O(n_tokens + n_runs) per row. (A per-position
+    # exists() mask would be O(n_tokens * n_runs): the word_frequency
+    # per-row-quadratic class, pathological on a long doc with many
+    # short duplicated runs.) Gap i spans [prev_end, next_start):
+    # before the first run prev_end=1, after the last next_start=n+1.
+    n_ivs = F.size("ivs")
+    n_all = F.size("toks")
+
+    def _gap(i):
+        lo = F.when(i == 0, F.lit(1)).otherwise(
+            F.element_at(F.col("ivs"), i)["e"]
+        )
+        hi = F.when(
+            i == n_ivs, n_all + 1
+        ).otherwise(F.element_at(F.col("ivs"), i + 1)["s"])
+        return F.when(
+            hi > lo, F.slice(F.col("toks"), lo, hi - lo)
+        ).otherwise(F.array().cast("array<string>"))
+
+    kept = F.flatten(
+        F.transform(F.sequence(F.lit(0), n_ivs), _gap)
     )
     out = staged.select(
         "doc_id",
