@@ -109,3 +109,17 @@ def test_bpe_randomized_parity_with_reference(spark):
     ]
     (exp, _), _ = _py_train_from_docs(texts, 6)
     assert got == exp
+
+
+def test_bpe_encode_plan_broadcasts_vocab(spark):
+    """The trained vocab must BROADCAST to the exploded corpus token
+    stream (the corpus never shuffles for the join); one executed
+    exchange total — the per-doc agg."""
+    from blackedge_ocr_spark import plans
+
+    d = _docs_df(spark, [(0, "the cat"), (1, "the mat")])
+    df = bpe.bpe_encode(d, 2)
+    plan = plans.formatted_plan(df)
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert plans.count_exchanges(df) == 1, plan

@@ -461,3 +461,13 @@ def test_substring_dedup_short_and_empty_docs(spark):
     assert out[1]["n_tokens"] == 2 and out[1]["dup_tokens"] == 0
     assert out[2]["n_tokens"] == 0 and out[2]["dup_frac"] == 0.0
     assert out[2]["kept_md5"] == hashlib.md5(b"").hexdigest()
+
+
+def test_substring_dedup_plan_no_window_no_python(spark):
+    """Dup-position attachment must be agg + join-back (combinable,
+    AQE-skew-splittable), never a window over the gram hash — and the
+    whole operator stays JVM-side (zero Python boundaries)."""
+    d = _docs_df(spark, [(0, "a b c d e f g h i j"), (10, "k l m")])
+    plan = plans.formatted_plan(scrub.substring_dedup(d))
+    assert "Window" not in plan, plan
+    assert "ArrowEvalPython" not in plan and "MapInPandas" not in plan
