@@ -3284,7 +3284,12 @@ def _bpe_stage_sql(i: int) -> str:
     merge with the IDENTICAL left fold as bpe.apply_merge (the
     accumulator starts as the first wrapped symbol, so the first
     lambda call sees acc=[sym1] — same as Spark's empty-init fold
-    after its first append)."""
+    after its first append). LEFT JOIN ON TRUE, not CROSS JOIN: if
+    the merge loop exhausts early (p{i} empty -> no m{i} row), the
+    NULL lhs/rhs make the fold's WHEN null-false so s{i} rebuilds
+    s{i-1} unchanged — matching the engine's loop break. A cross
+    join would EMPTY every later stage and silently collapse the
+    bpe_encode vocab to the char-count fallback."""
     p = i - 1
     return f"""
 p{i} AS (SELECT unnest(list_transform(range(1, len(syms)),
@@ -3301,7 +3306,7 @@ s{i} AS (SELECT word, freq,
                WHEN len(acc) > 0 AND acc[-1] = lhs AND x[1] = rhs
                THEN list_concat(acc[1:len(acc)-1], [lhs || rhs])
                ELSE list_concat(acc, x) END) AS syms
-         FROM s{p} CROSS JOIN m{i})"""
+         FROM s{p} LEFT JOIN m{i} ON TRUE)"""
 
 
 def _bpe_chain_sql(n_merges: int) -> str:
@@ -3353,8 +3358,11 @@ FROM t LEFT JOIN a USING (doc_id)"""
 
 def sql_substring_dedup() -> str:
     """scrub.substring_dedup mirror: quote-injected corpus, duplicated
-    k-gram starts, the identical interval-union fold, and the kept
-    token filter via the flattened covered-position list."""
+    k-gram starts, the identical interval-union fold, and the same
+    gap-slice survivor reassembly as the engine — O(n + runs) per
+    row on BOTH sides (a per-position containment scan here would
+    hang the parity check on exactly the adversarial doc the
+    engine-side fix defuses, BENCH/SKEW.md)."""
     from blackedge_ocr_spark.analysis.scrub import (
         QUOTE_EVERY,
         QUOTE_ID_OFFSET,
@@ -3400,12 +3408,10 @@ iv AS (SELECT doc_id, toks,
   FROM jj),
 ke AS (SELECT doc_id, len(toks)::bigint AS n_tokens,
               len(ivs)::bigint AS n_runs,
-              list_transform(
-                list_filter(range(1, len(toks) + 1),
-                  q -> NOT list_contains(
-                    flatten(list_transform(ivs, v -> range(v.s, v.e))),
-                    q)),
-                q -> toks[q]) AS kept
+              flatten(list_transform(range(0, len(ivs) + 1), i ->
+                toks[(CASE WHEN i = 0 THEN 1 ELSE ivs[i].e END) :
+                     (CASE WHEN i = len(ivs) THEN len(toks)
+                           ELSE ivs[i + 1].s - 1 END)])) AS kept
        FROM iv)
 SELECT doc_id, n_tokens,
        (n_tokens - len(kept))::bigint AS dup_tokens,

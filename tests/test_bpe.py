@@ -123,3 +123,38 @@ def test_bpe_encode_plan_broadcasts_vocab(spark):
     assert "BroadcastHashJoin" in plan, plan
     assert "SortMergeJoin" not in plan, plan
     assert plans.count_exchanges(df) == 1, plan
+
+
+def test_bpe_oracle_survives_merge_exhaustion(spark):
+    """A vocab that FULLY merges before N_MERGES (here: one distinct
+    word 'ab', one merge, then zero pairs) must leave the oracle's
+    later CTE stages as pass-throughs — not empty them via a cross
+    join against the empty m{i}, which would collapse the encode
+    vocab to the char-count fallback and report n_bpe=2 per 'ab'."""
+    import duckdb
+    import pandas as pd
+
+    from blackedge_ocr_spark.sqloracle import sql_bpe_encode, sql_bpe_train
+
+    texts = ["ab ab", "ab"]
+    d = _docs_df(spark, list(enumerate(texts)))
+    eng = {r["doc_id"]: r for r in bpe.bpe_encode(d).collect()}
+    assert eng[0]["n_bpe"] == 2 and eng[1]["n_bpe"] == 1  # 1 sym/word
+
+    con = duckdb.connect()
+    con.register(
+        "documents", pd.DataFrame({"doc_id": [0, 1], "text": texts})
+    )
+    for _, r in con.sql(sql_bpe_encode()).df().iterrows():
+        e = eng[r["doc_id"]]
+        assert e["n_tokens"] == r["n_tokens"]
+        assert e["n_bpe"] == r["n_bpe"]
+        assert e["syms_per_word"] == r["syms_per_word"]
+
+    tr = bpe.bpe_train(d).collect()
+    otr = con.sql(sql_bpe_train()).df()
+    assert len(tr) == len(otr) == 1  # both stop emitting at exhaustion
+    assert (tr[0]["lhs"], tr[0]["rhs"], tr[0]["n"]) == ("a", "b", 3)
+    assert (otr.iloc[0]["lhs"], otr.iloc[0]["rhs"], otr.iloc[0]["n"]) == (
+        "a", "b", 3,
+    )

@@ -65,13 +65,9 @@ def main() -> int:
     if os.environ.get("SKIP_MASK"):
         return 0
 
-    # The replaced per-position mask, for the comparison row: same
-    # intervals, kept via exists() per token position.
-    def mask_variant(docs):
-        res = scrub.substring_dedup(docs)  # shipped, for ivs parity
-        return res
-
-    # rebuild the mask form inline (mirrors the pre-fix code path)
+    # The replaced per-position mask rebuilt inline (mirrors the
+    # pre-fix code path, INCLUDING its persisted gram table — the
+    # comparison isolates the reassembly step, not pipeline reuse).
     corpus = scrub.with_quote_injection(d)
     from blackedge_ocr_spark.functions.text import tokens as _toks
 
@@ -85,6 +81,7 @@ def main() -> int:
         .select("doc_id", "p", F.md5(
             F.concat_ws(" ", F.slice(F.col("toks"), F.col("p"), k))
         ).alias("g"))
+        .persist()
     )
     dup = ex.groupBy("g").count().filter("count >= 2").select("g")
     perdoc = ex.join(dup, "g").groupBy("doc_id").agg(
