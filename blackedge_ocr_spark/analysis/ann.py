@@ -957,6 +957,163 @@ def probe_ivf_index(
     )
 
 
+PQ_M = 4  # product-quantization subspaces (64 dims -> 4 x 16)
+
+
+def pq_codebooks(
+    spark,
+    sf_dir: str,
+    iters: int = KMEANS_ITERS,
+    train_every: int = TRAIN_EVERY,
+):
+    """Per-subspace PQ codebooks (Jégou et al. 2011, the public
+    product-quantization scheme): split each vector into PQ_M
+    contiguous subvectors and train an independent k-means codebook
+    on each — the SAME fixed-point Lloyd engine as the IVF index
+    (``kmeans_centroids``), run PQ_M times over sliced frames, so
+    codebook training inherits its bit-reproducibility across
+    engines AND cluster layouts. Codebook size follows the adaptive
+    ``centroid_stride`` (C = O(sqrt n) per subspace — classic PQ
+    fixes C=256; tying it to the corpus keeps ONE stride rule shared
+    with the IVF oracle machinery, documented divergence).
+
+    Returns ([(cids, Cm)] per subspace, n, sub_dims)."""
+    n = _corpus_count(spark, sf_dir)
+    stride = centroid_stride(n)
+    corpus = _load_raw(spark, sf_dir)
+    dims = len(corpus.select("v").first()["v"])
+    sub = dims // PQ_M
+    books = []
+    for m in range(PQ_M):
+        sf = corpus.select(
+            "vec_id", F.slice("v", m * sub + 1, sub).alias("v")
+        )
+        books.append(
+            _collect_centroids(
+                kmeans_centroids(sf, iters, stride, train_every, n=n)
+            )
+        )
+    return books, n, sub
+
+
+def pq_topk(
+    spark, sf_dir: str, k: int = DEFAULT_K, query_every: int = QUERY_EVERY
+) -> DataFrame:
+    """Approximate cosine top-k over product-quantized vectors — the
+    compressed-exhaustive-scan regime ``sq8_topk`` occupies, at a far
+    deeper compression point: each vector is PQ_M small centroid ids
+    (~4 bytes total at C<=2^8 per subspace) instead of 64 int8 codes,
+    the representation a 10^12-vector fleet actually RAMs.
+
+    score = cos(q, recon(x)) where recon concatenates the assigned
+    centroid subvectors — algebraically the ADC lookup sum
+    (sum_m dot(q_m, c_m)) over the reconstruction, with the norm term
+    sqrt(sum_m |c_m|^2) PQ uses for cosine. Engine/oracle bit-parity
+    by the house fold discipline: subspace assignment is the same
+    first-max dim-ordered cosine as ``assign_centroids``; scoring
+    accumulates over the FULL dim range in order, which is the
+    identical IEEE op sequence as DuckDB's fold over the concatenated
+    centroid lists. Exact per-query recall is the 'pq' row of
+    ``ann_recall``.
+
+    Shape at scale: codebooks are driver-trained on strided samples
+    (the kmeans_centroids dispatch) and broadcast; the corpus is
+    scanned ONCE in one mapInPandas kernel (assign -> reconstruct ->
+    score -> partition-local top-k with the epsilon guard), so only
+    O(parts * |Q| * ~k) candidate rows reach the final rank window —
+    the corpus never shuffles."""
+    import numpy as np
+    import pandas as pd
+
+    books, n, sub = pq_codebooks(spark, sf_dir)
+    corpus = _load(spark, sf_dir)
+    qrows = corpus.filter(F.col("vec_id") % query_every == 0).select(
+        "vec_id", "v"
+    ).collect()
+    q_ids = np.array([r["vec_id"] for r in qrows], dtype=np.int64)
+    Q = np.array([list(r["v"]) for r in qrows], dtype=np.float64)
+    bq = spark.sparkContext.broadcast((q_ids, Q, books))
+
+    def blocks(batches):
+        ids, Qm, bks = bq.value
+        nq = Qm.shape[0]
+        if nq == 0:
+            return
+        dims = Qm.shape[1]
+        qn = np.zeros(nq)
+        for j in range(dims):
+            qn = qn + Qm[:, j] * Qm[:, j]
+        qn = np.sqrt(qn)
+        # per-subspace centroid norms (dim-ordered, like the trainer)
+        cns = []
+        for _cids, Cm in bks:
+            cn = np.zeros(len(Cm))
+            for j in range(Cm.shape[1]):
+                cn = cn + Cm[:, j] * Cm[:, j]
+            cns.append(np.sqrt(cn))
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            vid = pdf["vec_id"].to_numpy(dtype=np.int64)
+            V = np.array(list(pdf["v"]), dtype=np.float64)
+            nr = len(vid)
+            R = np.empty_like(V)
+            for m, (_cids, Cm) in enumerate(bks):
+                Vm = V[:, m * sub:(m + 1) * sub]
+                C = len(Cm)
+                acc = np.zeros((nr, C))
+                vn = np.zeros(nr)
+                # allocating form on purpose — see brute_force_topk
+                for j in range(sub):
+                    acc = acc + np.multiply.outer(Vm[:, j], Cm[:, j])
+                    vn = vn + Vm[:, j] * Vm[:, j]
+                denom = np.multiply.outer(np.sqrt(vn), cns[m])
+                with np.errstate(invalid="ignore", divide="ignore"):
+                    sims = np.where(denom == 0.0, 0.0, acc / denom)
+                # first-max == array_position(sims, array_max(sims))
+                code = np.argmax(sims, axis=1)
+                R[:, m * sub:(m + 1) * sub] = Cm[code]
+            # score queries against reconstructions: full dim order ==
+            # DuckDB's fold over the concatenated centroid lists
+            acc = np.zeros((nq, nr))
+            rn = np.zeros(nr)
+            for j in range(dims):
+                acc = acc + np.multiply.outer(Qm[:, j], R[:, j])
+                rn = rn + R[:, j] * R[:, j]
+            rn = np.sqrt(rn)
+            denom = np.multiply.outer(qn, rn)
+            with np.errstate(invalid="ignore", divide="ignore"):
+                cos = np.where(denom == 0.0, 0.0, acc / denom)
+            self_mask = np.equal.outer(ids, vid)
+            cos_sel = np.where(self_mask, -np.inf, cos)
+            kth = (
+                np.sort(cos_sel, axis=1)[:, -min(k, nr)]
+                if nr > 0
+                else np.full(nq, -np.inf)
+            )
+            keep = (cos_sel >= (kth[:, None] - 2e-6)) & ~self_mask
+            qi, vi = np.nonzero(keep)
+            yield pd.DataFrame(
+                {
+                    "q_id": ids[qi],
+                    "neighbor_id": vid[vi],
+                    "cos": cos[qi, vi],
+                }
+            )
+
+    scored = corpus.mapInPandas(
+        blocks, schema="q_id long, neighbor_id long, cos double"
+    ).select("q_id", "neighbor_id", F.round(F.col("cos"), 6).alias("cos"))
+    w = Window.partitionBy("q_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "rank", "neighbor_id", "cos")
+    )
+
+
 def recall_vs_exact(
     spark, sf_dir: str, k: int = DEFAULT_K, query_every: int = QUERY_EVERY
 ) -> DataFrame:
@@ -993,6 +1150,11 @@ def recall_vs_exact(
                 F.lit("sq8").alias("method"), "q_id", "neighbor_id"
             )
         )
+        .unionByName(
+            pq_topk(spark, sf_dir, k, query_every).select(
+                F.lit("pq").alias("method"), "q_id", "neighbor_id"
+            )
+        )
     )
     hit0 = (
         approx.join(exact, ["q_id", "neighbor_id"], "left_semi")
@@ -1003,7 +1165,8 @@ def recall_vs_exact(
     # show recall 0.0, not vanish from the report (sparse buckets at
     # high n_planes are exactly the regime this audit exposes).
     methods = spark.createDataFrame(
-        [("lsh",), ("ivf",), ("ivf_kmeans",), ("sq8",)], "method string"
+        [("lsh",), ("ivf",), ("ivf_kmeans",), ("sq8",), ("pq",)],
+        "method string",
     )
     hits = methods.join(hit0, "method", "left").select(
         "method", F.coalesce("hits", F.lit(0).cast("long")).alias("hits")

@@ -1776,3 +1776,13 @@ def q_substring_dedup(spark, sf_dir) -> DataFrame:
     from blackedge_ocr_spark.analysis import scrub
 
     return scrub.substring_dedup(_docs(spark, sf_dir).select("doc_id", "text"))
+
+
+def q_ann_pq_topk(spark, sf_dir) -> DataFrame:
+    """Product-quantized approximate top-k (Jégou et al. 2011): PQ_M
+    per-subspace k-means codebooks (the shared fixed-point Lloyd),
+    broadcast codebooks, ONE corpus pass assign->reconstruct->score
+    with partition-local top-k — the corpus never shuffles."""
+    from blackedge_ocr_spark.analysis import ann
+
+    return ann.pq_topk(spark, sf_dir)

@@ -722,6 +722,7 @@ def build_oracles() -> dict[str, str]:
         "neardup_recall": sql_neardup_recall(),
         "semantic_dedup": sql_semantic_dedup(),
         "ann_sq8_topk": sql_ann_sq8_topk(),
+        "ann_pq_topk": sql_ann_pq_topk(),
         "hll_distinct": sql_hll_distinct(),
         "cms_topk": sql_cms_topk(),
         "bloom_probe": sql_bloom_probe(),
@@ -1087,6 +1088,7 @@ SELECT q_id, rank, neighbor_id, cos FROM (
 
 def _kmeans_assigned_parts(
     centroid_every: int | None = None, iters: int = 3, train_every: int = 4,
+    prefix: str = "", vexpr: str = "v", include_emb: bool = True,
 ) -> list[str]:
     """Shared CTE chain ending in ``scored``/``assigned``: the
     k-means-TRAINED centroids and the full-corpus nearest-centroid
@@ -1105,37 +1107,43 @@ def _kmeans_assigned_parts(
     ``sql_semantic_dedup`` — so the trained-index recipe cannot
     drift between them."""
     sims = f"list_transform(cents, c -> {cosine_sql('v', 'c.cv')})"
-    quant = "list_transform(v, x -> CAST(floor(x * 1000000.0 + 0.5) AS BIGINT))"
-    parts = [
-        EMB,
-        f"eq AS (SELECT vec_id, v, {quant} AS qv FROM e "
+    quant = (
+        f"list_transform({vexpr}, "
+        "x -> CAST(floor(x * 1000000.0 + 0.5) AS BIGINT))"
+    )
+    P = prefix
+    parts = [EMB] if include_emb else []
+    parts += [
+        f"{P}eq AS (SELECT vec_id, {vexpr} AS v, {quant} AS qv FROM e "
         f"WHERE vec_id % {train_every} = 0)",
-        f"c0 AS (SELECT vec_id AS cid, v AS cv FROM e "
+        f"{P}c0 AS (SELECT vec_id AS cid, {vexpr} AS cv FROM e "
         f"WHERE vec_id % {_stride_expr(centroid_every)} = 0)",
-        "carr0 AS (SELECT list(struct_pack(cid := cid, cv := cv) "
-        "ORDER BY cid) AS cents FROM c0)",
+        f"{P}carr0 AS (SELECT list(struct_pack(cid := cid, cv := cv) "
+        f"ORDER BY cid) AS cents FROM {P}c0)",
     ]
     for i in range(1, iters + 1):
         parts += [
-            f"""a{i} AS (
+            f"""{P}a{i} AS (
   SELECT vec_id, qv, (cents[list_position(sims, list_max(sims))]).cid AS cid
-  FROM (SELECT vec_id, qv, cents, {sims} AS sims FROM eq, carr{i - 1}))""",
-            f"s{i} AS (SELECT cid, unnest(range(len(qv))) AS pos, "
-            f"unnest(qv) AS q FROM a{i})",
-            f"g{i} AS (SELECT cid, pos, sum(q) AS s, count(*) AS n "
-            f"FROM s{i} GROUP BY cid, pos)",
-            f"c{i} AS (SELECT cid, list(s::DOUBLE / (n::DOUBLE * 1000000.0) "
-            f"ORDER BY pos) AS cv FROM g{i} GROUP BY cid)",
-            f"carr{i} AS (SELECT list(struct_pack(cid := cid, cv := cv) "
-            f"ORDER BY cid) AS cents FROM c{i})",
+  FROM (SELECT vec_id, qv, cents, {sims} AS sims
+        FROM {P}eq, {P}carr{i - 1}))""",
+            f"{P}s{i} AS (SELECT cid, unnest(range(len(qv))) AS pos, "
+            f"unnest(qv) AS q FROM {P}a{i})",
+            f"{P}g{i} AS (SELECT cid, pos, sum(q) AS s, count(*) AS n "
+            f"FROM {P}s{i} GROUP BY cid, pos)",
+            f"{P}c{i} AS (SELECT cid, "
+            f"list(s::DOUBLE / (n::DOUBLE * 1000000.0) "
+            f"ORDER BY pos) AS cv FROM {P}g{i} GROUP BY cid)",
+            f"{P}carr{i} AS (SELECT list(struct_pack(cid := cid, cv := cv) "
+            f"ORDER BY cid) AS cents FROM {P}c{i})",
         ]
     parts += [
-        f"scored AS (SELECT vec_id, v, cents, {sims} AS sims "
-        f"FROM e, carr{iters})",
-        """assigned AS (
+        f"{P}scored AS (SELECT vec_id, v, cents, {sims} AS sims "
+        f"FROM (SELECT vec_id, {vexpr} AS v FROM e), {P}carr{iters})",
+        f"""{P}assigned AS (
   SELECT vec_id, v,
          (cents[list_position(sims, list_max(sims))]).cid AS cid
-  FROM scored)""",
+  FROM {P}scored)""",
     ]
     return parts
 
@@ -1207,6 +1215,53 @@ SELECT q_id, rank, neighbor_id, cos FROM (
   FROM s) WHERE rank <= {k}"""
 
 
+def sql_ann_pq_topk(
+    k: int = 5, query_every: int = 50, centroid_every: int | None = None,
+    iters: int = 3, train_every: int = 4, dims: int = 64,
+) -> str:
+    """analysis.ann.pq_topk mirror: PQ_M independent k-means chains
+    over the subvector slices (the SAME generalized builder the IVF
+    and SemDeDup oracles use, prefixed per subspace), reconstruction
+    = concatenated assigned centroid subvectors, score = the standard
+    cosine fold over (qv, rv) — identical op sequence to the engine's
+    full-dim-ordered kernel."""
+    from blackedge_ocr_spark.analysis.ann import PQ_M
+
+    sub = dims // PQ_M
+    parts: list[str] = []
+    for m in range(PQ_M):
+        lo, hi = m * sub + 1, (m + 1) * sub
+        parts += _kmeans_assigned_parts(
+            centroid_every, iters, train_every,
+            prefix=f"p{m}_", vexpr=f"v[{lo}:{hi}]", include_emb=(m == 0),
+        )
+    joins = " ".join(
+        f"JOIN p{m}_assigned a{m} ON a{m}.vec_id = a0.vec_id"
+        for m in range(1, PQ_M)
+    )
+    cvj = " ".join(
+        f"JOIN p{m}_c{iters} c{m} ON c{m}.cid = a{m}.cid"
+        for m in range(PQ_M)
+    )
+    rv = " || ".join(f"c{m}.cv" for m in range(PQ_M))
+    parts += [
+        f"codes AS (SELECT a0.vec_id, {rv} AS rv "
+        f"FROM p0_assigned a0 {joins} {cvj})",
+        f"q AS (SELECT vec_id AS q_id, v AS qv FROM e "
+        f"WHERE vec_id % {query_every} = 0)",
+        f"""s AS (SELECT q_id, codes.vec_id AS neighbor_id,
+             round({cosine_sql('qv', 'rv')}, 6) AS cos
+      FROM codes, q WHERE codes.vec_id != q_id)""",
+    ]
+    ctes = ",\n".join(parts)
+    return f"""
+WITH {ctes}
+SELECT q_id, rank, neighbor_id, cos FROM (
+  SELECT *, row_number() OVER (PARTITION BY q_id
+            ORDER BY cos DESC, neighbor_id) AS rank
+  FROM s) WHERE rank <= {k}"""
+
+
 def sql_semantic_dedup(
     threshold: float | None = None, cluster_cap: int | None = None,
 ) -> str:
@@ -1261,14 +1316,18 @@ lsh AS (SELECT q_id, neighbor_id FROM ({sql_ann_lsh_topk(k)})),
 ivf AS (SELECT q_id, neighbor_id FROM ({sql_ann_ivf_topk(k)})),
 ivfk AS (SELECT q_id, neighbor_id FROM ({sql_ann_ivf_kmeans_topk(k)})),
 sq8 AS (SELECT q_id, neighbor_id FROM ({sql_ann_sq8_topk(k)})),
+pq AS (SELECT q_id, neighbor_id FROM ({sql_ann_pq_topk(k)})),
 u AS (SELECT 'lsh' AS method, q_id, neighbor_id FROM lsh
       UNION ALL
       SELECT 'ivf' AS method, q_id, neighbor_id FROM ivf
       UNION ALL
       SELECT 'ivf_kmeans' AS method, q_id, neighbor_id FROM ivfk
       UNION ALL
-      SELECT 'sq8' AS method, q_id, neighbor_id FROM sq8),
-methods AS (SELECT unnest(['lsh', 'ivf', 'ivf_kmeans', 'sq8']) AS method),
+      SELECT 'sq8' AS method, q_id, neighbor_id FROM sq8
+      UNION ALL
+      SELECT 'pq' AS method, q_id, neighbor_id FROM pq),
+methods AS (SELECT unnest(['lsh', 'ivf', 'ivf_kmeans', 'sq8', 'pq'])
+            AS method),
 hit0 AS (SELECT method, count(*)::bigint AS hits
          FROM u SEMI JOIN exact USING (q_id, neighbor_id)
          GROUP BY method),

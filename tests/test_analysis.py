@@ -568,7 +568,9 @@ def test_ann_recall_reports_every_method_even_with_zero_hits(spark):
     from blackedge_ocr_spark.analysis import ann
 
     rows = ann.recall_vs_exact(spark, SF).collect()
-    assert {r["method"] for r in rows} == {"lsh", "ivf", "ivf_kmeans", "sq8"}
+    assert {r["method"] for r in rows} == {
+        "lsh", "ivf", "ivf_kmeans", "sq8", "pq"
+    }
     for r in rows:
         assert 0 <= r["hits"] <= r["n_queries"] * 5
         assert 0.0 <= r["recall"] <= 1.0
