@@ -141,6 +141,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_train": q.q_bpe_train,
         "bpe_encode": q.q_bpe_encode,
         "substring_dedup": q.q_substring_dedup,
+        # DSIR importance resampling (hashed-n-gram likelihood ratio)
+        "dsir_weights": q.q_dsir_weights,
+        "dsir_select": q.q_dsir_select,
     }
     return out
 

@@ -60,6 +60,7 @@ BENCH_QUERIES = (
     "url_dedup",
     "bpe_train",
     "substring_dedup",
+    "dsir_weights",
 )
 
 

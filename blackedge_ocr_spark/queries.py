@@ -1786,3 +1786,21 @@ def q_ann_pq_topk(spark, sf_dir) -> DataFrame:
     from blackedge_ocr_spark.analysis import ann
 
     return ann.pq_topk(spark, sf_dir)
+
+
+def q_dsir_weights(spark, sf_dir) -> DataFrame:
+    """DSIR log importance weights (Xie et al. 2023): ONE conditional
+    256-bucket hash agg trains target+raw hashed-n-gram models, the
+    ratio table broadcasts back over the feature stream, combinable
+    per-doc sum — the corpus never shuffles on a feature key."""
+    from blackedge_ocr_spark.analysis import dsir
+
+    return dsir.dsir_weights(_docs(spark, sf_dir))
+
+
+def q_dsir_select(spark, sf_dir) -> DataFrame:
+    """Deterministic DSIR resample head: top-k docs by log importance
+    weight via TakeOrderedAndProject (map-side partial top-k)."""
+    from blackedge_ocr_spark.analysis import dsir
+
+    return dsir.dsir_select(_docs(spark, sf_dir))

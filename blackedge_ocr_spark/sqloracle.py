@@ -796,6 +796,9 @@ def build_oracles() -> dict[str, str]:
         "bpe_train": sql_bpe_train(),
         "bpe_encode": sql_bpe_encode(),
         "substring_dedup": sql_substring_dedup(),
+        # DSIR importance resampling
+        "dsir_weights": sql_dsir_weights(),
+        "dsir_select": sql_dsir_select(),
     }
     return out
 
@@ -3481,3 +3484,73 @@ SELECT doc_id, n_tokens,
        n_runs,
        md5(coalesce(array_to_string(kept, ' '), '')) AS kept_md5
 FROM ke"""
+
+
+# ---------------------------------------------------------------------
+# DSIR importance resampling (analysis/dsir.py) — hashed-n-gram
+# likelihood-ratio weights with the lm_scores ln/micro-unit
+# discipline; bucket = md5 hex prefix kept as a string.
+# ---------------------------------------------------------------------
+
+def _dsir_base_sql() -> str:
+    """b = (doc_id, is_t, bucket) exploded hashed feature stream;
+    c = the single conditional 256-bucket count table; r = per-bucket
+    micro-unit log-ratio (identical divide/ln/subtract op order as
+    the Spark side)."""
+    from blackedge_ocr_spark.analysis.dsir import (
+        DSIR_BUCKET_HEX,
+        DSIR_BUCKETS,
+        DSIR_TARGET_LANG,
+    )
+
+    toks = tokens_sql("text")
+    return f"""
+t AS (SELECT doc_id, lang = '{DSIR_TARGET_LANG}' AS is_t,
+             {toks} AS toks FROM documents),
+f AS (SELECT doc_id, is_t,
+             unnest(list_concat(toks,
+               list_transform(range(1, len(toks)),
+                 i -> toks[i::int] || ' ' || toks[(i + 1)::int])))
+               AS feat
+      FROM t),
+b AS (SELECT doc_id, is_t,
+             substr(md5('dsir:' || feat), 1, {DSIR_BUCKET_HEX}) AS bucket
+      FROM f),
+c AS (SELECT bucket, count(*)::bigint AS n_raw,
+             sum(CASE WHEN is_t THEN 1 ELSE 0 END)::bigint AS n_tgt
+      FROM b GROUP BY bucket),
+tt AS (SELECT sum(n_raw)::bigint AS t_raw, sum(n_tgt)::bigint AS t_tgt
+       FROM c),
+r AS (SELECT bucket,
+        floor((ln((n_tgt + 1)::double
+                  / ((SELECT t_tgt FROM tt) + {DSIR_BUCKETS})::double)
+             - ln((n_raw + 1)::double
+                  / ((SELECT t_raw FROM tt) + {DSIR_BUCKETS})::double))
+              * 1000000 + 0.5)::bigint AS li
+      FROM c),
+g AS (SELECT doc_id, count(*)::bigint AS n_feats, sum(li)::bigint AS s
+      FROM b JOIN r USING (bucket) GROUP BY doc_id),
+w AS (SELECT d.doc_id,
+             coalesce(g.n_feats, 0)::bigint AS n_feats,
+             CASE WHEN g.n_feats > 0 THEN g.s::double / 1000000.0
+                  ELSE 0.0 END AS logw
+      FROM documents d LEFT JOIN g ON d.doc_id = g.doc_id)"""
+
+
+def sql_dsir_weights() -> str:
+    """dsir.dsir_weights mirror."""
+    return f"WITH{_dsir_base_sql()}\nSELECT doc_id, n_feats, logw FROM w"
+
+
+def sql_dsir_select() -> str:
+    """dsir.dsir_select mirror: same (logw desc, doc_id) total order,
+    same k."""
+    from blackedge_ocr_spark.analysis.dsir import DSIR_SELECT_K
+
+    return f"""
+WITH{_dsir_base_sql()},
+h AS (SELECT doc_id, n_feats, logw FROM w
+      ORDER BY logw DESC, doc_id LIMIT {DSIR_SELECT_K})
+SELECT row_number() OVER (ORDER BY logw DESC, doc_id)::bigint AS rank,
+       doc_id, n_feats, logw
+FROM h"""

@@ -264,3 +264,16 @@ def test_boilerplate_strip_hot_set_broadcasts(spark):
     p = plans.formatted_plan(df)
     assert "BroadcastHashJoin" in p
     assert plans.count_python_stages(df) == 0
+
+
+def test_dsir_ratio_table_broadcasts(spark):
+    """The DSIR bucket-ratio table must come back as a BROADCAST join
+    against the exploded feature stream — the corpus shuffles on the
+    bucket key only through the 256-row map-side-combined count agg,
+    never row-by-row."""
+    from blackedge_ocr_spark.queries import q_dsir_weights
+
+    df = q_dsir_weights(spark, SF)
+    p = plans.formatted_plan(df)
+    assert "BroadcastHashJoin" in p
+    assert plans.count_python_stages(df) == 0
