@@ -144,6 +144,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # DSIR importance resampling (hashed-n-gram likelihood ratio)
         "dsir_weights": q.q_dsir_weights,
         "dsir_select": q.q_dsir_select,
+        # Gopher quality-rule battery
+        "gopher_rules": q.q_gopher_rules,
+        # CCNet perplexity bucketing
+        "ccnet_buckets": q.q_ccnet_buckets,
     }
     return out
 

@@ -61,6 +61,8 @@ BENCH_QUERIES = (
     "bpe_train",
     "substring_dedup",
     "dsir_weights",
+    "gopher_rules",
+    "ccnet_buckets",
 )
 
 

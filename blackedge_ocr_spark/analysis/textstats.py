@@ -466,7 +466,9 @@ def vocab_coverage(docs: DataFrame, k: int = TOP_K_TERMS) -> DataFrame:
 LM_VOCAB_K = 512  # top-V unigram-LM vocabulary size
 
 
-def lm_scores(docs: DataFrame, v: int = LM_VOCAB_K) -> DataFrame:
+def lm_scores(
+    docs: DataFrame, v: int = LM_VOCAB_K, carry: tuple[str, ...] = ()
+) -> DataFrame:
     """Unigram-LM mean log-probability per document — the
     perplexity-proxy quality signal (CCNet-style LM filtering, public
     method) with the corpus's own top-``v`` unigram distribution as
@@ -527,7 +529,7 @@ def lm_scores(docs: DataFrame, v: int = LM_VOCAB_K) -> DataFrame:
         F.col("s").cast("double") / (F.col("n_toks").cast("double") * 1e6)
     )
     return (
-        docs.select("doc_id")
+        docs.select("doc_id", *carry)
         .join(per_doc, "doc_id", "left")
         .select(
             "doc_id",
@@ -535,6 +537,7 @@ def lm_scores(docs: DataFrame, v: int = LM_VOCAB_K) -> DataFrame:
             F.when(F.col("n_toks") > 0, mean)
             .otherwise(F.lit(0.0))
             .alias("lm_score"),
+            *carry,
         )
     )
 
@@ -640,4 +643,198 @@ def lang_confusion(docs: DataFrame) -> DataFrame:
         )
         .groupBy("true_lang", "predicted_lang")
         .agg(F.count("*").alias("n"))
+    )
+
+
+# Gopher quality-filter rule battery (Rae et al. 2021, appendix A1.1
+# — public method). Thresholds are the published constants; flags are
+# True when the rule KEEPS the document.
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+GOPHER_MIN_WORDS = 50
+GOPHER_MAX_WORDS = 100_000
+GOPHER_MIN_WLEN = 3.0
+GOPHER_MAX_WLEN = 10.0
+GOPHER_MAX_SYMBOL_RATIO = 0.1
+GOPHER_MAX_BULLET_FRAC = 0.9
+GOPHER_MAX_ELLIPSIS_FRAC = 0.3
+GOPHER_MIN_ALPHA_FRAC = 0.8
+GOPHER_MIN_STOP_HITS = 2
+
+
+def gopher_rules(docs: DataFrame) -> DataFrame:
+    """Per-document Gopher rule flags + the keep conjunction.
+
+    Words are RAW whitespace runs (not normalized tokens) and lines
+    are newline-delimited with blank lines ignored — the paper's
+    units, distinct from every other operator's token stream. All
+    ratios divide exact integer counts once (no float accumulation),
+    so the rule comparisons are bit-identical across engines; the
+    ratios are micro-unit-rounded only for OUTPUT, while flags
+    compare the exact values.
+
+    Shape at scale: pure built-ins, one projection over the scan,
+    zero shuffle, zero Python — the cheapest possible corpus gate,
+    exactly what a 100 TB first-pass filter must be.
+    """
+    text = F.col("text")
+    words = F.filter(F.split(text, r"\s+"), lambda w: w != "")
+    n_words = F.size(words).cast("long")
+    nf = n_words.cast("double")
+    lines = F.filter(F.split(text, "\n"), lambda x: F.trim(x) != "")
+    n_lines = F.size(lines).cast("long")
+    lf = n_lines.cast("double")
+    sum_len = F.aggregate(
+        words, F.lit(0).cast("long"), lambda acc, w: acc + F.length(w)
+    )
+    mean_len = F.when(n_words > 0, sum_len.cast("double") / nf).otherwise(
+        F.lit(0.0)
+    )
+    n_sym = (
+        F.size(F.regexp_extract_all(text, F.lit("#"), 0))
+        + F.size(F.regexp_extract_all(text, F.lit(r"\.\.\.|…"), 0))
+    ).cast("long")
+    symbol_ratio = F.when(
+        n_words > 0, n_sym.cast("double") / nf
+    ).otherwise(F.lit(0.0))
+    n_bullet = F.size(
+        F.filter(lines, lambda x: x.rlike(r"^\s*[-*•]"))
+    ).cast("long")
+    bullet_frac = F.when(
+        n_lines > 0, n_bullet.cast("double") / lf
+    ).otherwise(F.lit(0.0))
+    n_ell_end = F.size(
+        F.filter(lines, lambda x: x.rlike(r"(\.\.\.|…)\s*$"))
+    ).cast("long")
+    ellipsis_frac = F.when(
+        n_lines > 0, n_ell_end.cast("double") / lf
+    ).otherwise(F.lit(0.0))
+    n_alpha = F.size(
+        F.filter(words, lambda w: w.rlike("[a-zA-Z]"))
+    ).cast("long")
+    alpha_frac = F.when(
+        n_words > 0, n_alpha.cast("double") / nf
+    ).otherwise(F.lit(0.0))
+    lowered = F.transform(words, F.lower)
+    stop_hits = F.size(
+        F.filter(
+            F.array(*[F.lit(s) for s in GOPHER_STOPWORDS]),
+            lambda s: F.array_contains(lowered, s),
+        )
+    ).cast("long")
+    r_words = (n_words >= GOPHER_MIN_WORDS) & (n_words <= GOPHER_MAX_WORDS)
+    r_mean = (mean_len >= GOPHER_MIN_WLEN) & (mean_len <= GOPHER_MAX_WLEN)
+    r_symbol = symbol_ratio <= GOPHER_MAX_SYMBOL_RATIO
+    r_bullet = bullet_frac <= GOPHER_MAX_BULLET_FRAC
+    r_ellipsis = ellipsis_frac <= GOPHER_MAX_ELLIPSIS_FRAC
+    r_alpha = alpha_frac >= GOPHER_MIN_ALPHA_FRAC
+    r_stop = stop_hits >= GOPHER_MIN_STOP_HITS
+    return docs.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        _r6(mean_len).alias("mean_word_len"),
+        _r6(symbol_ratio).alias("symbol_ratio"),
+        _r6(bullet_frac).alias("bullet_frac"),
+        _r6(ellipsis_frac).alias("ellipsis_frac"),
+        _r6(alpha_frac).alias("alpha_frac"),
+        stop_hits.alias("stop_hits"),
+        r_words.alias("r_words"),
+        r_mean.alias("r_mean_len"),
+        r_symbol.alias("r_symbol"),
+        r_bullet.alias("r_bullet"),
+        r_ellipsis.alias("r_ellipsis"),
+        r_alpha.alias("r_alpha"),
+        r_stop.alias("r_stopwords"),
+        (
+            r_words & r_mean & r_symbol & r_bullet & r_ellipsis
+            & r_alpha & r_stop
+        ).alias("gopher_pass"),
+    )
+
+
+# CCNet-style perplexity bucketing (Wenzek et al. 2020 — public).
+CCNET_SALT = "ccb:"   # threshold-sample hash salt (independent stream)
+CCNET_KEEP = 0x4      # keep 4/16 of docs in the threshold sample
+CCNET_PCTS = (1 / 3, 2 / 3)
+
+
+def ccnet_buckets(docs: DataFrame) -> DataFrame:
+    """Per-language head/middle/tail split of the corpus by the
+    unigram-LM score — the CCNet binning (Wenzek et al. 2020, public
+    method; the paper buckets on Wikipedia-LM perplexity, here the
+    corpus's own unigram model from lm_scores stands in; HIGHER mean
+    log-prob = LOWER perplexity = head).
+
+    Thresholds are the interpolated 1/3 and 2/3 percentiles of the
+    score over a DETERMINISTIC md5 hash-sample per language (the
+    quantile_sample discipline) — never a full-corpus per-language
+    sort: the only rank window runs on the keep/16 sample, the
+    |langs|-row threshold table BROADCASTS back, and the bucket
+    assignment is a pure projection over the scored corpus. Languages
+    whose sample is empty get bucket 'unsampled' (the audit-exposes-
+    gaps rule) rather than a silent default.
+
+    Interpolation (idx = p·(n-1); lo + frac·(hi - lo)) is spelled out
+    identically in the DuckDB oracle — the rank_percentiles idiom —
+    and compares the exact doubles; lm_score itself is the r6 value
+    both engines already agree on.
+    """
+    from pyspark.sql import Window
+
+    # Staged once (the substring_dedup discipline): the scored corpus
+    # feeds BOTH the threshold sample and the final assignment —
+    # without the persist the two-pass LM scoring would run twice.
+    # MEMORY_AND_DISK + LRU-evictable; at 100 TB this becomes a
+    # scratch-table write.
+    scored = lm_scores(docs, carry=("lang",)).persist()
+    member = (
+        F.substring(
+            F.md5(
+                F.concat(F.lit(CCNET_SALT), F.col("doc_id").cast("string"))
+            ),
+            1,
+            1,
+        )
+        < F.lit(f"{CCNET_KEEP:x}")
+    )
+    samp = scored.filter(member).select(
+        "lang", F.col("lm_score").alias("v"), "doc_id"
+    )
+    w = Window.partitionBy("lang").orderBy("v", "doc_id")
+    ranked = samp.select(
+        "lang",
+        "v",
+        (F.row_number().over(w) - 1).alias("r"),
+        F.count("*").over(Window.partitionBy("lang")).alias("n"),
+    )
+    aggs = []
+    for p, name in zip(CCNET_PCTS, ("t33", "t66")):
+        idx = F.lit(p) * (F.col("n") - 1).cast("double")
+        lo, hi = F.floor(idx), F.ceil(idx)
+        aggs.append(
+            F.max(F.when(F.col("r") == lo, F.col("v"))).alias(f"_lo{name}")
+        )
+        aggs.append(
+            F.max(F.when(F.col("r") == hi, F.col("v"))).alias(f"_hi{name}")
+        )
+        aggs.append(F.max(idx - lo.cast("double")).alias(f"_fr{name}"))
+    thr = ranked.groupBy("lang").agg(*aggs)
+    for name in ("t33", "t66"):
+        thr = thr.withColumn(
+            name,
+            F.col(f"_lo{name}")
+            + F.col(f"_fr{name}") * (F.col(f"_hi{name}") - F.col(f"_lo{name}")),
+        )
+    thr = thr.select("lang", "t33", "t66")
+    bucket = (
+        F.when(F.col("t66").isNull(), F.lit("unsampled"))
+        .when(F.col("lm_score") >= F.col("t66"), F.lit("head"))
+        .when(F.col("lm_score") >= F.col("t33"), F.lit("middle"))
+        .otherwise(F.lit("tail"))
+    )
+    return scored.join(F.broadcast(thr), "lang", "left").select(
+        "doc_id",
+        "lang",
+        "n_tokens",
+        "lm_score",
+        bucket.alias("bucket"),
     )

@@ -1804,3 +1804,23 @@ def q_dsir_select(spark, sf_dir) -> DataFrame:
     from blackedge_ocr_spark.analysis import dsir
 
     return dsir.dsir_select(_docs(spark, sf_dir))
+
+
+def q_gopher_rules(spark, sf_dir) -> DataFrame:
+    """Gopher quality-filter rule battery (Rae et al. 2021): all
+    seven published rules as one zero-shuffle projection over the
+    scan — exact integer-count ratios, flags on the unrounded
+    values."""
+    from blackedge_ocr_spark.analysis import textstats
+
+    return textstats.gopher_rules(_docs(spark, sf_dir))
+
+
+def q_ccnet_buckets(spark, sf_dir) -> DataFrame:
+    """CCNet-style per-language head/middle/tail perplexity buckets:
+    thresholds from a deterministic hash-sample rank window (never a
+    full-corpus per-lang sort), broadcast back, pure-projection
+    assignment."""
+    from blackedge_ocr_spark.analysis import textstats
+
+    return textstats.ccnet_buckets(_docs(spark, sf_dir))

@@ -799,6 +799,8 @@ def build_oracles() -> dict[str, str]:
         # DSIR importance resampling
         "dsir_weights": sql_dsir_weights(),
         "dsir_select": sql_dsir_select(),
+        "gopher_rules": sql_gopher_rules(),
+        "ccnet_buckets": sql_ccnet_buckets(),
     }
     return out
 
@@ -3554,3 +3556,138 @@ h AS (SELECT doc_id, n_feats, logw FROM w
 SELECT row_number() OVER (ORDER BY logw DESC, doc_id)::bigint AS rank,
        doc_id, n_feats, logw
 FROM h"""
+
+
+def sql_gopher_rules() -> str:
+    """textstats.gopher_rules mirror: raw whitespace words, blank
+    lines dropped, identical exact-integer ratios and published
+    thresholds; micro-unit rounding applies to output columns only
+    while the flags compare the exact values."""
+    from blackedge_ocr_spark.analysis.textstats import (
+        GOPHER_MAX_BULLET_FRAC,
+        GOPHER_MAX_ELLIPSIS_FRAC,
+        GOPHER_MAX_SYMBOL_RATIO,
+        GOPHER_MAX_WLEN,
+        GOPHER_MAX_WORDS,
+        GOPHER_MIN_ALPHA_FRAC,
+        GOPHER_MIN_STOP_HITS,
+        GOPHER_MIN_WLEN,
+        GOPHER_MIN_WORDS,
+        GOPHER_STOPWORDS,
+    )
+
+    stops = ", ".join(f"'{s}'" for s in GOPHER_STOPWORDS)
+    return f"""
+WITH t AS (
+  SELECT doc_id,
+    list_filter(regexp_split_to_array(text, '\\s+'), w -> w <> '')
+      AS words,
+    list_filter(regexp_split_to_array(text, '\\n'), l -> trim(l) <> '')
+      AS lines,
+    text
+  FROM documents),
+m AS (
+  SELECT doc_id,
+    len(words)::bigint AS n_words,
+    coalesce(list_sum(list_transform(words, w -> length(w))), 0)::bigint
+      AS sum_len,
+    (len(regexp_extract_all(text, '#'))
+     + len(regexp_extract_all(text, '\\.\\.\\.|…')))::bigint AS n_sym,
+    len(list_filter(lines, l -> regexp_matches(l, '^\\s*[-*•]')))::bigint
+      AS n_bullet,
+    len(list_filter(lines,
+        l -> regexp_matches(l, '(\\.\\.\\.|…)\\s*$')))::bigint
+      AS n_ell_end,
+    len(lines)::bigint AS n_lines,
+    len(list_filter(words, w -> regexp_matches(w, '[a-zA-Z]')))::bigint
+      AS n_alpha,
+    len(list_filter([{stops}],
+        s -> list_contains(list_transform(words, w -> lower(w)), s)))
+      ::bigint AS stop_hits
+  FROM t),
+r AS (
+  SELECT doc_id, n_words, stop_hits,
+    CASE WHEN n_words > 0 THEN sum_len::double / n_words::double
+         ELSE 0.0 END AS mean_len,
+    CASE WHEN n_words > 0 THEN n_sym::double / n_words::double
+         ELSE 0.0 END AS symbol_ratio,
+    CASE WHEN n_lines > 0 THEN n_bullet::double / n_lines::double
+         ELSE 0.0 END AS bullet_frac,
+    CASE WHEN n_lines > 0 THEN n_ell_end::double / n_lines::double
+         ELSE 0.0 END AS ellipsis_frac,
+    CASE WHEN n_words > 0 THEN n_alpha::double / n_words::double
+         ELSE 0.0 END AS alpha_frac
+  FROM m)
+SELECT doc_id, n_words,
+  floor(mean_len * 1000000 + 0.5) / 1000000 AS mean_word_len,
+  floor(symbol_ratio * 1000000 + 0.5) / 1000000 AS symbol_ratio,
+  floor(bullet_frac * 1000000 + 0.5) / 1000000 AS bullet_frac,
+  floor(ellipsis_frac * 1000000 + 0.5) / 1000000 AS ellipsis_frac,
+  floor(alpha_frac * 1000000 + 0.5) / 1000000 AS alpha_frac,
+  stop_hits,
+  (n_words >= {GOPHER_MIN_WORDS} AND n_words <= {GOPHER_MAX_WORDS})
+    AS r_words,
+  (mean_len >= {GOPHER_MIN_WLEN} AND mean_len <= {GOPHER_MAX_WLEN})
+    AS r_mean_len,
+  (symbol_ratio <= {GOPHER_MAX_SYMBOL_RATIO}) AS r_symbol,
+  (bullet_frac <= {GOPHER_MAX_BULLET_FRAC}) AS r_bullet,
+  (ellipsis_frac <= {GOPHER_MAX_ELLIPSIS_FRAC}) AS r_ellipsis,
+  (alpha_frac >= {GOPHER_MIN_ALPHA_FRAC}) AS r_alpha,
+  (stop_hits >= {GOPHER_MIN_STOP_HITS}) AS r_stopwords,
+  (n_words >= {GOPHER_MIN_WORDS} AND n_words <= {GOPHER_MAX_WORDS}
+   AND mean_len >= {GOPHER_MIN_WLEN} AND mean_len <= {GOPHER_MAX_WLEN}
+   AND symbol_ratio <= {GOPHER_MAX_SYMBOL_RATIO}
+   AND bullet_frac <= {GOPHER_MAX_BULLET_FRAC}
+   AND ellipsis_frac <= {GOPHER_MAX_ELLIPSIS_FRAC}
+   AND alpha_frac >= {GOPHER_MIN_ALPHA_FRAC}
+   AND stop_hits >= {GOPHER_MIN_STOP_HITS}) AS gopher_pass
+FROM r"""
+
+
+def sql_ccnet_buckets() -> str:
+    """textstats.ccnet_buckets mirror: the lm_scores query nested as
+    a CTE, the identical md5 hash-sample membership, the identical
+    interpolated tercile rank selection per language, and the same
+    exact-double bucket comparisons."""
+    from blackedge_ocr_spark.analysis.textstats import (
+        CCNET_KEEP,
+        CCNET_PCTS,
+        CCNET_SALT,
+    )
+
+    p1, p2 = (repr(p) for p in CCNET_PCTS)
+    return f"""
+WITH lm AS ({sql_lm_scores()}),
+s AS (SELECT lm.doc_id, d.lang, lm.n_tokens, lm.lm_score
+      FROM lm JOIN documents d ON lm.doc_id = d.doc_id),
+sm AS (SELECT lang, lm_score AS v, doc_id FROM s
+       WHERE substr(md5('{CCNET_SALT}' || doc_id), 1, 1)
+             < '{CCNET_KEEP:x}'),
+rk AS (SELECT lang, v,
+              row_number() OVER (PARTITION BY lang ORDER BY v, doc_id)
+                - 1 AS r,
+              count(*) OVER (PARTITION BY lang) AS n
+       FROM sm),
+th AS (SELECT lang,
+         max(CASE WHEN r = floor({p1} * (n - 1)::double) THEN v END)
+           AS lo33,
+         max(CASE WHEN r = ceil({p1} * (n - 1)::double) THEN v END)
+           AS hi33,
+         max({p1} * (n - 1)::double
+             - floor({p1} * (n - 1)::double)) AS fr33,
+         max(CASE WHEN r = floor({p2} * (n - 1)::double) THEN v END)
+           AS lo66,
+         max(CASE WHEN r = ceil({p2} * (n - 1)::double) THEN v END)
+           AS hi66,
+         max({p2} * (n - 1)::double
+             - floor({p2} * (n - 1)::double)) AS fr66
+       FROM rk GROUP BY lang),
+t AS (SELECT lang, lo33 + fr33 * (hi33 - lo33) AS t33,
+             lo66 + fr66 * (hi66 - lo66) AS t66
+      FROM th)
+SELECT s.doc_id, s.lang, s.n_tokens, s.lm_score,
+  CASE WHEN t.t66 IS NULL THEN 'unsampled'
+       WHEN s.lm_score >= t.t66 THEN 'head'
+       WHEN s.lm_score >= t.t33 THEN 'middle'
+       ELSE 'tail' END AS bucket
+FROM s LEFT JOIN t ON s.lang = t.lang"""
