@@ -277,3 +277,38 @@ def test_dsir_ratio_table_broadcasts(spark):
     p = plans.formatted_plan(df)
     assert "BroadcastHashJoin" in p
     assert plans.count_python_stages(df) == 0
+
+
+def test_gopher_rules_zero_shuffle_one_projection(spark):
+    """All seven Gopher rules must evaluate as ONE fused projection
+    over the scan — no exchange, no Python, no join: the cheapest
+    possible first-pass corpus gate at 100 TB. Asserted on the raw
+    scan (the query wrapper adds only the shared split-starvation
+    spread)."""
+    from blackedge_ocr_spark.analysis.textstats import gopher_rules
+
+    df = gopher_rules(spark.read.parquet(f"{SF}/documents.parquet"))
+    p = plans.formatted_plan(df)
+    assert plans.count_exchanges(df) == 0
+    assert plans.count_python_stages(df) == 0
+    assert "Join" not in p
+    assert plans.count_projects(df) == 1
+
+
+def test_ccnet_threshold_table_broadcasts(spark):
+    """The per-language tercile threshold table (|langs| rows) must
+    come back as a BROADCAST join, and the rank window must run only
+    on the keep/16 hash sample: at most one Sort beyond the windows'
+    own (the lm_scores doc_id merge join) — never a full-corpus
+    per-language sort for the thresholds."""
+    import re
+
+    from blackedge_ocr_spark.analysis.textstats import ccnet_buckets
+
+    df = ccnet_buckets(spark.read.parquet(f"{SF}/documents.parquet"))
+    p = plans.formatted_plan(df)
+    assert "BroadcastHashJoin" in p
+    assert plans.count_python_stages(df) == 0
+    sorts = len(re.findall(r"\(\d+\) Sort\b", p))
+    windows = len(re.findall(r"\(\d+\) Window\b", p))
+    assert windows >= 1 and sorts <= windows + 2, (sorts, windows)
