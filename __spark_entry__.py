@@ -148,6 +148,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gopher_rules": q.q_gopher_rules,
         # CCNet perplexity bucketing
         "ccnet_buckets": q.q_ccnet_buckets,
+        # C4 cleaning battery + global three-sentence-span dedup
+        "c4_filters": q.q_c4_filters,
+        "c4_span_dedup": q.q_c4_span_dedup,
     }
     return out
 

@@ -63,6 +63,8 @@ BENCH_QUERIES = (
     "dsir_weights",
     "gopher_rules",
     "ccnet_buckets",
+    "c4_filters",
+    "c4_span_dedup",
 )
 
 

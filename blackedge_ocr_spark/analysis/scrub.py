@@ -668,3 +668,196 @@ def substring_dedup(docs: DataFrame, k: int = SUB_GRAM_K) -> DataFrame:
         "n_runs",
         "kept_md5",
     )
+
+
+# --------------------------------------------------------------- C4
+
+# C4 cleaning heuristics (Raffel et al. 2020, §2.2 — public method).
+# Line rule: keep a line only if it ends in a terminal punctuation
+# mark (period / exclamation / question mark / closing quote), has at
+# least C4_MIN_LINE_WORDS words, and does not mention "javascript".
+# Page rules: drop pages with fewer than C4_MIN_SENTENCES sentences
+# (counted AFTER line filtering), containing "lorem ipsum", a curly
+# brace, or a blocklisted word. The demo badword list is two stand-in
+# tokens; the real pipeline swaps in the published blocklist — the
+# OPERATOR (word-bound alternation regex, one pass) is the scale
+# path either way.
+C4_TERMINAL_RE = "[.!?\"']$"
+C4_MIN_LINE_WORDS = 3
+C4_MIN_SENTENCES = 5
+C4_BADWORDS: tuple[str, ...] = ("badword1", "badword2")
+C4_BADWORD_RE = r"(?i)\b(" + "|".join(C4_BADWORDS) + r")\b"
+# Sentence = a maximal run up to (and including) terminal punctuation,
+# plus an unterminated trailing fragment. Alternation + classes only —
+# identical semantics in Java regex (Spark) and RE2 (DuckDB); neither
+# lookbehind (absent in RE2) nor \b is needed.
+SENT_RE = r"[^.!?]+[.!?]+|[^.!?]+$"
+SPAN_SEP = "\x1f"  # unit separator between a span's three sentences
+# Keeper packing: doc_id * SHIFT + pos is order-preserving for
+# sentence positions under the shift (2^21 ≈ 2.1M sentences/doc —
+# far above any real page), and doc ids reach DUP_ID_OFFSET (1e12)
+# + n, so the packed key stays under 2.2e18 < int64 max. A packed
+# min plans as HashAggregate; min(struct) would force SortAggregate.
+SPAN_POS_SHIFT = 1 << 21
+
+
+def sentence_array(col: Column) -> Column:
+    """Trimmed non-empty sentences of a text column (SENT_RE runs).
+    Pure zero-shuffle projection; NULL text yields []."""
+    runs = F.regexp_extract_all(F.coalesce(col, F.lit("")), F.lit(SENT_RE), 0)
+    # explicit lambda: bare F.trim would bind as a TWO-arg (element,
+    # index) lambda via trim's optional second parameter and trim
+    # nothing
+    return F.filter(
+        F.transform(runs, lambda s: F.trim(s)), lambda s: s != ""
+    )
+
+
+def c4_filters(docs: DataFrame) -> DataFrame:
+    """Per-document C4 cleaning verdict: line-filter counts, the
+    surviving text's md5, the page-level flags, and the composed
+    c4_keep decision.
+
+    Sentence counting runs on the KEPT text (C4 counts sentences
+    after its line filter); the lorem/brace/badword flags inspect the
+    ORIGINAL page, as the paper drops such pages outright.
+
+    Shape at scale: pure built-ins, one fused projection over the
+    scan, zero shuffle, zero Python, no join — same first-pass-gate
+    discipline as gopher_rules (tests/test_plans.py pins it).
+    """
+    text = F.coalesce(F.col("text"), F.lit(""))
+    lines = F.split(text, LINE_SEP, -1)
+    trimmed = F.transform(lines, lambda ln: F.trim(ln))
+
+    def _line_keep(ln: Column) -> Column:
+        n_words = F.size(F.filter(F.split(ln, r"\s+"), lambda w: w != ""))
+        return (
+            ln.rlike(C4_TERMINAL_RE)
+            & (n_words >= C4_MIN_LINE_WORDS)
+            & ~F.contains(F.lower(ln), F.lit("javascript"))
+        )
+
+    kept_lines = F.filter(trimmed, _line_keep)
+    kept_text = F.array_join(kept_lines, LINE_SEP)
+    n_sents = F.size(sentence_array(kept_text)).cast("long")
+    lower = F.lower(text)
+    has_lorem = F.contains(lower, F.lit("lorem ipsum"))
+    has_brace = F.contains(text, F.lit("{"))
+    has_badword = text.rlike(C4_BADWORD_RE)
+    keep = (
+        (n_sents >= C4_MIN_SENTENCES)
+        & ~has_lorem
+        & ~has_brace
+        & ~has_badword
+    )
+    return docs.select(
+        "doc_id",
+        F.size(lines).cast("long").alias("n_lines"),
+        F.size(kept_lines).cast("long").alias("n_kept_lines"),
+        n_sents.alias("n_sentences"),
+        has_lorem.alias("has_lorem"),
+        has_brace.alias("has_brace"),
+        has_badword.alias("has_badword"),
+        F.md5(kept_text).alias("kept_md5"),
+        keep.alias("c4_keep"),
+    )
+
+
+def c4_span_dedup(docs: DataFrame) -> DataFrame:
+    """C4's global three-sentence-span dedup (Raffel et al. 2020,
+    §2.2: "we discarded all but one of any three-sentence span
+    occurring more than once"): every sliding window of three
+    consecutive sentences is hashed; the corpus-wide FIRST occurrence
+    (lowest (doc_id, pos)) of each span survives, and every later
+    occurrence deletes its three sentences from its document. Returns
+    per-doc (n_sents, n_kept, kept_md5) with survivors re-joined by a
+    single space in original order.
+
+    A span repeated WITHIN one document loses its later occurrence
+    too, and a sentence covered by both a winning and a losing span
+    is deleted — "all but one occurrence of the span" takes
+    precedence over the win (the TFDS c4_utils reading).
+
+    Scale shape: spans are built IN-ARRAY from the sentence list
+    (sequence + transform — no per-doc window, no lead()); the keeper
+    is a PACKED-LONG min hash-agg on the span hash (doc_id *
+    SPAN_POS_SHIFT + pos — order-preserving for pos <
+    SPAN_POS_SHIFT, so numeric min == lexicographic (doc_id, pos)
+    min; a min(struct) would plan as SortAggregate and sort every
+    copy of a hot span), map-side combinable — a boilerplate span in
+    10^9 docs partial-aggregates per task; the join back is
+    AQE-skew-splittable; deletions distinct on (doc_id, pos) then
+    hash-joined to the sentence stream; one final per-doc hash-agg.
+    A WINDOW over the span hash would instead sort every copy of a
+    hot span in one task. The sentence frame is staged once
+    (persist): it feeds both the span stream and the final
+    reassembly.
+    """
+    sents = sentence_array(F.col("text"))
+    staged = docs.select("doc_id", sents.alias("sents")).persist()
+    n = F.size("sents")
+    span_pos = F.when(n >= 3, F.sequence(F.lit(0), n - 3)).otherwise(
+        F.array().cast("array<int>")
+    )
+    spans = F.transform(
+        span_pos,
+        lambda i: F.struct(
+            i.alias("pos"),
+            F.md5(
+                F.concat_ws(
+                    SPAN_SEP,
+                    F.element_at(F.col("sents"), i + 1),
+                    F.element_at(F.col("sents"), i + 2),
+                    F.element_at(F.col("sents"), i + 3),
+                )
+            ).alias("h"),
+        ),
+    )
+    span_ex = (
+        staged.select("doc_id", F.explode(spans).alias("s"))
+        .select(
+            "doc_id",
+            F.col("s.pos").alias("pos"),
+            F.col("s.h").alias("h"),
+        )
+        .withColumn(
+            "pk",
+            F.col("doc_id") * F.lit(SPAN_POS_SHIFT)
+            + F.col("pos").cast("long"),
+        )
+    )
+    keeper = span_ex.groupBy("h").agg(F.min("pk").alias("kmin"))
+    lose = span_ex.join(keeper, "h").filter(F.col("pk") != F.col("kmin"))
+    dels = (
+        lose.select(
+            "doc_id",
+            F.explode(F.sequence(F.col("pos"), F.col("pos") + 2)).alias(
+                "pos"
+            ),
+        )
+        .distinct()
+        .withColumn("_del", F.lit(True))
+    )
+    sent_ex = staged.select(
+        "doc_id", F.posexplode_outer("sents").alias("pos", "sent")
+    )
+    j = sent_ex.join(dels, ["doc_id", "pos"], "left")
+    kept = F.col("pos").isNotNull() & F.col("_del").isNull()
+    return j.groupBy("doc_id").agg(
+        F.count("pos").cast("long").alias("n_sents"),
+        F.coalesce(F.sum(kept.cast("int")), F.lit(0))
+        .cast("long")
+        .alias("n_kept"),
+        F.md5(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.when(kept, F.struct("pos", "sent")))
+                    ),
+                    lambda s: s["sent"],
+                ),
+                " ",
+            )
+        ).alias("kept_md5"),
+    )

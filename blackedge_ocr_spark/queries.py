@@ -749,6 +749,59 @@ def _lined_text(doc_id, text):
     )
 
 
+def _sentenced_text(doc_id, text):
+    """Sentence staging for the C4 span dedup (the synthetic corpus
+    has no punctuation): eight 24-char chunks as period-terminated
+    sentences, plus — on even doc_ids — a three-sentence trio keyed
+    by doc_id % 3, so each trio is shared by ~1/6 of the corpus and
+    every later holder must lose it. Mirrored by
+    sqloracle.sentenced_text_sql."""
+    chunks = [F.trim(F.substring(text, 1 + 24 * i, 24)) for i in range(8)]
+    base = F.concat_ws(" ", *[F.concat(c, F.lit(".")) for c in chunks])
+    k = F.pmod(doc_id, F.lit(3)).cast("string")
+    trio = F.concat_ws(
+        " ",
+        F.concat(F.lit("shared span one "), k, F.lit(".")),
+        F.concat(F.lit("shared span two "), k, F.lit(".")),
+        F.concat(F.lit("shared span three "), k, F.lit(".")),
+    )
+    return F.when(
+        F.pmod(doc_id, F.lit(2)) == 0, F.concat_ws(" ", base, trio)
+    ).otherwise(base)
+
+
+def _c4_text(doc_id, text):
+    """Line staging for the C4 filter battery: two always-kept
+    multi-sentence body lines (2 + 3 sentences — exactly the 5-
+    sentence minimum), one unterminated line, one too-short line, and
+    doc_id-keyed injections exercising every rule's fail side
+    (unterminated body on %19, javascript on %5, lorem on %11, brace
+    on %13, badword on %17). Mirrored by sqloracle.c4_text_sql."""
+    c = [F.trim(F.substring(text, 1 + 36 * i, 36)) for i in range(6)]
+    l0 = F.concat(c[0], F.lit(". "), c[1], F.lit("."))
+    l1 = c[2]  # no terminal punctuation -> dropped
+    l2 = F.lit("too short.")  # 2 words -> dropped
+    body = F.concat(
+        c[3], F.lit(". "), c[4], F.lit(". "), c[5], F.lit(".")
+    )
+    # %19 docs lose the 3-sentence body line -> under 5 sentences
+    l3 = F.when(F.pmod(doc_id, F.lit(19)) == 0, c[3]).otherwise(body)
+    parts = [l0, l1, l2, l3]
+    inject = [
+        (5, "enable javascript to view this."),
+        (11, "lorem ipsum dolor sit amet."),
+        (13, "function() { return 1; }"),
+        (17, "this page mentions badword1 openly."),
+    ]
+    out = F.concat_ws("\n", *parts)
+    for mod, line in inject:
+        out = F.when(
+            F.pmod(doc_id, F.lit(mod)) == 0,
+            F.concat(out, F.lit("\n" + line)),
+        ).otherwise(out)
+    return out
+
+
 def _url_col(doc_id):
     """Deterministic per-doc URL over a 5-host pool (2 of them
     blocklisted). Mirrored by sqloracle.url_sql."""
@@ -1824,3 +1877,30 @@ def q_ccnet_buckets(spark, sf_dir) -> DataFrame:
     from blackedge_ocr_spark.analysis import textstats
 
     return textstats.ccnet_buckets(_docs(spark, sf_dir))
+
+
+def q_c4_filters(spark, sf_dir) -> DataFrame:
+    """C4 cleaning battery (Raffel et al. 2020 §2.2) over the
+    line-staged corpus: line filter counts + page flags + the
+    composed keep decision, all as one zero-shuffle projection."""
+    from blackedge_ocr_spark.analysis import scrub
+
+    d = _docs(spark, sf_dir)
+    staged = d.select(
+        "doc_id", _c4_text(F.col("doc_id"), F.col("text")).alias("text")
+    )
+    return scrub.c4_filters(staged)
+
+
+def q_c4_span_dedup(spark, sf_dir) -> DataFrame:
+    """C4 global three-sentence-span dedup over the sentence-staged
+    corpus: the injected shared trios (and replicated duplicate docs)
+    lose everywhere but their lowest-(doc_id, pos) occurrence."""
+    from blackedge_ocr_spark.analysis import scrub
+
+    d = _docs(spark, sf_dir)
+    staged = d.select(
+        "doc_id",
+        _sentenced_text(F.col("doc_id"), F.col("text")).alias("text"),
+    )
+    return scrub.c4_span_dedup(staged)

@@ -801,6 +801,9 @@ def build_oracles() -> dict[str, str]:
         "dsir_select": sql_dsir_select(),
         "gopher_rules": sql_gopher_rules(),
         "ccnet_buckets": sql_ccnet_buckets(),
+        # C4 cleaning + global span dedup
+        "c4_filters": sql_c4_filters(),
+        "c4_span_dedup": sql_c4_span_dedup(),
     }
     return out
 
@@ -3691,3 +3694,126 @@ SELECT s.doc_id, s.lang, s.n_tokens, s.lm_score,
        WHEN s.lm_score >= t.t33 THEN 'middle'
        ELSE 'tail' END AS bucket
 FROM s LEFT JOIN t ON s.lang = t.lang"""
+
+
+def sentenced_text_sql(doc: str, text: str) -> str:
+    """queries._sentenced_text mirror: eight 24-char chunks as
+    period-terminated sentences + the doc_id%3-keyed shared trio on
+    even doc_ids."""
+    base = ", ".join(
+        f"trim(substr({text}, {1 + 24 * i}, 24)) || '.'" for i in range(8)
+    )
+    k = f"({doc} % 3)::varchar"
+    trio = (
+        f"'shared span one ' || {k} || '. shared span two ' || {k}"
+        f" || '. shared span three ' || {k} || '.'"
+    )
+    return (
+        f"(CASE WHEN {doc} % 2 = 0"
+        f" THEN concat_ws(' ', {base}) || ' ' || {trio}"
+        f" ELSE concat_ws(' ', {base}) END)"
+    )
+
+
+def c4_text_sql(doc: str, text: str) -> str:
+    """queries._c4_text mirror: the four staged lines plus the
+    doc_id-keyed rule-fail injections, appended in the same order."""
+    c = [f"trim(substr({text}, {1 + 36 * i}, 36))" for i in range(6)]
+    l0 = f"{c[0]} || '. ' || {c[1]} || '.'"
+    body = f"{c[3]} || '. ' || {c[4]} || '. ' || {c[5]} || '.'"
+    l3 = f"(CASE WHEN {doc} % 19 = 0 THEN {c[3]} ELSE {body} END)"
+    out = f"concat_ws(chr(10), {l0}, {c[2]}, 'too short.', {l3})"
+    inject = (
+        (5, "enable javascript to view this."),
+        (11, "lorem ipsum dolor sit amet."),
+        (13, "function() { return 1; }"),
+        (17, "this page mentions badword1 openly."),
+    )
+    for mod, line in inject:
+        out = (
+            f"({out} || CASE WHEN {doc} % {mod} = 0"
+            f" THEN chr(10) || '{line}' ELSE '' END)"
+        )
+    return out
+
+
+# shared sentence-splitting SQL fragment (scrub.sentence_array mirror)
+def _sents_sql(text: str) -> str:
+    from blackedge_ocr_spark.analysis.scrub import SENT_RE
+
+    return (
+        f"list_filter(list_transform(regexp_extract_all({text}, "
+        f"{_sq(SENT_RE)}), x -> trim(x)), x -> x <> '')"
+    )
+
+
+def sql_c4_filters() -> str:
+    """scrub.c4_filters mirror: identical line-keep lambda (terminal
+    regex + min-words + javascript), sentence count over the KEPT
+    text, page flags over the ORIGINAL text, same composed keep."""
+    from blackedge_ocr_spark.analysis.scrub import (
+        C4_BADWORD_RE,
+        C4_MIN_LINE_WORDS,
+        C4_MIN_SENTENCES,
+        C4_TERMINAL_RE,
+    )
+
+    staged = c4_text_sql("doc_id", "text")
+    keep_l = (
+        f"l -> regexp_matches(l, {_sq(C4_TERMINAL_RE)})"
+        f" AND len(list_filter(regexp_split_to_array(l, '\\s+'),"
+        f" w -> w <> '')) >= {C4_MIN_LINE_WORDS}"
+        f" AND NOT contains(lower(l), 'javascript')"
+    )
+    return f"""
+WITH t AS (SELECT doc_id, {staged} AS text FROM documents),
+m AS (SELECT doc_id, text,
+        str_split(text, chr(10)) AS lines,
+        list_filter(list_transform(str_split(text, chr(10)),
+                                   l -> trim(l)), {keep_l}) AS kept
+      FROM t),
+r AS (SELECT doc_id,
+        len(lines)::bigint AS n_lines,
+        len(kept)::bigint AS n_kept_lines,
+        len({_sents_sql("array_to_string(kept, chr(10))")})::bigint
+          AS n_sentences,
+        contains(lower(text), 'lorem ipsum') AS has_lorem,
+        contains(text, '{{') AS has_brace,
+        regexp_matches(text, {_sq(C4_BADWORD_RE)}) AS has_badword,
+        md5(array_to_string(kept, chr(10))) AS kept_md5
+      FROM m)
+SELECT doc_id, n_lines, n_kept_lines, n_sentences,
+  has_lorem, has_brace, has_badword, kept_md5,
+  (n_sentences >= {C4_MIN_SENTENCES} AND NOT has_lorem
+   AND NOT has_brace AND NOT has_badword) AS c4_keep
+FROM r"""
+
+
+def sql_c4_span_dedup() -> str:
+    """scrub.c4_span_dedup mirror: in-list span hashes, first-wins by
+    (doc_id, pos) via row_number (== Spark's min-struct), overlapping
+    three-sentence deletions, space-joined survivor md5."""
+    staged = sentenced_text_sql("doc_id", "text")
+    return f"""
+WITH t AS (SELECT doc_id, {staged} AS text FROM documents),
+s AS (SELECT doc_id, {_sents_sql("text")} AS sents FROM t),
+se AS (SELECT doc_id, i - 1 AS pos, sents[i] AS sent
+       FROM s, unnest(range(1, len(sents) + 1)) AS r(i)),
+sp AS (SELECT doc_id, i - 1 AS pos,
+         md5(sents[i] || chr(31) || sents[i + 1] || chr(31)
+             || sents[i + 2]) AS h
+       FROM s, unnest(range(1, greatest(len(sents) - 2, 0) + 1)) AS r(i)),
+w AS (SELECT doc_id, pos,
+        row_number() OVER (PARTITION BY h ORDER BY doc_id, pos) AS rn
+      FROM sp),
+d AS (SELECT DISTINCT w.doc_id, w.pos + o.o AS pos
+      FROM w, unnest([0, 1, 2]) AS o(o) WHERE rn > 1),
+f AS (SELECT se.doc_id, se.pos, se.sent, (d.pos IS NOT NULL) AS del
+      FROM se LEFT JOIN d ON se.doc_id = d.doc_id AND se.pos = d.pos)
+SELECT s.doc_id,
+  count(f.pos)::bigint AS n_sents,
+  coalesce(sum((NOT f.del)::int), 0)::bigint AS n_kept,
+  md5(coalesce(string_agg(CASE WHEN NOT f.del THEN f.sent END, ' '
+                          ORDER BY f.pos), '')) AS kept_md5
+FROM s LEFT JOIN f ON s.doc_id = f.doc_id
+GROUP BY s.doc_id"""

@@ -312,3 +312,38 @@ def test_ccnet_threshold_table_broadcasts(spark):
     sorts = len(re.findall(r"\(\d+\) Sort\b", p))
     windows = len(re.findall(r"\(\d+\) Window\b", p))
     assert windows >= 1 and sorts <= windows + 2, (sorts, windows)
+
+
+def test_c4_filters_zero_shuffle_one_projection(spark):
+    """The whole C4 line+page battery must evaluate as ONE fused
+    projection over the scan — no exchange, no Python, no join: the
+    same first-pass-gate discipline as gopher_rules."""
+    from blackedge_ocr_spark.analysis.scrub import c4_filters
+
+    df = c4_filters(spark.read.parquet(f"{SF}/documents.parquet"))
+    p = plans.formatted_plan(df)
+    assert plans.count_exchanges(df) == 0
+    assert plans.count_python_stages(df) == 0
+    assert "Join" not in p
+    assert plans.count_projects(df) == 1
+
+
+def test_c4_span_dedup_hash_aggs_no_window(spark):
+    """The global span keeper must plan as hash aggregation on the
+    packed (doc_id, pos) long — never a Window or SortAggregate over
+    the span hash, which would sort every copy of a hot boilerplate
+    span inside one task. Hash exchanges only: keeper min, deletion
+    distinct, final per-doc agg."""
+    import re
+
+    from blackedge_ocr_spark.analysis.scrub import c4_span_dedup
+
+    df = c4_span_dedup(spark.read.parquet(f"{SF}/documents.parquet"))
+    p = plans.formatted_plan(df)
+    assert plans.count_python_stages(df) == 0
+    assert "Window" not in p
+    assert "SortAggregate" not in p
+    # collect_list's ObjectHashAggregate is hash-based; anything else
+    # aggregating must be a plain HashAggregate
+    assert re.search(r"\(\d+\) (ObjectHash|Hash)Aggregate", p)
+    assert plans.count_exchanges(df) <= 3
