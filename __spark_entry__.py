@@ -151,6 +151,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # C4 cleaning battery + global three-sentence-span dedup
         "c4_filters": q.q_c4_filters,
         "c4_span_dedup": q.q_c4_span_dedup,
+        # ftfy-lite unicode hygiene (strip + NFC)
+        "unicode_scrub": q.q_unicode_scrub,
     }
     return out
 

@@ -65,6 +65,7 @@ BENCH_QUERIES = (
     "ccnet_buckets",
     "c4_filters",
     "c4_span_dedup",
+    "unicode_scrub",
 )
 
 

@@ -5,9 +5,10 @@ paragraph-level deduplication, and broadcast domain-blocklist
 filtering (CCNet / Gopher / Dolma-style stages, alongside
 analysis/corpusops.py).
 
-Everything is Spark built-ins (regexp / array / hash-agg expressions;
-zero Python UDFs); every constant is shared with the sqloracle
-mirrors so the two engines cannot drift.
+Everything is Spark built-ins (regexp / array / hash-agg expressions)
+except the single Arrow-batched NFC map in ``unicode_scrub`` — the
+one step Spark has no built-in for; every constant is shared with the
+sqloracle mirrors so the two engines cannot drift.
 
 Regex dialect note: the PII patterns deliberately use only syntax with
 identical semantics in Java regex (Spark) and RE2 (DuckDB) — ASCII
@@ -21,8 +22,10 @@ training-data pipeline requirement.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from blackedge_ocr_spark.analysis.textstats import _r6
 from blackedge_ocr_spark.functions.text import tokens
@@ -860,4 +863,79 @@ def c4_span_dedup(docs: DataFrame) -> DataFrame:
                 " ",
             )
         ).alias("kept_md5"),
+    )
+
+
+# ------------------------------------------------------- unicode
+
+# ftfy-lite unicode hygiene (the stage every public pipeline runs
+# before tokenization — CCNet, Dolma, and FineWeb all NFC/strip).
+# Three accounting classes, counted BEFORE stripping:
+#   ctrl — C0 controls except \t \n \r, plus DEL: decoder garbage.
+#   zw   — zero-width space / word joiner / BOM-as-ZWNBSP: invisible
+#          characters that split tokens without splitting rendering
+#          (ZWNJ/ZWJ are NOT stripped — they are orthographic in
+#          Persian/Indic text and count as word chars, see WORDRUN).
+#   repl — U+FFFD, the footprint of an upstream mojibake decode.
+# `\x{...}` escapes parse identically in Java regex and RE2.
+CTRL_RE = r"[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]"
+ZW_RE = r"[\x{200B}\x{2060}\x{FEFF}]"
+REPL_RE = r"\x{FFFD}"
+UNICODE_STRIP_RE = (
+    r"[\x00-\x08\x0B\x0C\x0E-\x1F\x7F\x{200B}\x{2060}\x{FEFF}\x{FFFD}]"
+)
+
+
+def nfc_col(col: Column) -> Column:
+    """Canonical NFC composition of a string column.
+
+    Spark exposes NO normalization built-in, so this is the one
+    genuinely-Python step of the scrub — Arrow-batched (never
+    per-row), a pure map over each batch, zero shuffle. Parity:
+    Python unicodedata and DuckDB's utf8proc both implement the
+    Unicode canonical-composition algorithm; the cross-engine pytest
+    pins composition, singleton mapping (U+2126→U+03A9), and
+    combining-mark reordering bit-for-bit.
+    """
+    return _nfc_udf(col)
+
+
+@F.pandas_udf(T.StringType())
+def _nfc_udf(s: "pd.Series") -> "pd.Series":
+    import unicodedata
+
+    return s.map(
+        lambda x: None if x is None else unicodedata.normalize("NFC", x)
+    )
+
+
+def unicode_scrub(docs: DataFrame) -> DataFrame:
+    """Per-document unicode hygiene: count the three garbage classes,
+    strip them, NFC-compose the survivor, and report whether anything
+    changed plus the cleaned text's md5/length.
+
+    Shape at scale: one fused projection (the class counts and the
+    strip are JVM regexes over the scan) feeding ONE ArrowEvalPython
+    stage (the NFC map) — zero shuffle, zero join; the cheapest
+    possible hygiene pass and the only Python in it is the step Spark
+    cannot express (tests/test_plans.py pins exactly one Arrow stage,
+    zero exchanges).
+    """
+    text = F.coalesce(F.col("text"), F.lit(""))
+
+    def _n(pat: str) -> Column:
+        return (
+            F.length(text) - F.length(F.regexp_replace(text, pat, ""))
+        ).cast("long")
+
+    stripped = F.regexp_replace(text, UNICODE_STRIP_RE, "")
+    cleaned = nfc_col(stripped)
+    return docs.select(
+        "doc_id",
+        _n(CTRL_RE).alias("n_ctrl"),
+        _n(ZW_RE).alias("n_zw"),
+        _n(REPL_RE).alias("n_repl"),
+        (cleaned != text).alias("changed"),
+        F.length(cleaned).cast("long").alias("n_chars"),
+        F.md5(cleaned).alias("clean_md5"),
     )

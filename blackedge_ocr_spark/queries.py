@@ -802,6 +802,38 @@ def _c4_text(doc_id, text):
     return out
 
 
+# Unicode-hygiene staging suffixes, appended when doc_id % mod == 0.
+# The SAME python literals generate the DuckDB staging SQL
+# (sqloracle.unicode_text_sql builds chr() calls from this tuple), so
+# the two engines cannot drift. Docs matching no modulus (e.g. 1, 23)
+# stay pure ASCII and exercise the changed=false branch. Classes
+# covered: canonical composition (U+0301/U+030A), singleton mapping
+# (U+2126), zero-width strip (U+200B/U+2060/U+FEFF), replacement-char
+# strip (U+FFFD), C0-control strip (U+0007).
+UNICODE_STAGE: tuple[tuple[int, str], ...] = (
+    (2, " cafe\u0301 time"),  # e + combining acute (decomposed)
+    (3, " A\u030angstrom units"),  # A + combining ring
+    (5, " zero\u200bwidth gap"),  # zero-width space
+    (7, " bad\ufffdbyte seen"),  # replacement char
+    (9, " ring\x07tone cut"),  # C0 control (BEL)
+    (11, " ohm \u2126 sign"),  # ohm sign (NFC singleton)
+    (13, " join\u2060er \ufeffmark"),  # word joiner + ZWNBSP
+)
+
+
+def _unicode_text(doc_id, text):
+    """Unicode staging for the hygiene scrub (the synthetic corpus is
+    pure ASCII): 40-char base plus the UNICODE_STAGE suffixes keyed by
+    doc_id moduli. Mirrored by sqloracle.unicode_text_sql."""
+    out = F.trim(F.substring(text, 1, 40))
+    for mod, suffix in UNICODE_STAGE:
+        out = F.when(
+            F.pmod(doc_id, F.lit(mod)) == 0,
+            F.concat(out, F.lit(suffix)),
+        ).otherwise(out)
+    return out
+
+
 def _url_col(doc_id):
     """Deterministic per-doc URL over a 5-host pool (2 of them
     blocklisted). Mirrored by sqloracle.url_sql."""
@@ -1904,3 +1936,17 @@ def q_c4_span_dedup(spark, sf_dir) -> DataFrame:
         _sentenced_text(F.col("doc_id"), F.col("text")).alias("text"),
     )
     return scrub.c4_span_dedup(staged)
+
+
+def q_unicode_scrub(spark, sf_dir) -> DataFrame:
+    """ftfy-lite unicode hygiene over the unicode-staged corpus:
+    per-class garbage counts, strip + NFC compose, changed flag and
+    cleaned md5 — one projection, one Arrow stage, zero shuffle."""
+    from blackedge_ocr_spark.analysis import scrub
+
+    d = _docs(spark, sf_dir)
+    staged = d.select(
+        "doc_id",
+        _unicode_text(F.col("doc_id"), F.col("text")).alias("text"),
+    )
+    return scrub.unicode_scrub(staged)

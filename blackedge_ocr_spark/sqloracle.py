@@ -804,6 +804,8 @@ def build_oracles() -> dict[str, str]:
         # C4 cleaning + global span dedup
         "c4_filters": sql_c4_filters(),
         "c4_span_dedup": sql_c4_span_dedup(),
+        # unicode hygiene
+        "unicode_scrub": sql_unicode_scrub(),
     }
     return out
 
@@ -3817,3 +3819,63 @@ SELECT s.doc_id,
                           ORDER BY f.pos), '')) AS kept_md5
 FROM s LEFT JOIN f ON s.doc_id = f.doc_id
 GROUP BY s.doc_id"""
+
+
+def unicode_text_sql(doc: str, text: str) -> str:
+    """queries._unicode_text mirror — the suffix SQL is GENERATED
+    from the shared UNICODE_STAGE literals (non-ASCII/control chars
+    become chr() calls), so staging cannot drift between engines."""
+    from blackedge_ocr_spark.queries import UNICODE_STAGE
+
+    def lit(s: str) -> str:
+        parts, buf = [], ""
+        for ch in s:
+            if 32 <= ord(ch) < 127:
+                buf += ch
+            else:
+                if buf:
+                    parts.append(_sq(buf))
+                    buf = ""
+                parts.append(f"chr({ord(ch)})")
+        if buf:
+            parts.append(_sq(buf))
+        return " || ".join(parts)
+
+    out = f"trim(substr({text}, 1, 40))"
+    for mod, suffix in UNICODE_STAGE:
+        out = (
+            f"({out} || CASE WHEN {doc} % {mod} = 0"
+            f" THEN {lit(suffix)} ELSE '' END)"
+        )
+    return out
+
+
+def sql_unicode_scrub() -> str:
+    """scrub.unicode_scrub mirror: identical strip classes (RE2
+    \\x{{...}} == Java), utf8proc NFC == unicodedata NFC (pinned by
+    tests/test_unicode.py), same changed/md5/length contract."""
+    from blackedge_ocr_spark.analysis.scrub import (
+        CTRL_RE,
+        REPL_RE,
+        UNICODE_STRIP_RE,
+        ZW_RE,
+    )
+
+    staged = unicode_text_sql("doc_id", "text")
+    return f"""
+WITH t AS (SELECT doc_id, {staged} AS text FROM documents),
+c AS (SELECT doc_id, text,
+        nfc_normalize(regexp_replace(text, {_sq(UNICODE_STRIP_RE)},
+                                     '', 'g')) AS cleaned
+      FROM t)
+SELECT doc_id,
+  (length(text) - length(regexp_replace(text, {_sq(CTRL_RE)}, '', 'g')))
+    ::bigint AS n_ctrl,
+  (length(text) - length(regexp_replace(text, {_sq(ZW_RE)}, '', 'g')))
+    ::bigint AS n_zw,
+  (length(text) - length(regexp_replace(text, {_sq(REPL_RE)}, '', 'g')))
+    ::bigint AS n_repl,
+  (cleaned <> text) AS changed,
+  length(cleaned)::bigint AS n_chars,
+  md5(cleaned) AS clean_md5
+FROM c"""

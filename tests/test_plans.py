@@ -347,3 +347,16 @@ def test_c4_span_dedup_hash_aggs_no_window(spark):
     # aggregating must be a plain HashAggregate
     assert re.search(r"\(\d+\) (ObjectHash|Hash)Aggregate", p)
     assert plans.count_exchanges(df) <= 3
+
+
+def test_unicode_scrub_one_arrow_stage_zero_shuffle(spark):
+    """The hygiene pass must be a fused JVM regex projection feeding
+    EXACTLY ONE ArrowEvalPython (the NFC map — the only step Spark
+    lacks a built-in for): zero exchange, no join."""
+    from blackedge_ocr_spark.analysis.scrub import unicode_scrub
+
+    df = unicode_scrub(spark.read.parquet(f"{SF}/documents.parquet"))
+    p = plans.formatted_plan(df)
+    assert plans.count_exchanges(df) == 0
+    assert plans.count_python_stages(df) == 1
+    assert "Join" not in p
