@@ -153,6 +153,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "c4_span_dedup": q.q_c4_span_dedup,
         # ftfy-lite unicode hygiene (strip + NFC)
         "unicode_scrub": q.q_unicode_scrub,
+        # span-sequence contract audit + repair (extraction QA)
+        "span_integrity": q.q_span_integrity,
     }
     return out
 

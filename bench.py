@@ -66,6 +66,7 @@ BENCH_QUERIES = (
     "c4_filters",
     "c4_span_dedup",
     "unicode_scrub",
+    "span_integrity",
 )
 
 

@@ -641,3 +641,137 @@ def mixture_weights(docs: DataFrame) -> DataFrame:
         ).alias("token_share"),
         _r6(weight).alias("weight"),
     )
+
+
+# ------------------------------------------------------------------
+# Span-sequence integrity audit + repair (extraction QA)
+# ------------------------------------------------------------------
+
+# The lake contract for interleaved documents (north star): spans is
+# an array<struct<kind,text,media_ref,offset>> where kind comes from
+# this closed set, media spans carry a media_ref and text/table spans
+# don't, and offsets are exactly the permutation {0..n-1} (storage
+# order is deliberately scrambled — order is CLAIMED by offset, never
+# by array position). This operator is the ingest-time QA gate a
+# 10^12-document lake runs before trusting that contract.
+TEXT_KINDS = ("text", "table")
+US = "\x1f"  # field separator inside one span's identity string
+RS = "\x1e"  # span separator in the repaired-sequence digest
+
+
+def _span_key(s) -> "F.Column":
+    """Content identity of one span — the ORDER-FREE tie-break for
+    duplicate offsets (storage order is scrambled, so 'first in the
+    array' is meaningless; lowest content-md5 is deterministic in
+    both engines and independent of physical order)."""
+    return F.md5(F.concat_ws(US, s["kind"], s["text"], s["media_ref"]))
+
+
+def span_integrity(spansified: DataFrame) -> DataFrame:
+    """Per-document span-sequence audit and repair over the stored
+    (scrambled) spans array: count contract violations, then repair —
+    drop invalid spans, keep one span per duplicate offset (lowest
+    content-md5), order by offset — and emit the repaired sequence's
+    digest plus a completeness flag (surviving offsets are exactly
+    0..k-1, i.e. no gaps).
+
+    Violation classes:
+      n_bad_kind — kind outside TEXT_KINDS ∪ MEDIA_KINDS;
+      n_ref_bad  — media span with empty media_ref, or text/table
+                   span carrying one;
+      n_dup      — valid spans dropped as duplicate-offset losers.
+
+    Shape at scale: everything is IN-ARRAY (filter / array_sort /
+    index-lambda adjacent compare — all linear in spans-per-doc
+    except the one O(s log s) sort): zero shuffle, zero Python, zero
+    join; the audit rides the same scan that loads the lake. The
+    repaired digest gives idempotence — rerunning on repaired output
+    must yield ok=true with the same md5.
+    """
+    from blackedge_ocr_spark.constants import MEDIA_KINDS
+
+    sp = F.col("spans")
+    is_media = lambda s: s["kind"].isin(*MEDIA_KINDS)  # noqa: E731
+    kind_ok = lambda s: s["kind"].isin(*(TEXT_KINDS + MEDIA_KINDS))  # noqa: E731
+    ref_ok = lambda s: F.when(  # noqa: E731
+        is_media(s), s["media_ref"] != ""
+    ).otherwise(s["media_ref"] == "")
+
+    n_bad_kind = F.size(F.filter(sp, lambda s: ~kind_ok(s)))
+    n_ref_bad = F.size(F.filter(sp, lambda s: kind_ok(s) & ~ref_ok(s)))
+    valid = F.filter(sp, lambda s: kind_ok(s) & ref_ok(s))
+    # (offset, content-md5) sort key: lexicographic array_sort over
+    # leading struct fields = ORDER BY offset, key in the oracle
+    keyed = F.transform(
+        valid,
+        lambda s: F.struct(
+            s["offset"].alias("offset"),
+            _span_key(s).alias("key"),
+            s["kind"].alias("kind"),
+            s["text"].alias("text"),
+            s["media_ref"].alias("media_ref"),
+        ),
+    )
+    staged = spansified.select(
+        "doc_id",
+        F.size(sp).alias("n_spans"),
+        n_bad_kind.cast("long").alias("n_bad_kind"),
+        n_ref_bad.cast("long").alias("n_ref_bad"),
+        F.array_sort(keyed).alias("sorted"),
+    )
+    srt = F.col("sorted")
+    # adjacent compare on the MATERIALIZED sorted attribute (linear;
+    # element_at is 1-based so element_at(srt, i) is the predecessor
+    # of the 0-based lambda index i)
+    dedup = F.filter(
+        srt,
+        lambda s, i: (i == F.lit(0))
+        | (s["offset"] != F.element_at(srt, i)["offset"]),
+    )
+    out = staged.select(
+        "doc_id",
+        "n_spans",
+        "n_bad_kind",
+        "n_ref_bad",
+        (F.size(srt) - F.size(dedup)).cast("long").alias("n_dup"),
+        F.size(dedup).cast("long").alias("n_kept"),
+        dedup.alias("dedup"),
+    )
+    d = F.col("dedup")
+    # vacuously complete when repair dropped everything (sequence
+    # would otherwise zip a null pad element in)
+    complete = F.when(F.size(d) == 0, F.lit(True)).otherwise(
+        F.forall(
+            F.zip_with(
+                d,
+                F.sequence(F.lit(0), F.greatest(F.size(d), F.lit(1)) - 1),
+                lambda s, i: s["offset"] == i,
+            ),
+            lambda x: x,
+        )
+    )
+    repaired_md5 = F.md5(
+        F.array_join(
+            F.transform(
+                d, lambda s: F.concat_ws(US, s["kind"], s["text"], s["media_ref"])
+            ),
+            RS,
+        )
+    )
+    ok = (
+        (F.col("n_bad_kind") == 0)
+        & (F.col("n_ref_bad") == 0)
+        & (F.col("n_dup") == 0)
+        & complete
+    )
+    return out.select(
+        "doc_id",
+        "n_spans",
+        "n_bad_kind",
+        "n_ref_bad",
+        "n_dup",
+        "n_kept",
+        complete.alias("complete"),
+        ok.alias("ok"),
+        repaired_md5.alias("repaired_md5"),
+    )

@@ -1950,3 +1950,53 @@ def q_unicode_scrub(spark, sf_dir) -> DataFrame:
         _unicode_text(F.col("doc_id"), F.col("text")).alias("text"),
     )
     return scrub.unicode_scrub(staged)
+
+
+def _corrupt_spans(spansified: DataFrame) -> DataFrame:
+    """Deterministic span-contract corruption for the integrity
+    audit (the generated corpus is contract-clean by construction):
+    %23 docs duplicate offset 1 onto 0 (dup + gap), %29 docs get an
+    unknown kind at offset 2, %31 docs lose every image media_ref,
+    %37 docs put a bogus ref on a text span at offset 0. Conditions
+    test the ORIGINAL field values, so rule order cannot matter.
+    Mirrored by sqloracle.corrupt_spans_cte."""
+    d = F.col("doc_id").cast("long")
+
+    def mutate(s):
+        off, kind = s["offset"], s["kind"]
+        new_off = (
+            F.when((d % 23 == 0) & (off == 1), F.lit(0))
+            .otherwise(off)
+            .cast("int")
+        )
+        new_kind = F.when(
+            (d % 29 == 0) & (off == 2), F.lit("widget")
+        ).otherwise(kind)
+        new_ref = (
+            F.when((d % 31 == 0) & (kind == "image"), F.lit(""))
+            .when(
+                (d % 37 == 0) & (off == 0) & (kind == "text"),
+                F.lit("m-bogus"),
+            )
+            .otherwise(s["media_ref"])
+        )
+        return F.struct(
+            new_kind.alias("kind"),
+            s["text"].alias("text"),
+            new_ref.alias("media_ref"),
+            new_off.alias("offset"),
+        )
+
+    return spansified.select(
+        "doc_id", F.transform("spans", mutate).alias("spans")
+    )
+
+
+def q_span_integrity(spark, sf_dir) -> DataFrame:
+    """Span-sequence contract audit + repair over the deterministically
+    corrupted span corpus: violation counts per class, duplicate-offset
+    first-wins repair (content-md5 tie-break — storage is scrambled),
+    completeness flag and repaired-sequence digest. Zero shuffle."""
+    from blackedge_ocr_spark.analysis.corpusops import span_integrity
+
+    return span_integrity(_corrupt_spans(spansify_documents(spark, sf_dir)))

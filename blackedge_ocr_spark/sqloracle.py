@@ -806,6 +806,8 @@ def build_oracles() -> dict[str, str]:
         "c4_span_dedup": sql_c4_span_dedup(),
         # unicode hygiene
         "unicode_scrub": sql_unicode_scrub(),
+        # span-sequence contract audit + repair
+        "span_integrity": sql_span_integrity(),
     }
     return out
 
@@ -3879,3 +3881,83 @@ SELECT doc_id,
   length(cleaned)::bigint AS n_chars,
   md5(cleaned) AS clean_md5
 FROM c"""
+
+
+def corrupt_spans_cte() -> str:
+    """queries._corrupt_spans mirror over the sp span rows: same four
+    doc_id-modulus corruptions, conditions on ORIGINAL values."""
+    return """
+spx AS (
+  SELECT doc_id,
+    (CASE WHEN doc_id % 23 = 0 AND "offset" = 1
+          THEN 0 ELSE "offset" END)::int AS off2,
+    CASE WHEN doc_id % 29 = 0 AND "offset" = 2
+         THEN 'widget' ELSE kind END AS kind2,
+    text,
+    CASE WHEN doc_id % 31 = 0 AND kind = 'image' THEN ''
+         WHEN doc_id % 37 = 0 AND "offset" = 0 AND kind = 'text'
+         THEN 'm-bogus'
+         ELSE media_ref END AS ref2
+  FROM sp
+)"""
+
+
+def sql_span_integrity() -> str:
+    """corpusops.span_integrity mirror: identical kind/ref predicates,
+    duplicate-offset first-wins by content md5 (row_number ==
+    in-array sorted adjacent-dedup), completeness via offset ==
+    dense 0-based rank, same chr(31)/chr(30) digest framing."""
+    from blackedge_ocr_spark.analysis.corpusops import TEXT_KINDS
+    from blackedge_ocr_spark.constants import MEDIA_KINDS
+
+    media = ", ".join(_sq(k) for k in MEDIA_KINDS)
+    allowed = ", ".join(_sq(k) for k in TEXT_KINDS + MEDIA_KINDS)
+    ident = "kind2 || chr(31) || text || chr(31) || ref2"
+    return f"""
+WITH {spansify_cte()}, {corrupt_spans_cte()},
+v AS (
+  SELECT doc_id, off2, kind2, text, ref2,
+    kind2 IN ({allowed}) AS kok,
+    CASE WHEN kind2 IN ({media}) THEN ref2 <> ''
+         ELSE ref2 = '' END AS rok
+  FROM spx
+),
+base AS (
+  SELECT doc_id,
+    count(*)::bigint AS n_spans,
+    sum((NOT kok)::int)::bigint AS n_bad_kind,
+    sum((kok AND NOT rok)::int)::bigint AS n_ref_bad,
+    sum((kok AND rok)::int)::bigint AS n_valid
+  FROM v GROUP BY doc_id
+),
+sv AS (
+  SELECT doc_id, off2, kind2, text, ref2, md5({ident}) AS key
+  FROM v WHERE kok AND rok
+),
+kp AS (
+  SELECT * FROM (
+    SELECT sv.*, row_number() OVER (
+      PARTITION BY doc_id, off2 ORDER BY key) AS rn
+    FROM sv) WHERE rn = 1
+),
+ord_k AS (
+  SELECT doc_id, off2, kind2, text, ref2,
+    row_number() OVER (PARTITION BY doc_id ORDER BY off2) - 1 AS rk
+  FROM kp
+),
+repair AS (
+  SELECT doc_id,
+    count(*)::bigint AS n_kept,
+    bool_and(off2 = rk) AS complete,
+    md5(string_agg({ident}, chr(30) ORDER BY off2)) AS repaired_md5
+  FROM ord_k GROUP BY doc_id
+)
+SELECT b.doc_id, b.n_spans, b.n_bad_kind, b.n_ref_bad,
+  (b.n_valid - coalesce(r.n_kept, 0))::bigint AS n_dup,
+  coalesce(r.n_kept, 0)::bigint AS n_kept,
+  coalesce(r.complete, TRUE) AS complete,
+  (b.n_bad_kind = 0 AND b.n_ref_bad = 0
+   AND b.n_valid = coalesce(r.n_kept, 0)
+   AND coalesce(r.complete, TRUE)) AS ok,
+  coalesce(r.repaired_md5, md5('')) AS repaired_md5
+FROM base b LEFT JOIN repair r ON b.doc_id = r.doc_id"""

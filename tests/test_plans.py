@@ -360,3 +360,19 @@ def test_unicode_scrub_one_arrow_stage_zero_shuffle(spark):
     assert plans.count_exchanges(df) == 0
     assert plans.count_python_stages(df) == 1
     assert "Join" not in p
+
+
+def test_span_integrity_zero_shuffle_in_array(spark):
+    """The span-contract audit must ride the scan: all checks and the
+    repair are in-array expressions — zero exchange beyond what the
+    input already has, zero Python, no join, no window."""
+    from blackedge_ocr_spark.analysis.corpusops import span_integrity
+    from blackedge_ocr_spark.datagen import spansify_frame
+
+    base = spark.read.parquet(f"{SF}/documents.parquet")
+    df = span_integrity(spansify_frame(base))
+    p = plans.formatted_plan(df)
+    assert plans.count_exchanges(df) == 0
+    assert plans.count_python_stages(df) == 0
+    assert "Join" not in p
+    assert "Window" not in p
