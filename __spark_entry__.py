@@ -155,6 +155,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unicode_scrub": q.q_unicode_scrub,
         # span-sequence contract audit + repair (extraction QA)
         "span_integrity": q.q_span_integrity,
+        # Gopher A1.2 repetition rule battery
+        "gopher_repetition": q.q_gopher_repetition,
     }
     return out
 

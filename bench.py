@@ -67,6 +67,7 @@ BENCH_QUERIES = (
     "c4_span_dedup",
     "unicode_scrub",
     "span_integrity",
+    "gopher_repetition",
 )
 
 

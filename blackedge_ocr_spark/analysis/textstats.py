@@ -838,3 +838,300 @@ def ccnet_buckets(docs: DataFrame) -> DataFrame:
         "lm_score",
         bucket.alias("bucket"),
     )
+
+
+# Gopher repetition-filter rule battery (Rae et al. 2021, appendix
+# A1.2 — public method; thresholds are the published Table A1
+# constants). Flags are True when the rule KEEPS the document.
+REP_MAX_DUP_LINE_FRAC = 0.30
+REP_MAX_DUP_PARA_FRAC = 0.30
+REP_MAX_DUP_LINE_CHAR_FRAC = 0.20
+REP_MAX_DUP_PARA_CHAR_FRAC = 0.20
+REP_MAX_TOP_NGRAM_FRAC = {2: 0.20, 3: 0.18, 4: 0.16}
+REP_MAX_DUP_NGRAM_FRAC = {5: 0.15, 6: 0.14, 7: 0.13, 8: 0.12,
+                          9: 0.11, 10: 0.10}
+# (run-length, gram-char-len) argmax packing for the top-n-gram rule:
+# ties in BOTH components give the identical chars product, so the
+# packed max is deterministic without a gram-string tie-break. Gram
+# char length saturates at the 2^20-1 cap (a single 1M-char n-gram is
+# already 10x the whole Gopher word-length budget).
+REP_LEN_PACK = 1 << 20
+
+
+def _dup_after_first(srt: Column) -> Column:
+    """Occurrences beyond the first of each distinct value, over a
+    MATERIALIZED sorted string array (adjacent compare — element_at
+    is 1-based, so element_at(srt, i) is the 0-based lambda index
+    i's predecessor)."""
+    return F.filter(
+        srt, lambda x, i: (i > 0) & (x == F.element_at(srt, i))
+    )
+
+
+def _chars(arr: Column) -> Column:
+    return F.aggregate(
+        arr, F.lit(0).cast("long"), lambda acc, x: acc + F.length(x)
+    )
+
+
+def _frac(num: Column, den: Column) -> Column:
+    return F.when(
+        den > 0, num.cast("double") / den.cast("double")
+    ).otherwise(F.lit(0.0))
+
+
+def gopher_repetition(docs: DataFrame) -> DataFrame:
+    """Per-document Gopher repetition rule battery: duplicate line /
+    paragraph fractions (occurrence and character weighted), the
+    top-{2,3,4}-gram character fractions, and the duplicated-
+    {5..10}-gram character-coverage fractions, each flagged against
+    the published threshold, plus the keep conjunction.
+
+    Unit semantics (spelled identically in the DuckDB oracle):
+    lines split on \\n and paragraphs on \\n\\n, trimmed, empties
+    dropped; a duplicate is every occurrence AFTER the first of a
+    distinct unit; character fractions divide by the summed unit
+    lengths. Words are RAW whitespace runs (the A1.1 battery's
+    unit); n-grams join n consecutive words with single spaces; the
+    character denominator for the gram rules is the space-joined
+    word text length. The top-n-gram numerator is count x gram
+    chars for the (count, gram-chars)-argmax gram; the dup-n-gram
+    numerator counts characters covered by ANY occurrence of a
+    within-doc duplicated n-gram ONCE (positional interval union —
+    the substring_dedup fold), so overlapping duplicated grams
+    cannot double-count.
+
+    Shape at scale: the ENTIRE battery is in-array — zero shuffle,
+    zero Python, no join, no window; per row it is O(T log T) for
+    the nine per-n occurrence sorts (T = words) plus linear folds,
+    never the per-row O(distinct x T) HOF-rescan class. Gram
+    occurrences carry (md5, char-len, pos) structs, not gram
+    strings, so the transient row stays ~44 bytes x 9T instead of
+    O(n x T) text copies. A mega-doc is one task (the engine-wide
+    in-array bound — BENCH/SKEW.md); the audit rides the scan.
+    """
+    text = F.coalesce(F.col("text"), F.lit(""))
+    words = F.filter(F.split(text, r"\s+"), lambda w: w != "")
+    # NOTE: transform(arr, F.trim) is WRONG — transform feeds the
+    # element index as trim's optional second (trim-chars) argument.
+    units = lambda sep: F.array_sort(  # noqa: E731
+        F.filter(
+            F.transform(F.split(text, sep), lambda u: F.trim(u)),
+            lambda u: u != "",
+        )
+    )
+
+    def occ(n: int) -> Column:
+        w, m = F.col("w"), F.size(F.col("w"))
+
+        def one(i: Column) -> Column:
+            gram = F.array_join(F.slice(w, i + 1, n), " ")
+            return F.struct(
+                F.md5(gram).alias("h"),
+                F.least(
+                    F.length(gram), F.lit(REP_LEN_PACK - 1)
+                ).alias("l"),
+                i.cast("int").alias("p"),
+            )
+
+        return F.when(
+            m >= n, F.array_sort(F.transform(F.sequence(F.lit(0), m - n), one))
+        ).otherwise(
+            F.array().cast("array<struct<h:string,l:int,p:int>>")
+        )
+
+    s1 = docs.select(
+        "doc_id",
+        words.alias("w"),
+        units("\n").alias("ls"),
+        units("\n\n").alias("ps"),
+    )
+    ns = sorted(REP_MAX_TOP_NGRAM_FRAC) + sorted(REP_MAX_DUP_NGRAM_FRAC)
+    s1 = s1.select(
+        "doc_id", "w", "ls", "ps", *[occ(n).alias(f"o{n}") for n in ns]
+    )
+
+    # stage 2: unit-stat scalars; per-n run starts (top rules) and
+    # sorted duplicated-occurrence positions (coverage rules)
+    def run_starts(n: int) -> Column:
+        so = F.col(f"o{n}")
+        m = F.size(so)
+        idx = F.when(m > 0, F.sequence(F.lit(0), m - 1)).otherwise(
+            F.array().cast("array<int>")
+        )
+        return F.filter(
+            idx,
+            lambda i: (i == 0)
+            | (
+                F.element_at(so, i + 1)["h"]
+                != F.element_at(so, i)["h"]
+            ),
+        )
+
+    def dup_pos(n: int) -> Column:
+        so = F.col(f"o{n}")
+        m = F.size(so)
+        dups = F.filter(
+            so,
+            lambda x, i: (
+                (i > 0) & (x["h"] == F.element_at(so, i)["h"])
+            )
+            | (
+                (i < m - 1)
+                & (x["h"] == F.element_at(so, i + 2)["h"])
+            ),
+        )
+        return F.array_sort(F.transform(dups, lambda x: x["p"]))
+
+    unit_cols = []
+    for name, arr in (("line", F.col("ls")), ("para", F.col("ps"))):
+        dups = _dup_after_first(arr)
+        unit_cols += [
+            F.size(arr).cast("long").alias(f"n_{name}s"),
+            F.size(dups).cast("long").alias(f"_d_{name}"),
+            _chars(dups).alias(f"_dc_{name}"),
+            _chars(arr).alias(f"_tc_{name}"),
+        ]
+    s2 = s1.select(
+        "doc_id",
+        "w",
+        F.size("w").cast("long").alias("n_words"),
+        (
+            _chars(F.col("w"))
+            + F.greatest(F.size("w") - 1, F.lit(0)).cast("long")
+        ).alias("_t"),
+        *unit_cols,
+        *[F.col(f"o{n}").alias(f"o{n}") for n in sorted(REP_MAX_TOP_NGRAM_FRAC)],
+        *[run_starts(n).alias(f"st{n}") for n in sorted(REP_MAX_TOP_NGRAM_FRAC)],
+        *[dup_pos(n).alias(f"dp{n}") for n in sorted(REP_MAX_DUP_NGRAM_FRAC)],
+    )
+
+    # stage 3: top-gram packed argmax; coverage interval folds
+    def top_chars(n: int) -> Column:
+        so, st = F.col(f"o{n}"), F.col(f"st{n}")
+        k = F.size(st)
+        idx = F.when(k > 0, F.sequence(F.lit(0), k - 1)).otherwise(
+            F.array().cast("array<int>")
+        )
+
+        def packed(j: Column) -> Column:
+            s = F.element_at(st, j + 1)
+            nxt = F.when(j == k - 1, F.size(so)).otherwise(
+                F.element_at(st, j + 2)
+            )
+            runlen = (nxt - s).cast("long")
+            return runlen * REP_LEN_PACK + F.element_at(so, s + 1)["l"]
+
+        top = F.coalesce(
+            F.array_max(F.transform(idx, packed)), F.lit(0).cast("long")
+        )
+        return (
+            (top / F.lit(REP_LEN_PACK)).cast("long")
+            * (top % F.lit(REP_LEN_PACK))
+        ).alias(f"tc{n}")
+
+    iv_t = "array<struct<s:int,e:int>>"
+
+    def fold_ivs(n: int) -> Column:
+        last = lambda acc: F.element_at(acc, -1)  # noqa: E731
+        return F.aggregate(
+            F.col(f"dp{n}"),
+            F.array().cast(iv_t),
+            lambda acc, p: F.when(
+                (F.size(acc) > 0) & (p <= last(acc)["e"]),
+                F.concat(
+                    F.slice(acc, 1, F.size(acc) - 1),
+                    F.array(
+                        F.struct(
+                            last(acc)["s"].alias("s"),
+                            F.greatest(
+                                last(acc)["e"], p + n
+                            ).cast("int").alias("e"),
+                        )
+                    ),
+                ),
+            ).otherwise(
+                F.concat(
+                    acc,
+                    F.array(
+                        F.struct(
+                            p.cast("int").alias("s"),
+                            (p + n).cast("int").alias("e"),
+                        )
+                    ),
+                )
+            ),
+        ).alias(f"iv{n}")
+
+    keep2 = [
+        "doc_id", "n_words", "_t",
+        "n_lines", "_d_line", "_dc_line", "_tc_line",
+        "n_paras", "_d_para", "_dc_para", "_tc_para",
+    ]
+    s3 = s2.select(
+        *keep2,
+        "w",
+        *[top_chars(n) for n in sorted(REP_MAX_TOP_NGRAM_FRAC)],
+        *[fold_ivs(n) for n in sorted(REP_MAX_DUP_NGRAM_FRAC)],
+    )
+
+    # stage 4: covered chars per n (gap-free: merged runs are
+    # disjoint, so the per-run word-slice sums total O(T) per row)
+    def covered(n: int) -> Column:
+        w = F.col("w")
+        return F.aggregate(
+            F.col(f"iv{n}"),
+            F.lit(0).cast("long"),
+            lambda acc, iv: acc
+            + F.aggregate(
+                F.slice(w, iv["s"] + 1, iv["e"] - iv["s"]),
+                F.lit(0).cast("long"),
+                lambda a, x: a + F.length(x),
+            )
+            + (iv["e"] - iv["s"] - 1).cast("long"),
+        ).alias(f"cv{n}")
+
+    s4 = s3.select(
+        *keep2,
+        *[F.col(f"tc{n}") for n in sorted(REP_MAX_TOP_NGRAM_FRAC)],
+        *[covered(n) for n in sorted(REP_MAX_DUP_NGRAM_FRAC)],
+    )
+
+    fracs: list[tuple[str, Column, bool, float]] = [
+        # (name, exact value, keep-if-<=, threshold)
+        ("dup_line_frac",
+         _frac(F.col("_d_line"), F.col("n_lines")),
+         True, REP_MAX_DUP_LINE_FRAC),
+        ("dup_para_frac",
+         _frac(F.col("_d_para"), F.col("n_paras")),
+         True, REP_MAX_DUP_PARA_FRAC),
+        ("dup_line_char_frac",
+         _frac(F.col("_dc_line"), F.col("_tc_line")),
+         True, REP_MAX_DUP_LINE_CHAR_FRAC),
+        ("dup_para_char_frac",
+         _frac(F.col("_dc_para"), F.col("_tc_para")),
+         True, REP_MAX_DUP_PARA_CHAR_FRAC),
+    ]
+    for n, thr in sorted(REP_MAX_TOP_NGRAM_FRAC.items()):
+        fracs.append(
+            (f"top_{n}gram_frac",
+             _frac(F.col(f"tc{n}"), F.col("_t")), True, thr)
+        )
+    for n, thr in sorted(REP_MAX_DUP_NGRAM_FRAC.items()):
+        fracs.append(
+            (f"dup_{n}gram_frac",
+             _frac(F.col(f"cv{n}"), F.col("_t")), True, thr)
+        )
+    out_cols = [F.col("doc_id"), F.col("n_words"), F.col("n_lines"),
+                F.col("n_paras")]
+    flag_exprs = []
+    for name, val, _, thr in fracs:
+        out_cols.append(_r6(val).alias(name))
+        flag_exprs.append((val <= thr).alias(f"r_{name[:-5]}"))
+    rep_pass = None
+    for name, val, _, thr in fracs:
+        c = val <= thr
+        rep_pass = c if rep_pass is None else rep_pass & c
+    return s4.select(
+        *out_cols, *flag_exprs, rep_pass.alias("rep_pass")
+    )

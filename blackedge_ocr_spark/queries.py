@@ -2000,3 +2000,65 @@ def q_span_integrity(spark, sf_dir) -> DataFrame:
     from blackedge_ocr_spark.analysis.corpusops import span_integrity
 
     return span_integrity(_corrupt_spans(spansify_documents(spark, sf_dir)))
+
+
+# Repetition staging for the Gopher A1.2 battery: appended when
+# doc_id % mod == 0, conditions on doc_id only so append ORDER is the
+# only contract (the SQL mirror concatenates the same CASE chain in
+# the same sequence). Shared literals: sqloracle.rep_text_sql builds
+# from these same constants, so the engines cannot drift.
+REP_LINE_INJ = "repeated marker line."       # %7 — 3 copies: dup lines
+REP_PARA_PREFIX = "para "                    # %11 — dup paragraph
+REP_PARA_SUBSTR = 40                         # ...derived from text[1:40]
+REP_2GRAM_UNIT = "tick tock "                # %13 — hot top-2-gram
+REP_2GRAM_REPS = 12
+REP_PHRASE_UNIT = "one two three four five six seven. "  # %17 — dup 5..7-grams
+REP_PHRASE_REPS = 4
+
+
+def _rep_text(doc_id, text):
+    """Deterministic repetition staging (the natural corpus is mostly
+    repetition-free, so every A1.2 rule needs injected true
+    positives). Mirrored by sqloracle.rep_text_sql."""
+    base = F.coalesce(text, F.lit(""))
+    out = base
+    line_blk = "\n" + "\n".join([REP_LINE_INJ] * 3)
+    out = F.when(
+        F.pmod(doc_id, F.lit(7)) == 0, F.concat(out, F.lit(line_blk))
+    ).otherwise(out)
+    para = F.concat(
+        F.lit(REP_PARA_PREFIX), F.substring(base, 1, REP_PARA_SUBSTR)
+    )
+    out = F.when(
+        F.pmod(doc_id, F.lit(11)) == 0,
+        F.concat(out, F.lit("\n\n"), para, F.lit("\n\n"), para),
+    ).otherwise(out)
+    out = F.when(
+        F.pmod(doc_id, F.lit(13)) == 0,
+        F.concat(
+            out, F.lit(" "), F.repeat(F.lit(REP_2GRAM_UNIT), REP_2GRAM_REPS)
+        ),
+    ).otherwise(out)
+    out = F.when(
+        F.pmod(doc_id, F.lit(17)) == 0,
+        F.concat(
+            out, F.lit(" "),
+            F.repeat(F.lit(REP_PHRASE_UNIT), REP_PHRASE_REPS),
+        ),
+    ).otherwise(out)
+    return out
+
+
+def q_gopher_repetition(spark, sf_dir) -> DataFrame:
+    """Gopher repetition rule battery (Rae et al. 2021 A1.2) over the
+    repetition-staged corpus: dup line/paragraph fractions, top-
+    {2,3,4}-gram char fractions, dup-{5..10}-gram char coverage, all
+    13 published thresholds + the keep conjunction. Entirely
+    in-array: zero shuffle, zero Python."""
+    from blackedge_ocr_spark.analysis import textstats
+
+    d = _docs(spark, sf_dir)
+    staged = d.select(
+        "doc_id", _rep_text(F.col("doc_id"), F.col("text")).alias("text")
+    )
+    return textstats.gopher_repetition(staged)

@@ -808,6 +808,8 @@ def build_oracles() -> dict[str, str]:
         "unicode_scrub": sql_unicode_scrub(),
         # span-sequence contract audit + repair
         "span_integrity": sql_span_integrity(),
+        # Gopher A1.2 repetition battery
+        "gopher_repetition": sql_gopher_repetition(),
     }
     return out
 
@@ -3961,3 +3963,183 @@ SELECT b.doc_id, b.n_spans, b.n_bad_kind, b.n_ref_bad,
    AND coalesce(r.complete, TRUE)) AS ok,
   coalesce(r.repaired_md5, md5('')) AS repaired_md5
 FROM base b LEFT JOIN repair r ON b.doc_id = r.doc_id"""
+
+
+def rep_text_sql() -> str:
+    """queries._rep_text mirror: same append order, same literals
+    (imported — cannot drift), conditions on doc_id only."""
+    from blackedge_ocr_spark.queries import (
+        REP_2GRAM_REPS,
+        REP_2GRAM_UNIT,
+        REP_LINE_INJ,
+        REP_PARA_PREFIX,
+        REP_PARA_SUBSTR,
+        REP_PHRASE_REPS,
+        REP_PHRASE_UNIT,
+    )
+
+    line_blk = "chr(10) || " + " || chr(10) || ".join(
+        [_sq(REP_LINE_INJ)] * 3
+    )
+    para = (
+        f"{_sq(REP_PARA_PREFIX)} || "
+        f"substr(coalesce(text, ''), 1, {REP_PARA_SUBSTR})"
+    )
+    return f"""
+base AS (
+  SELECT doc_id,
+    coalesce(text, '')
+    || CASE WHEN doc_id % 7 = 0 THEN {line_blk} ELSE '' END
+    || CASE WHEN doc_id % 11 = 0
+         THEN chr(10) || chr(10) || {para} || chr(10) || chr(10) || {para}
+         ELSE '' END
+    || CASE WHEN doc_id % 13 = 0
+         THEN ' ' || repeat({_sq(REP_2GRAM_UNIT)}, {REP_2GRAM_REPS})
+         ELSE '' END
+    || CASE WHEN doc_id % 17 = 0
+         THEN ' ' || repeat({_sq(REP_PHRASE_UNIT)}, {REP_PHRASE_REPS})
+         ELSE '' END
+    AS text
+  FROM documents)"""
+
+
+def sql_gopher_repetition() -> str:
+    """textstats.gopher_repetition mirror: same unit semantics
+    (trimmed \\n / \\n\\n units, empties dropped, duplicates =
+    occurrences after the first), the same (count, gram-chars)
+    packed argmax for top n-grams, and the identical interval-union
+    fold for dup-n-gram char coverage; flags compare exact doubles,
+    micro-unit rounding on output only."""
+    from blackedge_ocr_spark.analysis.textstats import (
+        REP_LEN_PACK,
+        REP_MAX_DUP_LINE_CHAR_FRAC,
+        REP_MAX_DUP_LINE_FRAC,
+        REP_MAX_DUP_NGRAM_FRAC,
+        REP_MAX_DUP_PARA_CHAR_FRAC,
+        REP_MAX_DUP_PARA_FRAC,
+        REP_MAX_TOP_NGRAM_FRAC,
+    )
+
+    pk = REP_LEN_PACK
+    top_ns = sorted(REP_MAX_TOP_NGRAM_FRAC)
+    cov_ns = sorted(REP_MAX_DUP_NGRAM_FRAC)
+    all_ns = ", ".join(str(n) for n in top_ns + cov_ns)
+    tg_piv = ",\n    ".join(
+        f"max(CASE WHEN n = {n} THEN chars END) AS tc{n}" for n in top_ns
+    )
+    cv_piv = ",\n    ".join(
+        f"max(CASE WHEN n = {n} THEN cvr END) AS cv{n}" for n in cov_ns
+    )
+    r6 = lambda x: f"floor(({x}) * 1e6 + 0.5) / 1e6"  # noqa: E731
+    fr = lambda num, den: (  # noqa: E731
+        f"CASE WHEN {den} > 0 THEN ({num})::double / ({den})::double "
+        "ELSE 0.0 END"
+    )
+    fracs = [
+        ("dup_line_frac", fr("coalesce(l.d, 0)", "coalesce(l.m, 0)"),
+         REP_MAX_DUP_LINE_FRAC),
+        ("dup_para_frac", fr("coalesce(q.d, 0)", "coalesce(q.m, 0)"),
+         REP_MAX_DUP_PARA_FRAC),
+        ("dup_line_char_frac", fr("coalesce(l.dc, 0)", "coalesce(l.tc, 0)"),
+         REP_MAX_DUP_LINE_CHAR_FRAC),
+        ("dup_para_char_frac", fr("coalesce(q.dc, 0)", "coalesce(q.tc, 0)"),
+         REP_MAX_DUP_PARA_CHAR_FRAC),
+    ]
+    for n in top_ns:
+        fracs.append((
+            f"top_{n}gram_frac",
+            fr(f"coalesce(tp.tc{n}, 0)", "tt.t"),
+            REP_MAX_TOP_NGRAM_FRAC[n],
+        ))
+    for n in cov_ns:
+        fracs.append((
+            f"dup_{n}gram_frac",
+            fr(f"coalesce(cp.cv{n}, 0)", "tt.t"),
+            REP_MAX_DUP_NGRAM_FRAC[n],
+        ))
+    frac_sel = ",\n  ".join(f"{r6(v)} AS {name}" for name, v, _ in fracs)
+    flag_sel = ",\n  ".join(
+        f"(({v}) <= {thr}) AS r_{name[:-5]}" for name, v, thr in fracs
+    )
+    rep_pass = " AND ".join(f"(({v}) <= {thr})" for _, v, thr in fracs)
+    return f"""
+WITH {rep_text_sql()},
+t AS (
+  SELECT doc_id,
+    list_filter(regexp_split_to_array(text, '\\s+'), w -> w <> '')
+      AS words,
+    list_filter(list_transform(string_split(text, chr(10)),
+                               u -> trim(u)), u -> u <> '') AS lines,
+    list_filter(list_transform(string_split(text, chr(10) || chr(10)),
+                               u -> trim(u)), u -> u <> '') AS paras
+  FROM base),
+tt AS (
+  SELECT doc_id, len(words)::bigint AS nw,
+    (coalesce(list_sum(list_transform(words, w -> length(w))), 0)
+     + greatest(len(words) - 1, 0))::bigint AS t
+  FROM t),
+lu AS (SELECT doc_id, unnest(lines) AS u FROM t),
+lg AS (SELECT doc_id, u, count(*) AS c, length(u) AS lc
+       FROM lu GROUP BY doc_id, u),
+lst AS (SELECT doc_id, sum(c)::bigint AS m, sum(c - 1)::bigint AS d,
+               sum((c - 1) * lc)::bigint AS dc, sum(c * lc)::bigint AS tc
+        FROM lg GROUP BY doc_id),
+pu AS (SELECT doc_id, unnest(paras) AS u FROM t),
+pg AS (SELECT doc_id, u, count(*) AS c, length(u) AS lc
+       FROM pu GROUP BY doc_id, u),
+pst AS (SELECT doc_id, sum(c)::bigint AS m, sum(c - 1)::bigint AS d,
+               sum((c - 1) * lc)::bigint AS dc, sum(c * lc)::bigint AS tc
+        FROM pg GROUP BY doc_id),
+nn AS (SELECT unnest([{all_ns}]) AS n),
+gl AS (
+  SELECT doc_id, n,
+    CASE WHEN len(words) >= n
+         THEN list_transform(range(0, len(words) - n + 1),
+                p -> struct_pack(p := p,
+                       g := array_to_string(words[p + 1 : p + n], ' ')))
+         ELSE [] END AS occ
+  FROM t CROSS JOIN nn),
+og AS (SELECT doc_id, n, unnest(occ) AS o FROM gl),
+oc AS (SELECT doc_id, n, o.p AS p, o.g AS g FROM og),
+cnt AS (SELECT doc_id, n, g, count(*) AS c, length(g) AS lg
+        FROM oc GROUP BY doc_id, n, g),
+tg AS (SELECT doc_id, n,
+         max(c * {pk} + least(lg, {pk - 1})) AS pkv
+       FROM cnt WHERE n <= {max(top_ns)} GROUP BY doc_id, n),
+tp AS (SELECT doc_id, {tg_piv}
+       FROM (SELECT doc_id, n,
+                    ((pkv // {pk}) * (pkv % {pk}))::bigint AS chars
+             FROM tg)
+       GROUP BY doc_id),
+dp AS (SELECT oc.doc_id, oc.n, oc.p
+       FROM oc JOIN cnt USING (doc_id, n, g)
+       WHERE cnt.c >= 2 AND oc.n >= {min(cov_ns)}),
+pdl AS (SELECT doc_id, n, list_sort(list(p)) AS ps
+        FROM dp GROUP BY doc_id, n),
+iv AS (SELECT doc_id, n,
+         list_reduce(list_transform(ps, p -> [{{'s': p, 'e': p + n}}]),
+           (acc, x) -> CASE
+             WHEN len(acc) > 0 AND x[1].s <= acc[-1].e
+             THEN list_concat(acc[1:len(acc) - 1],
+                              [{{'s': acc[-1].s,
+                                 'e': greatest(acc[-1].e, x[1].e)}}])
+             ELSE list_concat(acc, x) END) AS ivs
+       FROM pdl),
+cov AS (SELECT iv.doc_id, iv.n,
+          list_sum(list_transform(ivs, v ->
+            list_sum(list_transform(t.words[v.s + 1 : v.e],
+                                    w -> length(w)))
+            + (v.e - v.s - 1)))::bigint AS cvr
+        FROM iv JOIN t USING (doc_id)),
+cp AS (SELECT doc_id, {cv_piv} FROM cov GROUP BY doc_id)
+SELECT tt.doc_id, tt.nw AS n_words,
+  coalesce(l.m, 0)::bigint AS n_lines,
+  coalesce(q.m, 0)::bigint AS n_paras,
+  {frac_sel},
+  {flag_sel},
+  ({rep_pass}) AS rep_pass
+FROM tt
+LEFT JOIN lst l ON tt.doc_id = l.doc_id
+LEFT JOIN pst q ON tt.doc_id = q.doc_id
+LEFT JOIN tp ON tt.doc_id = tp.doc_id
+LEFT JOIN cp ON tt.doc_id = cp.doc_id"""

@@ -376,3 +376,18 @@ def test_span_integrity_zero_shuffle_in_array(spark):
     assert plans.count_python_stages(df) == 0
     assert "Join" not in p
     assert "Window" not in p
+
+
+def test_gopher_repetition_zero_shuffle_in_array(spark):
+    """The A1.2 repetition battery must ride the scan: unit stats,
+    top-gram argmax and coverage folds are all in-array — zero
+    exchange, zero Python, no join, no window."""
+    from blackedge_ocr_spark.analysis.textstats import gopher_repetition
+
+    base = spark.read.parquet(f"{SF}/documents.parquet")
+    df = gopher_repetition(base)
+    p = plans.formatted_plan(df)
+    assert plans.count_exchanges(df) == 0
+    assert plans.count_python_stages(df) == 0
+    assert "Join" not in p
+    assert "Window" not in p
