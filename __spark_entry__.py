@@ -157,6 +157,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "span_integrity": q.q_span_integrity,
         # Gopher A1.2 repetition rule battery
         "gopher_repetition": q.q_gopher_repetition,
+        # per-source unigram KL drift vs corpus mixture
+        "source_drift": q.q_source_drift,
+        # interpolated bigram LM scoring (pruned top-V model)
+        "lm2_scores": q.q_lm2_scores,
     }
     return out
 

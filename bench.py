@@ -68,6 +68,8 @@ BENCH_QUERIES = (
     "unicode_scrub",
     "span_integrity",
     "gopher_repetition",
+    "source_drift",
+    "lm2_scores",
 )
 
 

@@ -775,3 +775,79 @@ def span_integrity(spansified: DataFrame) -> DataFrame:
         ok.alias("ok"),
         repaired_md5.alias("repaired_md5"),
     )
+
+
+# ------------------------------------------------------------------
+# Per-source distribution drift (unigram KL vs the corpus mixture)
+# ------------------------------------------------------------------
+
+# Nano-unit (1e9) fixed-point for per-term KL contributions: each
+# p*ln(p/q) term is far below 1 nat, so micro units would quantize
+# most of the vocabulary tail to 0; |contrib| < ~30 nats keeps the
+# long sum under 2^63 for any vocabulary.
+KL_UNIT = 1_000_000_000
+
+
+def source_drift(docs: DataFrame) -> DataFrame:
+    """Unigram-distribution drift per source stratum: KL(P_s || Q)
+    where P_s is the source's term distribution and Q the whole
+    corpus's — the mixture-monitoring number a curation job tracks
+    per domain (a drifting source is re-weighted or re-crawled; see
+    mixture_weights for the acting side).
+
+    Exact arithmetic: every per-term contribution p*ln(p/q) is
+    computed once on the O(sources x vocab) count table with the
+    identical divide/ln/multiply op order in both engines, rounded
+    to nano-units as a long, and summed exactly — a float sum would
+    drift with partition order. Q's support contains every source
+    term by construction (Q aggregates the same counts), so the log
+    is always finite.
+
+    Shape at scale: ONE corpus tokenize pass -> combinable
+    (source, term) hash agg; the term-level Q table derives from
+    that same O(S x V) table (no second corpus pass), the totals
+    are broadcast scalars, and the final join + agg touch
+    vocabulary-sized tables only. The corpus never shuffles.
+    """
+    from blackedge_ocr_spark.analysis.textstats import _r6
+
+    st = (
+        docs.select(
+            "source", F.explode(tokens(F.col("text"))).alias("term")
+        )
+        .groupBy("source", "term")
+        .agg(F.count("*").alias("n"))
+        # O(sources x vocab) rows; feeds P_s, Q and both totals —
+        # persist so the corpus is tokenized exactly once
+        # (dup_ngram_stats discipline).
+        .persist()
+    )
+    q = st.groupBy("term").agg(F.sum("n").alias("nq"))
+    stot = st.groupBy("source").agg(F.sum("n").alias("ns"))
+    tot = st.agg(F.sum("n").alias("nt"))
+    p_s = F.col("n").cast("double") / F.col("ns").cast("double")
+    q_t = F.col("nq").cast("double") / F.col("nt").cast("double")
+    contrib = F.floor(
+        p_s * F.log(p_s / q_t) * KL_UNIT + F.lit(0.5)
+    ).cast("long")
+    joined = (
+        st.join(q, "term")
+        .join(F.broadcast(stot), "source")
+        .crossJoin(F.broadcast(tot))
+    )
+    return (
+        joined.groupBy("source")
+        .agg(
+            F.max("ns").cast("long").alias("n_tokens"),
+            F.count("*").cast("long").alias("n_terms"),
+            F.sum(contrib).alias("_kl"),
+        )
+        .select(
+            "source",
+            "n_tokens",
+            "n_terms",
+            _r6(F.col("_kl").cast("double") / F.lit(float(KL_UNIT))).alias(
+                "kl_nats"
+            ),
+        )
+    )

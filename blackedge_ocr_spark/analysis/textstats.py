@@ -1135,3 +1135,168 @@ def gopher_repetition(docs: DataFrame) -> DataFrame:
     return s4.select(
         *out_cols, *flag_exprs, rep_pass.alias("rep_pass")
     )
+
+
+# Interpolated bigram LM (the CCNet-style filter one order up from
+# the unigram lm_scores proxy). Both weights are exactly
+# representable doubles so the two engines' literals cannot differ.
+LM2_L1 = 0.75   # bigram MLE weight
+LM2_L0 = 0.25   # unigram backoff weight
+
+
+def lm2_scores(docs: DataFrame, v: int = LM_VOCAB_K) -> DataFrame:
+    """Interpolated-bigram-LM mean log-probability per document:
+    P(w_i | w_{i-1}) = L1 * c(w_{i-1} w_i)/n(w_{i-1})
+                     + L0 * p_uni(w_i),
+    with the corpus's own top-``v`` unigram vocabulary, bigrams kept
+    only when BOTH words are in-vocab (the pruned-LM move that
+    bounds the model at V^2 rows), first tokens scored by the pure
+    unigram, out-of-model pairs backing off to L0 * p_uni, and OOV
+    tokens floored at 1/total. n(a) is a's corpus unigram count, so
+    the conditional is the (slightly deficient) within-doc MLE —
+    doc-final occurrences of a start no bigram.
+
+    Exact arithmetic (the lm_scores discipline): every distinct
+    log-prob is computed and micro-unit-rounded ONCE on a model
+    table (V-row vocab, <=V^2-row bigram table), per-doc sums are
+    exact long adds, one division at the end.
+
+    Shape at scale: pass 1 trains — one combinable term agg + one
+    combinable in-vocab pair agg (pairs pre-filtered by two
+    broadcast semi-joins, so the pair shuffle carries in-vocab
+    bigrams only); pass 2 scores — per-doc (prev, cur) structs are
+    built IN-ARRAY (the exploded row carries one pair, never the
+    whole token array), then two broadcast left joins and a
+    combinable doc agg. The corpus never shuffles on a term key.
+    """
+    counts = (
+        docs.select(F.explode(tokens(F.col("text"))).alias("term"))
+        .groupBy("term")
+        .agg(F.count("*").alias("n"))
+        .persist()  # feeds total + vocab + pair conditionals
+    )
+    total = counts.agg(F.sum("n").alias("tot"))
+    tot = F.col("tot").cast("double")
+    mic = lambda c: F.floor(c * 1e6 + F.lit(0.5)).cast("long")  # noqa: E731
+    p_uni = F.col("n").cast("double") / tot
+    vocab = (
+        counts.orderBy(F.col("n").desc(), F.col("term"))
+        .limit(v)
+        .crossJoin(F.broadcast(total))
+        .select(
+            "term",
+            F.col("n").alias("nv"),
+            mic(F.log(p_uni)).alias("li_uni"),
+            mic(F.log(F.lit(LM2_L0) * p_uni)).alias("li_back"),
+        )
+    )
+
+    pairs_arr = lambda t: F.when(  # noqa: E731
+        F.size(t) >= 2,
+        F.transform(
+            F.sequence(F.lit(2), F.size(t)),
+            lambda i: F.struct(
+                F.element_at(t, i - 1).alias("a"),
+                F.element_at(t, i).alias("b"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<a:string,b:string>>"))
+    ex_pairs = docs.select(
+        F.explode(pairs_arr(tokens(F.col("text")))).alias("p")
+    ).select(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+    va = vocab.select(
+        F.col("term").alias("a"), F.col("nv").alias("na")
+    )
+    vb = vocab.select(
+        F.col("term").alias("b"), F.col("nv").alias("nb")
+    )
+    bigram = (
+        ex_pairs.join(F.broadcast(va), "a")
+        .join(F.broadcast(vb), "b")
+        .groupBy("a", "b", "na", "nb")
+        .agg(F.count("*").alias("c"))
+        .crossJoin(F.broadcast(total))
+        .select(
+            "a",
+            "b",
+            mic(
+                F.log(
+                    F.lit(LM2_L1)
+                    * (F.col("c").cast("double") / F.col("na").cast("double"))
+                    + F.lit(LM2_L0) * (F.col("nb").cast("double") / tot)
+                )
+            ).alias("li_pair"),
+        )
+    )
+
+    steps = lambda t: F.when(  # noqa: E731
+        F.size(t) >= 1,
+        F.transform(
+            F.sequence(F.lit(1), F.size(t)),
+            lambda i: F.struct(
+                F.when(i > 1, F.element_at(t, i - 1)).alias("prev"),
+                F.element_at(t, i).alias("cur"),
+            ),
+        ),
+    ).otherwise(
+        F.array().cast("array<struct<prev:string,cur:string>>")
+    )
+    ex = docs.select(
+        "doc_id", F.explode(steps(tokens(F.col("text")))).alias("s")
+    ).select(
+        "doc_id",
+        F.col("s.prev").alias("prev"),
+        F.col("s.cur").alias("cur"),
+    )
+    oov_uni = mic(F.log(F.lit(1.0) / tot))
+    oov_back = mic(F.log(F.lit(LM2_L0) * (F.lit(1.0) / tot)))
+    scored = (
+        ex.join(
+            F.broadcast(vocab.select(F.col("term").alias("cur"),
+                                     "li_uni", "li_back")),
+            "cur",
+            "left",
+        )
+        .join(
+            F.broadcast(bigram.select(F.col("a").alias("prev"),
+                                      F.col("b").alias("cur"),
+                                      "li_pair")),
+            ["prev", "cur"],
+            "left",
+        )
+        .crossJoin(F.broadcast(total))
+        .select(
+            "doc_id",
+            F.when(
+                F.col("prev").isNull(),
+                F.coalesce(F.col("li_uni"), oov_uni),
+            )
+            .otherwise(
+                F.coalesce(
+                    F.col("li_pair"), F.col("li_back"), oov_back
+                )
+            )
+            .alias("li"),
+            F.col("li_pair").isNotNull().cast("long").alias("hit"),
+        )
+    )
+    per_doc = scored.groupBy("doc_id").agg(
+        F.count("*").alias("n_toks"),
+        F.sum("hit").alias("hits"),
+        F.sum("li").alias("s"),
+    )
+    mean = _r6(
+        F.col("s").cast("double") / (F.col("n_toks").cast("double") * 1e6)
+    )
+    return (
+        docs.select("doc_id")
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_toks", F.lit(0)).cast("long").alias("n_tokens"),
+            F.coalesce("hits", F.lit(0)).cast("long").alias("n_pair_hits"),
+            F.when(F.col("n_toks") > 0, mean)
+            .otherwise(F.lit(0.0))
+            .alias("lm2_score"),
+        )
+    )

@@ -2062,3 +2062,21 @@ def q_gopher_repetition(spark, sf_dir) -> DataFrame:
         "doc_id", _rep_text(F.col("doc_id"), F.col("text")).alias("text")
     )
     return textstats.gopher_repetition(staged)
+
+
+def q_source_drift(spark, sf_dir) -> DataFrame:
+    """Per-source unigram KL drift vs the corpus mixture: one corpus
+    tokenize pass, vocabulary-sized joins, exact nano-unit
+    contribution sums."""
+    from blackedge_ocr_spark.analysis.corpusops import source_drift
+
+    return source_drift(_docs(spark, sf_dir))
+
+
+def q_lm2_scores(spark, sf_dir) -> DataFrame:
+    """Interpolated bigram-LM mean log-prob per doc (pruned top-V
+    model, first-token unigram, out-of-model backoff, OOV floor):
+    two combinable training aggs + broadcast-join scoring."""
+    from blackedge_ocr_spark.analysis import textstats
+
+    return textstats.lm2_scores(_docs(spark, sf_dir))

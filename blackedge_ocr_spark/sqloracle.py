@@ -810,6 +810,10 @@ def build_oracles() -> dict[str, str]:
         "span_integrity": sql_span_integrity(),
         # Gopher A1.2 repetition battery
         "gopher_repetition": sql_gopher_repetition(),
+        # per-source unigram KL drift
+        "source_drift": sql_source_drift(),
+        # interpolated bigram LM scoring
+        "lm2_scores": sql_lm2_scores(),
     }
     return out
 
@@ -4143,3 +4147,108 @@ LEFT JOIN lst l ON tt.doc_id = l.doc_id
 LEFT JOIN pst q ON tt.doc_id = q.doc_id
 LEFT JOIN tp ON tt.doc_id = tp.doc_id
 LEFT JOIN cp ON tt.doc_id = cp.doc_id"""
+
+
+def sql_source_drift() -> str:
+    """corpusops.source_drift mirror: identical (source, term) count
+    table, the same p*ln(p/q) op order rounded once to nano-units,
+    exact bigint sums, micro-unit output rounding."""
+    from blackedge_ocr_spark.analysis.corpusops import KL_UNIT
+
+    toks = tokens_sql("text")
+    return f"""
+WITH ex AS (
+  SELECT source, unnest({toks}) AS term FROM documents),
+st AS (SELECT source, term, count(*) AS n FROM ex GROUP BY source, term),
+q AS (SELECT term, sum(n) AS nq FROM st GROUP BY term),
+stot AS (SELECT source, sum(n) AS ns FROM st GROUP BY source),
+tot AS (SELECT sum(n) AS nt FROM st),
+j AS (
+  SELECT st.source, st.n, stot.ns, q.nq, tot.nt,
+    floor((st.n::double / stot.ns::double)
+          * ln((st.n::double / stot.ns::double)
+               / (q.nq::double / tot.nt::double))
+          * {KL_UNIT} + 0.5)::bigint AS contrib
+  FROM st
+  JOIN q USING (term)
+  JOIN stot USING (source)
+  CROSS JOIN tot)
+SELECT source,
+  max(ns)::bigint AS n_tokens,
+  count(*)::bigint AS n_terms,
+  floor((sum(contrib)::double / {KL_UNIT}.0) * 1e6 + 0.5) / 1e6
+    AS kl_nats
+FROM j GROUP BY source"""
+
+
+def sql_lm2_scores() -> str:
+    """textstats.lm2_scores mirror: same top-V boundary, identical
+    interpolation arithmetic (exact-double weights), per-model-row
+    micro-unit ln rounding, exact long sums."""
+    from blackedge_ocr_spark.analysis.textstats import (
+        LM2_L0,
+        LM2_L1,
+        LM_VOCAB_K,
+    )
+
+    toks = tokens_sql("text")
+    t = "(SELECT tot FROM t)"
+    return f"""
+WITH e AS (SELECT doc_id, unnest({toks}) AS term FROM documents),
+c AS (SELECT term, count(*)::bigint AS n FROM e GROUP BY term),
+t AS (SELECT sum(n)::double AS tot FROM c),
+v AS (SELECT term, n AS nv,
+        floor(ln(n::double / {t}) * 1000000 + 0.5)::bigint AS li_uni,
+        floor(ln({LM2_L0} * (n::double / {t})) * 1000000 + 0.5)::bigint
+          AS li_back
+      FROM c ORDER BY n DESC, term ASC LIMIT {LM_VOCAB_K}),
+tk AS (SELECT doc_id, {toks} AS toks FROM documents),
+pr AS (SELECT doc_id,
+         unnest(CASE WHEN len(toks) >= 2
+                THEN list_transform(range(2, len(toks) + 1),
+                       i -> struct_pack(a := toks[i - 1], b := toks[i]))
+                ELSE [] END) AS p
+       FROM tk),
+bg AS (SELECT p.a AS a, p.b AS b, va.nv AS na, vb.nv AS nb,
+              count(*)::bigint AS c
+       FROM pr
+       JOIN v va ON p.a = va.term
+       JOIN v vb ON p.b = vb.term
+       GROUP BY p.a, p.b, va.nv, vb.nv),
+bm AS (SELECT a, b,
+         floor(ln({LM2_L1} * (c::double / na::double)
+                  + {LM2_L0} * (nb::double / {t}))
+               * 1000000 + 0.5)::bigint AS li_pair
+       FROM bg),
+st AS (SELECT doc_id,
+         unnest(CASE WHEN len(toks) >= 1
+                THEN list_transform(range(1, len(toks) + 1),
+                       i -> struct_pack(
+                         prev := CASE WHEN i > 1 THEN toks[i - 1] END,
+                         cur := toks[i]))
+                ELSE [] END) AS s
+       FROM tk),
+sx AS (SELECT doc_id, s.prev AS prev, s.cur AS cur FROM st),
+sc AS (SELECT sx.doc_id,
+         CASE WHEN sx.prev IS NULL
+              THEN coalesce(v.li_uni,
+                     floor(ln(1.0 / {t}) * 1000000 + 0.5)::bigint)
+              ELSE coalesce(bm.li_pair, v.li_back,
+                     floor(ln({LM2_L0} * (1.0 / {t}))
+                           * 1000000 + 0.5)::bigint)
+         END AS li,
+         (bm.li_pair IS NOT NULL)::int AS hit
+       FROM sx
+       LEFT JOIN v ON sx.cur = v.term
+       LEFT JOIN bm ON sx.prev = bm.a AND sx.cur = bm.b),
+g AS (SELECT doc_id, count(*)::bigint AS n_toks,
+             sum(hit)::bigint AS hits, sum(li)::bigint AS s
+      FROM sc GROUP BY doc_id)
+SELECT d.doc_id,
+  coalesce(g.n_toks, 0)::bigint AS n_tokens,
+  coalesce(g.hits, 0)::bigint AS n_pair_hits,
+  CASE WHEN g.n_toks > 0
+       THEN floor(g.s::double / (g.n_toks::double * 1000000.0)
+                  * 1000000 + 0.5) / 1000000
+       ELSE 0.0 END AS lm2_score
+FROM documents d LEFT JOIN g ON d.doc_id = g.doc_id"""
