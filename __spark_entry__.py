@@ -63,6 +63,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_topk": q.q_ann_ivf_topk,
         "ann_ivf_kmeans_topk": q.q_ann_ivf_kmeans_topk,
         "ann_recall": q.q_ann_recall,
+        "dim_recall": q.q_dim_recall,
+        "pagerank": q.q_pagerank,
         "embedding_neardup": q.q_embedding_neardup,
         "embedding_neardup_lsh": q.q_embedding_neardup_lsh,
         "neardup_recall": q.q_neardup_recall,

@@ -206,7 +206,11 @@ def _load(spark, sf_dir: str) -> DataFrame:
 
 
 def brute_force_topk(
-    spark, sf_dir: str, k: int = DEFAULT_K, query_every: int = QUERY_EVERY
+    spark,
+    sf_dir: str,
+    k: int = DEFAULT_K,
+    query_every: int = QUERY_EVERY,
+    dims: int | None = None,
 ) -> DataFrame:
     """Exact cosine top-k per query vector (self excluded) — block
     matrix math, not per-pair expressions.
@@ -235,6 +239,13 @@ def brute_force_topk(
     import pandas as pd
 
     corpus = _load(spark, sf_dir)
+    if dims is not None:
+        # truncated-dimension scan (the Matryoshka-style cost knob,
+        # see dim_recall): sliced SPARK-side so the Arrow transfer
+        # shrinks with the scan, not just the math
+        corpus = corpus.select(
+            "vec_id", F.slice("v", 1, dims).alias("v")
+        )
     qrows = (
         corpus.filter(F.col("vec_id") % query_every == 0)
         .select(F.col("vec_id").alias("q_id"), F.col("v").alias("qv"))
@@ -1183,6 +1194,173 @@ def recall_vs_exact(
     )
     return hits.crossJoin(F.broadcast(nq)).select(
         "method", "n_queries", "hits", recall.alias("recall")
+    )
+
+
+DIM_RECALL_CUTS = (8, 16, 32)  # Matryoshka prefix cuts audited vs full
+
+
+def prefix_topk(
+    spark,
+    sf_dir: str,
+    k: int = DEFAULT_K,
+    query_every: int = QUERY_EVERY,
+    cuts: tuple[int, ...] = DIM_RECALL_CUTS,
+) -> DataFrame:
+    """Exact cosine top-k at EVERY prefix cut AND at full dims in ONE
+    corpus scan — the audit kernel behind ``dim_recall``.
+
+    Shape: ``brute_force_topk`` already accumulates the dot product
+    dimension-by-dimension (acc += q_j·v_j, the fold the DuckDB oracle
+    mirrors), so the partial sum after j = c dimensions IS the exact
+    dot of the c-prefix slices. Snapshotting (acc, Σq², Σv²) at each
+    cut therefore scores the whole Matryoshka curve — all truncated
+    dims plus full — for one pass over the corpus: at 10^12 vectors
+    the recall audit costs one scan, not |cuts|+1 scans. Per-cut
+    results carry the same r6 rounding, 2e-6 partition-local slack and
+    (cos DESC, id) tie-break as the single-dim kernel, so each cut's
+    top-k is bit-identical to a standalone scan of the sliced vectors.
+
+    Returns (dims, is_full, q_id, rank, neighbor_id, cos); ``is_full``
+    marks the full-dimension baseline rows (cuts ≥ the data's width
+    are dropped — they'd duplicate it).
+    """
+    import numpy as np
+    import pandas as pd
+
+    corpus = _load(spark, sf_dir)
+    qrows = (
+        corpus.filter(F.col("vec_id") % query_every == 0)
+        .select(F.col("vec_id").alias("q_id"), F.col("v").alias("qv"))
+        .collect()
+    )
+    q_ids = np.array([r["q_id"] for r in qrows], dtype=np.int64)
+    Q = np.array([r["qv"] for r in qrows], dtype=np.float64)
+    cut_list = sorted({int(c) for c in cuts if c > 0})
+    bq = spark.sparkContext.broadcast((q_ids, Q, cut_list))
+
+    def score_blocks(batches):
+        ids, qm, cuts_ = bq.value
+        if qm.size == 0:
+            return
+        nq, nd = qm.shape
+        steps = [c for c in cuts_ if c < nd] + [nd]
+        # query norms, snapshotted at each cut of the same j-ordered
+        # fold the single-dim kernel uses
+        qn = np.zeros(nq)
+        qnorm = {}
+        prev = 0
+        for c in steps:
+            for j in range(prev, c):
+                qn = qn + qm[:, j] * qm[:, j]
+            prev = c
+            qnorm[c] = np.sqrt(qn)
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            vid = pdf["vec_id"].to_numpy(dtype=np.int64)
+            V = np.array(list(pdf["v"]), dtype=np.float64)
+            n = len(vid)
+            self_mask = np.equal.outer(ids, vid)
+            acc = np.zeros((nq, n))
+            vn = np.zeros(n)
+            prev = 0
+            for c in steps:
+                for j in range(prev, c):
+                    acc = acc + np.multiply.outer(qm[:, j], V[:, j])
+                    vn = vn + V[:, j] * V[:, j]
+                prev = c
+                denom = np.multiply.outer(qnorm[c], np.sqrt(vn))
+                with np.errstate(invalid="ignore", divide="ignore"):
+                    cos = np.where(denom == 0, 0.0, acc / denom)
+                cos_sel = np.where(self_mask, -np.inf, cos)
+                kth = (
+                    np.sort(cos_sel, axis=1)[:, -min(k, n)]
+                    if n > 0
+                    else np.full(nq, -np.inf)
+                )
+                keep = (cos_sel >= (kth[:, None] - 2e-6)) & ~self_mask
+                qi, vi = np.nonzero(keep)
+                yield pd.DataFrame(
+                    {
+                        "dims": np.full(len(qi), c, dtype=np.int32),
+                        "is_full": np.full(len(qi), c == nd, dtype=bool),
+                        "q_id": ids[qi],
+                        "neighbor_id": vid[vi],
+                        "cos": cos[qi, vi],
+                    }
+                )
+
+    scored = corpus.mapInPandas(
+        score_blocks,
+        schema="dims int, is_full boolean, q_id long, "
+        "neighbor_id long, cos double",
+    ).select(
+        "dims",
+        "is_full",
+        "q_id",
+        "neighbor_id",
+        F.round(F.col("cos"), 6).alias("cos"),
+    )
+    w = Window.partitionBy("dims", "q_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("dims", "is_full", "q_id", "rank", "neighbor_id", "cos")
+    )
+
+
+def dim_recall(
+    spark,
+    sf_dir: str,
+    k: int = DEFAULT_K,
+    query_every: int = QUERY_EVERY,
+    cuts: tuple[int, ...] = DIM_RECALL_CUTS,
+) -> DataFrame:
+    """recall@k of truncated-dimension exact scans vs the full-dim
+    baseline — the Matryoshka serving curve: the number that says how
+    many prefix dimensions a first-pass scan (or a smaller serving
+    index) can keep and still recover the full-dim top-k. One row per
+    cut: (dims, n_queries, hits, recall), micro-averaged like
+    ``recall_vs_exact``.
+
+    Cost: ONE corpus scan for the whole curve (``prefix_topk``
+    snapshots the dim-ordered fold at each cut); the join sides are
+    O(queries × k × cuts), never the corpus.
+    """
+    pt = prefix_topk(spark, sf_dir, k, query_every, cuts).persist()
+    exact = pt.filter(F.col("is_full")).select("q_id", "neighbor_id")
+    approx = pt.filter(~F.col("is_full")).select(
+        "dims", "q_id", "neighbor_id"
+    )
+    hit0 = (
+        approx.join(exact, ["q_id", "neighbor_id"], "left_semi")
+        .groupBy("dims")
+        .agg(F.count("*").alias("hits"))
+    )
+    # LEFT JOIN from the cut list: a cut with ZERO hits must show
+    # recall 0.0, not vanish from the report
+    cut_rows = spark.createDataFrame(
+        [(int(c),) for c in sorted({int(c) for c in cuts if c > 0})],
+        "dims int",
+    )
+    hits = cut_rows.join(hit0, "dims", "left").select(
+        "dims", F.coalesce("hits", F.lit(0).cast("long")).alias("hits")
+    )
+    nq = exact.agg(F.countDistinct("q_id").alias("n_queries"))
+    recall = (
+        F.floor(
+            F.col("hits").cast("double")
+            / (F.col("n_queries") * F.lit(k)).cast("double")
+            * 1e6
+            + F.lit(0.5)
+        )
+        / 1e6
+    )
+    return hits.crossJoin(F.broadcast(nq)).select(
+        "dims", "n_queries", "hits", recall.alias("recall")
     )
 
 

@@ -1,0 +1,151 @@
+"""Link-graph host/page scoring: iterative PageRank over the corpus.
+
+Web-scale curation pipelines score hosts/pages by link centrality
+(CommonCrawl-derived sets rank hosts by harmonic centrality /
+PageRank and use the score as a crawl-priority and quality prior).
+The reference engine has no link stage — this is part of the
+beyond-reference training-data surface, like dedup/ANN.
+
+Graph staging: the synthetic corpus carries no hyperlinks, so edges
+are derived deterministically from doc_id with pure integer maps
+(the same portable-staging discipline as ``queries._url_col``):
+
+- a HUB edge ``src → src % PR_HUBS`` — every page links to one of 16
+  hub pages, giving the in-degree distribution a realistic hot head
+  (hubs collect ~N/16 in-links each: the skewed-key regime a real
+  link graph puts in front of the contribution aggregation);
+- a QUADRATIC edge ``src → (src² + 1) % N`` and a LINEAR edge
+  ``src → (3·src + 7) % N`` for long-range spread.
+
+Self-loops drop, duplicate pairs collapse; every node keeps
+out-degree ≥ 1 (proved in ``pagerank``'s docstring note), so there
+is no dangling mass to redistribute. A production deployment swaps
+``link_edges`` for real (src_host, dst_host) pairs — everything
+downstream is staging-agnostic.
+
+Cross-engine exactness: ranks live in NANO units (int64, 1e9 = mass
+1.0) and every operation is integer — ``div`` floor division for
+contributions (r div outdeg) and damping ((85·S) div 100), exact
+int64 sums for the gather. No floating point exists anywhere in the
+iteration, so Spark and the unrolled-CTE DuckDB oracle agree
+bit-for-bit by construction, with none of the fold-order discipline
+the cosine kernels need.
+
+Scale shape: edges ⨝ ranks on src, then the contribution gather
+shuffles on dst — PageRank's canonical two exchanges per iteration,
+O(E) rows each. The static side (edges + out-degree, pre-joined
+once) is persisted and co-partitioned on src so only the O(N) rank
+table moves per iteration; hub-key skew in the gather is exactly
+what AQE skew-join splitting is enabled for (session.py). At 10^12
+docs you would additionally block-compress edges per (src-partition,
+dst-partition) — noted, not needed at bench scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+PR_ITERS = 3        # unrolled in the oracle — keep small and fixed
+PR_HUBS = 16        # hub pool size for the skewed in-degree head
+PR_DAMP_NUM = 85    # damping 0.85 as an exact integer ratio
+PR_DAMP_DEN = 100
+NANO = 10**9        # rank mass 1.0 in int64 nano-units
+
+
+def link_edges(docs: DataFrame) -> DataFrame:
+    """Deterministic (src, dst) edge table over the doc_id node set:
+    hub + quadratic + linear maps, self-loops dropped, duplicates
+    collapsed, targets restricted to existing nodes (a no-op on the
+    consecutive-id corpus, correctness under any id set)."""
+    nodes = docs.select(F.col("doc_id").cast("long").alias("doc_id"))
+    n = nodes.count()
+    src = F.col("doc_id")
+    raw = (
+        nodes.select(src.alias("src"), (src % PR_HUBS).alias("dst"))
+        .unionByName(
+            nodes.select(
+                src.alias("src"), ((src * src + 1) % n).alias("dst")
+            )
+        )
+        .unionByName(
+            nodes.select(
+                src.alias("src"), ((src * 3 + 7) % n).alias("dst")
+            )
+        )
+    )
+    return (
+        raw.filter(F.col("src") != F.col("dst"))
+        .join(
+            nodes.select(F.col("doc_id").alias("dst")), "dst", "left_semi"
+        )
+        .distinct()
+    )
+
+
+def pagerank(docs: DataFrame, iters: int = PR_ITERS) -> DataFrame:
+    """Integer PageRank over ``link_edges``: returns one row per node
+    (doc_id, out_deg, in_deg, rank) with rank in NANO units after
+    ``iters`` damped iterations from the uniform start (NANO div N).
+
+    Update rule (all int64):
+        contrib(e) = r(src) div out_deg(src)          per edge
+        S(v)       = Σ contrib over in-edges          exact sum
+        r'(v)      = (15·NANO) div (100·N)
+                     + (85 · S(v)) div 100
+
+    No dangling nodes exist by construction: the three staged edges
+    of src can all self-drop only if src % 16 == src AND
+    (src²+1) % N == src AND (3·src+7) % N == src — the first forces
+    src < 16, under which 3·src+7 ∈ [7, 52] equals src never (and
+    N > 52 at every shipped scale), so out_deg ≥ 1 always.
+
+    The floor divisions bleed ≤ 1 nano-unit per edge per iteration
+    (total mass decays by ≤ E nano-units/iter) — the documented price
+    of exactness; relative rank order is what the score is used for.
+    """
+    spark = docs.sparkSession
+    nodes = docs.select(F.col("doc_id").cast("long").alias("doc_id"))
+    n = nodes.count()
+    edges = link_edges(docs)
+    od = edges.groupBy("src").agg(F.count("*").alias("od"))
+    # static per-iteration side: co-partition once, reuse every pass
+    e_od = (
+        edges.join(od, "src")
+        .repartition(spark.sparkContext.defaultParallelism, "src")
+        .persist()
+    )
+    base = (15 * NANO) // (100 * n)
+    ranks = nodes.select(
+        "doc_id", F.lit(NANO // n).cast("long").alias("r")
+    )
+    for _ in range(iters):
+        contrib = e_od.join(
+            ranks.withColumnRenamed("doc_id", "src"), "src"
+        ).select("dst", F.expr("r div od").alias("c"))
+        s = contrib.groupBy("dst").agg(F.sum("c").alias("s"))
+        ranks = (
+            nodes.join(s, nodes.doc_id == s.dst, "left")
+            .select(
+                "doc_id",
+                (
+                    F.lit(base).cast("long")
+                    + F.expr(
+                        f"({PR_DAMP_NUM} * coalesce(s, 0L)) "
+                        f"div {PR_DAMP_DEN}"
+                    )
+                ).alias("r"),
+            )
+        )
+    in_deg = edges.groupBy("dst").agg(F.count("*").alias("in_deg"))
+    return (
+        nodes.join(od.withColumnRenamed("src", "doc_id"), "doc_id", "left")
+        .join(in_deg.withColumnRenamed("dst", "doc_id"), "doc_id", "left")
+        .join(ranks, "doc_id")
+        .select(
+            "doc_id",
+            F.coalesce("od", F.lit(0).cast("long")).alias("out_deg"),
+            F.coalesce("in_deg", F.lit(0).cast("long")).alias("in_deg"),
+            F.col("r").alias("rank"),
+        )
+    )

@@ -551,6 +551,32 @@ def q_ann_recall(spark, sf_dir) -> DataFrame:
     )
 
 
+def q_pagerank(spark, sf_dir) -> DataFrame:
+    """Integer PageRank over the deterministically-staged link graph
+    (hub + quadratic + linear edges): the host/page centrality prior
+    web curation stacks feed into crawl priority and quality scoring.
+    Exact int64 nano-unit arithmetic — bit-parity by construction."""
+    from blackedge_ocr_spark.analysis import linkgraph
+
+    d = spark.read.parquet(f"{sf_dir.rstrip('/')}/documents.parquet")
+    return linkgraph.pagerank(d)
+
+
+def q_dim_recall(spark, sf_dir) -> DataFrame:
+    """recall@5 of truncated-prefix (Matryoshka) exact scans vs the
+    full-dim baseline, all cuts scored in ONE corpus pass — the curve
+    that prices how many dimensions a first-pass scan can drop."""
+    from blackedge_ocr_spark.analysis import ann
+
+    r = ann.dim_recall(spark, sf_dir)
+    return r.select(
+        "dims",
+        F.col("n_queries").cast("long").alias("n_queries"),
+        F.col("hits").cast("long").alias("hits"),
+        "recall",
+    )
+
+
 def q_embedding_neardup(spark, sf_dir) -> DataFrame:
     """Embedding-cosine near-dup probe over consecutive pairs."""
     from blackedge_ocr_spark.analysis import ann

@@ -717,6 +717,8 @@ def build_oracles() -> dict[str, str]:
         "ann_ivf_topk": sql_ann_ivf_topk(),
         "ann_ivf_kmeans_topk": sql_ann_ivf_kmeans_topk(),
         "ann_recall": sql_ann_recall(),
+        "dim_recall": sql_dim_recall(),
+        "pagerank": sql_pagerank(),
         "embedding_neardup": sql_embedding_neardup(),
         "embedding_neardup_lsh": sql_embedding_neardup_lsh(),
         "neardup_recall": sql_neardup_recall(),
@@ -1359,6 +1361,117 @@ SELECT method, n_queries, hits,
        floor(hits::double / (n_queries * {k})::double * 1e6 + 0.5) / 1e6
          AS recall
 FROM hits, nq"""
+
+
+def sql_dim_recall(
+    k: int = 5, query_every: int = 50, cuts: tuple[int, ...] | None = None
+) -> str:
+    """ann.dim_recall mirror: recall@k of each prefix-cut exact scan
+    vs the full-dim baseline. Each cut's CTE slices the vectors
+    (v[1:c]) and reruns the standard fold-order cosine + (cos DESC,
+    id) top-k — the slice fold is the same partial sum the engine
+    snapshots mid-accumulation, so both sides are bit-identical per
+    cut. Cuts default to the live ann constant (no-drift rule)."""
+    from blackedge_ocr_spark.analysis.ann import DIM_RECALL_CUTS
+
+    cut_list = sorted(
+        {int(c) for c in (cuts if cuts is not None else DIM_RECALL_CUTS)}
+    )
+    parts = [
+        EMB,
+        f"q AS (SELECT vec_id AS q_id, v AS qv FROM e "
+        f"WHERE vec_id % {query_every} = 0)",
+        f"exact AS (SELECT q_id, neighbor_id "
+        f"FROM ({sql_ann_topk(k, query_every)}))",
+    ]
+    unions = []
+    for c in cut_list:
+        parts += [
+            f"e{c} AS (SELECT vec_id, v[1:{c}] AS v FROM e)",
+            f"q{c} AS (SELECT q_id, qv[1:{c}] AS qv FROM q)",
+            f"""s{c} AS (SELECT q_id, vec_id AS neighbor_id,
+        round({cosine_sql('qv', 'v')}, 6) AS cos
+      FROM e{c}, q{c} WHERE vec_id != q_id)""",
+            f"""t{c} AS (SELECT q_id, neighbor_id FROM (
+        SELECT *, row_number() OVER (PARTITION BY q_id
+                  ORDER BY cos DESC, neighbor_id) AS rank
+        FROM s{c}) WHERE rank <= {k})""",
+        ]
+        unions.append(
+            f"SELECT {c}::integer AS dims, q_id, neighbor_id FROM t{c}"
+        )
+    cut_vals = ", ".join(f"{c}::integer" for c in cut_list)
+    parts += [
+        "u AS (" + " UNION ALL ".join(unions) + ")",
+        f"cuts AS (SELECT unnest([{cut_vals}]) AS dims)",
+        """hit0 AS (SELECT dims, count(*)::bigint AS hits
+         FROM u SEMI JOIN exact USING (q_id, neighbor_id)
+         GROUP BY dims)""",
+        """hits AS (SELECT c.dims, coalesce(h.hits, 0)::bigint AS hits
+         FROM cuts c LEFT JOIN hit0 h USING (dims))""",
+        "nq AS (SELECT count(DISTINCT q_id)::bigint AS n_queries FROM exact)",
+    ]
+    ctes = ",\n".join(parts)
+    return f"""
+WITH {ctes}
+SELECT dims, n_queries, hits,
+       floor(hits::double / (n_queries * {k})::double * 1e6 + 0.5) / 1e6
+         AS recall
+FROM hits, nq"""
+
+
+def sql_pagerank(iters: int | None = None) -> str:
+    """linkgraph.pagerank mirror: the same integer PageRank with the
+    iteration loop unrolled into CTEs r0 → r{iters}. Every operation
+    is int64 (``//`` floor division == Spark ``div`` on the
+    nonnegative operands here; exact sums), so parity is by
+    construction — no rounding grid, no fold order. Constants track
+    the live linkgraph module (no-drift rule)."""
+    from blackedge_ocr_spark.analysis import linkgraph as lg
+
+    it = iters if iters is not None else lg.PR_ITERS
+    parts = [
+        "n AS (SELECT doc_id::bigint AS doc_id FROM documents)",
+        "cnt AS (SELECT count(*)::bigint AS n FROM n)",
+        f"""edges AS (
+  SELECT DISTINCT src, dst FROM (
+    SELECT doc_id AS src, doc_id % {lg.PR_HUBS} AS dst FROM n
+    UNION ALL
+    SELECT doc_id, (doc_id * doc_id + 1) % c.n FROM n, cnt c
+    UNION ALL
+    SELECT doc_id, (doc_id * 3 + 7) % c.n FROM n, cnt c)
+  WHERE src != dst AND dst IN (SELECT doc_id FROM n))""",
+        "od AS (SELECT src, count(*)::bigint AS od FROM edges GROUP BY src)",
+        f"r0 AS (SELECT doc_id, ({lg.NANO} // c.n)::bigint AS r "
+        f"FROM n, cnt c)",
+    ]
+    for i in range(1, it + 1):
+        parts += [
+            f"""s{i} AS (
+  SELECT e.dst, sum(r.r // o.od)::bigint AS s
+  FROM edges e
+  JOIN r{i - 1} r ON r.doc_id = e.src
+  JOIN od o ON o.src = e.src
+  GROUP BY e.dst)""",
+            f"""r{i} AS (
+  SELECT n.doc_id,
+         ((15::bigint * {lg.NANO}) // (100 * c.n)
+          + ({lg.PR_DAMP_NUM} * coalesce(s.s, 0))
+            // {lg.PR_DAMP_DEN})::bigint AS r
+  FROM n CROSS JOIN cnt c LEFT JOIN s{i} s ON s.dst = n.doc_id)""",
+        ]
+    ctes = ",\n".join(parts)
+    return f"""
+WITH {ctes},
+ind AS (SELECT dst, count(*)::bigint AS in_deg FROM edges GROUP BY dst)
+SELECT n.doc_id,
+       coalesce(o.od, 0)::bigint AS out_deg,
+       coalesce(i.in_deg, 0)::bigint AS in_deg,
+       r.r AS rank
+FROM n
+LEFT JOIN od o ON o.src = n.doc_id
+LEFT JOIN ind i ON i.dst = n.doc_id
+JOIN r{it} r ON r.doc_id = n.doc_id"""
 
 
 def sql_embedding_neardup() -> str:

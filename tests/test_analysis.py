@@ -576,6 +576,52 @@ def test_ann_recall_reports_every_method_even_with_zero_hits(spark):
         assert 0.0 <= r["recall"] <= 1.0
 
 
+def test_prefix_topk_snapshots_equal_standalone_scans(spark):
+    """The one-pass Matryoshka kernel's per-cut results must be
+    bit-identical to standalone scans: full-dim rows == the plain
+    brute force, and each truncated cut == a brute-force scan of the
+    sliced vectors (the ``dims`` knob) — proving the mid-accumulation
+    snapshot is the same partial sum as folding the slice."""
+    from blackedge_ocr_spark.analysis import ann
+
+    pt = ann.prefix_topk(spark, SF, cuts=(8, 32)).collect()
+    by_cut = {}
+    for r in pt:
+        key = "full" if r["is_full"] else r["dims"]
+        by_cut.setdefault(key, set()).add(
+            (r["q_id"], r["rank"], r["neighbor_id"], r["cos"])
+        )
+    full = {
+        (r["q_id"], r["rank"], r["neighbor_id"], r["cos"])
+        for r in ann.brute_force_topk(spark, SF).collect()
+    }
+    assert by_cut["full"] == full
+    for c in (8, 32):
+        sliced = {
+            (r["q_id"], r["rank"], r["neighbor_id"], r["cos"])
+            for r in ann.brute_force_topk(spark, SF, dims=c).collect()
+        }
+        assert by_cut[c] == sliced
+
+
+def test_dim_recall_curve_shape(spark):
+    """One row per cut; recall within [0,1]; the widest cut beats the
+    narrowest on the contract corpus. (Strict monotonicity is NOT
+    asserted: the synthetic embeddings are i.i.d. noise, so adjacent
+    cuts can jitter — e.g. 0.08 @ 8 dims vs 0.06 @ 16 at sf0.001 —
+    unlike real Matryoshka-trained vectors.)"""
+    from blackedge_ocr_spark.analysis import ann
+
+    rows = sorted(
+        ann.dim_recall(spark, SF).collect(), key=lambda r: r["dims"]
+    )
+    assert [r["dims"] for r in rows] == sorted(set(ann.DIM_RECALL_CUTS))
+    for r in rows:
+        assert 0 <= r["hits"] <= r["n_queries"] * 5
+        assert 0.0 <= r["recall"] <= 1.0
+    assert rows[-1]["recall"] >= rows[0]["recall"]
+
+
 def test_quality_sample_rate_tracks_quality(spark):
     """High-quality docs keep at ~their quality rate; empty docs
     (quality 0) are never kept."""

@@ -1,0 +1,71 @@
+"""PageRank vs an independent pure-Python model (not the SQL oracle
+— a third implementation, so an error shared by the two query engines
+would still be caught)."""
+
+import pyspark.sql.functions as F
+
+SF = "/root/testdata/sf0.001"
+
+
+def _py_pagerank(ids):
+    """Dict doc_id → rank after PR_ITERS integer iterations, written
+    with plain dict/loops (no shared helper with the engine)."""
+    from blackedge_ocr_spark.analysis import linkgraph as lg
+
+    n = len(ids)
+    idset = set(ids)
+    edges = set()
+    for s in ids:
+        for d in (s % lg.PR_HUBS, (s * s + 1) % n, (s * 3 + 7) % n):
+            if d != s and d in idset:
+                edges.add((s, d))
+    od = {}
+    for s, _ in edges:
+        od[s] = od.get(s, 0) + 1
+    r = {v: lg.NANO // n for v in ids}
+    base = (15 * lg.NANO) // (100 * n)
+    for _ in range(lg.PR_ITERS):
+        s_in = {v: 0 for v in ids}
+        for s, d in edges:
+            s_in[d] += r[s] // od[s]
+        r = {
+            v: base + (lg.PR_DAMP_NUM * s_in[v]) // lg.PR_DAMP_DEN
+            for v in ids
+        }
+    return r, od
+
+
+def test_pagerank_matches_pure_python_model(spark):
+    from blackedge_ocr_spark.analysis import linkgraph
+
+    docs = spark.createDataFrame(
+        [(i,) for i in range(60)], "doc_id long"
+    )
+    got = {
+        r["doc_id"]: (r["out_deg"], r["rank"])
+        for r in linkgraph.pagerank(docs).collect()
+    }
+    want_r, want_od = _py_pagerank(list(range(60)))
+    assert len(got) == 60
+    for v in range(60):
+        assert got[v] == (want_od.get(v, 0), want_r[v]), v
+
+
+def test_pagerank_hubs_collect_rank(spark):
+    """Hub nodes (doc_id < PR_HUBS) receive ~N/16 in-links each and
+    must outrank the non-hub median; total mass stays within E·iters
+    nano-units of 1.0 (floor-division bleed only ever loses mass)."""
+    from blackedge_ocr_spark.analysis import linkgraph as lg
+
+    docs = (
+        spark.read.parquet(f"{SF}/documents.parquet").select("doc_id")
+    )
+    rows = lg.pagerank(docs).collect()
+    n = len(rows)
+    hubs = [r["rank"] for r in rows if r["doc_id"] < lg.PR_HUBS]
+    rest = sorted(r["rank"] for r in rows if r["doc_id"] >= lg.PR_HUBS)
+    assert min(hubs) > rest[len(rest) // 2]
+    total = sum(r["rank"] for r in rows)
+    n_edges = sum(r["out_deg"] for r in rows)
+    assert total <= lg.NANO
+    assert total >= lg.NANO - (n_edges + n) * (lg.PR_ITERS + 1)
