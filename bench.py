@@ -70,6 +70,7 @@ BENCH_QUERIES = (
     "gopher_repetition",
     "source_drift",
     "lm2_scores",
+    "pagerank",
 )
 
 

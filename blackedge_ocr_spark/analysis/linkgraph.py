@@ -105,16 +105,27 @@ def pagerank(docs: DataFrame, iters: int = PR_ITERS) -> DataFrame:
     of exactness; relative rank order is what the score is used for.
     """
     spark = docs.sparkSession
-    nodes = docs.select(F.col("doc_id").cast("long").alias("doc_id"))
+    # Partitioning alignment: everything keyed by node id uses the
+    # SAME partition count (the session's shuffle partitions — the
+    # count groupBy aggregates produce), so (a) the per-iteration
+    # ranks ⨝ e_od join reuses the rank table's existing hash
+    # distribution (ranks leave each iteration partitioned by doc_id;
+    # the src rename preserves it through the alias), and (b) the
+    # nodes side of the gather join never re-shuffles after its one
+    # staging repartition. Net per-iteration traffic: the O(E)
+    # contribution gather — PageRank's irreducible shuffle — plus
+    # nothing else.
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    nodes = (
+        docs.select(F.col("doc_id").cast("long").alias("doc_id"))
+        .repartition(n_part, "doc_id")
+        .persist()
+    )
     n = nodes.count()
     edges = link_edges(docs)
     od = edges.groupBy("src").agg(F.count("*").alias("od"))
     # static per-iteration side: co-partition once, reuse every pass
-    e_od = (
-        edges.join(od, "src")
-        .repartition(spark.sparkContext.defaultParallelism, "src")
-        .persist()
-    )
+    e_od = edges.join(od, "src").repartition(n_part, "src").persist()
     base = (15 * NANO) // (100 * n)
     ranks = nodes.select(
         "doc_id", F.lit(NANO // n).cast("long").alias("r")

@@ -51,6 +51,22 @@ def test_pagerank_matches_pure_python_model(spark):
         assert got[v] == (want_od.get(v, 0), want_r[v]), v
 
 
+def test_pagerank_plan_shape(spark):
+    """Partition-alignment guarantee: one O(E) contribution gather
+    per iteration plus the bounded staging/assembly joins — 7
+    exchanges total at 3 iterations, with the whole edge+outdeg
+    staging folded into ONE cache-build exchange. A regression that
+    re-shuffles the rank table per pass (the shape before alignment:
+    10 + 4) fails here, not in a review."""
+    from blackedge_ocr_spark import plans
+    from blackedge_ocr_spark.analysis import linkgraph
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    pr = linkgraph.pagerank(docs)
+    assert plans.count_exchanges(pr) == 7
+    assert plans.count_cache_build_exchanges(pr) == 1
+
+
 def test_pagerank_hubs_collect_rank(spark):
     """Hub nodes (doc_id < PR_HUBS) receive ~N/16 in-links each and
     must outrank the non-hub median; total mass stays within E·iters
