@@ -102,6 +102,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "final_content": q.q_final_content,
         "similarity_report": q.q_similarity_report,
         "event_rollup": q.q_event_rollup,
+        "event_funnel": q.q_event_funnel,
+        "cohort_retention": q.q_cohort_retention,
         "user_sessions": q.q_user_sessions,
         "user_sessions_2p": q.q_user_sessions_2p,
         # corpus curation (analysis/corpusops.py)

@@ -1534,6 +1534,122 @@ def q_event_rollup(spark, sf_dir) -> DataFrame:
     )
 
 
+FUNNEL_STEPS = ("view", "click", "purchase")
+FUNNEL_WINDOW_HOURS = 72  # anchor window; 24h converts too few on
+                          # the shipped corpus (14/150), 168h nearly
+                          # everyone (126/150) — 72h discriminates
+
+
+def q_event_funnel(spark, sf_dir) -> DataFrame:
+    """First-touch ordered funnel over the event stream: per user,
+    anchor at the EARLIEST step-1 event; each later step is the
+    earliest qualifying event strictly after the previous step and
+    inside the window anchored at step 1 — the product-analytics
+    default (first-touch, greedy-earliest). Both engines implement
+    the same greedy chain, so parity is structural; a later anchor
+    could in principle convert a user the greedy chain misses, which
+    is the documented first-touch semantics, not a bug.
+
+    One row per step: (step, event_type, n_users, total_wait_us)
+    with the wait summed in EXACT integer microseconds
+    (unix_micros == DuckDB epoch_us — the session-gap precision
+    lesson applied from the start).
+
+    Shape: per-step filtered min-aggregations chained by user_id
+    equi-joins — every shuffle keys on user_id so one partitioning
+    serves all stages, and each stage's table is O(users), never
+    O(events); the event scan is filtered to one type per stage
+    (predicate reaches the parquet scan).
+    """
+    e = spark.read.parquet(f"{sf_dir.rstrip('/')}/events.parquet").select(
+        "user_id", "event_type", "ts"
+    )
+    win_us = FUNNEL_WINDOW_HOURS * 3600 * 1_000_000
+
+    def ep(c) -> Column:
+        return F.unix_micros(c.cast("timestamp"))
+
+    stages = []
+    s1 = (
+        e.filter(F.col("event_type") == FUNNEL_STEPS[0])
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    stages.append(s1.select("user_id", "t1", F.col("t1").alias("t_cur")))
+    for step in FUNNEL_STEPS[1:]:
+        prev = stages[-1].select(
+            "user_id", "t1", F.col("t_cur").alias("t_prev")
+        )
+        cur = (
+            e.filter(F.col("event_type") == step)
+            .join(prev, "user_id")
+            .filter(
+                (F.col("ts") > F.col("t_prev"))
+                & (ep(F.col("ts")) <= ep(F.col("t1")) + F.lit(win_us))
+            )
+            .groupBy("user_id", "t1")
+            .agg(F.min("ts").alias("t_cur"))
+        )
+        stages.append(cur)
+    out = None
+    for i, (step, st) in enumerate(zip(FUNNEL_STEPS, stages), start=1):
+        row = st.agg(
+            F.lit(i).cast("int").alias("step"),
+            F.lit(step).alias("event_type"),
+            F.count("*").cast("long").alias("n_users"),
+            F.coalesce(
+                F.sum(ep(F.col("t_cur")) - ep(F.col("t1"))),
+                F.lit(0).cast("long"),
+            ).alias("total_wait_us"),
+        )
+        out = row if out is None else out.unionByName(row)
+    return out
+
+
+WEEK_US = 7 * 86_400 * 1_000_000  # cohort bucket in exact microseconds
+
+
+def q_cohort_retention(spark, sf_dir) -> DataFrame:
+    """Weekly cohort retention: users cohorted by the epoch-week of
+    their first ``signup`` event; one row per (cohort_week,
+    week_offset) counting distinct users with ANY activity in that
+    week at or after signup. Week indices are exact integer
+    microsecond divisions (unix_micros div WEEK_US == DuckDB
+    epoch_us // WEEK_US), so bucket edges cannot drift between
+    engines.
+
+    Shape: first-event agg + activity join both key on user_id (one
+    partitioning), then a distinct-count agg on the O(users × weeks)
+    pair table — no O(events) shuffle survives past the first agg's
+    map-side combine.
+    """
+    e = spark.read.parquet(f"{sf_dir.rstrip('/')}/events.parquet").select(
+        "user_id", "event_type", "ts"
+    )
+
+    def wk(c) -> Column:
+        return F.expr(f"unix_micros(cast({c} as timestamp)) div {WEEK_US}")
+
+    f0 = (
+        e.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t0"))
+        .select("user_id", wk("t0").alias("cohort_week"))
+    )
+    act = (
+        e.join(f0, "user_id")
+        .select(
+            "user_id",
+            "cohort_week",
+            (wk("ts") - F.col("cohort_week")).alias("week_offset"),
+        )
+        .filter(F.col("week_offset") >= 0)
+    )
+    return act.groupBy("cohort_week", "week_offset").agg(
+        F.countDistinct("user_id").alias("n_active")
+    )
+
+
 def q_dedup_clusters(spark, sf_dir) -> DataFrame:
     """Transitive duplicate clusters over the dup-injected corpus:
     exact-content star edges + production near-dup pairs, closed into

@@ -756,6 +756,8 @@ def build_oracles() -> dict[str, str]:
         "final_content": sql_final_content(),
         "similarity_report": sql_similarity_report(),
         "event_rollup": sql_event_rollup(),
+        "event_funnel": sql_event_funnel(),
+        "cohort_retention": sql_cohort_retention(),
         "user_sessions": sql_user_sessions(),
         "user_sessions_2p": sql_user_sessions(),
         "pipeline_extract": sql_pipeline_extract(),
@@ -2089,6 +2091,65 @@ SELECT strftime(time_bucket(INTERVAL '1 hour', ts), '%Y-%m-%d %H:%M:%S') AS hour
        round(sum(value), 3) AS total_value,
        sum(json_extract(props, '$.k')::bigint)::bigint AS sum_k
 FROM events GROUP BY 1, 2"""
+
+
+def sql_event_funnel() -> str:
+    """queries.q_event_funnel mirror: the same greedy first-touch
+    chain (earliest step-1 anchor, earliest qualifying event per
+    later step, window anchored at step 1) with waits in exact
+    epoch_us integers — identical to Spark's unix_micros."""
+    from blackedge_ocr_spark.queries import (
+        FUNNEL_STEPS,
+        FUNNEL_WINDOW_HOURS,
+    )
+
+    win_us = FUNNEL_WINDOW_HOURS * 3600 * 1_000_000
+    parts = [
+        f"""s1 AS (SELECT user_id, min(ts) AS t1 FROM events
+  WHERE event_type = '{FUNNEL_STEPS[0]}' GROUP BY user_id)""",
+    ]
+    prev = "s1"
+    prev_col = "t1"
+    for i, step in enumerate(FUNNEL_STEPS[1:], start=2):
+        parts.append(
+            f"""s{i} AS (SELECT e.user_id, p.t1, min(e.ts) AS t{i}
+  FROM events e JOIN {prev} p USING (user_id)
+  WHERE e.event_type = '{step}'
+    AND e.ts > p.{prev_col}
+    AND epoch_us(e.ts) <= epoch_us(p.t1) + {win_us}
+  GROUP BY e.user_id, p.t1)"""
+        )
+        prev, prev_col = f"s{i}", f"t{i}"
+    selects = [
+        f"""SELECT 1::integer AS step, '{FUNNEL_STEPS[0]}' AS event_type,
+       count(*)::bigint AS n_users, 0::bigint AS total_wait_us FROM s1"""
+    ]
+    for i, step in enumerate(FUNNEL_STEPS[1:], start=2):
+        selects.append(
+            f"""SELECT {i}::integer, '{step}', count(*)::bigint,
+       coalesce(sum(epoch_us(t{i}) - epoch_us(t1)), 0)::bigint FROM s{i}"""
+        )
+    ctes = ",\n".join(parts)
+    body = "\nUNION ALL\n".join(selects)
+    return f"WITH {ctes}\n{body}"
+
+
+def sql_cohort_retention() -> str:
+    """queries.q_cohort_retention mirror: epoch-week integer buckets
+    (epoch_us // WEEK_US == Spark unix_micros div)."""
+    from blackedge_ocr_spark.queries import WEEK_US
+
+    return f"""
+WITH f0 AS (SELECT user_id,
+                   epoch_us(min(ts)) // {WEEK_US} AS cohort_week
+            FROM events WHERE event_type = 'signup' GROUP BY user_id),
+act AS (SELECT e.user_id, f0.cohort_week,
+               epoch_us(e.ts) // {WEEK_US} - f0.cohort_week AS week_offset
+        FROM events e JOIN f0 USING (user_id))
+SELECT cohort_week, week_offset,
+       count(DISTINCT user_id)::bigint AS n_active
+FROM act WHERE week_offset >= 0
+GROUP BY cohort_week, week_offset"""
 
 
 # ---------------------------------------------------------------------

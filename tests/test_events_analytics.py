@@ -1,0 +1,106 @@
+"""Funnel / cohort-retention semantics pinned on hand-built event
+sets (the oracle proves cross-engine parity; these prove the
+semantics are the INTENDED ones)."""
+
+import datetime as dt
+
+import pyspark.sql.functions as F
+
+from blackedge_ocr_spark import queries as q
+
+
+def _events(spark, rows):
+    return spark.createDataFrame(
+        [
+            (i, dt.datetime(2024, 1, d, h, m, s, us), u, t, 1.0, "{}")
+            for i, (u, t, d, h, m, s, us) in enumerate(rows)
+        ],
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+
+
+def _funnel_on(spark, tmp_path, rows):
+    path = str(tmp_path / "ev")
+    _events(spark, rows).write.mode("overwrite").parquet(
+        path + "/events.parquet"
+    )
+    out = {
+        r["step"]: (r["n_users"], r["total_wait_us"])
+        for r in q.q_event_funnel(spark, path).collect()
+    }
+    return out
+
+
+def test_funnel_first_touch_and_window_semantics(spark, tmp_path):
+    """User 1 converts fully (1 h waits). User 2's purchase lands
+    outside the 72 h window anchored at its FIRST view — even though
+    a later view would open a window containing it (first-touch
+    semantics, documented). User 3 has click BEFORE view: strictly-
+    after ordering rejects it at step 2."""
+    rows = [
+        # user 1: view 10:00, click 11:00, purchase 12:00 on day 1
+        (1, "view", 1, 10, 0, 0, 0),
+        (1, "click", 1, 11, 0, 0, 0),
+        (1, "purchase", 1, 12, 0, 0, 0),
+        # user 2: first view day 1; click day 2; second view day 5;
+        # purchase day 6 (123 h after FIRST view > 72 h window)
+        (2, "view", 1, 10, 0, 0, 0),
+        (2, "click", 2, 10, 0, 0, 0),
+        (2, "view", 5, 10, 0, 0, 0),
+        (2, "purchase", 6, 13, 0, 0, 0),
+        # user 3: click precedes its only view
+        (3, "click", 1, 9, 0, 0, 0),
+        (3, "view", 1, 10, 0, 0, 0),
+    ]
+    out = _funnel_on(spark, tmp_path, rows)
+    assert out[1] == (3, 0)
+    # step 2: users 1 and 2 (user 3's click is before its view);
+    # waits: user 1 = 1 h, user 2 = 24 h (day-2 click vs day-1 anchor)
+    assert out[2] == (2, (24 * 3600 + 3600) * 1_000_000)
+    # step 3: user 1 only (2 h from anchor); user 2 outside window
+    assert out[3] == (1, 2 * 3600 * 1_000_000)
+
+
+def test_funnel_microsecond_window_edge(spark, tmp_path):
+    """The window bound is inclusive at exactly +72 h and exact to
+    the microsecond: an event 1 us past the bound drops."""
+    w_h = q.FUNNEL_WINDOW_HOURS
+    rows = [
+        (1, "view", 1, 0, 0, 0, 0),
+        (1, "click", 1 + w_h // 24, 0, 0, 0, 0),      # exactly +72 h
+        (2, "view", 1, 0, 0, 0, 0),
+        (2, "click", 1 + w_h // 24, 0, 0, 0, 1),      # +72 h + 1 us
+    ]
+    out = _funnel_on(spark, tmp_path, rows)
+    assert out[2] == (1, w_h * 3600 * 1_000_000)
+
+
+def test_cohort_retention_buckets(spark, tmp_path):
+    """Signup fixes the cohort; activity counts once per distinct
+    user per week offset; pre-signup activity is excluded."""
+    rows = [
+        (1, "signup", 1, 0, 0, 0, 0),    # week W
+        (1, "view", 1, 5, 0, 0, 0),      # offset 0
+        (1, "view", 9, 0, 0, 0, 0),      # offset 1 (8+ days later)
+        (1, "click", 9, 1, 0, 0, 0),     # same week, same user
+        (2, "view", 1, 0, 0, 0, 0),      # activity but NO signup
+        (3, "view", 1, 0, 0, 0, 0),      # pre-signup activity
+        (3, "signup", 9, 0, 0, 0, 0),    # week W+1
+    ]
+    path = str(tmp_path / "ev")
+    _events(spark, rows).write.mode("overwrite").parquet(
+        path + "/events.parquet"
+    )
+    rowso = q.q_cohort_retention(spark, path).collect()
+    got = {
+        (r["cohort_week"] , r["week_offset"]): r["n_active"] for r in rowso
+    }
+    weeks = sorted({cw for cw, _ in got})
+    w0 = weeks[0]
+    # user 1: offsets 0 and 1 in cohort w0; user 3: offset 0 in its
+    # own cohort (signup week), pre-signup view excluded; user 2 absent
+    assert got[(w0, 0)] == 1
+    assert got[(w0, 1)] == 1
+    assert sum(n for (cw, _), n in got.items() if cw != w0) == 1
+    assert all(off >= 0 for _, off in got)
