@@ -17,6 +17,7 @@ from the last committed micro-batch.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 RAW_DOCUMENTS_SCHEMA = T.StructType(
@@ -287,6 +288,188 @@ def stream_sessionize(
     )
     writer = (
         sessions.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", output_dir)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+FUNNEL_OUTPUT_SCHEMA = (
+    "user_id long, anchor string, step_reached int, "
+    "wait2_us long, wait3_us long"
+)
+# Buffered funnel-step events awaiting finality: parallel arrays of
+# epoch-micros and 0-based step indices (doubles, exact to 2^53).
+FUNNEL_STATE_SCHEMA = "fts array<double>, fsteps array<double>"
+
+
+def stream_funnel(
+    spark: SparkSession,
+    input_dir: str,
+    output_dir: str,
+    checkpoint_dir: str,
+    window_hours: int | None = None,
+    watermark: str = "10 minutes",
+    available_now: bool = True,
+    max_files_per_trigger: int = 1,
+):
+    """Stateful streaming twin of ``queries.q_event_funnel``:
+    per-user first-touch funnel progress via
+    ``applyInPandasWithState``, BUFFER-UNTIL-WATERMARK like
+    ``stream_sessionize``.
+
+    A user's funnel outcome is a pure function of their step events
+    inside [t1, t1 + W] where t1 = earliest step-1 event — and it is
+    provably FINAL exactly when the watermark strictly passes
+    t1 + W: any event that could still join the window (including an
+    even-earlier anchor, which would only shift the window earlier)
+    would carry ts ≤ t1 + W < watermark and be dropped as late. One
+    row per user is emitted at that moment — (user_id, anchor,
+    step_reached, per-step waits in exact integer microseconds, the
+    batch twin's unix_micros grid) — and the state drops.
+
+    State bounds: only FUNNEL_STEPS event types enter the operator
+    (pre-groupBy filter), anchored users buffer at most their events
+    inside one window, and unanchored users prune everything below
+    the watermark (a buffered non-anchor event can only ever qualify
+    under a future anchor t1' ≥ watermark, which requires the event
+    itself to sit at or above the watermark). An anchored user's
+    wake-up is an event-time timeout at t1 + W, so quiet users flush
+    without new data. With ``availableNow`` the users whose window
+    the final watermark never passes remain open — the
+    stream_sessionize caveat, same reason.
+
+    Out-of-order robustness (the regime the buffered design exists
+    for): an earlier step-1 event arriving above the watermark
+    REPLACES the anchor and re-evaluates the whole chain — a
+    process-on-arrival funnel would have locked the wrong anchor.
+
+    Repeat-anchor semantics: once a user's window emits and their
+    state drops, a later step-1 event starts a FRESH funnel (one row
+    per anchor window — the repeating-funnel variant products also
+    ship). The batch twin computes only the global first-touch
+    funnel, so its per-user chain equals the stream's FIRST emitted
+    row per user (pytest parity), for input whose disorder fits the
+    lateness allowance — the standard watermark guarantee class.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    from blackedge_ocr_spark.queries import (
+        FUNNEL_STEPS,
+        FUNNEL_WINDOW_HOURS,
+    )
+
+    steps = FUNNEL_STEPS
+    idx = {s: i for i, s in enumerate(steps)}
+    win_us = (
+        window_hours if window_hours is not None else FUNNEL_WINDOW_HOURS
+    ) * 3600 * 1_000_000
+
+    events = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(input_dir)
+        .filter(F.col("event_type").isin(*steps))
+        .select("user_id", "event_type", "ts")
+    )
+
+    def funnel(key, pdf_iter, state: GroupState):
+        (user_id,) = key
+        wm_us = state.getCurrentWatermarkMs() * 1000
+        pend: list[tuple] = []
+        if state.exists:
+            fts, fsteps = state.get
+            pend = list(zip(fts, fsteps))
+        if not state.hasTimedOut:
+            rows = pd.concat(list(pdf_iter), ignore_index=True)
+            for ts, et in zip(rows["ts"], rows["event_type"]):
+                if pd.isna(ts):
+                    continue  # no event time → no finality anchor
+                pend.append((float(ts.value // 1000), float(idx[et])))
+        anchors = [t for t, s in pend if s == 0.0]
+        out: list[tuple] = []
+        if anchors:
+            t1 = min(anchors)
+            # prune to what can still matter: the anchor itself, its
+            # window, and pre-anchor non-anchor events still at/above
+            # the watermark (candidates under a yet-earlier anchor)
+            pend = [
+                (t, s)
+                for t, s in pend
+                if (s == 0.0 and t == t1)
+                or (t1 < t <= t1 + win_us)
+                or (t < t1 and t >= wm_us)
+            ]
+            if wm_us > t1 + win_us:
+                t_prev, waits = t1, []
+                for k in range(1, len(steps)):
+                    cands = [
+                        t
+                        for t, s in pend
+                        if s == float(k)
+                        and t > t_prev
+                        and t <= t1 + win_us
+                    ]
+                    if not cands:
+                        break
+                    t_prev = min(cands)
+                    waits.append(int(t_prev - t1))
+                out.append(
+                    (
+                        user_id,
+                        _fmt(t1),
+                        1 + len(waits),
+                        waits[0] if len(waits) >= 1 else None,
+                        waits[1] if len(waits) >= 2 else None,
+                    )
+                )
+                if state.exists:
+                    state.remove()
+                pend = []
+        else:
+            pend = [(t, s) for t, s in pend if t >= wm_us]
+        if pend and not out:
+            state.update((
+                [t for t, _ in pend],
+                [s for _, s in pend],
+            ))
+            if anchors:
+                # wake when the watermark passes the window end; the
+                # ms floor may collide with the current watermark,
+                # which Spark rejects — clamp above (re-check inside)
+                state.setTimeoutTimestamp(
+                    max(
+                        int(min(anchors) + win_us) // 1000 + 1,
+                        state.getCurrentWatermarkMs() + 1,
+                    )
+                )
+        elif not pend and state.exists and not out:
+            state.remove()
+        yield pd.DataFrame(
+            out,
+            columns=[
+                "user_id", "anchor", "step_reached",
+                "wait2_us", "wait3_us",
+            ],
+        )
+
+    funnels = (
+        events.withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            funnel,
+            FUNNEL_OUTPUT_SCHEMA,
+            FUNNEL_STATE_SCHEMA,
+            "append",
+            GroupStateTimeout.EventTimeTimeout,
+        )
+    )
+    writer = (
+        funnels.writeStream.outputMode("append")
         .format("parquet")
         .option("path", output_dir)
         .option("checkpointLocation", checkpoint_dir)
