@@ -1606,6 +1606,75 @@ def q_event_funnel(spark, sf_dir) -> DataFrame:
     return out
 
 
+ASOF_LEFT = "purchase"   # each left event joins the latest...
+ASOF_RIGHT = "view"      # ...right event at or before it, per user
+
+
+def q_asof_join(spark, sf_dir) -> DataFrame:
+    """Backward as-of join over the event stream: every ``purchase``
+    picks the user's most recent ``view`` at or before it (the
+    operator the brief names as one Spark lacks natively — DuckDB
+    validates it with its native ASOF JOIN).
+
+    Implementation is the union + last-ignore-nulls window trick:
+    tag both sides, union, ONE window per user ordered (ts, side,
+    id), carry the last non-null right id forward, keep left rows.
+    That is one shuffle on user_id and O(n log n) per user — no
+    inequality-join range explosion, no per-left binary search; the
+    standard scale shape for as-of alignment of 10^12-row streams.
+
+    Ties: a view AT the purchase timestamp counts (<=, the ASOF
+    convention); multiple views on one (user, ts) resolve to the max
+    event_id — made explicit by pre-reducing the right side, so the
+    Spark window order and DuckDB's ASOF scan cannot disagree.
+    Output lag is exact integer microseconds; rows without any prior
+    view keep NULLs (left join).
+    """
+    e = spark.read.parquet(f"{sf_dir.rstrip('/')}/events.parquet")
+    ep = F.unix_micros(F.col("ts").cast("timestamp"))
+    right = (
+        e.filter(F.col("event_type") == ASOF_RIGHT)
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("r_id"))
+        .select("user_id", "ts", "r_id", F.lit(None).cast("long").alias("l_id"))
+    )
+    left = e.filter(F.col("event_type") == ASOF_LEFT).select(
+        "user_id",
+        "ts",
+        F.lit(None).cast("long").alias("r_id"),
+        F.col("event_id").alias("l_id"),
+    )
+    # side 0 = right: at equal ts the view sorts BEFORE the purchase,
+    # so "at or before" includes it
+    tagged = right.withColumn("side", F.lit(0)).unionByName(
+        left.withColumn("side", F.lit(1))
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(ep.asc(), F.col("side").asc(), F.col("l_id").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = tagged.select(
+        "user_id",
+        "ts",
+        "l_id",
+        "side",
+        F.last("r_id", ignorenulls=True).over(w).alias("asof_id"),
+        F.last(
+            F.when(F.col("r_id").isNotNull(), ep), ignorenulls=True
+        ).over(w).alias("asof_us"),
+    )
+    return (
+        carried.filter(F.col("side") == 1)
+        .select(
+            F.col("l_id").alias("event_id"),
+            "user_id",
+            F.col("asof_id").alias("view_event_id"),
+            (ep - F.col("asof_us")).alias("lag_us"),
+        )
+    )
+
+
 WEEK_US = 7 * 86_400 * 1_000_000  # cohort bucket in exact microseconds
 
 

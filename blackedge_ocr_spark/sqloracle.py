@@ -758,6 +758,7 @@ def build_oracles() -> dict[str, str]:
         "event_rollup": sql_event_rollup(),
         "event_funnel": sql_event_funnel(),
         "cohort_retention": sql_cohort_retention(),
+        "asof_join": sql_asof_join(),
         "user_sessions": sql_user_sessions(),
         "user_sessions_2p": sql_user_sessions(),
         "pipeline_extract": sql_pipeline_extract(),
@@ -2132,6 +2133,25 @@ def sql_event_funnel() -> str:
     ctes = ",\n".join(parts)
     body = "\nUNION ALL\n".join(selects)
     return f"WITH {ctes}\n{body}"
+
+
+def sql_asof_join() -> str:
+    """queries.q_asof_join mirror — via DuckDB's NATIVE ASOF JOIN,
+    so the engine's union+window formulation is validated against an
+    independent first-class implementation of the operator, not a
+    re-derivation of the same trick. Ties are pre-reduced on the
+    right side (max event_id per (user, ts)) exactly as in Spark."""
+    from blackedge_ocr_spark.queries import ASOF_LEFT, ASOF_RIGHT
+
+    return f"""
+WITH r AS (SELECT user_id, ts, max(event_id) AS r_id FROM events
+           WHERE event_type = '{ASOF_RIGHT}' GROUP BY user_id, ts),
+l AS (SELECT user_id, ts, event_id FROM events
+      WHERE event_type = '{ASOF_LEFT}')
+SELECT l.event_id, l.user_id, r.r_id AS view_event_id,
+       (epoch_us(l.ts) - epoch_us(r.ts))::bigint AS lag_us
+FROM l ASOF LEFT JOIN r
+  ON l.user_id = r.user_id AND l.ts >= r.ts"""
 
 
 def sql_cohort_retention() -> str:

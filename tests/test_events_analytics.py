@@ -76,6 +76,37 @@ def test_funnel_microsecond_window_edge(spark, tmp_path):
     assert out[2] == (1, w_h * 3600 * 1_000_000)
 
 
+def test_asof_join_ties_and_missing(spark, tmp_path):
+    """A view AT the purchase timestamp matches (<=); equal-ts views
+    resolve to max event_id; a purchase with no prior view keeps
+    NULLs; the match is strictly the LATEST prior view."""
+    rows = [
+        (1, "view", 1, 10, 0, 0, 0),       # id 0
+        (1, "view", 1, 11, 0, 0, 0),       # id 1  <- latest prior
+        (1, "purchase", 1, 12, 0, 0, 0),   # id 2
+        (2, "view", 1, 9, 0, 0, 0),        # id 3 (tie, lower id)
+        (2, "view", 1, 9, 0, 0, 0),        # id 4 (tie, max id wins)
+        (2, "purchase", 1, 9, 0, 0, 0),    # id 5: view AT ts matches
+        (3, "purchase", 1, 8, 0, 0, 0),    # id 6: no view at all
+        (4, "purchase", 1, 8, 0, 0, 0),    # id 7: view only AFTER
+        (4, "view", 1, 9, 0, 0, 0),        # id 8
+    ]
+    path = str(tmp_path / "ev")
+    _events(spark, rows).write.mode("overwrite").parquet(
+        path + "/events.parquet"
+    )
+    got = {
+        r["event_id"]: (r["view_event_id"], r["lag_us"])
+        for r in q.q_asof_join(spark, path).collect()
+    }
+    assert got == {
+        2: (1, 3600 * 1_000_000),
+        5: (4, 0),
+        6: (None, None),
+        7: (None, None),
+    }
+
+
 def test_cohort_retention_buckets(spark, tmp_path):
     """Signup fixes the cohort; activity counts once per distinct
     user per week offset; pre-signup activity is excluded."""
