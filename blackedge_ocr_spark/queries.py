@@ -1675,6 +1675,66 @@ def q_asof_join(spark, sf_dir) -> DataFrame:
     )
 
 
+RANGE_WINDOW_SEC = 1800   # look-back band width (also bucket width)
+RANGE_LEFT = "error"      # each left event counts the user's...
+RANGE_RIGHT = "click"     # ...right events in (t - W, t]
+
+
+def q_range_join(spark, sf_dir) -> DataFrame:
+    """Temporal range join, the second operator the brief names as
+    missing from Spark: for every ``error`` event, count the same
+    user's ``click`` events in the preceding 30-minute band
+    (0 ≤ t_err − t_click ≤ W).
+
+    Scale shape: NOT the naive inequality join (which degenerates to
+    a per-user cross product). Timestamps bucket into W-wide integer
+    bins; each left event probes exactly TWO buckets (its own and
+    the previous — sufficient because the band width equals the
+    bucket width), the join is a plain equi-join on
+    (user_id, bucket), and the band predicate filters the ≤2-bucket
+    candidates. Candidate count is O(matches + band-adjacent misses),
+    never O(n²) — the temporal analog of the LSH band join, and the
+    same verify-the-scale-path-against-the-naive-spec discipline:
+    the DuckDB oracle IS the naive inequality join.
+
+    Output keeps zero-count left events (left join semantics).
+    """
+    e = spark.read.parquet(f"{sf_dir.rstrip('/')}/events.parquet")
+    w_us = RANGE_WINDOW_SEC * 1_000_000
+    ep = "unix_micros(cast(ts as timestamp))"
+    err = e.filter(F.col("event_type") == RANGE_LEFT).select(
+        "event_id",
+        "user_id",
+        F.expr(ep).alias("t_err"),
+        F.expr(f"{ep} div {w_us}").alias("b"),
+    )
+    clk = e.filter(F.col("event_type") == RANGE_RIGHT).select(
+        F.col("user_id"),
+        F.expr(ep).alias("t_clk"),
+        F.expr(f"{ep} div {w_us}").alias("probe"),
+    )
+    probed = err.select(
+        "event_id",
+        "user_id",
+        "t_err",
+        F.explode(F.array(F.col("b"), F.col("b") - 1)).alias("probe"),
+    )
+    hits = (
+        probed.join(clk, ["user_id", "probe"])
+        .filter(
+            (F.col("t_err") - F.col("t_clk") >= 0)
+            & (F.col("t_err") - F.col("t_clk") <= w_us)
+        )
+        .groupBy("event_id")
+        .agg(F.count("*").alias("n"))
+    )
+    return err.join(hits, "event_id", "left").select(
+        "event_id",
+        "user_id",
+        F.coalesce("n", F.lit(0).cast("long")).alias("n_prior_clicks"),
+    )
+
+
 WEEK_US = 7 * 86_400 * 1_000_000  # cohort bucket in exact microseconds
 
 

@@ -759,6 +759,7 @@ def build_oracles() -> dict[str, str]:
         "event_funnel": sql_event_funnel(),
         "cohort_retention": sql_cohort_retention(),
         "asof_join": sql_asof_join(),
+        "range_join": sql_range_join(),
         "user_sessions": sql_user_sessions(),
         "user_sessions_2p": sql_user_sessions(),
         "pipeline_extract": sql_pipeline_extract(),
@@ -2152,6 +2153,30 @@ SELECT l.event_id, l.user_id, r.r_id AS view_event_id,
        (epoch_us(l.ts) - epoch_us(r.ts))::bigint AS lag_us
 FROM l ASOF LEFT JOIN r
   ON l.user_id = r.user_id AND l.ts >= r.ts"""
+
+
+def sql_range_join() -> str:
+    """queries.q_range_join mirror: the NAIVE inequality range join —
+    deliberately, so the engine's bucketed band plan is validated
+    against the plain spec rather than a second banding."""
+    from blackedge_ocr_spark.queries import (
+        RANGE_LEFT,
+        RANGE_RIGHT,
+        RANGE_WINDOW_SEC,
+    )
+
+    w_us = RANGE_WINDOW_SEC * 1_000_000
+    return f"""
+WITH err AS (SELECT event_id, user_id, epoch_us(ts) AS t FROM events
+             WHERE event_type = '{RANGE_LEFT}'),
+clk AS (SELECT user_id, epoch_us(ts) AS t FROM events
+        WHERE event_type = '{RANGE_RIGHT}')
+SELECT e.event_id, e.user_id,
+       count(c.t)::bigint AS n_prior_clicks
+FROM err e LEFT JOIN clk c
+  ON c.user_id = e.user_id
+ AND e.t - c.t BETWEEN 0 AND {w_us}
+GROUP BY e.event_id, e.user_id"""
 
 
 def sql_cohort_retention() -> str:

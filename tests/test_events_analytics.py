@@ -107,6 +107,39 @@ def test_asof_join_ties_and_missing(spark, tmp_path):
     }
 
 
+def test_range_join_band_edges_and_bucket_crossing(spark, tmp_path):
+    """The 30-min band is inclusive at both edges to the microsecond
+    (Δ=0 and Δ=W match, Δ=W+1 µs does not), matches cross the bucket
+    boundary (the probe-two-buckets guarantee), future clicks never
+    match, and zero-count errors keep their row."""
+    rows = [
+        # user 1: error at 01:00:00; clicks at Δ=0, Δ=W (00:30:00),
+        # Δ=W+1µs (just outside), and one future click
+        (1, "error", 1, 1, 0, 0, 0),
+        (1, "click", 1, 1, 0, 0, 0),        # Δ = 0
+        (1, "click", 1, 0, 30, 0, 0),       # Δ = W exactly
+        (1, "click", 1, 0, 29, 59, 999999), # Δ = W + 1 µs
+        (1, "click", 1, 1, 0, 0, 1),        # future (1 µs later)
+        # user 2: error whose only click sits in the PREVIOUS bucket
+        # (error 00:31, click 00:25 — different div-1800s bins)
+        (2, "error", 1, 0, 31, 0, 0),
+        (2, "click", 1, 0, 25, 0, 0),
+        # user 3: error with no clicks at all
+        (3, "error", 1, 5, 0, 0, 0),
+        # user 4's click must not leak into user 1's count
+        (4, "click", 1, 1, 0, 0, 0),
+    ]
+    path = str(tmp_path / "ev")
+    _events(spark, rows).write.mode("overwrite").parquet(
+        path + "/events.parquet"
+    )
+    got = {
+        r["event_id"]: r["n_prior_clicks"]
+        for r in q.q_range_join(spark, path).collect()
+    }
+    assert got == {0: 2, 5: 1, 7: 0}
+
+
 def test_cohort_retention_buckets(spark, tmp_path):
     """Signup fixes the cohort; activity counts once per distinct
     user per week offset; pre-signup activity is excluded."""
