@@ -106,6 +106,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cohort_retention": q.q_cohort_retention,
         "asof_join": q.q_asof_join,
         "range_join": q.q_range_join,
+        "hypertable_rollup": q.q_hypertable_rollup,
         "user_sessions": q.q_user_sessions,
         "user_sessions_2p": q.q_user_sessions_2p,
         # corpus curation (analysis/corpusops.py)

@@ -1735,6 +1735,60 @@ def q_range_join(spark, sf_dir) -> DataFrame:
     )
 
 
+HOUR_US = 3_600 * 1_000_000
+DAY_US = 24 * HOUR_US
+
+
+def q_hypertable_rollup(spark, sf_dir) -> DataFrame:
+    """Hypertable-style continuous aggregate (the multi-resolution
+    rollup the brief names): hour → day → week levels where every
+    COARSER level aggregates the next-finer PRE-AGGREGATE, never the
+    raw events — the invariant that makes continuous aggregates
+    cheap to maintain at 10^12 rows (a day re-rolls 24 hour-rows,
+    not a day of raw data). The DuckDB oracle computes all three
+    levels DIRECTLY from raw events, so the reuse identity
+    (rollup-of-rollup == direct) is what the hash check proves.
+
+    Buckets are integer floor-divisions of epoch microseconds; the
+    nesting is exact because div composes: (t div H) div 24 ==
+    t div D and (t div D) div 7 == t div W. Measures are integers
+    only (row count + the JSON ``k`` sum) — order-free exact sums,
+    so re-aggregation cannot drift the way a float re-sum would.
+    """
+    e = spark.read.parquet(f"{sf_dir.rstrip('/')}/events.parquet")
+    k = F.get_json_object(F.col("props"), "$.k").cast("long")
+    hours = (
+        e.groupBy(
+            F.expr(
+                f"unix_micros(cast(ts as timestamp)) div {HOUR_US}"
+            ).alias("b"),
+            "event_type",
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(k).alias("sum_k"),
+        )
+    )
+    days = hours.groupBy(
+        F.expr("b div 24").alias("b"), "event_type"
+    ).agg(
+        F.sum("n_events").alias("n_events"), F.sum("sum_k").alias("sum_k")
+    )
+    weeks = days.groupBy(
+        F.expr("b div 7").alias("b"), "event_type"
+    ).agg(
+        F.sum("n_events").alias("n_events"), F.sum("sum_k").alias("sum_k")
+    )
+    lvl = lambda df, name: df.select(  # noqa: E731
+        F.lit(name).alias("level"), "b", "event_type", "n_events", "sum_k"
+    )
+    return (
+        lvl(hours, "hour")
+        .unionByName(lvl(days, "day"))
+        .unionByName(lvl(weeks, "week"))
+    )
+
+
 WEEK_US = 7 * 86_400 * 1_000_000  # cohort bucket in exact microseconds
 
 

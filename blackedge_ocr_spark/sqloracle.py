@@ -760,6 +760,7 @@ def build_oracles() -> dict[str, str]:
         "cohort_retention": sql_cohort_retention(),
         "asof_join": sql_asof_join(),
         "range_join": sql_range_join(),
+        "hypertable_rollup": sql_hypertable_rollup(),
         "user_sessions": sql_user_sessions(),
         "user_sessions_2p": sql_user_sessions(),
         "pipeline_extract": sql_pipeline_extract(),
@@ -2177,6 +2178,26 @@ FROM err e LEFT JOIN clk c
   ON c.user_id = e.user_id
  AND e.t - c.t BETWEEN 0 AND {w_us}
 GROUP BY e.event_id, e.user_id"""
+
+
+def sql_hypertable_rollup() -> str:
+    """queries.q_hypertable_rollup mirror — every level computed
+    DIRECTLY from raw events (no reuse), so the hash check proves
+    the engine's rollup-of-rollup identity against the spec."""
+    from blackedge_ocr_spark.queries import DAY_US, HOUR_US, WEEK_US
+
+    base = (
+        "base AS (SELECT epoch_us(ts) AS t, event_type, "
+        "json_extract(props, '$.k')::bigint AS k FROM events)"
+    )
+    levels = [("hour", HOUR_US), ("day", DAY_US), ("week", WEEK_US)]
+    selects = [
+        f"""SELECT '{name}' AS level, t // {us} AS b, event_type,
+       count(*)::bigint AS n_events, sum(k)::bigint AS sum_k
+FROM base GROUP BY 2, 3"""
+        for name, us in levels
+    ]
+    return f"WITH {base}\n" + "\nUNION ALL\n".join(selects)
 
 
 def sql_cohort_retention() -> str:

@@ -140,6 +140,22 @@ def test_range_join_band_edges_and_bucket_crossing(spark, tmp_path):
     assert got == {0: 2, 5: 1, 7: 0}
 
 
+def test_hypertable_rollup_conserves_mass_across_levels(spark):
+    """Each level partitions the same events: per-level n_events and
+    sum_k totals must be identical (the conservation the
+    rollup-of-rollup reuse must not break), and granularity strictly
+    coarsens."""
+    rows = q.q_hypertable_rollup(spark, "/root/testdata/sf0.001").collect()
+    tot = {}
+    nb = {}
+    for r in rows:
+        n, k = tot.get(r["level"], (0, 0))
+        tot[r["level"]] = (n + r["n_events"], k + (r["sum_k"] or 0))
+        nb[r["level"]] = nb.get(r["level"], 0) + 1
+    assert tot["hour"] == tot["day"] == tot["week"]
+    assert nb["hour"] > nb["day"] > nb["week"]
+
+
 def test_cohort_retention_buckets(spark, tmp_path):
     """Signup fixes the cohort; activity counts once per distinct
     user per week offset; pre-signup activity is excluded."""
