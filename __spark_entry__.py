@@ -107,6 +107,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_join": q.q_asof_join,
         "range_join": q.q_range_join,
         "hypertable_rollup": q.q_hypertable_rollup,
+        "event_transitions": q.q_event_transitions,
         "user_sessions": q.q_user_sessions,
         "user_sessions_2p": q.q_user_sessions_2p,
         # corpus curation (analysis/corpusops.py)

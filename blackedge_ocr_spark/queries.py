@@ -1735,6 +1735,27 @@ def q_range_join(spark, sf_dir) -> DataFrame:
     )
 
 
+def q_event_transitions(spark, sf_dir) -> DataFrame:
+    """First-order Markov transition counts over each user's
+    time-ordered event stream — the sequence-analytics shape (path
+    analysis, next-action prediction features). ONE exchange on
+    user_id serves the lag window and the count agg combines
+    map-side, so the shuffle to the final agg is O(type²) per
+    partition, never O(events). Order ties break on event_id in both
+    engines — deterministic by construction."""
+    e = spark.read.parquet(f"{sf_dir.rstrip('/')}/events.parquet")
+    e = e.repartition(_par(spark), "user_id")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    staged = e.select(
+        F.lag("event_type").over(w).alias("prev_type"), "event_type"
+    )
+    return (
+        staged.filter(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", "event_type")
+        .agg(F.count("*").alias("n"))
+    )
+
+
 HOUR_US = 3_600 * 1_000_000
 DAY_US = 24 * HOUR_US
 

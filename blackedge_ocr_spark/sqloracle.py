@@ -761,6 +761,7 @@ def build_oracles() -> dict[str, str]:
         "asof_join": sql_asof_join(),
         "range_join": sql_range_join(),
         "hypertable_rollup": sql_hypertable_rollup(),
+        "event_transitions": sql_event_transitions(),
         "user_sessions": sql_user_sessions(),
         "user_sessions_2p": sql_user_sessions(),
         "pipeline_extract": sql_pipeline_extract(),
@@ -2178,6 +2179,19 @@ FROM err e LEFT JOIN clk c
   ON c.user_id = e.user_id
  AND e.t - c.t BETWEEN 0 AND {w_us}
 GROUP BY e.event_id, e.user_id"""
+
+
+def sql_event_transitions() -> str:
+    """queries.q_event_transitions mirror: lag over the identical
+    (ts, event_id) per-user order."""
+    return """
+WITH s AS (SELECT user_id, event_type,
+                  lag(event_type) OVER (PARTITION BY user_id
+                      ORDER BY ts, event_id) AS prev_type
+           FROM events)
+SELECT prev_type, event_type, count(*)::bigint AS n
+FROM s WHERE prev_type IS NOT NULL
+GROUP BY prev_type, event_type"""
 
 
 def sql_hypertable_rollup() -> str:
