@@ -1778,6 +1778,13 @@ def q_hypertable_rollup(spark, sf_dir) -> DataFrame:
     """
     e = spark.read.parquet(f"{sf_dir.rstrip('/')}/events.parquet")
     k = F.get_json_object(F.col("props"), "$.k").cast("long")
+    # Each level is PERSISTED before reuse: the union's three
+    # branches would otherwise re-plan their inputs independently and
+    # re-scan raw events once per level (measured: 3 scans, 6
+    # exchanges) — the exact failure mode a continuous aggregate
+    # exists to avoid. With the materialized levels the raw scan and
+    # every agg runs once (cache builds), as in a real hypertable
+    # where the finer level IS a stored table.
     hours = (
         e.groupBy(
             F.expr(
@@ -1789,12 +1796,13 @@ def q_hypertable_rollup(spark, sf_dir) -> DataFrame:
             F.count("*").alias("n_events"),
             F.sum(k).alias("sum_k"),
         )
+        .persist()
     )
     days = hours.groupBy(
         F.expr("b div 24").alias("b"), "event_type"
     ).agg(
         F.sum("n_events").alias("n_events"), F.sum("sum_k").alias("sum_k")
-    )
+    ).persist()
     weeks = days.groupBy(
         F.expr("b div 7").alias("b"), "event_type"
     ).agg(

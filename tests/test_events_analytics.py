@@ -156,6 +156,23 @@ def test_hypertable_rollup_conserves_mass_across_levels(spark):
     assert nb["hour"] > nb["day"] > nb["week"]
 
 
+def test_analytics_plan_shapes(spark):
+    """Shuffle budgets of the event-analytics family, pinned:
+    transitions/asof/range = 2 exchanges (one staging key shuffle +
+    one combinable agg), hypertable = 1 runtime exchange with the
+    two finer levels folded into cache builds (a regression that
+    re-scans raw events per level shows up here as 6)."""
+    from blackedge_ocr_spark import plans
+
+    sf = "/root/testdata/sf0.001"
+    assert plans.count_exchanges(q.q_event_transitions(spark, sf)) == 2
+    assert plans.count_exchanges(q.q_asof_join(spark, sf)) == 2
+    assert plans.count_exchanges(q.q_range_join(spark, sf)) == 2
+    hyper = q.q_hypertable_rollup(spark, sf)
+    assert plans.count_exchanges(hyper) == 1
+    assert plans.count_cache_build_exchanges(hyper) == 2
+
+
 def test_cohort_retention_buckets(spark, tmp_path):
     """Signup fixes the cohort; activity counts once per distinct
     user per week offset; pre-signup activity is excluded."""
