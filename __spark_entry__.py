@@ -65,6 +65,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_recall": q.q_ann_recall,
         "dim_recall": q.q_dim_recall,
         "pagerank": q.q_pagerank,
+        "trustrank": q.q_trustrank,
         "embedding_neardup": q.q_embedding_neardup,
         "embedding_neardup_lsh": q.q_embedding_neardup_lsh,
         "neardup_recall": q.q_neardup_recall,

@@ -83,6 +83,48 @@ def link_edges(docs: DataFrame) -> DataFrame:
     )
 
 
+def _rank_iterate(nodes, e_od, ranks, base_col, iters: int):
+    """The shared damped integer iteration: contributions
+    ``r div od`` gathered per dst (exact int64 sums), next rank =
+    per-node teleport ``base_col`` + ``(85·S) div 100``. Used by
+    uniform-teleport ``pagerank`` and seed-teleport ``trustrank`` —
+    one implementation, one partitioning discipline."""
+    for _ in range(iters):
+        contrib = e_od.join(
+            ranks.withColumnRenamed("doc_id", "src"), "src"
+        ).select("dst", F.expr("r div od").alias("c"))
+        s = contrib.groupBy("dst").agg(F.sum("c").alias("s"))
+        ranks = nodes.join(s, nodes.doc_id == s.dst, "left").select(
+            "doc_id",
+            (
+                base_col
+                + F.expr(
+                    f"({PR_DAMP_NUM} * coalesce(s, 0L)) "
+                    f"div {PR_DAMP_DEN}"
+                )
+            ).alias("r"),
+        )
+    return ranks
+
+
+def _graph_staging(docs: DataFrame):
+    """(nodes persisted+aligned, n, edges, od, e_od persisted) —
+    shared by both rank variants; see ``pagerank`` for the
+    partitioning-alignment rationale."""
+    spark = docs.sparkSession
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    nodes = (
+        docs.select(F.col("doc_id").cast("long").alias("doc_id"))
+        .repartition(n_part, "doc_id")
+        .persist()
+    )
+    n = nodes.count()
+    edges = link_edges(docs)
+    od = edges.groupBy("src").agg(F.count("*").alias("od"))
+    e_od = edges.join(od, "src").repartition(n_part, "src").persist()
+    return nodes, n, edges, od, e_od
+
+
 def pagerank(docs: DataFrame, iters: int = PR_ITERS) -> DataFrame:
     """Integer PageRank over ``link_edges``: returns one row per node
     (doc_id, out_deg, in_deg, rank) with rank in NANO units after
@@ -104,50 +146,28 @@ def pagerank(docs: DataFrame, iters: int = PR_ITERS) -> DataFrame:
     (total mass decays by ≤ E nano-units/iter) — the documented price
     of exactness; relative rank order is what the score is used for.
     """
-    spark = docs.sparkSession
-    # Partitioning alignment: everything keyed by node id uses the
-    # SAME partition count (the session's shuffle partitions — the
-    # count groupBy aggregates produce), so (a) the per-iteration
-    # ranks ⨝ e_od join reuses the rank table's existing hash
-    # distribution (ranks leave each iteration partitioned by doc_id;
-    # the src rename preserves it through the alias), and (b) the
-    # nodes side of the gather join never re-shuffles after its one
-    # staging repartition. Net per-iteration traffic: the O(E)
-    # contribution gather — PageRank's irreducible shuffle — plus
-    # nothing else.
-    n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
-    nodes = (
-        docs.select(F.col("doc_id").cast("long").alias("doc_id"))
-        .repartition(n_part, "doc_id")
-        .persist()
-    )
-    n = nodes.count()
-    edges = link_edges(docs)
-    od = edges.groupBy("src").agg(F.count("*").alias("od"))
-    # static per-iteration side: co-partition once, reuse every pass
-    e_od = edges.join(od, "src").repartition(n_part, "src").persist()
+    # Partitioning alignment (in _graph_staging): everything keyed
+    # by node id uses the SAME partition count (the session's shuffle
+    # partitions — the count groupBy aggregates produce), so (a) the
+    # per-iteration ranks ⨝ e_od join reuses the rank table's
+    # existing hash distribution (ranks leave each iteration
+    # partitioned by doc_id; the src rename preserves it through the
+    # alias), and (b) the nodes side of the gather join never
+    # re-shuffles after its one staging repartition. Net
+    # per-iteration traffic: the O(E) contribution gather —
+    # PageRank's irreducible shuffle — plus nothing else.
+    nodes, n, edges, od, e_od = _graph_staging(docs)
     base = (15 * NANO) // (100 * n)
-    ranks = nodes.select(
+    r0 = nodes.select(
         "doc_id", F.lit(NANO // n).cast("long").alias("r")
     )
-    for _ in range(iters):
-        contrib = e_od.join(
-            ranks.withColumnRenamed("doc_id", "src"), "src"
-        ).select("dst", F.expr("r div od").alias("c"))
-        s = contrib.groupBy("dst").agg(F.sum("c").alias("s"))
-        ranks = (
-            nodes.join(s, nodes.doc_id == s.dst, "left")
-            .select(
-                "doc_id",
-                (
-                    F.lit(base).cast("long")
-                    + F.expr(
-                        f"({PR_DAMP_NUM} * coalesce(s, 0L)) "
-                        f"div {PR_DAMP_DEN}"
-                    )
-                ).alias("r"),
-            )
-        )
+    ranks = _rank_iterate(
+        nodes, e_od, r0, F.lit(base).cast("long"), iters
+    )
+    return _assemble(nodes, edges, od, ranks)
+
+
+def _assemble(nodes, edges, od, ranks) -> DataFrame:
     in_deg = edges.groupBy("dst").agg(F.count("*").alias("in_deg"))
     return (
         nodes.join(od.withColumnRenamed("src", "doc_id"), "doc_id", "left")
@@ -160,3 +180,38 @@ def pagerank(docs: DataFrame, iters: int = PR_ITERS) -> DataFrame:
             F.col("r").alias("rank"),
         )
     )
+
+
+def trustrank(docs: DataFrame, iters: int = PR_ITERS) -> DataFrame:
+    """Seed-teleport PageRank (TrustRank, Gyöngyi et al. 2004): the
+    random surfer teleports ONLY to a trusted seed set, so rank mass
+    decays with link distance from the seeds — the host-quality /
+    spam-demotion score web-curation stacks combine with content
+    signals. Seed set here: the hub pages (doc_id < PR_HUBS), the
+    deterministic stand-in for a vetted host whitelist.
+
+    Same exact-int64 iteration and partitioning as ``pagerank``
+    (shared ``_rank_iterate``); only the start vector and teleport
+    differ: seeds split the full NANO mass at t=0 and receive
+    ``(15·NANO) div (100·n_seeds)`` each per pass, non-seeds get
+    teleport 0 and accumulate only flowed trust.
+    """
+    nodes, n, edges, od, e_od = _graph_staging(docs)
+    seed = F.col("doc_id") < PR_HUBS
+    n_seeds = nodes.filter(seed).count()
+    r0 = nodes.select(
+        "doc_id",
+        F.when(seed, F.lit(NANO // max(n_seeds, 1)))
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("r"),
+    )
+    base = (
+        F.when(
+            seed, F.lit((15 * NANO) // (100 * max(n_seeds, 1)))
+        )
+        .otherwise(F.lit(0))
+        .cast("long")
+    )
+    ranks = _rank_iterate(nodes, e_od, r0, base, iters)
+    return _assemble(nodes, edges, od, ranks)

@@ -562,6 +562,16 @@ def q_pagerank(spark, sf_dir) -> DataFrame:
     return linkgraph.pagerank(d)
 
 
+def q_trustrank(spark, sf_dir) -> DataFrame:
+    """Seed-teleport PageRank (TrustRank): rank mass decays with
+    link distance from the trusted hub seed set — the spam-demotion
+    prior; same exact-int64 iteration as pagerank."""
+    from blackedge_ocr_spark.analysis import linkgraph
+
+    d = spark.read.parquet(f"{sf_dir.rstrip('/')}/documents.parquet")
+    return linkgraph.trustrank(d)
+
+
 def q_dim_recall(spark, sf_dir) -> DataFrame:
     """recall@5 of truncated-prefix (Matryoshka) exact scans vs the
     full-dim baseline, all cuts scored in ONE corpus pass — the curve

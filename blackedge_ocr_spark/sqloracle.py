@@ -719,6 +719,7 @@ def build_oracles() -> dict[str, str]:
         "ann_recall": sql_ann_recall(),
         "dim_recall": sql_dim_recall(),
         "pagerank": sql_pagerank(),
+        "trustrank": sql_trustrank(),
         "embedding_neardup": sql_embedding_neardup(),
         "embedding_neardup_lsh": sql_embedding_neardup_lsh(),
         "neardup_recall": sql_neardup_recall(),
@@ -1426,19 +1427,21 @@ SELECT dims, n_queries, hits,
 FROM hits, nq"""
 
 
-def sql_pagerank(iters: int | None = None) -> str:
-    """linkgraph.pagerank mirror: the same integer PageRank with the
-    iteration loop unrolled into CTEs r0 → r{iters}. Every operation
-    is int64 (``//`` floor division == Spark ``div`` on the
-    nonnegative operands here; exact sums), so parity is by
+def _sql_rank_core(r0_expr: str, base_expr: str, iters: int) -> str:
+    """Shared unrolled-CTE chain for the integer rank family —
+    ``r0_expr``/``base_expr`` are SQL over (n CROSS JOIN cnt c) that
+    give the start mass and the per-iteration teleport per node.
+    Every operation is int64 (``//`` floor division == Spark ``div``
+    on the nonnegative operands here; exact sums), so parity is by
     construction — no rounding grid, no fold order. Constants track
     the live linkgraph module (no-drift rule)."""
     from blackedge_ocr_spark.analysis import linkgraph as lg
 
-    it = iters if iters is not None else lg.PR_ITERS
     parts = [
         "n AS (SELECT doc_id::bigint AS doc_id FROM documents)",
-        "cnt AS (SELECT count(*)::bigint AS n FROM n)",
+        "cnt AS (SELECT count(*)::bigint AS n, "
+        f"count(*) FILTER (WHERE doc_id < {lg.PR_HUBS})::bigint AS k "
+        "FROM n)",
         f"""edges AS (
   SELECT DISTINCT src, dst FROM (
     SELECT doc_id AS src, doc_id % {lg.PR_HUBS} AS dst FROM n
@@ -1448,10 +1451,9 @@ def sql_pagerank(iters: int | None = None) -> str:
     SELECT doc_id, (doc_id * 3 + 7) % c.n FROM n, cnt c)
   WHERE src != dst AND dst IN (SELECT doc_id FROM n))""",
         "od AS (SELECT src, count(*)::bigint AS od FROM edges GROUP BY src)",
-        f"r0 AS (SELECT doc_id, ({lg.NANO} // c.n)::bigint AS r "
-        f"FROM n, cnt c)",
+        f"r0 AS (SELECT doc_id, ({r0_expr})::bigint AS r FROM n, cnt c)",
     ]
-    for i in range(1, it + 1):
+    for i in range(1, iters + 1):
         parts += [
             f"""s{i} AS (
   SELECT e.dst, sum(r.r // o.od)::bigint AS s
@@ -1461,7 +1463,7 @@ def sql_pagerank(iters: int | None = None) -> str:
   GROUP BY e.dst)""",
             f"""r{i} AS (
   SELECT n.doc_id,
-         ((15::bigint * {lg.NANO}) // (100 * c.n)
+         (({base_expr})
           + ({lg.PR_DAMP_NUM} * coalesce(s.s, 0))
             // {lg.PR_DAMP_DEN})::bigint AS r
   FROM n CROSS JOIN cnt c LEFT JOIN s{i} s ON s.dst = n.doc_id)""",
@@ -1477,7 +1479,35 @@ SELECT n.doc_id,
 FROM n
 LEFT JOIN od o ON o.src = n.doc_id
 LEFT JOIN ind i ON i.dst = n.doc_id
-JOIN r{it} r ON r.doc_id = n.doc_id"""
+JOIN r{iters} r ON r.doc_id = n.doc_id"""
+
+
+def sql_pagerank(iters: int | None = None) -> str:
+    """linkgraph.pagerank mirror: uniform teleport over all nodes."""
+    from blackedge_ocr_spark.analysis import linkgraph as lg
+
+    it = iters if iters is not None else lg.PR_ITERS
+    return _sql_rank_core(
+        f"{lg.NANO} // c.n",
+        f"(15::bigint * {lg.NANO}) // (100 * c.n)",
+        it,
+    )
+
+
+def sql_trustrank(iters: int | None = None) -> str:
+    """linkgraph.trustrank mirror: teleport and start mass go ONLY
+    to the seed set (doc_id < PR_HUBS; count k in the cnt CTE) —
+    same shared chain, different two expressions."""
+    from blackedge_ocr_spark.analysis import linkgraph as lg
+
+    it = iters if iters is not None else lg.PR_ITERS
+    seed = f"n.doc_id < {lg.PR_HUBS}"
+    return _sql_rank_core(
+        f"CASE WHEN {seed} THEN {lg.NANO} // greatest(c.k, 1) ELSE 0 END",
+        f"CASE WHEN {seed} THEN (15::bigint * {lg.NANO})"
+        f" // (100 * greatest(c.k, 1)) ELSE 0 END",
+        it,
+    )
 
 
 def sql_embedding_neardup() -> str:

@@ -51,6 +51,47 @@ def test_pagerank_matches_pure_python_model(spark):
         assert got[v] == (want_od.get(v, 0), want_r[v]), v
 
 
+def test_trustrank_seeds_and_decay(spark):
+    """Trust starts and teleports only at seeds: a pure-Python model
+    match like pagerank's, plus the decay property — every non-seed's
+    rank comes only from flowed mass, so total non-seed rank is
+    bounded by the damped flow (≤ 0.85 · total), while seeds retain
+    the teleport floor."""
+    from blackedge_ocr_spark.analysis import linkgraph as lg
+
+    docs = spark.createDataFrame([(i,) for i in range(60)], "doc_id long")
+    got = {
+        r["doc_id"]: r["rank"] for r in lg.trustrank(docs).collect()
+    }
+    # independent model: same loops as _py_pagerank but seeded
+    ids = list(range(60))
+    n = len(ids)
+    edges = set()
+    for s in ids:
+        for d in (s % lg.PR_HUBS, (s * s + 1) % n, (s * 3 + 7) % n):
+            if d != s and d in set(ids):
+                edges.add((s, d))
+    od = {}
+    for s, _ in edges:
+        od[s] = od.get(s, 0) + 1
+    k = sum(1 for v in ids if v < lg.PR_HUBS)
+    r = {v: (lg.NANO // k if v < lg.PR_HUBS else 0) for v in ids}
+    for _ in range(lg.PR_ITERS):
+        s_in = {v: 0 for v in ids}
+        for s, d in edges:
+            s_in[d] += r[s] // od[s]
+        r = {
+            v: ((15 * lg.NANO) // (100 * k) if v < lg.PR_HUBS else 0)
+            + (lg.PR_DAMP_NUM * s_in[v]) // lg.PR_DAMP_DEN
+            for v in ids
+        }
+    assert got == r
+    non_seed = sum(v for d, v in got.items() if d >= lg.PR_HUBS)
+    seed = sum(v for d, v in got.items() if d < lg.PR_HUBS)
+    assert non_seed <= (85 * (seed + non_seed)) // 100
+    assert seed >= (15 * lg.NANO) // 100  # teleport floor survives
+
+
 def test_pagerank_plan_shape(spark):
     """Partition-alignment guarantee: one O(E) contribution gather
     per iteration plus the bounded staging/assembly joins — 7
