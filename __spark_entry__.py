@@ -109,6 +109,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "range_join": q.q_range_join,
         "hypertable_rollup": q.q_hypertable_rollup,
         "event_transitions": q.q_event_transitions,
+        "tpch_q1": q.q_tpch_q1,
+        "tpch_q3": q.q_tpch_q3,
+        "tpch_q5": q.q_tpch_q5,
         "user_sessions": q.q_user_sessions,
         "user_sessions_2p": q.q_user_sessions_2p,
         # corpus curation (analysis/corpusops.py)

@@ -1745,6 +1745,29 @@ def q_range_join(spark, sf_dir) -> DataFrame:
     )
 
 
+def q_tpch_q1(spark, sf_dir) -> DataFrame:
+    """TPC-H Q1-class pricing summary (exact integer money units)."""
+    from blackedge_ocr_spark.analysis import relational
+
+    return relational.tpch_q1(spark, sf_dir)
+
+
+def q_tpch_q3(spark, sf_dir) -> DataFrame:
+    """TPC-H Q3-class shipping-priority top-10 (broadcast dim +
+    fact-key join + TakeOrdered)."""
+    from blackedge_ocr_spark.analysis import relational
+
+    return relational.tpch_q3(spark, sf_dir)
+
+
+def q_tpch_q5(spark, sf_dir) -> DataFrame:
+    """TPC-H Q5-class local-supplier volume (broadcast dim chain +
+    two fact joins)."""
+    from blackedge_ocr_spark.analysis import relational
+
+    return relational.tpch_q5(spark, sf_dir)
+
+
 def q_event_transitions(spark, sf_dir) -> DataFrame:
     """First-order Markov transition counts over each user's
     time-ordered event stream — the sequence-analytics shape (path

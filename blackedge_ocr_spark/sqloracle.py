@@ -763,6 +763,9 @@ def build_oracles() -> dict[str, str]:
         "range_join": sql_range_join(),
         "hypertable_rollup": sql_hypertable_rollup(),
         "event_transitions": sql_event_transitions(),
+        "tpch_q1": sql_tpch_q1(),
+        "tpch_q3": sql_tpch_q3(),
+        "tpch_q5": sql_tpch_q5(),
         "user_sessions": sql_user_sessions(),
         "user_sessions_2p": sql_user_sessions(),
         "pipeline_extract": sql_pipeline_extract(),
@@ -2260,6 +2263,71 @@ SELECT cohort_week, week_offset,
        count(DISTINCT user_id)::bigint AS n_active
 FROM act WHERE week_offset >= 0
 GROUP BY cohort_week, week_offset"""
+
+
+_REV_E4 = (
+    "floor((l_extendedprice * (1.0 - l_discount)) * 10000.0 + 0.5)::bigint"
+)
+
+
+def sql_tpch_q1() -> str:
+    """relational.tpch_q1 mirror: identical per-row quantization
+    (floor(x·scale + 0.5) on the identically-associated products)
+    then exact int64 sums."""
+    from blackedge_ocr_spark.analysis.relational import Q1_CUTOFF
+
+    return f"""
+SELECT l_returnflag, l_linestatus,
+       sum(l_quantity::bigint)::bigint AS sum_qty,
+       sum(floor(l_extendedprice * 100.0 + 0.5)::bigint)::bigint
+         AS sum_base_cents,
+       sum({_REV_E4})::bigint AS sum_disc_e4,
+       sum(floor(((l_extendedprice * (1.0 - l_discount))
+                  * (1.0 + l_tax)) * 10000.0 + 0.5)::bigint)::bigint
+         AS sum_charge_e4,
+       count(*)::bigint AS n_rows
+FROM lineitem WHERE l_shipdate <= TIMESTAMP '{Q1_CUTOFF}'
+GROUP BY 1, 2"""
+
+
+def sql_tpch_q3(k: int = 10) -> str:
+    from blackedge_ocr_spark.analysis.relational import Q3_DATE, Q3_SEGMENT
+
+    return f"""
+WITH j AS (
+  SELECT l_orderkey, o_orderdate, o_orderpriority, {_REV_E4} AS rev
+  FROM orders
+  JOIN customer ON o_custkey = c_custkey
+  JOIN lineitem ON o_orderkey = l_orderkey
+  WHERE c_mktsegment = '{Q3_SEGMENT}'
+    AND o_orderdate < TIMESTAMP '{Q3_DATE}'
+    AND l_shipdate > TIMESTAMP '{Q3_DATE}')
+SELECT l_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+       o_orderpriority, sum(rev)::bigint AS revenue_e4
+FROM j GROUP BY l_orderkey, j.o_orderdate, o_orderpriority
+ORDER BY revenue_e4 DESC, j.o_orderdate ASC, l_orderkey ASC
+LIMIT {k}"""
+
+
+def sql_tpch_q5() -> str:
+    from blackedge_ocr_spark.analysis.relational import (
+        Q5_FROM,
+        Q5_REGION,
+        Q5_TO,
+    )
+
+    return f"""
+SELECT n_name, sum({_REV_E4})::bigint AS revenue_e4
+FROM customer
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON o_orderkey = l_orderkey
+JOIN supplier ON l_suppkey = s_suppkey AND s_nationkey = c_nationkey
+WHERE r_name = '{Q5_REGION}'
+  AND o_orderdate >= TIMESTAMP '{Q5_FROM}'
+  AND o_orderdate < TIMESTAMP '{Q5_TO}'
+GROUP BY n_name"""
 
 
 # ---------------------------------------------------------------------
