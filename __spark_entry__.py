@@ -112,6 +112,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q1": q.q_tpch_q1,
         "tpch_q3": q.q_tpch_q3,
         "tpch_q5": q.q_tpch_q5,
+        "pricing_rollup": q.q_pricing_rollup,
         "user_sessions": q.q_user_sessions,
         "user_sessions_2p": q.q_user_sessions_2p,
         # corpus curation (analysis/corpusops.py)

@@ -1768,6 +1768,46 @@ def q_tpch_q5(spark, sf_dir) -> DataFrame:
     return relational.tpch_q5(spark, sf_dir)
 
 
+def q_pricing_rollup(spark, sf_dir) -> DataFrame:
+    """Multi-dimensional aggregate (ROLLUP grouping sets): the Q1
+    pricing metrics at (flag, status), per-flag subtotal, and grand
+    total in ONE pass — Spark expands the grouping sets before the
+    same single map-side-combined exchange, the warehouse-standard
+    subtotal shape. NULL group values are disambiguated from real
+    NULLs by grouping_id (named ``gid``), matching DuckDB's
+    GROUPING() semantics bit-for-bit; measures are the exact
+    integer-unit sums of tpch_q1."""
+    from blackedge_ocr_spark.analysis.relational import (
+        Q1_CUTOFF,
+        _cents,
+        _disc_price,
+        _e4,
+    )
+
+    l = spark.read.parquet(f"{sf_dir.rstrip('/')}/lineitem.parquet")
+    dp = _disc_price(F.col("l_extendedprice"), F.col("l_discount"))
+    return (
+        l.filter(F.col("l_shipdate") <= F.to_timestamp(F.lit(Q1_CUTOFF)))
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.grouping_id().alias("gid"),
+            F.sum(_cents(F.col("l_extendedprice"))).alias(
+                "sum_base_cents"
+            ),
+            F.sum(_e4(dp)).alias("sum_disc_e4"),
+            F.count("*").alias("n_rows"),
+        )
+        .select(
+            "l_returnflag",
+            "l_linestatus",
+            F.col("gid").cast("long").alias("gid"),
+            "sum_base_cents",
+            "sum_disc_e4",
+            "n_rows",
+        )
+    )
+
+
 def q_event_transitions(spark, sf_dir) -> DataFrame:
     """First-order Markov transition counts over each user's
     time-ordered event stream — the sequence-analytics shape (path

@@ -766,6 +766,7 @@ def build_oracles() -> dict[str, str]:
         "tpch_q1": sql_tpch_q1(),
         "tpch_q3": sql_tpch_q3(),
         "tpch_q5": sql_tpch_q5(),
+        "pricing_rollup": sql_pricing_rollup(),
         "user_sessions": sql_user_sessions(),
         "user_sessions_2p": sql_user_sessions(),
         "pipeline_extract": sql_pipeline_extract(),
@@ -2288,6 +2289,24 @@ SELECT l_returnflag, l_linestatus,
        count(*)::bigint AS n_rows
 FROM lineitem WHERE l_shipdate <= TIMESTAMP '{Q1_CUTOFF}'
 GROUP BY 1, 2"""
+
+
+def sql_pricing_rollup() -> str:
+    """queries.q_pricing_rollup mirror: GROUP BY ROLLUP with the
+    2-bit grouping id (flag bit 2, status bit 1 — Spark's
+    grouping_id bit order for the listed columns)."""
+    from blackedge_ocr_spark.analysis.relational import Q1_CUTOFF
+
+    return f"""
+SELECT l_returnflag, l_linestatus,
+       (2 * grouping(l_returnflag) + grouping(l_linestatus))::bigint
+         AS gid,
+       sum(floor(l_extendedprice * 100.0 + 0.5)::bigint)::bigint
+         AS sum_base_cents,
+       sum({_REV_E4})::bigint AS sum_disc_e4,
+       count(*)::bigint AS n_rows
+FROM lineitem WHERE l_shipdate <= TIMESTAMP '{Q1_CUTOFF}'
+GROUP BY ROLLUP (l_returnflag, l_linestatus)"""
 
 
 def sql_tpch_q3(k: int = 10) -> str:
