@@ -71,6 +71,12 @@ BENCH_QUERIES = (
     "source_drift",
     "lm2_scores",
     "pagerank",
+    "event_funnel",
+    "asof_join",
+    "range_join",
+    "hypertable_rollup",
+    "tpch_q1",
+    "tpch_q5",
 )
 
 
