@@ -115,6 +115,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pricing_rollup": q.q_pricing_rollup,
         "user_sessions": q.q_user_sessions,
         "user_sessions_2p": q.q_user_sessions_2p,
+        "user_sessions_native": q.q_user_sessions_native,
         # corpus curation (analysis/corpusops.py)
         "dup_ngrams": q.q_dup_ngrams,
         "decontaminate": q.q_decontaminate,

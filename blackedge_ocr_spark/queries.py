@@ -1446,6 +1446,41 @@ def q_user_sessions(spark, sf_dir) -> DataFrame:
     ).select("user_id", "session_start", "n_events", "total_value")
 
 
+def q_user_sessions_native(spark, sf_dir) -> DataFrame:
+    """The THIRD batch sessionizer: Spark's native
+    ``session_window`` operator, checked against the SAME DuckDB
+    oracle as the manual lag/running-sum and two-phase variants —
+    three independent formulations, one contract.
+
+    Boundary semantics (verified at the µs, not luck-of-the-data):
+    the manual rule MERGES an event at exactly gap seconds after
+    the previous one (``gap > 1800s`` starts a session), and
+    Spark's session_window merge condition is likewise INCLUSIVE
+    (``next − last ≤ gap`` — an event exactly at the window end
+    extends it; one 1 µs later does not), so the plain 1800 s gap
+    is already bit-equal to the manual rule — pinned by the
+    boundary pytest with ±1 µs events. (Null-ts rows differ — the
+    manual path emits a NULL-start singleton, session_window drops
+    them; unreachable on the corpus, same documented class as the
+    streaming twin's note.)
+    """
+    e = spark.read.parquet(f"{sf_dir.rstrip('/')}/events.parquet")
+    win = F.session_window(
+        F.col("ts").cast("timestamp"), f"{SESSION_GAP_SEC} seconds"
+    )
+    return (
+        e.groupBy("user_id", win)
+        .agg(
+            F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss").alias(
+                "session_start"
+            ),
+            F.count("*").cast("bigint").alias("n_events"),
+            F.round(F.sum("value"), 3).alias("total_value"),
+        )
+        .select("user_id", "session_start", "n_events", "total_value")
+    )
+
+
 SESSION_BUCKET_US = 3_600 * 1_000_000  # phase-1 time bucket (1 hour)
 
 

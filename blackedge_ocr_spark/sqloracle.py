@@ -768,6 +768,9 @@ def build_oracles() -> dict[str, str]:
         "tpch_q5": sql_tpch_q5(),
         "pricing_rollup": sql_pricing_rollup(),
         "user_sessions": sql_user_sessions(),
+        # the native session_window formulation answers to the SAME
+        # oracle as the manual and two-phase variants
+        "user_sessions_native": sql_user_sessions(),
         "user_sessions_2p": sql_user_sessions(),
         "pipeline_extract": sql_pipeline_extract(),
         # corpus curation (analysis/corpusops.py)

@@ -140,6 +140,37 @@ def test_range_join_band_edges_and_bucket_crossing(spark, tmp_path):
     assert got == {0: 2, 5: 1, 7: 0}
 
 
+def test_native_session_window_boundary_matches_manual(spark, tmp_path):
+    """Spark's session_window merge condition is inclusive
+    (next − last ≤ gap), exactly like the manual lag rule — an
+    event exactly 1800 s after the last one merges in both; one
+    1 µs later splits in both. This pins the boundary so the shared
+    oracle pass is structural, not luck of the corpus."""
+    rows = [
+        (1, "click", 1, 0, 0, 0, 0),
+        (1, "click", 1, 0, 30, 0, 0),        # exactly +1800 s
+        (2, "click", 1, 0, 0, 0, 0),
+        (2, "click", 1, 0, 30, 0, 1),        # +1800 s + 1 µs
+    ]
+    path = str(tmp_path / "ev")
+    _events(spark, rows).write.mode("overwrite").parquet(
+        path + "/events.parquet"
+    )
+    manual = sorted(
+        (r["user_id"], r["session_start"], r["n_events"])
+        for r in q.q_user_sessions(spark, path).collect()
+    )
+    native = sorted(
+        (r["user_id"], r["session_start"], r["n_events"])
+        for r in q.q_user_sessions_native(spark, path).collect()
+    )
+    assert manual == native
+    by_user = {}
+    for u, _, n in manual:
+        by_user.setdefault(u, []).append(n)
+    assert by_user == {1: [2], 2: [1, 1]}
+
+
 def test_hypertable_rollup_conserves_mass_across_levels(spark):
     """Each level partitions the same events: per-level n_events and
     sum_k totals must be identical (the conservation the
