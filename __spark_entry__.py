@@ -116,6 +116,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "user_sessions": q.q_user_sessions,
         "user_sessions_2p": q.q_user_sessions_2p,
         "user_sessions_native": q.q_user_sessions_native,
+        "peak_concurrency": q.q_peak_concurrency,
         # corpus curation (analysis/corpusops.py)
         "dup_ngrams": q.q_dup_ngrams,
         "decontaminate": q.q_decontaminate,

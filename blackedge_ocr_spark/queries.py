@@ -1549,6 +1549,91 @@ def q_user_sessions_2p(spark, sf_dir) -> DataFrame:
     )
 
 
+def q_peak_concurrency(spark, sf_dir) -> DataFrame:
+    """Sweep-line peak session concurrency per day — the classic
+    interval-overlap aggregation (max simultaneous open sessions)
+    done scalably: never a single global ordered pass.
+
+    Stages: (1) the SAME µs-exact sessionization as
+    ``q_user_sessions`` reduces events to (start_us, end_us)
+    intervals; (2) each interval emits a +1 point at start and a -1
+    point at end (INCLUSIVE ends: a session ending at t overlaps one
+    starting at t, so the per-timestamp candidate counts starts
+    BEFORE ends — cand = running_net_incl + ends, algebraically
+    identical to "apply all +1s at t, then peak, then -1s");
+    (3) points collapse per distinct timestamp (combinable count
+    agg), so the window input is O(distinct boundary times), not
+    O(events); (4) the running net is computed per DAY partition
+    with a cross-day carry from the |days|-row per-day net table —
+    the only totally-ordered window runs over that tiny table, never
+    over the point stream. Peak(day) = max in-day candidate + carry.
+
+    Scale shape: shuffles are sessionize (user_id), point collapse
+    (t), day window (day) — all O(boundaries) or less; the
+    single-partition carry window touches |days| rows (~365/yr at
+    any corpus size). Day-partition skew is bounded by boundaries
+    per day; a hotter granularity would swap day for hour without
+    touching the carry algebra. Everything is exact int64 — no
+    floats anywhere.
+    """
+    e = spark.read.parquet(f"{sf_dir.rstrip('/')}/events.parquet")
+    e = e.repartition(_par(spark), "user_id")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ep = F.unix_micros(F.col("ts").cast("timestamp"))
+    gap = ep - F.lag(ep).over(w)
+    gap_us = F.lit(SESSION_GAP_SEC * 1_000_000).cast("long")
+    new_s = F.when(gap.isNull() | (gap > gap_us), 1).otherwise(0)
+    sid = F.sum(new_s).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    sess = (
+        e.select("user_id", ep.alias("_ep"), sid.alias("_sid"))
+        .groupBy("user_id", "_sid")
+        .agg(F.min("_ep").alias("s_us"), F.max("_ep").alias("e_us"))
+    )
+    pts = sess.select(
+        F.col("s_us").alias("t"), F.lit(1).alias("s"), F.lit(0).alias("e")
+    ).unionByName(
+        sess.select(
+            F.col("e_us").alias("t"), F.lit(0).alias("s"), F.lit(1).alias("e")
+        )
+    )
+    per_t = (
+        pts.filter(F.col("t").isNotNull())
+        .groupBy("t")
+        .agg(F.sum("s").alias("starts"), F.sum("e").alias("ends"))
+        .withColumn(
+            "day", F.date_format(F.timestamp_micros(F.col("t")), "yyyy-MM-dd")
+        )
+    )
+    wd = Window.partitionBy("day").orderBy("t").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = F.sum(F.col("starts") - F.col("ends")).over(wd)
+    days = (
+        per_t.select(
+            "day", "starts", "ends", (cum + F.col("ends")).alias("cand")
+        )
+        .groupBy("day")
+        .agg(
+            F.max("cand").alias("rel_peak"),
+            F.sum("starts").alias("started"),
+            F.sum("ends").alias("ended"),
+            F.sum(F.col("starts") - F.col("ends")).alias("net"),
+        )
+    )
+    # |days|-row table: the only totally-ordered window in the query.
+    wc = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, -1)
+    carry = F.coalesce(F.sum("net").over(wc), F.lit(0))
+    return days.select(
+        "day",
+        (F.col("rel_peak") + carry).cast("bigint").alias("peak_concurrent"),
+        F.col("started").cast("bigint").alias("sessions_started"),
+        F.col("ended").cast("bigint").alias("sessions_ended"),
+        (carry + F.col("net")).cast("bigint").alias("active_at_eod"),
+    )
+
+
 def q_event_rollup(spark, sf_dir) -> DataFrame:
     """Hour-windowed event aggregation with JSON props extraction —
     the batch form of the engine's streaming rollup (window().start

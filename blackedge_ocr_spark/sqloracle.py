@@ -772,6 +772,7 @@ def build_oracles() -> dict[str, str]:
         # oracle as the manual and two-phase variants
         "user_sessions_native": sql_user_sessions(),
         "user_sessions_2p": sql_user_sessions(),
+        "peak_concurrency": sql_peak_concurrency(),
         "pipeline_extract": sql_pipeline_extract(),
         # corpus curation (analysis/corpusops.py)
         "dup_ngrams": sql_dup_ngrams(),
@@ -2122,6 +2123,64 @@ SELECT user_id,
        count(*)::bigint AS n_events,
        round(sum(value), 3) AS total_value
 FROM sids GROUP BY user_id, sid"""
+
+
+def sql_peak_concurrency() -> str:
+    """queries.q_peak_concurrency mirror: same sessionize CTE as
+    sql_user_sessions, then the sweep — +1/-1 boundary points
+    collapsed per distinct µs timestamp, per-day running net
+    (inclusive) + ends as the candidate, cross-day carry from the
+    per-day net table. Exact integers throughout."""
+    from blackedge_ocr_spark.queries import SESSION_GAP_SEC
+
+    return f"""
+WITH lagged AS (
+  SELECT user_id, ts,
+    CASE WHEN lag(ts) OVER w IS NULL
+              OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > {SESSION_GAP_SEC * 1_000_000}
+         THEN 1 ELSE 0 END AS new_s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sids AS (
+  SELECT user_id, ts,
+    sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                     ROWS UNBOUNDED PRECEDING) AS sid
+  FROM lagged
+),
+sess AS (
+  SELECT user_id, sid,
+         min(epoch_us(ts)) AS s_us, max(epoch_us(ts)) AS e_us
+  FROM sids GROUP BY user_id, sid
+),
+pts AS (
+  SELECT s_us AS t, 1 AS s, 0 AS e FROM sess
+  UNION ALL
+  SELECT e_us AS t, 0 AS s, 1 AS e FROM sess
+),
+per_t AS (
+  SELECT t, sum(s)::bigint AS starts, sum(e)::bigint AS ends,
+         strftime(make_timestamp(t), '%Y-%m-%d') AS day
+  FROM pts WHERE t IS NOT NULL GROUP BY t
+),
+cands AS (
+  SELECT day, starts, ends,
+         sum(starts - ends) OVER (PARTITION BY day ORDER BY t
+                                  ROWS UNBOUNDED PRECEDING) + ends AS cand
+  FROM per_t
+),
+days AS (
+  SELECT day, max(cand) AS rel_peak, sum(starts) AS started,
+         sum(ends) AS ended, sum(starts - ends) AS net
+  FROM cands GROUP BY day
+)
+SELECT day,
+       (rel_peak + coalesce(sum(net) OVER wc, 0))::bigint AS peak_concurrent,
+       started::bigint AS sessions_started,
+       ended::bigint AS sessions_ended,
+       (net + coalesce(sum(net) OVER wc, 0))::bigint AS active_at_eod
+FROM days
+WINDOW wc AS (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)"""
 
 
 def sql_event_rollup() -> str:

@@ -232,3 +232,56 @@ def test_cohort_retention_buckets(spark, tmp_path):
     assert got[(w0, 1)] == 1
     assert sum(n for (cw, _), n in got.items() if cw != w0) == 1
     assert all(off >= 0 for _, off in got)
+
+
+def _concurrency_on(spark, tmp_path, rows):
+    path = str(tmp_path / "pc")
+    _events(spark, rows).write.mode("overwrite").parquet(
+        path + "/events.parquet"
+    )
+    return {
+        r["day"]: (
+            r["peak_concurrent"],
+            r["sessions_started"],
+            r["sessions_ended"],
+            r["active_at_eod"],
+        )
+        for r in q.q_peak_concurrency(spark, path).collect()
+    }
+
+
+def test_peak_concurrency_inclusive_ends_and_carry(spark, tmp_path):
+    """Three pinned behaviors: (1) INCLUSIVE interval ends — user 1's
+    session ends at the exact µs user 2's starts, and both count at
+    that instant (peak 2, not 1); (2) a session spanning midnight
+    carries into the next day (day-2 peak counts it even though it
+    started on day 1); (3) active_at_eod is the cross-day running
+    net (1 after day 1, 0 after day 2)."""
+    rows = [
+        # user 1: one session 10:00:00 .. 10:10:00 on Jan 1
+        (1, "a", 1, 10, 0, 0, 0),
+        (1, "a", 1, 10, 10, 0, 0),
+        # user 2: starts at EXACTLY user 1's end instant
+        (2, "a", 1, 10, 10, 0, 0),
+        (2, "a", 1, 10, 20, 0, 0),
+        # user 3: session spanning midnight Jan 1 -> Jan 2
+        (3, "a", 1, 23, 50, 0, 0),
+        (3, "a", 2, 0, 10, 0, 0),
+        # user 4: Jan 2 session overlapping user 3's tail
+        (4, "a", 2, 0, 5, 0, 0),
+        (4, "a", 2, 0, 15, 0, 0),
+    ]
+    out = _concurrency_on(spark, tmp_path, rows)
+    assert out["2024-01-01"] == (2, 3, 2, 1)
+    assert out["2024-01-02"] == (2, 1, 2, 0)
+
+
+def test_peak_concurrency_gap_splits_sessions(spark, tmp_path):
+    """Two events >30 min apart are separate sessions — concurrency
+    never exceeds 1 and both start/end on the same day."""
+    rows = [
+        (1, "a", 1, 9, 0, 0, 0),
+        (1, "a", 1, 11, 0, 0, 0),
+    ]
+    out = _concurrency_on(spark, tmp_path, rows)
+    assert out["2024-01-01"] == (1, 2, 2, 0)
