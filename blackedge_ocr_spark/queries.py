@@ -1634,6 +1634,19 @@ def q_peak_concurrency(spark, sf_dir) -> DataFrame:
     )
 
 
+def q_zorder_prune(spark, sf_dir) -> DataFrame:
+    """Z-order write-layout audit: per-layout zone-map pruning counts
+    for 5% band predicates on user, on hour, and on both — the
+    measurable form of "OPTIMIZE ZORDER BY (user_id, ts)". The
+    single-dim layouts prune only their own dimension; the Morton
+    layout prunes both. One corpus scan, one (layout, bucket) hash
+    agg, exact integers end-to-end (analysis/zorder.py)."""
+    from blackedge_ocr_spark.analysis import zorder
+
+    e = spark.read.parquet(f"{sf_dir.rstrip('/')}/events.parquet")
+    return zorder.layout_prune_stats(e)
+
+
 def q_event_rollup(spark, sf_dir) -> DataFrame:
     """Hour-windowed event aggregation with JSON props extraction —
     the batch form of the engine's streaming rollup (window().start

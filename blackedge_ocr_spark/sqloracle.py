@@ -773,6 +773,7 @@ def build_oracles() -> dict[str, str]:
         "user_sessions_native": sql_user_sessions(),
         "user_sessions_2p": sql_user_sessions(),
         "peak_concurrency": sql_peak_concurrency(),
+        "zorder_prune": sql_zorder_prune(),
         "pipeline_extract": sql_pipeline_extract(),
         # corpus curation (analysis/corpusops.py)
         "dup_ngrams": sql_dup_ngrams(),
@@ -2123,6 +2124,89 @@ SELECT user_id,
        count(*)::bigint AS n_events,
        round(sum(value), 3) AS total_value
 FROM sids GROUP BY user_id, sid"""
+
+
+def _spread16_sql(c: str) -> str:
+    """DuckDB mirror of zorder._spread16: identical (shift, mask)
+    steps, generated from the same _SPREAD_STEPS constant so the
+    curves cannot drift."""
+    from blackedge_ocr_spark.analysis.zorder import _SPREAD_STEPS
+
+    x = f"(({c}) & 65535)"
+    for shift, mask in _SPREAD_STEPS:
+        x = f"((({x}) | (({x}) << {shift})) & {mask})"
+    return x
+
+
+def sql_zorder_prune() -> str:
+    """analysis/zorder.layout_prune_stats mirror: same integer
+    quantization, same Morton spread, same 64-bucket assignment and
+    band predicates."""
+    from blackedge_ocr_spark.analysis.zorder import (
+        HOUR_BAND,
+        USER_BAND,
+        Z_BITS,
+        Z_BUCKETS_LOG2,
+    )
+
+    top = (1 << Z_BITS) - 1
+    s1 = Z_BITS - Z_BUCKETS_LOG2
+    sz = 2 * Z_BITS - Z_BUCKETS_LOG2
+    return f"""
+WITH e AS (
+  SELECT user_id::BIGINT AS u, epoch_us(ts) // 3600000000 AS hr
+  FROM events
+),
+b AS (
+  SELECT min(u) AS umin, max(u) AS umax,
+         min(hr) AS hmin, max(hr) AS hmax FROM e
+),
+q AS (
+  SELECT u, hr,
+    CASE WHEN umax > umin
+         THEN ((u - umin) * {top}) // (umax - umin) ELSE 0 END AS qu,
+    CASE WHEN hmax > hmin
+         THEN ((hr - hmin) * {top}) // (hmax - hmin) ELSE 0 END AS qt
+  FROM e CROSS JOIN b
+),
+zz AS (
+  SELECT u, hr, qu, qt,
+         {_spread16_sql('qu')} | ({_spread16_sql('qt')} << 1) AS z
+  FROM q
+),
+tagged AS (
+  SELECT u, hr, 'time_sorted' AS layout, qt >> {s1} AS bucket FROM zz
+  UNION ALL
+  SELECT u, hr, 'user_sorted', qu >> {s1} FROM zz
+  UNION ALL
+  SELECT u, hr, 'zorder', z >> {sz} FROM zz
+),
+zone AS (
+  SELECT layout, bucket, min(u) AS bu_lo, max(u) AS bu_hi,
+         min(hr) AS bh_lo, max(hr) AS bh_hi, count(*) AS n_rows
+  FROM tagged GROUP BY layout, bucket
+),
+p AS (
+  SELECT umin + ((umax - umin) * {USER_BAND[0]}) // 100 AS u_lo,
+         umin + ((umax - umin) * {USER_BAND[1]}) // 100 AS u_hi,
+         hmin + ((hmax - hmin) * {HOUR_BAND[0]}) // 100 AS h_lo,
+         hmin + ((hmax - hmin) * {HOUR_BAND[1]}) // 100 AS h_hi
+  FROM b
+),
+f AS (
+  SELECT layout, n_rows,
+    CASE WHEN bu_lo <= u_hi AND bu_hi >= u_lo THEN 1 ELSE 0 END AS su,
+    CASE WHEN bh_lo <= h_hi AND bh_hi >= h_lo THEN 1 ELSE 0 END AS sh
+  FROM zone CROSS JOIN p
+)
+SELECT layout,
+       count(*)::bigint AS n_buckets,
+       sum(su)::bigint AS scanned_user,
+       sum(sh)::bigint AS scanned_hour,
+       sum(su * sh)::bigint AS scanned_both,
+       sum(CASE WHEN su * sh = 1 THEN n_rows ELSE 0 END)::bigint
+         AS rows_both
+FROM f GROUP BY layout"""
 
 
 def sql_peak_concurrency() -> str:
