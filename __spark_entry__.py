@@ -66,6 +66,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dim_recall": q.q_dim_recall,
         "pagerank": q.q_pagerank,
         "trustrank": q.q_trustrank,
+        "link_hits": q.q_link_hits,
         "embedding_neardup": q.q_embedding_neardup,
         "embedding_neardup_lsh": q.q_embedding_neardup_lsh,
         "neardup_recall": q.q_neardup_recall,

@@ -215,3 +215,77 @@ def trustrank(docs: DataFrame, iters: int = PR_ITERS) -> DataFrame:
     )
     ranks = _rank_iterate(nodes, e_od, r0, base, iters)
     return _assemble(nodes, edges, od, ranks)
+
+
+HITS_ITERS = 2      # authority+hub sweeps; unrolled in the oracle
+
+
+def hits(docs: DataFrame, iters: int = HITS_ITERS) -> DataFrame:
+    """HITS hubs/authorities (Kleinberg 1999) over ``link_edges``:
+    (doc_id, authority, hub) with both scores in ≤NANO int64 units
+    after ``iters`` mutual-reinforcement sweeps from the uniform hub
+    start h0 = NANO.
+
+    Update rule (all int64, order-insensitive sums → cross-engine
+    parity by construction):
+        a_raw(v) = Σ_{u→v} h(u)            gather over in-edges
+        a(v)     = a_raw(v) div d_a        d_a = max(1,
+                                           (max a_raw + NANO-1) div NANO)
+        h_raw(u) = Σ_{u→v} a(v)            gather over out-edges
+        h(u)     = h_raw(u) div d_h        same ceil-ratio divisor
+
+    The ceil-ratio divisor is the integer stand-in for the usual
+    norm: it floors the vector back under NANO without ever forming
+    the overflow-prone ``x * NANO`` product (a_raw can reach
+    N·NANO ≈ 5·10^15 at sf10 — times NANO would blow int64; the
+    divisor form never exceeds the raw sum). Floor loss ≤ 1 unit
+    per node per sweep, the same documented price as pagerank's.
+
+    Scale shape: per sweep, two O(E) gathers (shuffle on dst, then
+    src — the staged e_od table is already hash-distributed on src,
+    so the hub gather's edge side never re-shuffles) and two 1-row
+    max aggs that ride broadcast joins. Skew: the hub pages collect
+    ~N/16 in-edges each — the same AQE-covered hot-key regime as the
+    pagerank contribution gather.
+    """
+    nodes, n, edges, od, e_od = _graph_staging(docs)
+    h = nodes.select("doc_id", F.lit(NANO).cast("long").alias("h"))
+    a = None
+    for _ in range(iters):
+        a = _gather_norm(nodes, e_od, h, "src", "dst", "h", "a")
+        h = _gather_norm(nodes, e_od, a, "dst", "src", "a", "h")
+    return (
+        nodes.join(a, "doc_id")
+        .join(h, "doc_id")
+        .select(
+            "doc_id",
+            F.col("a").alias("authority"),
+            F.col("h").alias("hub"),
+        )
+    )
+
+
+def _gather_norm(nodes, e_od, scores, join_side, group_side, in_col, out_col):
+    """One HITS half-sweep: gather ``in_col`` across edges from
+    ``join_side`` to ``group_side``, zero-fill absent nodes, then
+    floor-normalize by the ceil-ratio divisor."""
+    raw = (
+        e_od.join(
+            scores.withColumnRenamed("doc_id", join_side), join_side
+        )
+        .groupBy(group_side)
+        .agg(F.sum(in_col).alias("_raw"))
+    )
+    filled = nodes.join(
+        raw, nodes.doc_id == raw[group_side], "left"
+    ).select(
+        "doc_id",
+        F.coalesce("_raw", F.lit(0).cast("long")).alias("_raw"),
+    )
+    m = filled.agg(F.max("_raw").alias("_m"))
+    return filled.crossJoin(F.broadcast(m)).select(
+        "doc_id",
+        F.expr(
+            f"_raw div greatest((_m + {NANO - 1}) div {NANO}, 1L)"
+        ).cast("long").alias(out_col),
+    )

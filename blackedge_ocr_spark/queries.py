@@ -572,6 +572,17 @@ def q_trustrank(spark, sf_dir) -> DataFrame:
     return linkgraph.trustrank(d)
 
 
+def q_link_hits(spark, sf_dir) -> DataFrame:
+    """HITS hubs/authorities over the same staged link graph as
+    pagerank/trustrank — the mutual-reinforcement centrality pair
+    (good hubs point at good authorities); ceil-ratio integer
+    normalization keeps every sweep exact int64."""
+    from blackedge_ocr_spark.analysis import linkgraph
+
+    d = spark.read.parquet(f"{sf_dir.rstrip('/')}/documents.parquet")
+    return linkgraph.hits(d)
+
+
 def q_dim_recall(spark, sf_dir) -> DataFrame:
     """recall@5 of truncated-prefix (Matryoshka) exact scans vs the
     full-dim baseline, all cuts scored in ONE corpus pass — the curve

@@ -720,6 +720,7 @@ def build_oracles() -> dict[str, str]:
         "dim_recall": sql_dim_recall(),
         "pagerank": sql_pagerank(),
         "trustrank": sql_trustrank(),
+        "link_hits": sql_hits(),
         "embedding_neardup": sql_embedding_neardup(),
         "embedding_neardup_lsh": sql_embedding_neardup_lsh(),
         "neardup_recall": sql_neardup_recall(),
@@ -1489,6 +1490,62 @@ FROM n
 LEFT JOIN od o ON o.src = n.doc_id
 LEFT JOIN ind i ON i.dst = n.doc_id
 JOIN r{iters} r ON r.doc_id = n.doc_id"""
+
+
+def sql_hits(iters: int | None = None) -> str:
+    """linkgraph.hits mirror: same edge staging CTEs as the rank
+    family, unrolled authority/hub sweeps with the identical
+    ceil-ratio floor normalization (``greatest((max+NANO-1)//NANO,
+    1)``) — exact int64, parity by construction."""
+    from blackedge_ocr_spark.analysis import linkgraph as lg
+
+    it = iters if iters is not None else lg.HITS_ITERS
+    nano = lg.NANO
+    parts = [
+        "n AS (SELECT doc_id::bigint AS doc_id FROM documents)",
+        "cnt AS (SELECT count(*)::bigint AS n FROM n)",
+        f"""edges AS (
+  SELECT DISTINCT src, dst FROM (
+    SELECT doc_id AS src, doc_id % {lg.PR_HUBS} AS dst FROM n
+    UNION ALL
+    SELECT doc_id, (doc_id * doc_id + 1) % c.n FROM n, cnt c
+    UNION ALL
+    SELECT doc_id, (doc_id * 3 + 7) % c.n FROM n, cnt c)
+  WHERE src != dst AND dst IN (SELECT doc_id FROM n))""",
+        f"h0 AS (SELECT doc_id, {nano}::bigint AS h FROM n)",
+    ]
+    for i in range(1, it + 1):
+        parts += [
+            f"""ar{i} AS (
+  SELECT n.doc_id, coalesce(s.a, 0)::bigint AS a
+  FROM n LEFT JOIN (
+    SELECT e.dst, sum(h.h)::bigint AS a
+    FROM edges e JOIN h{i - 1} h ON h.doc_id = e.src
+    GROUP BY e.dst) s ON s.dst = n.doc_id)""",
+            f"""am{i} AS (
+  SELECT greatest((max(a) + {nano - 1}) // {nano}, 1)::bigint AS d
+  FROM ar{i})""",
+            f"a{i} AS (SELECT doc_id, (a // d)::bigint AS a "
+            f"FROM ar{i}, am{i})",
+            f"""hr{i} AS (
+  SELECT n.doc_id, coalesce(s.h, 0)::bigint AS h
+  FROM n LEFT JOIN (
+    SELECT e.src, sum(a.a)::bigint AS h
+    FROM edges e JOIN a{i} a ON a.doc_id = e.dst
+    GROUP BY e.src) s ON s.src = n.doc_id)""",
+            f"""hm{i} AS (
+  SELECT greatest((max(h) + {nano - 1}) // {nano}, 1)::bigint AS d
+  FROM hr{i})""",
+            f"h{i} AS (SELECT doc_id, (h // d)::bigint AS h "
+            f"FROM hr{i}, hm{i})",
+        ]
+    ctes = ",\n".join(parts)
+    return f"""
+WITH {ctes}
+SELECT n.doc_id, a.a AS authority, h.h AS hub
+FROM n
+JOIN a{it} a ON a.doc_id = n.doc_id
+JOIN h{it} h ON h.doc_id = n.doc_id"""
 
 
 def sql_pagerank(iters: int | None = None) -> str:

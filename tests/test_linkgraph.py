@@ -126,3 +126,57 @@ def test_pagerank_hubs_collect_rank(spark):
     n_edges = sum(r["out_deg"] for r in rows)
     assert total <= lg.NANO
     assert total >= lg.NANO - (n_edges + n) * (lg.PR_ITERS + 1)
+
+
+def _py_hits(ids, iters):
+    """Dict doc_id → (authority, hub): independent integer HITS
+    model (third implementation, same rationale as _py_pagerank)."""
+    from blackedge_ocr_spark.analysis import linkgraph as lg
+
+    n = len(ids)
+    idset = set(ids)
+    edges = set()
+    for s in ids:
+        for d in (s % lg.PR_HUBS, (s * s + 1) % n, (s * 3 + 7) % n):
+            if d != s and d in idset:
+                edges.add((s, d))
+
+    def norm(x):
+        m = max(x.values())
+        d = max((m + lg.NANO - 1) // lg.NANO, 1)
+        return {v: x[v] // d for v in x}
+
+    h = {v: lg.NANO for v in ids}
+    a = {}
+    for _ in range(iters):
+        a = {v: 0 for v in ids}
+        for s, d in edges:
+            a[d] += h[s]
+        a = norm(a)
+        h = {v: 0 for v in ids}
+        for s, d in edges:
+            h[s] += a[d]
+        h = norm(h)
+    return a, h
+
+
+def test_hits_matches_pure_python_model(spark):
+    from blackedge_ocr_spark.analysis import linkgraph
+
+    docs = spark.createDataFrame(
+        [(i,) for i in range(60)], "doc_id long"
+    )
+    got = {
+        r["doc_id"]: (r["authority"], r["hub"])
+        for r in linkgraph.hits(docs).collect()
+    }
+    want_a, want_h = _py_hits(list(range(60)), linkgraph.HITS_ITERS)
+    assert len(got) == 60
+    for v in range(60):
+        assert got[v] == (want_a[v], want_h[v]), v
+    # mutual reinforcement: some hub page (the in-degree head) must
+    # hold the max authority, and max scores stay <= NANO
+    top_auth = max(got, key=lambda v: got[v][0])
+    assert top_auth < linkgraph.PR_HUBS
+    assert max(s for s, _ in got.values()) <= linkgraph.NANO
+    assert max(s for _, s in got.values()) <= linkgraph.NANO
