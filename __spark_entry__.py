@@ -67,6 +67,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank": q.q_pagerank,
         "trustrank": q.q_trustrank,
         "link_hits": q.q_link_hits,
+        "triangle_stats": q.q_triangle_stats,
         "embedding_neardup": q.q_embedding_neardup,
         "embedding_neardup_lsh": q.q_embedding_neardup_lsh,
         "neardup_recall": q.q_neardup_recall,

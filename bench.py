@@ -77,6 +77,9 @@ BENCH_QUERIES = (
     "hypertable_rollup",
     "tpch_q1",
     "tpch_q5",
+    "peak_concurrency",
+    "zorder_prune",
+    "link_hits",
 )
 
 

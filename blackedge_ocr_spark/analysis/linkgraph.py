@@ -289,3 +289,102 @@ def _gather_norm(nodes, e_od, scores, join_side, group_side, in_col, out_col):
             f"_raw div greatest((_m + {NANO - 1}) div {NANO}, 1L)"
         ).cast("long").alias(out_col),
     )
+
+
+def triangle_stats(docs: DataFrame) -> DataFrame:
+    """Global triangle census of the (undirected) link graph: ONE row
+    (n_nodes, n_edges, n_wedges, n_triangles, clustering) — the
+    standard graph-health signature (global clustering coefficient =
+    3·triangles / wedges) web-graph curation uses to sanity-check a
+    crawl snapshot against known web topology.
+
+    Algorithm: the degree-ordered orientation (Chiba–Nishizeki /
+    Schank). Each undirected edge {u,v} is oriented from the
+    lower-(degree, id) endpoint to the higher; a triangle {u,v,w}
+    is then counted EXACTLY once, as the wedge (u→v, u→w),
+    key(v) < key(w), closed by the oriented edge v→w.
+
+    Why this survives scale: the wedge join explodes each vertex
+    into C(out_deg, 2) candidate pairs — under the orientation the
+    out-degree of ANY vertex is O(sqrt(E)) (a vertex keeps only
+    edges toward higher-ranked ones, and more than sqrt(E) of those
+    would need sqrt(E) vertices of degree >= sqrt(E), i.e. > E edge
+    endpoints), so a hub with 10^6 in-links contributes NOTHING to
+    the explosion — exactly the skew defense the naive all-wedges
+    join lacks. Work is O(E^1.5) worst-case, the optimal bound for
+    exact counting; the closure check is a semi-join of candidate
+    pairs against the oriented edge list (ids only).
+
+    Exactness: counts and degrees are int64; the one double
+    (clustering) is a single division micro-rounded to 6 — identical
+    in DuckDB.
+    """
+    edges = link_edges(docs)
+    und = (
+        edges.select(
+            F.least("src", "dst").alias("a"),
+            F.greatest("src", "dst").alias("b"),
+        )
+        .distinct()
+        .persist()
+    )
+    deg = (
+        und.select(F.col("a").alias("v"))
+        .unionByName(und.select(F.col("b").alias("v")))
+        .groupBy("v")
+        .agg(F.count("*").alias("deg"))
+    )
+    # total order: (deg, id) packed into one comparable int64
+    key = (F.col("deg") * F.lit(1 << 32) + F.col("v")).alias("key")
+    keyed = deg.select("v", key)
+    ka = keyed.select(F.col("v").alias("a"), F.col("key").alias("ka"))
+    kb = keyed.select(F.col("v").alias("b"), F.col("key").alias("kb"))
+    oriented = (
+        und.join(ka, "a")
+        .join(kb, "b")
+        .select(
+            F.when(F.col("ka") < F.col("kb"), F.col("a"))
+            .otherwise(F.col("b"))
+            .alias("u"),
+            F.when(F.col("ka") < F.col("kb"), F.col("b"))
+            .otherwise(F.col("a"))
+            .alias("w"),
+            F.when(F.col("ka") < F.col("kb"), F.col("kb"))
+            .otherwise(F.col("ka"))
+            .alias("kw"),
+        )
+        .persist()
+    )
+    e1 = oriented.select("u", F.col("w").alias("x"), F.col("kw").alias("kx"))
+    e2 = oriented.select("u", F.col("w").alias("y"), F.col("kw").alias("ky"))
+    wedges = e1.join(e2, "u").filter(F.col("kx") < F.col("ky"))
+    closed = wedges.join(
+        oriented.select(
+            F.col("u").alias("x"), F.col("w").alias("y")
+        ),
+        ["x", "y"],
+        "left_semi",
+    )
+    tri = closed.agg(F.count("*").alias("n_triangles"))
+    counts = und.agg(F.count("*").alias("n_edges")).crossJoin(
+        deg.agg(
+            F.count("*").alias("n_nodes"),
+            F.sum(F.expr("deg * (deg - 1) div 2")).alias("n_wedges"),
+        )
+    )
+    return counts.crossJoin(tri).select(
+        F.col("n_nodes").cast("bigint"),
+        F.col("n_edges").cast("bigint"),
+        F.col("n_wedges").cast("bigint"),
+        F.col("n_triangles").cast("bigint"),
+        F.when(
+            F.col("n_wedges") > 0,
+            F.floor(
+                F.lit(3) * F.col("n_triangles") / F.col("n_wedges") * 1e6
+                + F.lit(0.5)
+            )
+            / 1e6,
+        )
+        .otherwise(F.lit(0.0))
+        .alias("clustering"),
+    )

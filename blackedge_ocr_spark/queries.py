@@ -583,6 +583,17 @@ def q_link_hits(spark, sf_dir) -> DataFrame:
     return linkgraph.hits(d)
 
 
+def q_triangle_stats(spark, sf_dir) -> DataFrame:
+    """Exact triangle census + global clustering coefficient via the
+    degree-ordered orientation — O(E^1.5) with hub-skew immunity
+    (oriented out-degree is O(sqrt E)); the crawl-snapshot topology
+    sanity check."""
+    from blackedge_ocr_spark.analysis import linkgraph
+
+    d = spark.read.parquet(f"{sf_dir.rstrip('/')}/documents.parquet")
+    return linkgraph.triangle_stats(d)
+
+
 def q_dim_recall(spark, sf_dir) -> DataFrame:
     """recall@5 of truncated-prefix (Matryoshka) exact scans vs the
     full-dim baseline, all cuts scored in ONE corpus pass — the curve

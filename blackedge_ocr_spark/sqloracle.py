@@ -721,6 +721,7 @@ def build_oracles() -> dict[str, str]:
         "pagerank": sql_pagerank(),
         "trustrank": sql_trustrank(),
         "link_hits": sql_hits(),
+        "triangle_stats": sql_triangle_stats(),
         "embedding_neardup": sql_embedding_neardup(),
         "embedding_neardup_lsh": sql_embedding_neardup_lsh(),
         "neardup_recall": sql_neardup_recall(),
@@ -1546,6 +1547,55 @@ SELECT n.doc_id, a.a AS authority, h.h AS hub
 FROM n
 JOIN a{it} a ON a.doc_id = n.doc_id
 JOIN h{it} h ON h.doc_id = n.doc_id"""
+
+
+def sql_triangle_stats() -> str:
+    """linkgraph.triangle_stats mirror: same undirected-ize, same
+    (deg << 32 | id) total order, same oriented wedge join + semi
+    closure; clustering rounded with the identical op sequence."""
+    from blackedge_ocr_spark.analysis import linkgraph as lg
+
+    return f"""
+WITH n AS (SELECT doc_id::bigint AS doc_id FROM documents),
+cnt AS (SELECT count(*)::bigint AS n FROM n),
+edges AS (
+  SELECT DISTINCT src, dst FROM (
+    SELECT doc_id AS src, doc_id % {lg.PR_HUBS} AS dst FROM n
+    UNION ALL
+    SELECT doc_id, (doc_id * doc_id + 1) % c.n FROM n, cnt c
+    UNION ALL
+    SELECT doc_id, (doc_id * 3 + 7) % c.n FROM n, cnt c)
+  WHERE src != dst AND dst IN (SELECT doc_id FROM n)),
+und AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+        FROM edges),
+deg AS (SELECT v, count(*)::bigint AS deg FROM (
+          SELECT a AS v FROM und UNION ALL SELECT b FROM und)
+        GROUP BY v),
+keyed AS (SELECT v, deg * {1 << 32} + v AS key FROM deg),
+o AS (
+  SELECT CASE WHEN ka.key < kb.key THEN u.a ELSE u.b END AS u,
+         CASE WHEN ka.key < kb.key THEN u.b ELSE u.a END AS w,
+         greatest(ka.key, kb.key) AS kw
+  FROM und u
+  JOIN keyed ka ON ka.v = u.a
+  JOIN keyed kb ON kb.v = u.b),
+wed AS (
+  SELECT e1.w AS x, e2.w AS y
+  FROM o e1 JOIN o e2 ON e1.u = e2.u AND e1.kw < e2.kw),
+tri AS (
+  SELECT count(*)::bigint AS n_triangles
+  FROM wed SEMI JOIN o ON o.u = wed.x AND o.w = wed.y),
+m AS (
+  SELECT (SELECT count(*)::bigint FROM deg) AS n_nodes,
+         (SELECT count(*)::bigint FROM und) AS n_edges,
+         (SELECT sum(deg * (deg - 1) // 2)::bigint FROM deg)
+           AS n_wedges)
+SELECT n_nodes, n_edges, n_wedges, n_triangles,
+       CASE WHEN n_wedges > 0
+            THEN floor((3 * n_triangles)::double / n_wedges
+                       * 1e6 + 0.5) / 1e6
+            ELSE 0.0 END AS clustering
+FROM m, tri"""
 
 
 def sql_pagerank(iters: int | None = None) -> str:

@@ -180,3 +180,44 @@ def test_hits_matches_pure_python_model(spark):
     assert top_auth < linkgraph.PR_HUBS
     assert max(s for s, _ in got.values()) <= linkgraph.NANO
     assert max(s for _, s in got.values()) <= linkgraph.NANO
+
+
+def test_triangle_stats_matches_brute_force(spark):
+    """Triangle census vs O(n^3) brute force on the 60-node staged
+    graph — orientation must count each triangle exactly once."""
+    from blackedge_ocr_spark.analysis import linkgraph as lg
+
+    ids = list(range(60))
+    n = len(ids)
+    und = set()
+    for s in ids:
+        for d in (s % lg.PR_HUBS, (s * s + 1) % n, (s * 3 + 7) % n):
+            if d != s:
+                und.add((min(s, d), max(s, d)))
+    deg = {}
+    for a, b in und:
+        deg[a] = deg.get(a, 0) + 1
+        deg[b] = deg.get(b, 0) + 1
+    tris = sum(
+        1
+        for i, a in enumerate(sorted(deg))
+        for b in sorted(deg)[i + 1:]
+        for c in sorted(deg)
+        if c > b
+        and (a, b) in und
+        and (a, c) in und
+        and (b, c) in und
+    )
+    wedges = sum(d * (d - 1) // 2 for d in deg.values())
+
+    docs = spark.createDataFrame([(i,) for i in ids], "doc_id long")
+    row = lg.triangle_stats(docs).collect()[0]
+    assert row["n_nodes"] == len(deg)
+    assert row["n_edges"] == len(und)
+    assert row["n_wedges"] == wedges
+    assert row["n_triangles"] == tris
+    import math
+
+    assert row["clustering"] == math.floor(
+        3 * tris / wedges * 1e6 + 0.5
+    ) / 1e6
