@@ -120,6 +120,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "user_sessions_native": q.q_user_sessions_native,
         "peak_concurrency": q.q_peak_concurrency,
         "zorder_prune": q.q_zorder_prune,
+        "view_click_pairs": q.q_view_click_pairs,
         # corpus curation (analysis/corpusops.py)
         "dup_ngrams": q.q_dup_ngrams,
         "decontaminate": q.q_decontaminate,

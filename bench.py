@@ -80,6 +80,8 @@ BENCH_QUERIES = (
     "peak_concurrency",
     "zorder_prune",
     "link_hits",
+    "triangle_stats",
+    "view_click_pairs",
 )
 
 

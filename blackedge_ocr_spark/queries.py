@@ -1656,6 +1656,56 @@ def q_peak_concurrency(spark, sf_dir) -> DataFrame:
     )
 
 
+def q_view_click_pairs(spark, sf_dir) -> DataFrame:
+    """Attribution pair join: every (view, click) pair of the same
+    user with the click 0..30 min after the view — the batch twin of
+    ``streaming.stream_interval_join`` (the native watermarked
+    stream-stream join), and the pair-emitting sibling of
+    ``q_range_join``'s count form.
+
+    Scale shape: the same two-bucket probe trick as q_range_join —
+    clicks probe (bucket, bucket-1), plain equi-join on
+    (user_id, bucket), band predicate on the candidates. Candidates
+    are O(matches + band-adjacent misses); the DuckDB oracle is the
+    naive inequality join, so the scale path is verified against the
+    spec, never trusted."""
+    e = spark.read.parquet(f"{sf_dir.rstrip('/')}/events.parquet")
+    w_us = RANGE_WINDOW_SEC * 1_000_000
+    ep = "unix_micros(cast(ts as timestamp))"
+    views = e.filter(F.col("event_type") == "view").select(
+        "user_id",
+        F.col("event_id").alias("view_id"),
+        F.expr(ep).alias("t_view"),
+        F.expr(f"{ep} div {w_us}").alias("probe"),
+    )
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "user_id",
+        F.col("event_id").alias("click_id"),
+        F.expr(ep).alias("t_clk"),
+        F.explode(
+            F.array(
+                F.expr(f"{ep} div {w_us}"),
+                F.expr(f"{ep} div {w_us}") - 1,
+            )
+        ).alias("probe"),
+    )
+    return (
+        clicks.join(views, ["user_id", "probe"])
+        .filter(
+            (F.col("t_clk") - F.col("t_view") >= 0)
+            & (F.col("t_clk") - F.col("t_view") <= w_us)
+        )
+        .select(
+            "user_id",
+            "view_id",
+            "click_id",
+            (F.col("t_clk") - F.col("t_view")).cast("bigint").alias(
+                "wait_us"
+            ),
+        )
+    )
+
+
 def q_zorder_prune(spark, sf_dir) -> DataFrame:
     """Z-order write-layout audit: per-layout zone-map pruning counts
     for 5% band predicates on user, on hour, and on both — the

@@ -776,6 +776,7 @@ def build_oracles() -> dict[str, str]:
         "user_sessions_2p": sql_user_sessions(),
         "peak_concurrency": sql_peak_concurrency(),
         "zorder_prune": sql_zorder_prune(),
+        "view_click_pairs": sql_view_click_pairs(),
         "pipeline_extract": sql_pipeline_extract(),
         # corpus curation (analysis/corpusops.py)
         "dup_ngrams": sql_dup_ngrams(),
@@ -2243,6 +2244,25 @@ def _spread16_sql(c: str) -> str:
     for shift, mask in _SPREAD_STEPS:
         x = f"((({x}) | (({x}) << {shift})) & {mask})"
     return x
+
+
+def sql_view_click_pairs() -> str:
+    """q_view_click_pairs mirror — deliberately the NAIVE inequality
+    join (the spec the bucketed probe path must reproduce)."""
+    from blackedge_ocr_spark.queries import RANGE_WINDOW_SEC
+
+    w_us = RANGE_WINDOW_SEC * 1_000_000
+    return f"""
+SELECT v.user_id,
+       v.event_id AS view_id,
+       c.event_id AS click_id,
+       (epoch_us(c.ts) - epoch_us(v.ts))::bigint AS wait_us
+FROM events v
+JOIN events c
+  ON c.user_id = v.user_id
+ AND v.event_type = 'view'
+ AND c.event_type = 'click'
+ AND epoch_us(c.ts) - epoch_us(v.ts) BETWEEN 0 AND {w_us}"""
 
 
 def sql_zorder_prune() -> str:

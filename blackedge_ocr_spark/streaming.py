@@ -990,3 +990,88 @@ def stream_incremental_extract(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def stream_interval_join(
+    spark: SparkSession,
+    input_dir: str,
+    output_dir: str,
+    checkpoint_dir: str,
+    watermark: str = "1 hour",
+    available_now: bool = True,
+    max_files_per_trigger: int = 1,
+):
+    """Native watermarked stream-stream interval join — the one
+    Structured Streaming join primitive the rest of the streaming
+    surface (foreachBatch twins, session_window, stateful
+    applyInPandasWithState) doesn't exercise. Views and clicks are
+    two independent file streams over the same event feed; each
+    click joins every same-user view it trails by 0..RANGE_WINDOW_SEC
+    (the attribution band of the batch twin q_view_click_pairs,
+    which answers to the naive-inequality DuckDB oracle).
+
+    State story: both sides are watermarked and the join condition
+    time-bounds click vs view, so Spark's symmetric hash join can
+    evict a buffered view once the watermark passes
+    view_ts + band + delay, and a buffered click once it can no
+    longer match — state is O(events inside the watermark horizon),
+    not O(stream). Append mode emits each matched pair exactly once.
+
+    Residual batch divergence (same class as the rollup's note):
+    null-ts rows carry no event time, so the streaming join drops
+    them while the batch twin's epoch arithmetic would too (NULL
+    comparison) — actually equal here; the real divergence is only
+    true-late data beyond the watermark, absent from a replayed
+    corpus."""
+    from blackedge_ocr_spark.queries import RANGE_WINDOW_SEC
+
+    views = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(input_dir)
+        .filter(F.col("event_type") == "view")
+        .select(
+            F.col("user_id").alias("v_user"),
+            F.col("event_id").alias("view_id"),
+            F.col("ts").alias("v_ts"),
+        )
+        .withWatermark("v_ts", watermark)
+    )
+    clicks = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(input_dir)
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("c_ts"),
+        )
+        .withWatermark("c_ts", watermark)
+    )
+    joined = clicks.join(
+        views,
+        F.expr(
+            f"""
+            c_user = v_user
+            AND c_ts >= v_ts
+            AND c_ts <= v_ts + interval {RANGE_WINDOW_SEC} seconds
+            """
+        ),
+    ).select(
+        F.col("c_user").alias("user_id"),
+        "view_id",
+        "click_id",
+        (
+            F.unix_micros(F.col("c_ts")) - F.unix_micros(F.col("v_ts"))
+        ).cast("bigint").alias("wait_us"),
+    )
+    writer = (
+        joined.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", output_dir)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
