@@ -276,19 +276,37 @@ def _gather_norm(nodes, e_od, scores, join_side, group_side, in_col, out_col):
         .groupBy(group_side)
         .agg(F.sum(in_col).alias("_raw"))
     )
-    filled = nodes.join(
-        raw, nodes.doc_id == raw[group_side], "left"
-    ).select(
-        "doc_id",
-        F.coalesce("_raw", F.lit(0).cast("long")).alias("_raw"),
+    # persist: the raw vector feeds BOTH the max agg and the
+    # normalized output — without it the score lineage doubles every
+    # half-sweep (2^sweeps plan growth, recompute to match)
+    filled = (
+        nodes.join(raw, nodes.doc_id == raw[group_side], "left")
+        .select(
+            "doc_id",
+            F.coalesce("_raw", F.lit(0).cast("long")).alias("_raw"),
+        )
+        .persist()
     )
     m = filled.agg(F.max("_raw").alias("_m"))
-    return filled.crossJoin(F.broadcast(m)).select(
-        "doc_id",
-        F.expr(
-            f"_raw div greatest((_m + {NANO - 1}) div {NANO}, 1L)"
-        ).cast("long").alias(out_col),
+    out = (
+        filled.crossJoin(F.broadcast(m))
+        .select(
+            "doc_id",
+            F.expr(
+                f"_raw div greatest((_m + {NANO - 1}) div {NANO}, 1L)"
+            ).cast("long").alias(out_col),
+        )
+        # eager lineage truncation: each half-sweep's score vector
+        # feeds the next through BOTH the gather and its max agg, so
+        # without a checkpoint the analyzed plan doubles per sweep
+        # (observed 70k-line explain at 2 iterations). The N-row
+        # score table is exactly what iterative graph engines
+        # checkpoint; a multi-executor prod run would swap this for
+        # a reliable checkpoint dir to survive executor loss.
+        .localCheckpoint()
     )
+    filled.unpersist()
+    return out
 
 
 def triangle_stats(docs: DataFrame) -> DataFrame:
