@@ -121,6 +121,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "peak_concurrency": q.q_peak_concurrency,
         "zorder_prune": q.q_zorder_prune,
         "view_click_pairs": q.q_view_click_pairs,
+        "pricing_cube": q.q_pricing_cube,
         # corpus curation (analysis/corpusops.py)
         "dup_ngrams": q.q_dup_ngrams,
         "decontaminate": q.q_decontaminate,

@@ -2013,6 +2013,43 @@ def q_pricing_rollup(spark, sf_dir) -> DataFrame:
     )
 
 
+def q_pricing_cube(spark, sf_dir) -> DataFrame:
+    """CUBE grouping sets — completes the warehouse subtotal family
+    next to ROLLUP: all four grouping sets (leaf, per-flag,
+    per-STATUS, grand total) in the same single-exchange expansion;
+    the per-status slice is the one ROLLUP cannot produce. Same
+    exact-integer measures and grouping_id discipline."""
+    from blackedge_ocr_spark.analysis.relational import (
+        Q1_CUTOFF,
+        _cents,
+        _disc_price,
+        _e4,
+    )
+
+    l = spark.read.parquet(f"{sf_dir.rstrip('/')}/lineitem.parquet")
+    dp = _disc_price(F.col("l_extendedprice"), F.col("l_discount"))
+    return (
+        l.filter(F.col("l_shipdate") <= F.to_timestamp(F.lit(Q1_CUTOFF)))
+        .cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.grouping_id().alias("gid"),
+            F.sum(_cents(F.col("l_extendedprice"))).alias(
+                "sum_base_cents"
+            ),
+            F.sum(_e4(dp)).alias("sum_disc_e4"),
+            F.count("*").alias("n_rows"),
+        )
+        .select(
+            "l_returnflag",
+            "l_linestatus",
+            F.col("gid").cast("long").alias("gid"),
+            "sum_base_cents",
+            "sum_disc_e4",
+            "n_rows",
+        )
+    )
+
+
 def q_event_transitions(spark, sf_dir) -> DataFrame:
     """First-order Markov transition counts over each user's
     time-ordered event stream — the sequence-analytics shape (path

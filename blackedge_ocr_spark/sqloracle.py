@@ -769,6 +769,7 @@ def build_oracles() -> dict[str, str]:
         "tpch_q3": sql_tpch_q3(),
         "tpch_q5": sql_tpch_q5(),
         "pricing_rollup": sql_pricing_rollup(),
+        "pricing_cube": sql_pricing_cube(),
         "user_sessions": sql_user_sessions(),
         # the native session_window formulation answers to the SAME
         # oracle as the manual and two-phase variants
@@ -2580,6 +2581,23 @@ SELECT l_returnflag, l_linestatus,
        count(*)::bigint AS n_rows
 FROM lineitem WHERE l_shipdate <= TIMESTAMP '{Q1_CUTOFF}'
 GROUP BY ROLLUP (l_returnflag, l_linestatus)"""
+
+
+def sql_pricing_cube() -> str:
+    """queries.q_pricing_cube mirror: GROUP BY CUBE, same 2-bit
+    grouping id and exact integer measures as the rollup."""
+    from blackedge_ocr_spark.analysis.relational import Q1_CUTOFF
+
+    return f"""
+SELECT l_returnflag, l_linestatus,
+       (2 * grouping(l_returnflag) + grouping(l_linestatus))::bigint
+         AS gid,
+       sum(floor(l_extendedprice * 100.0 + 0.5)::bigint)::bigint
+         AS sum_base_cents,
+       sum({_REV_E4})::bigint AS sum_disc_e4,
+       count(*)::bigint AS n_rows
+FROM lineitem WHERE l_shipdate <= TIMESTAMP '{Q1_CUTOFF}'
+GROUP BY CUBE (l_returnflag, l_linestatus)"""
 
 
 def sql_tpch_q3(k: int = 10) -> str:

@@ -197,3 +197,31 @@ def test_sampled_quantiles_matches_python_mirror(spark):
         assert by[("a", p)]["est"] == pct_cont(sampled, p / 100)
     # source b: single doc, sampled or not — exact always present
     assert by[("b", 50)]["exact"] == 3.0
+
+
+def test_hll_registers_merge_losslessly(spark):
+    """The property that makes the register table a SKETCH: building
+    registers on two disjoint halves of the corpus and max-merging
+    them per (source, bucket) reproduces the single-pass register
+    table EXACTLY (max is associative/commutative), so pre-aggregated
+    per-partition sketch states can be stored and unioned at 100 TB
+    without touching raw tokens again."""
+    import pyspark.sql.functions as F
+
+    from blackedge_ocr_spark.analysis import sketches
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    full = {
+        (r["source"], r["bucket"]): r["m"]
+        for r in sketches.hll_registers(docs).collect()
+    }
+    halves = [
+        sketches.hll_registers(docs.filter(F.col("doc_id") % 2 == i))
+        for i in (0, 1)
+    ]
+    merged = {}
+    for h in halves:
+        for r in h.collect():
+            k = (r["source"], r["bucket"])
+            merged[k] = max(merged.get(k, 0), r["m"])
+    assert merged == full
