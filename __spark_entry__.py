@@ -122,6 +122,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zorder_prune": q.q_zorder_prune,
         "view_click_pairs": q.q_view_click_pairs,
         "pricing_cube": q.q_pricing_cube,
+        "gapfill": q.q_gapfill,
         # corpus curation (analysis/corpusops.py)
         "dup_ngrams": q.q_dup_ngrams,
         "decontaminate": q.q_decontaminate,

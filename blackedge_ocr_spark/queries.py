@@ -2013,6 +2013,59 @@ def q_pricing_rollup(spark, sf_dir) -> DataFrame:
     )
 
 
+def q_gapfill(spark, sf_dir) -> DataFrame:
+    """Time-series gap filling with last-observation-carried-forward
+    — the hypertable family's other half (TimescaleDB
+    ``time_bucket_gapfill`` + ``locf``): every (event_type, hour)
+    slot between each series' first and last observation exists in
+    the output, empty slots carry n_events = 0, gap_filled = true,
+    and the carried total from the latest observed hour.
+
+    Scale shape: the hourly rollup is the same combinable hash agg
+    as q_event_rollup; the spine explode is O(series × span-hours) —
+    bounded by wall-clock duration, not event count — and the LOCF
+    window partitions per series, so a 10^12-event feed with 10^6
+    device series still sorts only span-hours rows per task. First
+    spine slot per series always has data (it IS the series min), so
+    the carried value is never null."""
+    e = spark.read.parquet(f"{sf_dir.rstrip('/')}/events.parquet")
+    hr = F.expr("unix_micros(cast(ts as timestamp)) div 3600000000")
+    hourly = (
+        e.select("event_type", hr.alias("hr"), "value")
+        .groupBy("event_type", "hr")
+        .agg(
+            F.count("*").alias("n_obs"),
+            F.round(F.sum("value"), 3).alias("total_value"),
+        )
+    )
+    spine = (
+        hourly.groupBy("event_type")
+        .agg(F.min("hr").alias("lo"), F.max("hr").alias("hi"))
+        .select(
+            "event_type",
+            F.explode(F.sequence(F.col("lo"), F.col("hi"))).alias("hr"),
+        )
+    )
+    j = spine.join(hourly, ["event_type", "hr"], "left")
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("hr")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return j.select(
+        "event_type",
+        F.date_format(
+            F.timestamp_micros(F.col("hr") * 3_600_000_000),
+            "yyyy-MM-dd HH:mm:ss",
+        ).alias("hour"),
+        F.coalesce("n_obs", F.lit(0)).cast("bigint").alias("n_events"),
+        F.last("total_value", ignorenulls=True).over(w).alias(
+            "total_value_locf"
+        ),
+        F.col("n_obs").isNull().alias("gap_filled"),
+    )
+
+
 def q_pricing_cube(spark, sf_dir) -> DataFrame:
     """CUBE grouping sets — completes the warehouse subtotal family
     next to ROLLUP: all four grouping sets (leaf, per-flag,

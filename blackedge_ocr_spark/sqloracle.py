@@ -770,6 +770,7 @@ def build_oracles() -> dict[str, str]:
         "tpch_q5": sql_tpch_q5(),
         "pricing_rollup": sql_pricing_rollup(),
         "pricing_cube": sql_pricing_cube(),
+        "gapfill": sql_gapfill(),
         "user_sessions": sql_user_sessions(),
         # the native session_window formulation answers to the SAME
         # oracle as the manual and two-phase variants
@@ -2581,6 +2582,36 @@ SELECT l_returnflag, l_linestatus,
        count(*)::bigint AS n_rows
 FROM lineitem WHERE l_shipdate <= TIMESTAMP '{Q1_CUTOFF}'
 GROUP BY ROLLUP (l_returnflag, l_linestatus)"""
+
+
+def sql_gapfill() -> str:
+    """queries.q_gapfill mirror: same hourly rollup, per-series
+    range() spine, LOCF via last_value IGNORE NULLS."""
+    return """
+WITH hourly AS (
+  SELECT event_type, epoch_us(ts) // 3600000000 AS hr,
+         count(*)::bigint AS n_obs, round(sum(value), 3) AS total_value
+  FROM events GROUP BY event_type, hr
+),
+spine AS (
+  SELECT event_type, unnest(range(lo, hi + 1)) AS hr
+  FROM (SELECT event_type, min(hr) AS lo, max(hr) AS hi
+        FROM hourly GROUP BY event_type)
+),
+j AS (
+  SELECT s.event_type, s.hr, h.n_obs, h.total_value
+  FROM spine s LEFT JOIN hourly h
+    ON h.event_type = s.event_type AND h.hr = s.hr
+)
+SELECT event_type,
+       strftime(make_timestamp(hr * 3600000000), '%Y-%m-%d %H:%M:%S')
+         AS hour,
+       coalesce(n_obs, 0)::bigint AS n_events,
+       last_value(total_value IGNORE NULLS)
+         OVER (PARTITION BY event_type ORDER BY hr
+               ROWS UNBOUNDED PRECEDING) AS total_value_locf,
+       n_obs IS NULL AS gap_filled
+FROM j"""
 
 
 def sql_pricing_cube() -> str:

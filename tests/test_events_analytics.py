@@ -285,3 +285,40 @@ def test_peak_concurrency_gap_splits_sessions(spark, tmp_path):
     ]
     out = _concurrency_on(spark, tmp_path, rows)
     assert out["2024-01-01"] == (1, 2, 2, 0)
+
+
+def test_gapfill_locf_semantics(spark, tmp_path):
+    """Crafted series: type 'a' observes hours 10 and 13 (value 1.5
+    then 2.5) — hours 11/12 must exist, carry 1.5, and be flagged
+    filled; type 'b' has no gaps and no filled rows."""
+    rows = [
+        (1, "a", 1, 10, 0, 0, 0),
+        (2, "a", 1, 13, 0, 0, 0),
+        (3, "b", 1, 5, 0, 0, 0),
+        (4, "b", 1, 6, 0, 0, 0),
+    ]
+    path = str(tmp_path / "gf")
+    df = _events(spark, rows)
+    # distinct values so the carried total is attributable
+    df = df.withColumn(
+        "value",
+        F.when(F.col("event_id") == 0, 1.5)
+        .when(F.col("event_id") == 1, 2.5)
+        .otherwise(1.0),
+    )
+    df.write.mode("overwrite").parquet(path + "/events.parquet")
+    out = {
+        (r["event_type"], r["hour"]): (
+            r["n_events"],
+            r["total_value_locf"],
+            r["gap_filled"],
+        )
+        for r in q.q_gapfill(spark, path).collect()
+    }
+    assert len(out) == 6  # a: 10..13 (4 slots), b: 5..6 (2 slots)
+    assert out[("a", "2024-01-01 10:00:00")] == (1, 1.5, False)
+    assert out[("a", "2024-01-01 11:00:00")] == (0, 1.5, True)
+    assert out[("a", "2024-01-01 12:00:00")] == (0, 1.5, True)
+    assert out[("a", "2024-01-01 13:00:00")] == (1, 2.5, False)
+    assert out[("b", "2024-01-01 05:00:00")] == (1, 1.0, False)
+    assert out[("b", "2024-01-01 06:00:00")] == (1, 1.0, False)
