@@ -123,6 +123,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "view_click_pairs": q.q_view_click_pairs,
         "pricing_cube": q.q_pricing_cube,
         "gapfill": q.q_gapfill,
+        "hour_anomalies": q.q_hour_anomalies,
         # corpus curation (analysis/corpusops.py)
         "dup_ngrams": q.q_dup_ngrams,
         "decontaminate": q.q_decontaminate,

@@ -2066,6 +2066,54 @@ def q_gapfill(spark, sf_dir) -> DataFrame:
     )
 
 
+def q_hour_anomalies(spark, sf_dir) -> DataFrame:
+    """Per-series statistical anomaly flags: hours whose event count
+    deviates > 3σ from the series' own (population) mean — the
+    monitoring-alert shape over the same hourly rollup the gapfill
+    and hypertable queries share.
+
+    Determinism without a rounding grid: the z-test is evaluated as
+    the cross-multiplied inequality
+        (m·x − S)² > 9 · (m·SS − S²)
+    (m hours, S = Σx, SS = Σx²; all exact int64 aggregates) — no
+    division, no sqrt, no mean materialized. The comparison runs in
+    double AFTER the exact integer aggregation: both engines convert
+    the same int64s and execute the same IEEE op sequence, so the
+    flags are identical even where SS exceeds double's 2^53 integer
+    range. σ = 0 series flag nothing by the rhs > 0 guard.
+
+    Scale shape: combinable (type, hour) count agg, a |series|-row
+    moment agg, broadcast join back — no window at all."""
+    e = spark.read.parquet(f"{sf_dir.rstrip('/')}/events.parquet")
+    hr = F.expr("unix_micros(cast(ts as timestamp)) div 3600000000")
+    hourly = (
+        e.select("event_type", hr.alias("hr"))
+        .groupBy("event_type", "hr")
+        .agg(F.count("*").alias("x"))
+    )
+    stats = hourly.groupBy("event_type").agg(
+        F.count("*").alias("m"),
+        F.sum("x").alias("s"),
+        F.sum(F.col("x") * F.col("x")).alias("ss"),
+    )
+    j = hourly.join(F.broadcast(stats), "event_type")
+    md = F.col("m").cast("double")
+    sd = F.col("s").cast("double")
+    ssd = F.col("ss").cast("double")
+    xd = F.col("x").cast("double")
+    lhs = (md * xd - sd) * (md * xd - sd)
+    rhs = md * ssd - sd * sd
+    return j.select(
+        "event_type",
+        F.date_format(
+            F.timestamp_micros(F.col("hr") * 3_600_000_000),
+            "yyyy-MM-dd HH:mm:ss",
+        ).alias("hour"),
+        F.col("x").cast("bigint").alias("n_events"),
+        ((rhs > 0) & (lhs > F.lit(9.0) * rhs)).alias("is_anomaly"),
+    )
+
+
 def q_pricing_cube(spark, sf_dir) -> DataFrame:
     """CUBE grouping sets — completes the warehouse subtotal family
     next to ROLLUP: all four grouping sets (leaf, per-flag,

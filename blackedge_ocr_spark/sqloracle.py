@@ -771,6 +771,7 @@ def build_oracles() -> dict[str, str]:
         "pricing_rollup": sql_pricing_rollup(),
         "pricing_cube": sql_pricing_cube(),
         "gapfill": sql_gapfill(),
+        "hour_anomalies": sql_hour_anomalies(),
         "user_sessions": sql_user_sessions(),
         # the native session_window formulation answers to the SAME
         # oracle as the manual and two-phase variants
@@ -2612,6 +2613,32 @@ SELECT event_type,
                ROWS UNBOUNDED PRECEDING) AS total_value_locf,
        n_obs IS NULL AS gap_filled
 FROM j"""
+
+
+def sql_hour_anomalies() -> str:
+    """queries.q_hour_anomalies mirror: same exact-int64 moments,
+    same cross-multiplied 3σ inequality in double."""
+    return """
+WITH hourly AS (
+  SELECT event_type, epoch_us(ts) // 3600000000 AS hr,
+         count(*)::bigint AS x
+  FROM events GROUP BY event_type, hr
+),
+stats AS (
+  SELECT event_type, count(*)::bigint AS m, sum(x)::bigint AS s,
+         sum(x * x)::bigint AS ss
+  FROM hourly GROUP BY event_type
+)
+SELECT h.event_type,
+       strftime(make_timestamp(hr * 3600000000), '%Y-%m-%d %H:%M:%S')
+         AS hour,
+       x AS n_events,
+       (m::double * ss::double - s::double * s::double > 0
+        AND (m::double * x::double - s::double)
+            * (m::double * x::double - s::double)
+            > 9.0 * (m::double * ss::double - s::double * s::double))
+         AS is_anomaly
+FROM hourly h JOIN stats USING (event_type)"""
 
 
 def sql_pricing_cube() -> str:

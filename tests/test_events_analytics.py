@@ -322,3 +322,29 @@ def test_gapfill_locf_semantics(spark, tmp_path):
     assert out[("a", "2024-01-01 13:00:00")] == (1, 2.5, False)
     assert out[("b", "2024-01-01 05:00:00")] == (1, 1.0, False)
     assert out[("b", "2024-01-01 06:00:00")] == (1, 1.0, False)
+
+
+def test_hour_anomalies_flags_spike_not_flat(spark, tmp_path):
+    """Type 'a': 23 quiet hours (1 event) + one 50-event spike —
+    only the spike crosses 3 population sigmas. Type 'b' is
+    perfectly flat: sigma = 0 and the rhs>0 guard flags nothing."""
+    rows = []
+    eid = 0
+    for h in range(23):
+        rows.append((1, "a", 1, h, 0, 0, eid)); eid += 1
+    for i in range(50):
+        rows.append((1, "a", 1, 23, i, 0, eid)); eid += 1
+    for h in range(4):
+        rows.append((2, "b", 1, h, 0, 0, eid)); eid += 1
+    path = str(tmp_path / "an")
+    _events(spark, [(u, t, d, h, m, s, us) for (u, t, d, h, m, s, us) in rows]).write.mode(
+        "overwrite"
+    ).parquet(path + "/events.parquet")
+    out = {
+        (r["event_type"], r["hour"]): (r["n_events"], r["is_anomaly"])
+        for r in q.q_hour_anomalies(spark, path).collect()
+    }
+    flagged = {k for k, v in out.items() if v[1]}
+    assert flagged == {("a", "2024-01-01 23:00:00")}
+    assert out[("a", "2024-01-01 23:00:00")][0] == 50
+    assert all(not v[1] for k, v in out.items() if k[0] == "b")
