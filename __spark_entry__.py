@@ -124,6 +124,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pricing_cube": q.q_pricing_cube,
         "gapfill": q.q_gapfill,
         "hour_anomalies": q.q_hour_anomalies,
+        "value_ranks": q.q_value_ranks,
+        "daily_pivot": q.q_daily_pivot,
         # corpus curation (analysis/corpusops.py)
         "dup_ngrams": q.q_dup_ngrams,
         "decontaminate": q.q_decontaminate,

@@ -2066,6 +2066,65 @@ def q_gapfill(spark, sf_dir) -> DataFrame:
     )
 
 
+def q_value_ranks(spark, sf_dir) -> DataFrame:
+    """The ranking-window family in one pass — rank, dense_rank,
+    percent_rank, cume_dist per event_type ordered by value
+    (head-40 slice per type for a bounded contract output).
+    Ties share rank by ORDER BY value alone; percent_rank/cume_dist
+    are the standard rational formulas — identical doubles in both
+    engines given identical integer inputs. One exchange on
+    event_type; at scale the per-type partition sort is the
+    irreducible cost of ranking, capped per task by the type
+    cardinality split."""
+    e = spark.read.parquet(f"{sf_dir.rstrip('/')}/events.parquet")
+    w = Window.partitionBy("event_type").orderBy("value")
+    ranked = e.select(
+        "event_type",
+        "event_id",
+        F.round("value", 3).alias("value"),
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+        F.round(F.percent_rank().over(w), 6).alias("prnk"),
+        F.round(F.cume_dist().over(w), 6).alias("cdist"),
+    )
+    return ranked.filter(F.col("rnk") <= 40).select(
+        "event_type",
+        F.col("event_id").cast("bigint").alias("event_id"),
+        "value",
+        F.col("rnk").cast("bigint").alias("rnk"),
+        F.col("drnk").cast("bigint").alias("drnk"),
+        "prnk",
+        "cdist",
+    )
+
+
+PIVOT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+def q_daily_pivot(spark, sf_dir) -> DataFrame:
+    """Crosstab (PIVOT): one row per day, one count column per event
+    type — the reporting shape. Spark's pivot with an EXPLICIT value
+    list stays a single combinable hash agg (no extra pass to
+    discover the pivot domain — at 10^12 rows that discovery scan is
+    the cost to avoid); the oracle is the equivalent FILTER
+    conditional aggregation."""
+    e = spark.read.parquet(f"{sf_dir.rstrip('/')}/events.parquet")
+    day = F.date_format(F.col("ts").cast("timestamp"), "yyyy-MM-dd")
+    out = (
+        e.select(day.alias("day"), "event_type")
+        .groupBy("day")
+        .pivot("event_type", list(PIVOT_TYPES))
+        .count()
+    )
+    return out.select(
+        "day",
+        *[
+            F.coalesce(F.col(t), F.lit(0)).cast("bigint").alias(f"n_{t}")
+            for t in PIVOT_TYPES
+        ],
+    )
+
+
 def q_hour_anomalies(spark, sf_dir) -> DataFrame:
     """Per-series statistical anomaly flags: hours whose event count
     deviates > 3σ from the series' own (population) mean — the

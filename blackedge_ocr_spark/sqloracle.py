@@ -772,6 +772,8 @@ def build_oracles() -> dict[str, str]:
         "pricing_cube": sql_pricing_cube(),
         "gapfill": sql_gapfill(),
         "hour_anomalies": sql_hour_anomalies(),
+        "value_ranks": sql_value_ranks(),
+        "daily_pivot": sql_daily_pivot(),
         "user_sessions": sql_user_sessions(),
         # the native session_window formulation answers to the SAME
         # oracle as the manual and two-phase variants
@@ -2613,6 +2615,41 @@ SELECT event_type,
                ROWS UNBOUNDED PRECEDING) AS total_value_locf,
        n_obs IS NULL AS gap_filled
 FROM j"""
+
+
+def sql_value_ranks() -> str:
+    """queries.q_value_ranks mirror: same window frame, same
+    rational formulas, head-40 by rank."""
+    return """
+WITH r AS (
+  SELECT event_type, event_id, value,
+         rank() OVER w AS rnk,
+         dense_rank() OVER w AS drnk,
+         percent_rank() OVER w AS prnk,
+         cume_dist() OVER w AS cdist
+  FROM events
+  WINDOW w AS (PARTITION BY event_type ORDER BY value)
+)
+SELECT event_type, event_id::bigint AS event_id,
+       round(value, 3) AS value,
+       rnk::bigint AS rnk, drnk::bigint AS drnk,
+       round(prnk, 6) AS prnk, round(cdist, 6) AS cdist
+FROM r WHERE rnk <= 40"""
+
+
+def sql_daily_pivot() -> str:
+    """queries.q_daily_pivot mirror: FILTER conditional aggregation
+    over the same fixed pivot domain."""
+    from blackedge_ocr_spark.queries import PIVOT_TYPES
+
+    cols = ",\n       ".join(
+        f"count(*) FILTER (WHERE event_type = '{t}')::bigint AS n_{t}"
+        for t in PIVOT_TYPES
+    )
+    return f"""
+SELECT strftime(ts, '%Y-%m-%d') AS day,
+       {cols}
+FROM events GROUP BY day"""
 
 
 def sql_hour_anomalies() -> str:
