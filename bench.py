@@ -82,6 +82,11 @@ BENCH_QUERIES = (
     "link_hits",
     "triangle_stats",
     "view_click_pairs",
+    "gapfill",
+    "hour_anomalies",
+    "value_ranks",
+    "daily_pivot",
+    "pricing_cube",
 )
 
 

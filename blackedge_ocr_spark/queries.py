@@ -2103,25 +2103,26 @@ PIVOT_TYPES = ("click", "error", "purchase", "signup", "view")
 
 def q_daily_pivot(spark, sf_dir) -> DataFrame:
     """Crosstab (PIVOT): one row per day, one count column per event
-    type — the reporting shape. Spark's pivot with an EXPLICIT value
-    list stays a single combinable hash agg (no extra pass to
-    discover the pivot domain — at 10^12 rows that discovery scan is
-    the cost to avoid); the oracle is the equivalent FILTER
-    conditional aggregation."""
+    type — the reporting shape, written as ONE conditional hash agg.
+    Two deliberate choices for 10^12 rows: an EXPLICIT pivot domain
+    (no discovery scan over the corpus to learn the column set), and
+    the count-FILTER lowering instead of ``DataFrame.pivot`` — the
+    built-in pivot first aggregates on (day, type) and re-aggregates
+    on day, paying a second exchange for nothing when the domain is
+    already known (measured: 2 exchanges vs 1 here, same output)."""
     e = spark.read.parquet(f"{sf_dir.rstrip('/')}/events.parquet")
     day = F.date_format(F.col("ts").cast("timestamp"), "yyyy-MM-dd")
-    out = (
+    return (
         e.select(day.alias("day"), "event_type")
         .groupBy("day")
-        .pivot("event_type", list(PIVOT_TYPES))
-        .count()
-    )
-    return out.select(
-        "day",
-        *[
-            F.coalesce(F.col(t), F.lit(0)).cast("bigint").alias(f"n_{t}")
-            for t in PIVOT_TYPES
-        ],
+        .agg(
+            *[
+                F.count(F.when(F.col("event_type") == t, 1))
+                .cast("bigint")
+                .alias(f"n_{t}")
+                for t in PIVOT_TYPES
+            ]
+        )
     )
 
 
