@@ -126,6 +126,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hour_anomalies": q.q_hour_anomalies,
         "value_ranks": q.q_value_ranks,
         "daily_pivot": q.q_daily_pivot,
+        "type_quantiles": q.q_type_quantiles,
+        "moving_stats": q.q_moving_stats,
         # corpus curation (analysis/corpusops.py)
         "dup_ngrams": q.q_dup_ngrams,
         "decontaminate": q.q_decontaminate,

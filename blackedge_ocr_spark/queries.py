@@ -2066,6 +2066,76 @@ def q_gapfill(spark, sf_dir) -> DataFrame:
     )
 
 
+def q_type_quantiles(spark, sf_dir) -> DataFrame:
+    """Exact per-group quantiles (p25/p50/p75/p95/p99 of value per
+    event_type): Spark's ``percentile`` and DuckDB's
+    ``quantile_cont`` share the (n−1)·p linear-interpolation
+    definition, so the rounded outputs hash-match (probed, not
+    assumed). Scale note: the exact aggregate buffers each group's
+    values — correct for bounded-cardinality groups like these; the
+    corpus-scale unbounded path is `sampled_quantiles`' deterministic
+    hash-sample, which answers to THIS spec."""
+    e = spark.read.parquet(f"{sf_dir.rstrip('/')}/events.parquet")
+    qs = {"p25": 0.25, "p50": 0.5, "p75": 0.75, "p95": 0.95, "p99": 0.99}
+    return e.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n"),
+        *[
+            F.round(F.expr(f"percentile(value, {p})"), 6).alias(name)
+            for name, p in qs.items()
+        ],
+    )
+
+
+def q_moving_stats(spark, sf_dir) -> DataFrame:
+    """Bounded-frame sliding window — the one window shape the rest
+    of the surface doesn't exercise (everything else is unbounded
+    running or grouped): a centered ±3-hour frame over each series'
+    hourly counts, emitting the frame's exact integer sum/slots/min/
+    max and the micro-rounded mean. Frames are ROWS-based over the
+    gapless hourly grid (every hour in [min, max] exists after the
+    rollup's spine — reusing the gapfill spine so edge frames are
+    honest 4..6-slot windows, not silently shrunk by missing hours).
+    One series-partitioned window, O(span-hours) rows per task."""
+    e = spark.read.parquet(f"{sf_dir.rstrip('/')}/events.parquet")
+    hr = F.expr("unix_micros(cast(ts as timestamp)) div 3600000000")
+    hourly = (
+        e.select("event_type", hr.alias("hr"))
+        .groupBy("event_type", "hr")
+        .agg(F.count("*").alias("x"))
+    )
+    spine = (
+        hourly.groupBy("event_type")
+        .agg(F.min("hr").alias("lo"), F.max("hr").alias("hi"))
+        .select(
+            "event_type",
+            F.explode(F.sequence(F.col("lo"), F.col("hi"))).alias("hr"),
+        )
+    )
+    grid = spine.join(hourly, ["event_type", "hr"], "left").select(
+        "event_type", "hr", F.coalesce("x", F.lit(0)).alias("x")
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("hr")
+        .rowsBetween(-3, 3)
+    )
+    s = F.sum("x").over(w)
+    n = F.count("x").over(w)
+    return grid.select(
+        "event_type",
+        F.date_format(
+            F.timestamp_micros(F.col("hr") * 3_600_000_000),
+            "yyyy-MM-dd HH:mm:ss",
+        ).alias("hour"),
+        F.col("x").cast("bigint").alias("n_events"),
+        s.cast("bigint").alias("frame_sum"),
+        n.cast("bigint").alias("frame_slots"),
+        F.min("x").over(w).cast("bigint").alias("frame_min"),
+        F.max("x").over(w).cast("bigint").alias("frame_max"),
+        F.round(s.cast("double") / n.cast("double"), 6).alias("frame_avg"),
+    )
+
+
 def q_value_ranks(spark, sf_dir) -> DataFrame:
     """The ranking-window family in one pass — rank, dense_rank,
     percent_rank, cume_dist per event_type ordered by value

@@ -774,6 +774,8 @@ def build_oracles() -> dict[str, str]:
         "hour_anomalies": sql_hour_anomalies(),
         "value_ranks": sql_value_ranks(),
         "daily_pivot": sql_daily_pivot(),
+        "type_quantiles": sql_type_quantiles(),
+        "moving_stats": sql_moving_stats(),
         "user_sessions": sql_user_sessions(),
         # the native session_window formulation answers to the SAME
         # oracle as the manual and two-phase variants
@@ -2615,6 +2617,54 @@ SELECT event_type,
                ROWS UNBOUNDED PRECEDING) AS total_value_locf,
        n_obs IS NULL AS gap_filled
 FROM j"""
+
+
+def sql_type_quantiles() -> str:
+    """queries.q_type_quantiles mirror: quantile_cont shares Spark
+    percentile's (n-1)·p interpolation."""
+    qs = {"p25": 0.25, "p50": 0.5, "p75": 0.75, "p95": 0.95, "p99": 0.99}
+    cols = ",\n       ".join(
+        f"round(quantile_cont(value, {p}), 6) AS {name}"
+        for name, p in qs.items()
+    )
+    return f"""
+SELECT event_type, count(*)::bigint AS n,
+       {cols}
+FROM events GROUP BY event_type"""
+
+
+def sql_moving_stats() -> str:
+    """queries.q_moving_stats mirror: same gapless hourly grid, same
+    ROWS ±3 frame."""
+    return """
+WITH hourly AS (
+  SELECT event_type, epoch_us(ts) // 3600000000 AS hr,
+         count(*)::bigint AS x
+  FROM events GROUP BY event_type, hr
+),
+spine AS (
+  SELECT event_type, unnest(range(lo, hi + 1)) AS hr
+  FROM (SELECT event_type, min(hr) AS lo, max(hr) AS hi
+        FROM hourly GROUP BY event_type)
+),
+grid AS (
+  SELECT s.event_type, s.hr, coalesce(h.x, 0) AS x
+  FROM spine s LEFT JOIN hourly h
+    ON h.event_type = s.event_type AND h.hr = s.hr
+)
+SELECT event_type,
+       strftime(make_timestamp(hr * 3600000000), '%Y-%m-%d %H:%M:%S')
+         AS hour,
+       x::bigint AS n_events,
+       sum(x) OVER w::bigint AS frame_sum,
+       count(x) OVER w::bigint AS frame_slots,
+       min(x) OVER w::bigint AS frame_min,
+       max(x) OVER w::bigint AS frame_max,
+       round((sum(x) OVER w)::double / (count(x) OVER w)::double, 6)
+         AS frame_avg
+FROM grid
+WINDOW w AS (PARTITION BY event_type ORDER BY hr
+             ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)"""
 
 
 def sql_value_ranks() -> str:
