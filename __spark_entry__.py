@@ -68,6 +68,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "trustrank": q.q_trustrank,
         "link_hits": q.q_link_hits,
         "triangle_stats": q.q_triangle_stats,
+        "label_propagation": q.q_label_propagation,
         "embedding_neardup": q.q_embedding_neardup,
         "embedding_neardup_lsh": q.q_embedding_neardup_lsh,
         "neardup_recall": q.q_neardup_recall,

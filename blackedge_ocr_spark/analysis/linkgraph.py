@@ -406,3 +406,67 @@ def triangle_stats(docs: DataFrame) -> DataFrame:
         .otherwise(F.lit(0.0))
         .alias("clustering"),
     )
+
+
+LPA_ITERS = 2       # synchronous sweeps; unrolled in the oracle
+_LPA_B = 1 << 32    # pack base: count*B - label, argmax = (max cnt, min label)
+
+
+def label_propagation(docs: DataFrame, iters: int = LPA_ITERS) -> DataFrame:
+    """Synchronous label-propagation communities (Raghavan et al.
+    2007) over the undirected link graph: every node starts as its
+    own label; each sweep adopts the MOST FREQUENT label among
+    neighbors, ties broken toward the SMALLEST label — the
+    deterministic variant (classic LPA tie-breaks randomly, which
+    would be unverifiable across engines). Returns (doc_id, label,
+    community_size) after ``iters`` sweeps.
+
+    The per-node argmax never sorts: neighbor-label counts pack into
+    one int64 ``cnt·2^32 − label`` whose plain max() IS (max count,
+    min label) — the same packed-argmax discipline as the keeper
+    queries; the label unpacks arithmetically. Per sweep: one O(E)
+    gather join + two combinable hash aggs; label vectors
+    localCheckpoint like the HITS sweeps (same doubling lineage).
+    Count bound: cnt ≤ max in-degree ≈ N/16, so the pack stays well
+    under 2^63 through 10^9-node graphs.
+    """
+    edges = link_edges(docs)
+    und = (
+        edges.select(F.col("src").alias("v"), F.col("dst").alias("u"))
+        .unionByName(
+            edges.select(F.col("dst").alias("v"), F.col("src").alias("u"))
+        )
+        .distinct()
+        .persist()
+    )
+    nodes = docs.select(F.col("doc_id").cast("long").alias("doc_id"))
+    labels = nodes.select("doc_id", F.col("doc_id").alias("lbl"))
+    for _ in range(iters):
+        neigh = (
+            und.join(labels.withColumnRenamed("doc_id", "u"), "u")
+            .groupBy("v", "lbl")
+            .agg(F.count("*").alias("cnt"))
+        )
+        packed = neigh.groupBy("v").agg(
+            F.max(F.col("cnt") * F.lit(_LPA_B) - F.col("lbl")).alias("pk")
+        )
+        # unpack: cnt = ceil(pk / B), lbl = cnt*B - pk
+        new_lbl = F.expr(f"(pk + {_LPA_B - 1}) div {_LPA_B} * {_LPA_B} - pk")
+        labels = (
+            nodes.join(packed, nodes.doc_id == packed.v, "left")
+            .select(
+                "doc_id",
+                F.coalesce(new_lbl, F.col("doc_id")).cast("long").alias(
+                    "lbl"
+                ),
+            )
+            .localCheckpoint()
+        )
+    sizes = labels.groupBy("lbl").agg(
+        F.count("*").cast("long").alias("community_size")
+    )
+    return labels.join(sizes, "lbl").select(
+        "doc_id",
+        F.col("lbl").cast("bigint").alias("label"),
+        F.col("community_size").cast("bigint"),
+    )

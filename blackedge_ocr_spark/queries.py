@@ -594,6 +594,17 @@ def q_triangle_stats(spark, sf_dir) -> DataFrame:
     return linkgraph.triangle_stats(d)
 
 
+def q_label_propagation(spark, sf_dir) -> DataFrame:
+    """Deterministic label-propagation communities over the link
+    graph (most-frequent neighbor label, smallest-label tie-break)
+    — the community-detection member of the graph family; packed
+    int64 argmax, no sort, per-sweep checkpointed labels."""
+    from blackedge_ocr_spark.analysis import linkgraph
+
+    d = spark.read.parquet(f"{sf_dir.rstrip('/')}/documents.parquet")
+    return linkgraph.label_propagation(d)
+
+
 def q_dim_recall(spark, sf_dir) -> DataFrame:
     """recall@5 of truncated-prefix (Matryoshka) exact scans vs the
     full-dim baseline, all cuts scored in ONE corpus pass — the curve

@@ -722,6 +722,7 @@ def build_oracles() -> dict[str, str]:
         "trustrank": sql_trustrank(),
         "link_hits": sql_hits(),
         "triangle_stats": sql_triangle_stats(),
+        "label_propagation": sql_label_propagation(),
         "embedding_neardup": sql_embedding_neardup(),
         "embedding_neardup_lsh": sql_embedding_neardup_lsh(),
         "neardup_recall": sql_neardup_recall(),
@@ -1555,6 +1556,52 @@ SELECT n.doc_id, a.a AS authority, h.h AS hub
 FROM n
 JOIN a{it} a ON a.doc_id = n.doc_id
 JOIN h{it} h ON h.doc_id = n.doc_id"""
+
+
+def sql_label_propagation(iters: int | None = None) -> str:
+    """linkgraph.label_propagation mirror: same undirected edges,
+    unrolled sweeps with the identical cnt·2^32−lbl packed argmax."""
+    from blackedge_ocr_spark.analysis import linkgraph as lg
+
+    it = iters if iters is not None else lg.LPA_ITERS
+    B = lg._LPA_B
+    parts = [
+        "n AS (SELECT doc_id::bigint AS doc_id FROM documents)",
+        "cnt AS (SELECT count(*)::bigint AS n FROM n)",
+        f"""edges AS (
+  SELECT DISTINCT src, dst FROM (
+    SELECT doc_id AS src, doc_id % {lg.PR_HUBS} AS dst FROM n
+    UNION ALL
+    SELECT doc_id, (doc_id * doc_id + 1) % c.n FROM n, cnt c
+    UNION ALL
+    SELECT doc_id, (doc_id * 3 + 7) % c.n FROM n, cnt c)
+  WHERE src != dst AND dst IN (SELECT doc_id FROM n))""",
+        """und AS (SELECT DISTINCT v, u FROM (
+  SELECT src AS v, dst AS u FROM edges
+  UNION ALL SELECT dst, src FROM edges))""",
+        "l0 AS (SELECT doc_id, doc_id AS lbl FROM n)",
+    ]
+    for i in range(1, it + 1):
+        parts += [
+            f"""g{i} AS (
+  SELECT e.v, l.lbl, count(*)::bigint AS cnt2
+  FROM und e JOIN l{i - 1} l ON l.doc_id = e.u
+  GROUP BY e.v, l.lbl)""",
+            f"""p{i} AS (
+  SELECT v, max(cnt2 * {B} - lbl)::bigint AS pk FROM g{i} GROUP BY v)""",
+            f"""l{i} AS (
+  SELECT n.doc_id,
+         coalesce((pk + {B - 1}) // {B} * {B} - pk,
+                  n.doc_id)::bigint AS lbl
+  FROM n LEFT JOIN p{i} p ON p.v = n.doc_id)""",
+        ]
+    ctes = ",\n".join(parts)
+    return f"""
+WITH {ctes},
+sizes AS (SELECT lbl, count(*)::bigint AS community_size
+          FROM l{it} GROUP BY lbl)
+SELECT l.doc_id, l.lbl AS label, s.community_size
+FROM l{it} l JOIN sizes s ON s.lbl = l.lbl"""
 
 
 def sql_triangle_stats() -> str:

@@ -221,3 +221,42 @@ def test_triangle_stats_matches_brute_force(spark):
     assert row["clustering"] == math.floor(
         3 * tris / wedges * 1e6 + 0.5
     ) / 1e6
+
+
+def test_label_propagation_matches_pure_python_model(spark):
+    """Deterministic LPA vs an independent dict/loop model: adopt
+    the most frequent neighbor label, ties to the smallest label."""
+    from blackedge_ocr_spark.analysis import linkgraph as lg
+
+    ids = list(range(60))
+    n = len(ids)
+    und = set()
+    for s in ids:
+        for d in (s % lg.PR_HUBS, (s * s + 1) % n, (s * 3 + 7) % n):
+            if d != s:
+                und.add((s, d)); und.add((d, s))
+    lbl = {v: v for v in ids}
+    for _ in range(lg.LPA_ITERS):
+        cnt = {}
+        for v, u in und:
+            k = (v, lbl[u])
+            cnt[k] = cnt.get(k, 0) + 1
+        new = {}
+        for v in ids:
+            cands = [(c, l) for (vv, l), c in cnt.items() if vv == v]
+            best = max(cands, key=lambda t: (t[0], -t[1]))
+            new[v] = best[1]
+        lbl = new
+    sizes = {}
+    for v in ids:
+        sizes[lbl[v]] = sizes.get(lbl[v], 0) + 1
+
+    docs = spark.createDataFrame([(i,) for i in ids], "doc_id long")
+    got = {
+        r["doc_id"]: (r["label"], r["community_size"])
+        for r in lg.label_propagation(docs).collect()
+    }
+    for v in ids:
+        assert got[v] == (lbl[v], sizes[lbl[v]]), v
+    # communities actually form: fewer labels than nodes
+    assert len({l for l, _ in got.values()}) < len(ids)
