@@ -2165,34 +2165,63 @@ def q_moving_stats(spark, sf_dir) -> DataFrame:
 
 
 def q_value_ranks(spark, sf_dir) -> DataFrame:
-    """The ranking-window family in one pass — rank, dense_rank,
-    percent_rank, cume_dist per event_type ordered by value
-    (head-40 slice per type for a bounded contract output).
-    Ties share rank by ORDER BY value alone; percent_rank/cume_dist
-    are the standard rational formulas — identical doubles in both
-    engines given identical integer inputs. One exchange on
-    event_type; at scale the per-type partition sort is the
-    irreducible cost of ranking, capped per task by the type
-    cardinality split."""
+    """The ranking-window family — rank, dense_rank, percent_rank,
+    cume_dist per event_type ordered by value, head-40 slice per
+    type — WITHOUT ever sorting a whole type in one task (5 types ⇒
+    5 straggler sorts at 10^12 rows in the naive window form).
+
+    Scale path: each SCAN partition keeps its local rank ≤ K rows
+    (small per-task sorts over (type, partition_id)); a row with
+    global rank ≤ K has < K strictly-smaller rows in total, hence in
+    its own partition, so it always survives — and every row with
+    value ≤ a surviving head value survives too (its partition would
+    otherwise prove ≥ K smaller globally). The final exact window
+    therefore sees ALL rows needed: global rank and dense_rank on
+    survivors equal the full-corpus values within the head, and
+    percent_rank/cume_dist are rebuilt from the broadcast per-type
+    TOTALS — (rank−1)/(n−1) and (rank+ties−1)/n — not from
+    survivor-relative window counts, which would silently use the
+    pruned cardinality. Final-window input is O(tasks × K + ties),
+    independent of corpus size. The pruning boundary depends on the
+    physical partitioning; the OUTPUT provably does not."""
     e = spark.read.parquet(f"{sf_dir.rstrip('/')}/events.parquet")
+    k = 40
+    base = e.select(
+        "event_type", "event_id", "value", F.spark_partition_id().alias("_pid")
+    )
+    wp = Window.partitionBy("event_type", "_pid").orderBy("value")
+    surv = (
+        base.withColumn("_lr", F.rank().over(wp))
+        .filter(F.col("_lr") <= k)
+        .drop("_lr", "_pid")
+    )
+    totals = e.groupBy("event_type").agg(F.count("*").alias("n"))
     w = Window.partitionBy("event_type").orderBy("value")
-    ranked = e.select(
+    ties = Window.partitionBy("event_type", "value")
+    ranked = surv.select(
         "event_type",
         "event_id",
-        F.round("value", 3).alias("value"),
+        "value",
         F.rank().over(w).alias("rnk"),
         F.dense_rank().over(w).alias("drnk"),
-        F.round(F.percent_rank().over(w), 6).alias("prnk"),
-        F.round(F.cume_dist().over(w), 6).alias("cdist"),
-    )
-    return ranked.filter(F.col("rnk") <= 40).select(
+        F.count("*").over(ties).alias("_tie"),
+    ).filter(F.col("rnk") <= k)
+    return ranked.join(F.broadcast(totals), "event_type").select(
         "event_type",
         F.col("event_id").cast("bigint").alias("event_id"),
-        "value",
+        F.round("value", 3).alias("value"),
         F.col("rnk").cast("bigint").alias("rnk"),
         F.col("drnk").cast("bigint").alias("drnk"),
-        "prnk",
-        "cdist",
+        F.round(
+            (F.col("rnk") - 1).cast("double")
+            / (F.col("n") - 1).cast("double"),
+            6,
+        ).alias("prnk"),
+        F.round(
+            (F.col("rnk") + F.col("_tie") - 1).cast("double")
+            / F.col("n").cast("double"),
+            6,
+        ).alias("cdist"),
     )
 
 

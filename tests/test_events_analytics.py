@@ -348,3 +348,53 @@ def test_hour_anomalies_flags_spike_not_flat(spark, tmp_path):
     assert flagged == {("a", "2024-01-01 23:00:00")}
     assert out[("a", "2024-01-01 23:00:00")][0] == 50
     assert all(not v[1] for k, v in out.items() if k[0] == "b")
+
+
+def test_value_ranks_prune_is_partition_invariant(spark, tmp_path):
+    """The partition-local top-K prune must be invisible in the
+    output: the same corpus stored as 1 file and as 7 shuffled
+    files yields identical rows, and both equal the naive
+    full-window computation."""
+    import pyspark.sql.functions as F
+    from pyspark.sql import Window
+
+    src = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    one = str(tmp_path / "one")
+    many = str(tmp_path / "many")
+    src.coalesce(1).write.parquet(one + "/events.parquet")
+    # scramble rows across 7 files so partition-local ranks differ
+    src.repartition(7, F.col("event_id") % 7).write.parquet(
+        many + "/events.parquet"
+    )
+
+    def rows(sf):
+        return sorted(
+            tuple(r) for r in q.q_value_ranks(spark, sf).collect()
+        )
+
+    got_one, got_many = rows(one), rows(many)
+    assert got_one == got_many
+
+    # naive spec: full per-type window, no prune
+    w = Window.partitionBy("event_type").orderBy("value")
+    naive = (
+        src.select(
+            "event_type", "event_id", "value",
+            F.rank().over(w).alias("rnk"),
+            F.dense_rank().over(w).alias("drnk"),
+            F.round(F.percent_rank().over(w), 6).alias("prnk"),
+            F.round(F.cume_dist().over(w), 6).alias("cdist"),
+        )
+        .filter(F.col("rnk") <= 40)
+        .select(
+            "event_type",
+            F.col("event_id").cast("bigint"),
+            F.round("value", 3),
+            F.col("rnk").cast("bigint"),
+            F.col("drnk").cast("bigint"),
+            "prnk",
+            "cdist",
+        )
+    )
+    want = sorted(tuple(r) for r in naive.collect())
+    assert got_one == want
