@@ -1000,6 +1000,7 @@ def stream_interval_join(
     watermark: str = "1 hour",
     available_now: bool = True,
     max_files_per_trigger: int = 1,
+    how: str = "inner",
 ):
     """Native watermarked stream-stream interval join — the one
     Structured Streaming join primitive the rest of the streaming
@@ -1049,8 +1050,13 @@ def stream_interval_join(
         )
         .withWatermark("c_ts", watermark)
     )
-    joined = clicks.join(
-        views,
+    # Views are the left/outer side: with how="left_outer" a view
+    # that attracts no click emits ONCE with null click columns as
+    # soon as the watermark proves no future click can match
+    # (wm > v_ts + band) — the state-eviction event doubling as the
+    # negative result. Inner is unchanged by the side order.
+    joined = views.join(
+        clicks,
         F.expr(
             f"""
             c_user = v_user
@@ -1058,8 +1064,9 @@ def stream_interval_join(
             AND c_ts <= v_ts + interval {RANGE_WINDOW_SEC} seconds
             """
         ),
+        how,
     ).select(
-        F.col("c_user").alias("user_id"),
+        F.col("v_user").alias("user_id"),
         "view_id",
         "click_id",
         (

@@ -72,3 +72,78 @@ def test_stream_interval_join_matches_batch_twin(spark, tmp_path):
     q2.awaitTermination(300)
     out2 = spark.read.parquet(str(tmp_path / "out"))
     assert out2.count() == len(want)
+
+
+def test_stream_interval_join_left_outer_negative_results(
+    spark, tmp_path
+):
+    """how='left_outer': matched pairs equal the inner result, and a
+    view that attracts no click emits ONCE with null click columns
+    — but only after the final watermark proves no click can still
+    arrive (wm > v_ts + band). Views inside the final watermark
+    horizon stay withheld: asserting the exact expected set pins
+    that emission rule, not just 'some nulls showed up'."""
+    import shutil
+
+    from pyspark.sql import Window
+
+    from blackedge_ocr_spark.queries import RANGE_WINDOW_SEC
+
+    inp = tmp_path / "in"
+    ev_dir = inp / "events.parquet"
+    ev_dir.mkdir(parents=True)
+    e = spark.read.parquet(f"{SF}/events.parquet")
+    nt = e.withColumn(
+        "_q", F.ntile(4).over(Window.orderBy("ts", "event_id"))
+    )
+    for i in range(4):
+        tmp = tmp_path / f"chunk{i}"
+        nt.filter(F.col("_q") == i + 1).drop("_q").coalesce(
+            1
+        ).write.parquet(str(tmp))
+        part = next(
+            p for p in tmp.iterdir() if p.name.endswith(".parquet")
+        )
+        shutil.move(str(part), str(ev_dir / f"part-{i}.parquet"))
+
+    q_ = stream_interval_join(
+        spark,
+        str(ev_dir),
+        str(tmp_path / "out"),
+        str(tmp_path / "ckpt"),
+        available_now=True,
+        how="left_outer",
+    )
+    q_.awaitTermination(300)
+    out = spark.read.parquet(str(tmp_path / "out"))
+
+    matched = _pairs(out.filter(F.col("click_id").isNotNull()))
+    want_pairs = _pairs(q_view_click_pairs(spark, str(inp)))
+    assert matched == want_pairs
+
+    got_null_views = {
+        r["view_id"]
+        for r in out.filter(F.col("click_id").isNull()).collect()
+    }
+    # expectation: views with no in-band click whose horizon closed
+    # before the FINAL watermark = min(side maxima) - delay
+    us = lambda c: F.unix_micros(F.col(c).cast("timestamp"))
+    vmax = e.filter(F.col("event_type") == "view").agg(
+        F.max(us("ts"))
+    ).collect()[0][0]
+    cmax = e.filter(F.col("event_type") == "click").agg(
+        F.max(us("ts"))
+    ).collect()[0][0]
+    wm_us = min(vmax, cmax) - 3_600 * 1_000_000
+    band_us = RANGE_WINDOW_SEC * 1_000_000
+    matched_views = {v for (_, v, _, _) in want_pairs}
+    want_null_views = {
+        r["event_id"]
+        for r in e.filter(F.col("event_type") == "view")
+        .withColumn("_ep", us("ts"))
+        .filter(F.col("_ep") + band_us < wm_us)
+        .collect()
+        if r["event_id"] not in matched_views
+    }
+    assert got_null_views == want_null_views
+    assert len(want_null_views) > 0
