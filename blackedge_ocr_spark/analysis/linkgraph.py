@@ -248,6 +248,8 @@ def hits(docs: DataFrame, iters: int = HITS_ITERS) -> DataFrame:
     ~N/16 in-edges each — the same AQE-covered hot-key regime as the
     pagerank contribution gather.
     """
+    if iters < 1:
+        raise ValueError("hits requires iters >= 1")
     nodes, n, edges, od, e_od = _graph_staging(docs)
     h = nodes.select("doc_id", F.lit(NANO).cast("long").alias("h"))
     a = None
@@ -352,30 +354,34 @@ def triangle_stats(docs: DataFrame) -> DataFrame:
         .groupBy("v")
         .agg(F.count("*").alias("deg"))
     )
-    # total order: (deg, id) packed into one comparable int64
-    key = (F.col("deg") * F.lit(1 << 32) + F.col("v")).alias("key")
-    keyed = deg.select("v", key)
-    ka = keyed.select(F.col("v").alias("a"), F.col("key").alias("ka"))
-    kb = keyed.select(F.col("v").alias("b"), F.col("key").alias("kb"))
+    # total order: (deg, id) compared COMPONENTWISE — an int64 pack
+    # (deg·2^32 + id) would silently corrupt the order for ids
+    # ≥ 2^32, which make_sf-style replicated corpora can reach
+    ka = deg.select(F.col("v").alias("a"), F.col("deg").alias("da"))
+    kb = deg.select(F.col("v").alias("b"), F.col("deg").alias("db"))
+    a_lt_b = (F.col("da") < F.col("db")) | (
+        (F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))
+    )
     oriented = (
         und.join(ka, "a")
         .join(kb, "b")
         .select(
-            F.when(F.col("ka") < F.col("kb"), F.col("a"))
-            .otherwise(F.col("b"))
-            .alias("u"),
-            F.when(F.col("ka") < F.col("kb"), F.col("b"))
-            .otherwise(F.col("a"))
-            .alias("w"),
-            F.when(F.col("ka") < F.col("kb"), F.col("kb"))
-            .otherwise(F.col("ka"))
-            .alias("kw"),
+            F.when(a_lt_b, F.col("a")).otherwise(F.col("b")).alias("u"),
+            F.when(a_lt_b, F.col("b")).otherwise(F.col("a")).alias("w"),
+            F.when(a_lt_b, F.col("db")).otherwise(F.col("da")).alias("dw"),
         )
         .persist()
     )
-    e1 = oriented.select("u", F.col("w").alias("x"), F.col("kw").alias("kx"))
-    e2 = oriented.select("u", F.col("w").alias("y"), F.col("kw").alias("ky"))
-    wedges = e1.join(e2, "u").filter(F.col("kx") < F.col("ky"))
+    e1 = oriented.select(
+        "u", F.col("w").alias("x"), F.col("dw").alias("dx")
+    )
+    e2 = oriented.select(
+        "u", F.col("w").alias("y"), F.col("dw").alias("dy")
+    )
+    x_lt_y = (F.col("dx") < F.col("dy")) | (
+        (F.col("dx") == F.col("dy")) & (F.col("x") < F.col("y"))
+    )
+    wedges = e1.join(e2, "u").filter(x_lt_y)
     closed = wedges.join(
         oriented.select(
             F.col("u").alias("x"), F.col("w").alias("y")
@@ -409,7 +415,6 @@ def triangle_stats(docs: DataFrame) -> DataFrame:
 
 
 LPA_ITERS = 2       # synchronous sweeps; unrolled in the oracle
-_LPA_B = 1 << 32    # pack base: count*B - label, argmax = (max cnt, min label)
 
 
 def label_propagation(docs: DataFrame, iters: int = LPA_ITERS) -> DataFrame:
@@ -421,14 +426,15 @@ def label_propagation(docs: DataFrame, iters: int = LPA_ITERS) -> DataFrame:
     would be unverifiable across engines). Returns (doc_id, label,
     community_size) after ``iters`` sweeps.
 
-    The per-node argmax never sorts: neighbor-label counts pack into
-    one int64 ``cnt·2^32 − label`` whose plain max() IS (max count,
-    min label) — the same packed-argmax discipline as the keeper
-    queries; the label unpacks arithmetically. Per sweep: one O(E)
-    gather join + two combinable hash aggs; label vectors
-    localCheckpoint like the HITS sweeps (same doubling lineage).
-    Count bound: cnt ≤ max in-degree ≈ N/16, so the pack stays well
-    under 2^63 through 10^9-node graphs.
+    The per-node argmax never sorts: it is the TWO-STEP form —
+    max(count) per node, then min(label) among the tied winners —
+    three combinable hash aggs + one join over the O(E)-bounded
+    count table per sweep. (The int64 pack ``cnt·2^32 − label`` the
+    keeper queries use would be one agg, but labels here are
+    doc_ids with no 2^32 bound — a replicated corpus's ids corrupt
+    the pack silently, so the unpackable form is the correct one.)
+    Label vectors localCheckpoint like the HITS sweeps (same
+    doubling lineage).
     """
     edges = link_edges(docs)
     und = (
@@ -447,21 +453,25 @@ def label_propagation(docs: DataFrame, iters: int = LPA_ITERS) -> DataFrame:
             .groupBy("v", "lbl")
             .agg(F.count("*").alias("cnt"))
         )
-        packed = neigh.groupBy("v").agg(
-            F.max(F.col("cnt") * F.lit(_LPA_B) - F.col("lbl")).alias("pk")
+        neigh = neigh.persist()
+        mc = neigh.groupBy("v").agg(F.max("cnt").alias("mc"))
+        winners = (
+            neigh.join(mc, "v")
+            .filter(F.col("cnt") == F.col("mc"))
+            .groupBy("v")
+            .agg(F.min("lbl").alias("win"))
         )
-        # unpack: cnt = ceil(pk / B), lbl = cnt*B - pk
-        new_lbl = F.expr(f"(pk + {_LPA_B - 1}) div {_LPA_B} * {_LPA_B} - pk")
         labels = (
-            nodes.join(packed, nodes.doc_id == packed.v, "left")
+            nodes.join(winners, nodes.doc_id == winners.v, "left")
             .select(
                 "doc_id",
-                F.coalesce(new_lbl, F.col("doc_id")).cast("long").alias(
-                    "lbl"
-                ),
+                F.coalesce(F.col("win"), F.col("doc_id")).cast(
+                    "long"
+                ).alias("lbl"),
             )
             .localCheckpoint()
         )
+        neigh.unpersist()
     sizes = labels.groupBy("lbl").agg(
         F.count("*").cast("long").alias("community_size")
     )

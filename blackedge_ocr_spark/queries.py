@@ -1517,24 +1517,25 @@ def q_user_sessions_native(spark, sf_dir) -> DataFrame:
 SESSION_BUCKET_US = 3_600 * 1_000_000  # phase-1 time bucket (1 hour)
 
 
-def q_user_sessions_2p(spark, sf_dir) -> DataFrame:
-    """Two-phase sessionization — the hot-user skew defense for
-    q_user_sessions. Phase 1 sessionizes WITHIN (user_id, hour-bucket)
-    partitions, so a bot with 10^7 events spreads across tasks instead
-    of serializing one window sort; its output is pre-sessions
-    (start, end, n, total) — one row per burst, usually orders of
-    magnitude fewer than events. Phase 2 merges adjacent pre-sessions
-    whose boundary gap is <= the threshold, which reconstructs the
-    single-phase sessions EXACTLY: phase 1 only ever splits at real
-    session breaks or at bucket edges, and phase 2 re-joins exactly
-    the bucket-edge splits. Oracle: the very same sql_user_sessions
-    the single-phase query checks against — equality by oracle, not
-    by construction argument alone. Worst case (every event its own
-    session) degrades to the single-phase cost, never worse than
-    events; best case (the skewed bot) is bounded by
-    O(events/bucket) per task.
+def _presessions_merged(e: DataFrame) -> DataFrame:
+    """Shared two-phase sessionization staging (q_user_sessions_2p
+    and q_peak_concurrency — ONE implementation, so the gap rule,
+    bucket width and tie-break ordering cannot diverge). Phase 1
+    sessionizes WITHIN (user_id, hour-bucket) partitions, so a bot
+    with 10^7 events spreads across tasks instead of serializing one
+    window sort; its output is pre-sessions — one row per burst,
+    usually orders of magnitude fewer than events. Phase 2 merges
+    adjacent pre-sessions whose boundary gap is <= the threshold,
+    which reconstructs the single-phase sessions EXACTLY: phase 1
+    only ever splits at real session breaks or at bucket edges, and
+    phase 2 re-joins exactly the bucket-edge splits. Returns one row
+    per PRE-session tagged with the merged id: (user_id, _sid,
+    _start_us, _end_us, _start_ts, _n, _total); callers aggregate
+    per (user_id, _sid). Worst case (every event its own session)
+    degrades to the single-phase cost, never worse than events; best
+    case (the skewed bot) is bounded by O(events/bucket) per task.
     """
-    e = spark.read.parquet(f"{sf_dir.rstrip('/')}/events.parquet")
+    spark = e.sparkSession
     ep = F.unix_micros(F.col("ts").cast("timestamp"))
     gap_us = F.lit(SESSION_GAP_SEC * 1_000_000).cast("long")
     e = e.withColumn("_ep", ep).withColumn(
@@ -1566,10 +1567,22 @@ def q_user_sessions_2p(spark, sf_dir) -> DataFrame:
     sid2 = F.sum(new2).over(
         w2.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    return pre.select(
+        "user_id", "_start_us", "_end_us", "_start_ts", "_n", "_total",
+        sid2.alias("_sid"),
+    )
+
+
+def q_user_sessions_2p(spark, sf_dir) -> DataFrame:
+    """Two-phase sessionization — the hot-user skew defense for
+    q_user_sessions (staging shared with q_peak_concurrency, see
+    _presessions_merged). Oracle: the very same sql_user_sessions
+    the single-phase query checks against — equality by oracle, not
+    by construction argument alone.
+    """
+    e = spark.read.parquet(f"{sf_dir.rstrip('/')}/events.parquet")
     return (
-        pre.select(
-            "user_id", "_start_ts", "_n", "_total", sid2.alias("_sid")
-        )
+        _presessions_merged(e)
         .groupBy("user_id", "_sid")
         .agg(
             F.date_format(F.min("_start_ts"), "yyyy-MM-dd HH:mm:ss").alias(
@@ -1613,33 +1626,13 @@ def q_peak_concurrency(spark, sf_dir) -> DataFrame:
     exact int64 — no floats anywhere.
     """
     e = spark.read.parquet(f"{sf_dir.rstrip('/')}/events.parquet")
-    gap_us = F.lit(SESSION_GAP_SEC * 1_000_000).cast("long")
-    ep = F.unix_micros(F.col("ts").cast("timestamp"))
-    e = e.withColumn("_ep", ep).withColumn(
-        "_bkt", F.floor(F.col("_ep") / F.lit(SESSION_BUCKET_US))
-    )
-    e = e.repartition(_par(spark), "user_id", "_bkt")
-    w1 = Window.partitionBy("user_id", "_bkt").orderBy("ts", "event_id")
-    g1 = F.col("_ep") - F.lag("_ep").over(w1)
-    new1 = F.when(g1.isNull() | (g1 > gap_us), 1).otherwise(0)
-    sid1 = F.sum(new1).over(
-        w1.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    pre = (
-        e.select("user_id", "_bkt", "ts", "_ep", sid1.alias("_sid1"))
-        .groupBy("user_id", "_bkt", "_sid1")
-        .agg(F.min("_ep").alias("_s"), F.max("_ep").alias("_e"))
-    )
-    w2 = Window.partitionBy("user_id").orderBy("_s", "_e")
-    g2 = F.col("_s") - F.lag("_e").over(w2)
-    new2 = F.when(g2.isNull() | (g2 > gap_us), 1).otherwise(0)
-    sid2 = F.sum(new2).over(
-        w2.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
     sess = (
-        pre.select("user_id", "_s", "_e", sid2.alias("_sid"))
+        _presessions_merged(e)
         .groupBy("user_id", "_sid")
-        .agg(F.min("_s").alias("s_us"), F.max("_e").alias("e_us"))
+        .agg(
+            F.min("_start_us").alias("s_us"),
+            F.max("_end_us").alias("e_us"),
+        )
     )
     pts = sess.select(
         F.col("s_us").alias("t"), F.lit(1).alias("s"), F.lit(0).alias("e")
@@ -1672,10 +1665,27 @@ def q_peak_concurrency(spark, sf_dir) -> DataFrame:
             F.sum(F.col("starts") - F.col("ends")).alias("net"),
         )
     )
+    # Day spine: a day fully inside a long session has NO boundary
+    # points, so it would vanish from the grouped table even though
+    # concurrency was >= carry all day — gapfill the [first, last]
+    # day range (tiny domain) so hole days emit peak = carry.
+    span = days.agg(F.min("day").alias("lo"), F.max("day").alias("hi"))
+    spine = span.select(
+        F.explode(
+            F.sequence(F.to_date("lo"), F.to_date("hi"))
+        ).alias("_d")
+    ).select(F.date_format("_d", "yyyy-MM-dd").alias("day"))
+    filled = spine.join(days, "day", "left").select(
+        "day",
+        F.coalesce("rel_peak", F.lit(0)).alias("rel_peak"),
+        F.coalesce("started", F.lit(0)).alias("started"),
+        F.coalesce("ended", F.lit(0)).alias("ended"),
+        F.coalesce("net", F.lit(0)).alias("net"),
+    )
     # |days|-row table: the only totally-ordered window in the query.
     wc = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, -1)
     carry = F.coalesce(F.sum("net").over(wc), F.lit(0))
-    return days.select(
+    return filled.select(
         "day",
         (F.col("rel_peak") + carry).cast("bigint").alias("peak_concurrent"),
         F.col("started").cast("bigint").alias("sessions_started"),
@@ -2212,11 +2222,16 @@ def q_value_ranks(spark, sf_dir) -> DataFrame:
         F.round("value", 3).alias("value"),
         F.col("rnk").cast("bigint").alias("rnk"),
         F.col("drnk").cast("bigint").alias("drnk"),
-        F.round(
-            (F.col("rnk") - 1).cast("double")
-            / (F.col("n") - 1).cast("double"),
-            6,
-        ).alias("prnk"),
+        # n == 1 guard: native percent_rank defines the single-row
+        # group as 0.0; the raw formula would emit 0/0 = NaN here
+        # while the oracle's native percent_rank stays 0.0
+        F.when(F.col("n") > 1,
+            F.round(
+                (F.col("rnk") - 1).cast("double")
+                / (F.col("n") - 1).cast("double"),
+                6,
+            ),
+        ).otherwise(F.lit(0.0)).alias("prnk"),
         F.round(
             (F.col("rnk") + F.col("_tie") - 1).cast("double")
             / F.col("n").cast("double"),

@@ -1510,6 +1510,8 @@ def sql_hits(iters: int | None = None) -> str:
     from blackedge_ocr_spark.analysis import linkgraph as lg
 
     it = iters if iters is not None else lg.HITS_ITERS
+    if it < 1:
+        raise ValueError("sql_hits requires iters >= 1")
     nano = lg.NANO
     parts = [
         "n AS (SELECT doc_id::bigint AS doc_id FROM documents)",
@@ -1560,11 +1562,10 @@ JOIN h{it} h ON h.doc_id = n.doc_id"""
 
 def sql_label_propagation(iters: int | None = None) -> str:
     """linkgraph.label_propagation mirror: same undirected edges,
-    unrolled sweeps with the identical cnt·2^32−lbl packed argmax."""
+    unrolled sweeps with the identical two-step argmax (max count, min label among ties)."""
     from blackedge_ocr_spark.analysis import linkgraph as lg
 
     it = iters if iters is not None else lg.LPA_ITERS
-    B = lg._LPA_B
     parts = [
         "n AS (SELECT doc_id::bigint AS doc_id FROM documents)",
         "cnt AS (SELECT count(*)::bigint AS n FROM n)",
@@ -1587,12 +1588,15 @@ def sql_label_propagation(iters: int | None = None) -> str:
   SELECT e.v, l.lbl, count(*)::bigint AS cnt2
   FROM und e JOIN l{i - 1} l ON l.doc_id = e.u
   GROUP BY e.v, l.lbl)""",
+            f"""m{i} AS (
+  SELECT v, max(cnt2) AS mc FROM g{i} GROUP BY v)""",
             f"""p{i} AS (
-  SELECT v, max(cnt2 * {B} - lbl)::bigint AS pk FROM g{i} GROUP BY v)""",
+  SELECT g.v, min(g.lbl)::bigint AS win
+  FROM g{i} g JOIN m{i} m ON m.v = g.v AND g.cnt2 = m.mc
+  GROUP BY g.v)""",
             f"""l{i} AS (
   SELECT n.doc_id,
-         coalesce((pk + {B - 1}) // {B} * {B} - pk,
-                  n.doc_id)::bigint AS lbl
+         coalesce(p.win, n.doc_id)::bigint AS lbl
   FROM n LEFT JOIN p{i} p ON p.v = n.doc_id)""",
         ]
     ctes = ",\n".join(parts)
@@ -1606,7 +1610,7 @@ FROM l{it} l JOIN sizes s ON s.lbl = l.lbl"""
 
 def sql_triangle_stats() -> str:
     """linkgraph.triangle_stats mirror: same undirected-ize, same
-    (deg << 32 | id) total order, same oriented wedge join + semi
+    componentwise (deg, id) total order, same oriented wedge join + semi
     closure; clustering rounded with the identical op sequence."""
     from blackedge_ocr_spark.analysis import linkgraph as lg
 
@@ -1626,17 +1630,24 @@ und AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
 deg AS (SELECT v, count(*)::bigint AS deg FROM (
           SELECT a AS v FROM und UNION ALL SELECT b FROM und)
         GROUP BY v),
-keyed AS (SELECT v, deg * {1 << 32} + v AS key FROM deg),
 o AS (
-  SELECT CASE WHEN ka.key < kb.key THEN u.a ELSE u.b END AS u,
-         CASE WHEN ka.key < kb.key THEN u.b ELSE u.a END AS w,
-         greatest(ka.key, kb.key) AS kw
+  SELECT CASE WHEN ka.deg < kb.deg
+              OR (ka.deg = kb.deg AND u.a < u.b)
+         THEN u.a ELSE u.b END AS u,
+         CASE WHEN ka.deg < kb.deg
+              OR (ka.deg = kb.deg AND u.a < u.b)
+         THEN u.b ELSE u.a END AS w,
+         CASE WHEN ka.deg < kb.deg
+              OR (ka.deg = kb.deg AND u.a < u.b)
+         THEN kb.deg ELSE ka.deg END AS dw
   FROM und u
-  JOIN keyed ka ON ka.v = u.a
-  JOIN keyed kb ON kb.v = u.b),
+  JOIN deg ka ON ka.v = u.a
+  JOIN deg kb ON kb.v = u.b),
 wed AS (
   SELECT e1.w AS x, e2.w AS y
-  FROM o e1 JOIN o e2 ON e1.u = e2.u AND e1.kw < e2.kw),
+  FROM o e1 JOIN o e2
+    ON e1.u = e2.u
+   AND (e1.dw < e2.dw OR (e1.dw = e2.dw AND e1.w < e2.w))),
 tri AS (
   SELECT count(*)::bigint AS n_triangles
   FROM wed SEMI JOIN o ON o.u = wed.x AND o.w = wed.y),
@@ -2438,13 +2449,27 @@ days AS (
   SELECT day, max(cand) AS rel_peak, sum(starts) AS started,
          sum(ends) AS ended, sum(starts - ends) AS net
   FROM cands GROUP BY day
+),
+spine AS (
+  SELECT strftime(unnest(generate_series(lo::DATE, hi::DATE,
+                                         INTERVAL 1 DAY)),
+                  '%Y-%m-%d') AS day
+  FROM (SELECT min(day) AS lo, max(day) AS hi FROM days)
+),
+filled AS (
+  SELECT s.day,
+         coalesce(d.rel_peak, 0) AS rel_peak,
+         coalesce(d.started, 0) AS started,
+         coalesce(d.ended, 0) AS ended,
+         coalesce(d.net, 0) AS net
+  FROM spine s LEFT JOIN days d ON d.day = s.day
 )
 SELECT day,
        (rel_peak + coalesce(sum(net) OVER wc, 0))::bigint AS peak_concurrent,
        started::bigint AS sessions_started,
        ended::bigint AS sessions_ended,
        (net + coalesce(sum(net) OVER wc, 0))::bigint AS active_at_eod
-FROM days
+FROM filled
 WINDOW wc AS (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)"""
 
 

@@ -398,3 +398,23 @@ def test_value_ranks_prune_is_partition_invariant(spark, tmp_path):
     )
     want = sorted(tuple(r) for r in naive.collect())
     assert got_one == want
+
+
+def test_peak_concurrency_fills_boundaryless_days(spark, tmp_path):
+    """A session spanning Jan 1 -> Jan 3 (continuous sub-30-min
+    events) puts boundary points only on its start and end days;
+    Jan 2 must still appear, with peak = the carried concurrency."""
+    rows = []
+    eid = 0
+    # user 1: one long session, events every 20 min for 48 h
+    import datetime as dt
+    t = dt.datetime(2024, 1, 1, 12, 0, 0)
+    while t < dt.datetime(2024, 1, 3, 12, 0, 0):
+        rows.append((1, "a", t.day, t.hour, t.minute, 0, eid))
+        eid += 1
+        t += dt.timedelta(minutes=20)
+    out = _concurrency_on(spark, tmp_path, rows)
+    assert set(out) == {"2024-01-01", "2024-01-02", "2024-01-03"}
+    assert out["2024-01-01"] == (1, 1, 0, 1)
+    assert out["2024-01-02"] == (1, 0, 0, 1)  # the hole day
+    assert out["2024-01-03"] == (1, 0, 1, 0)

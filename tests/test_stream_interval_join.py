@@ -17,25 +17,21 @@ def _pairs(df):
     }
 
 
-def test_stream_interval_join_matches_batch_twin(spark, tmp_path):
-    """Events split into 4 chunk files, one per trigger on each
-    side: a click can arrive triggers after its view (and on the
-    OTHER stream), so parity proves the buffered-state join, not
-    single-batch luck."""
+def _stage_quartered_feed(spark, tmp_path):
+    """Write the sf0.001 events as 4 TIME-quartile part files inside
+    one events.parquet dir (a feed arrives roughly time-ordered;
+    id-striped chunks would each span the whole month and the
+    watermark set by chunk 0 would mark every later chunk late — the
+    join would correctly drop everything). Returns (sf_dir, stream
+    source dir, the batch events frame)."""
     import shutil
+
+    from pyspark.sql import Window
 
     inp = tmp_path / "in"
     ev_dir = inp / "events.parquet"
     ev_dir.mkdir(parents=True)
     e = spark.read.parquet(f"{SF}/events.parquet")
-    # deterministic 4-way TIME-quartile chunking (a feed arrives
-    # roughly time-ordered; id-striped chunks would each span the
-    # whole month and the watermark set by chunk 0 would mark every
-    # later chunk late — the join would correctly drop everything),
-    # staged as plain part files inside ONE events.parquet directory
-    # so the batch twin and the file-stream source read the same feed
-    from pyspark.sql import Window
-
     nt = e.withColumn(
         "_q", F.ntile(4).over(Window.orderBy("ts", "event_id"))
     )
@@ -44,12 +40,23 @@ def test_stream_interval_join_matches_batch_twin(spark, tmp_path):
         nt.filter(F.col("_q") == i + 1).drop("_q").coalesce(
             1
         ).write.parquet(str(tmp))
-        part = next(p for p in tmp.iterdir() if p.name.endswith(".parquet"))
+        part = next(
+            p for p in tmp.iterdir() if p.name.endswith(".parquet")
+        )
         shutil.move(str(part), str(ev_dir / f"part-{i}.parquet"))
+    return str(inp), str(ev_dir), e
+
+
+def test_stream_interval_join_matches_batch_twin(spark, tmp_path):
+    """Events split into 4 chunk files, one per trigger on each
+    side: a click can arrive triggers after its view (and on the
+    OTHER stream), so parity proves the buffered-state join, not
+    single-batch luck."""
+    inp, ev_dir, _ = _stage_quartered_feed(spark, tmp_path)
 
     q = stream_interval_join(
         spark,
-        str(ev_dir),
+        ev_dir,
         str(tmp_path / "out"),
         str(tmp_path / "ckpt"),
         available_now=True,
@@ -57,14 +64,14 @@ def test_stream_interval_join_matches_batch_twin(spark, tmp_path):
     q.awaitTermination(300)
 
     got = _pairs(spark.read.parquet(str(tmp_path / "out")))
-    want = _pairs(q_view_click_pairs(spark, str(inp)))
+    want = _pairs(q_view_click_pairs(spark, inp))
     assert got == want
     assert len(want) > 0  # the corpus must actually exercise the band
 
     # restart on the same checkpoint with no new files: no dup pairs
     q2 = stream_interval_join(
         spark,
-        str(ev_dir),
+        ev_dir,
         str(tmp_path / "out"),
         str(tmp_path / "ckpt"),
         available_now=True,
@@ -83,32 +90,13 @@ def test_stream_interval_join_left_outer_negative_results(
     arrive (wm > v_ts + band). Views inside the final watermark
     horizon stay withheld: asserting the exact expected set pins
     that emission rule, not just 'some nulls showed up'."""
-    import shutil
-
-    from pyspark.sql import Window
-
     from blackedge_ocr_spark.queries import RANGE_WINDOW_SEC
 
-    inp = tmp_path / "in"
-    ev_dir = inp / "events.parquet"
-    ev_dir.mkdir(parents=True)
-    e = spark.read.parquet(f"{SF}/events.parquet")
-    nt = e.withColumn(
-        "_q", F.ntile(4).over(Window.orderBy("ts", "event_id"))
-    )
-    for i in range(4):
-        tmp = tmp_path / f"chunk{i}"
-        nt.filter(F.col("_q") == i + 1).drop("_q").coalesce(
-            1
-        ).write.parquet(str(tmp))
-        part = next(
-            p for p in tmp.iterdir() if p.name.endswith(".parquet")
-        )
-        shutil.move(str(part), str(ev_dir / f"part-{i}.parquet"))
+    inp, ev_dir, e = _stage_quartered_feed(spark, tmp_path)
 
     q_ = stream_interval_join(
         spark,
-        str(ev_dir),
+        ev_dir,
         str(tmp_path / "out"),
         str(tmp_path / "ckpt"),
         available_now=True,
@@ -118,7 +106,7 @@ def test_stream_interval_join_left_outer_negative_results(
     out = spark.read.parquet(str(tmp_path / "out"))
 
     matched = _pairs(out.filter(F.col("click_id").isNotNull()))
-    want_pairs = _pairs(q_view_click_pairs(spark, str(inp)))
+    want_pairs = _pairs(q_view_click_pairs(spark, inp))
     assert matched == want_pairs
 
     got_null_views = {
