@@ -1634,13 +1634,24 @@ def q_peak_concurrency(spark, sf_dir) -> DataFrame:
             F.max("_end_us").alias("e_us"),
         )
     )
+    # one pass over sess: a union of two selects would re-derive the
+    # whole sessionize subtree per branch (observed 4x recompute)
     pts = sess.select(
-        F.col("s_us").alias("t"), F.lit(1).alias("s"), F.lit(0).alias("e")
-    ).unionByName(
-        sess.select(
-            F.col("e_us").alias("t"), F.lit(0).alias("s"), F.lit(1).alias("e")
-        )
-    )
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("s_us").alias("t"),
+                    F.lit(1).alias("s"),
+                    F.lit(0).alias("e"),
+                ),
+                F.struct(
+                    F.col("e_us").alias("t"),
+                    F.lit(0).alias("s"),
+                    F.lit(1).alias("e"),
+                ),
+            )
+        ).alias("p")
+    ).select("p.t", "p.s", "p.e")
     per_t = (
         pts.filter(F.col("t").isNotNull())
         .groupBy("t")
@@ -1669,13 +1680,16 @@ def q_peak_concurrency(spark, sf_dir) -> DataFrame:
     # points, so it would vanish from the grouped table even though
     # concurrency was >= carry all day — gapfill the [first, last]
     # day range (tiny domain) so hole days emit peak = carry.
+    # days feeds BOTH the span agg and the join: persist the
+    # |days|-row table so the point pipeline isn't derived twice.
+    days = days.persist()
     span = days.agg(F.min("day").alias("lo"), F.max("day").alias("hi"))
     spine = span.select(
         F.explode(
             F.sequence(F.to_date("lo"), F.to_date("hi"))
         ).alias("_d")
     ).select(F.date_format("_d", "yyyy-MM-dd").alias("day"))
-    filled = spine.join(days, "day", "left").select(
+    filled = spine.join(F.broadcast(days), "day", "left").select(
         "day",
         F.coalesce("rel_peak", F.lit(0)).alias("rel_peak"),
         F.coalesce("started", F.lit(0)).alias("started"),
