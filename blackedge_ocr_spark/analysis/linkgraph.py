@@ -311,7 +311,9 @@ def _gather_norm(nodes, e_od, scores, join_side, group_side, in_col, out_col):
     return out
 
 
-def triangle_stats(docs: DataFrame) -> DataFrame:
+def triangle_stats(
+    docs: DataFrame, edges: DataFrame | None = None
+) -> DataFrame:
     """Global triangle census of the (undirected) link graph: ONE row
     (n_nodes, n_edges, n_wedges, n_triangles, clustering) — the
     standard graph-health signature (global clustering coefficient =
@@ -339,7 +341,12 @@ def triangle_stats(docs: DataFrame) -> DataFrame:
     (clustering) is a single division micro-rounded to 6 — identical
     in DuckDB.
     """
-    edges = link_edges(docs)
+    # edges=None uses the deterministic staged graph; a production
+    # run passes real (src, dst) pairs — the (deg, id) order below
+    # is id-range-safe either way (no packed key; see module tests
+    # with ids >= 2^33), while the staged quadratic map itself needs
+    # ids < ~3e9 (src*src must fit int64).
+    edges = link_edges(docs) if edges is None else edges
     und = (
         edges.select(
             F.least("src", "dst").alias("a"),
@@ -417,7 +424,11 @@ def triangle_stats(docs: DataFrame) -> DataFrame:
 LPA_ITERS = 2       # synchronous sweeps; unrolled in the oracle
 
 
-def label_propagation(docs: DataFrame, iters: int = LPA_ITERS) -> DataFrame:
+def label_propagation(
+    docs: DataFrame,
+    iters: int = LPA_ITERS,
+    edges: DataFrame | None = None,
+) -> DataFrame:
     """Synchronous label-propagation communities (Raghavan et al.
     2007) over the undirected link graph: every node starts as its
     own label; each sweep adopts the MOST FREQUENT label among
@@ -436,7 +447,7 @@ def label_propagation(docs: DataFrame, iters: int = LPA_ITERS) -> DataFrame:
     Label vectors localCheckpoint like the HITS sweeps (same
     doubling lineage).
     """
-    edges = link_edges(docs)
+    edges = link_edges(docs) if edges is None else edges
     und = (
         edges.select(F.col("src").alias("v"), F.col("dst").alias("u"))
         .unionByName(

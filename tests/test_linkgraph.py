@@ -260,3 +260,56 @@ def test_label_propagation_matches_pure_python_model(spark):
         assert got[v] == (lbl[v], sizes[lbl[v]]), v
     # communities actually form: fewer labels than nodes
     assert len({l for l, _ in got.values()}) < len(ids)
+
+
+def test_graph_ops_survive_ids_beyond_2_32(spark):
+    """Regression for the packed-argmax corruption class: with node
+    ids offset by 2^33 (reachable on replicated corpora), the
+    componentwise (deg, id) orientation and the two-step LPA argmax
+    must still match pure-Python models. Edges are injected — the
+    staged quadratic map itself needs ids < ~3e9, documented."""
+    from blackedge_ocr_spark.analysis import linkgraph as lg
+
+    base = 1 << 33
+    ids = [base + i for i in range(12)]
+    # a triangle (0,1,2), a path 3-4-5, a hub 0 linked to all of 6..11
+    raw = (
+        [(ids[0], ids[1]), (ids[1], ids[2]), (ids[0], ids[2])]
+        + [(ids[3], ids[4]), (ids[4], ids[5])]
+        + [(ids[0], ids[k]) for k in range(6, 12)]
+    )
+    docs = spark.createDataFrame([(i,) for i in ids], "doc_id long")
+    edges = spark.createDataFrame(raw, "src long, dst long")
+
+    row = lg.triangle_stats(docs, edges=edges).collect()[0]
+    und = {(min(a, b), max(a, b)) for a, b in raw}
+    deg = {}
+    for a, b in und:
+        deg[a] = deg.get(a, 0) + 1
+        deg[b] = deg.get(b, 0) + 1
+    wedges = sum(d * (d - 1) // 2 for d in deg.values())
+    assert row["n_edges"] == len(und)
+    assert row["n_wedges"] == wedges
+    assert row["n_triangles"] == 1  # exactly the (0,1,2) triangle
+
+    got = {
+        r["doc_id"]: r["label"]
+        for r in lg.label_propagation(docs, edges=edges).collect()
+    }
+    # python model (same rule) on the same edge set
+    und2 = set()
+    for a, b in raw:
+        und2.add((a, b)); und2.add((b, a))
+    lbl = {v: v for v in ids}
+    for _ in range(lg.LPA_ITERS):
+        cnt = {}
+        for v, u in und2:
+            k = (v, lbl[u])
+            cnt[k] = cnt.get(k, 0) + 1
+        new = dict(lbl)
+        for v in ids:
+            cands = [(c, l) for (vv, l), c in cnt.items() if vv == v]
+            if cands:
+                new[v] = max(cands, key=lambda t: (t[0], -t[1]))[1]
+        lbl = new
+    assert got == lbl
