@@ -160,7 +160,15 @@ def dsir_select(docs: DataFrame, k: int = DSIR_SELECT_K) -> DataFrame:
     )
     from pyspark.sql.window import Window
 
-    w = Window.orderBy(F.col("logw").desc(), F.col("doc_id"))
+    # Single-partition window over an input bounded at k rows by the
+    # limit above. The partition key is constant-per-row but NOT
+    # foldable (a literal — even via withColumn — gets propagated and
+    # stripped from the spec by Catalyst, re-triggering the "No
+    # Partition Defined" WARN); keeping the spec non-empty keeps that
+    # WARN channel clean for catching genuinely unbounded windows.
+    w = Window.partitionBy(F.least(F.length("doc_id"), F.lit(0))).orderBy(
+        F.col("logw").desc(), F.col("doc_id")
+    )
     return head.select(
         F.row_number().over(w).cast("long").alias("rank"),
         "doc_id",

@@ -141,3 +141,45 @@ def wholestage_codegen_ids(df: DataFrame) -> list[str]:
 
 def count_projects(df: DataFrame) -> int:
     return len(set(re.findall(r"\((\d+)\) Project", formatted_plan(df))))
+
+
+def unpartitioned_window_specs(df: DataFrame) -> list[str]:
+    """Window specs with an EMPTY partition clause — the shape that
+    moves all rows to one task and logs `WindowExec: No Partition
+    Defined`. The repo convention is zero of these: windows over
+    provably tiny domains (post-limit heads, calendar spines) carry a
+    constant-but-non-foldable partition key instead, so this check
+    (and the WARN channel in logs) only fires on a genuinely
+    unbounded global window sneaking in.
+
+    Parses `windowspecdefinition(...)` nodes bracket-aware (partition
+    exprs may contain commas, e.g. `least(length(day), 0)`): the spec
+    is unpartitioned iff its FIRST top-level argument is already a
+    sort order (`... ASC/DESC NULLS ...`).
+    """
+    plan = simple_plan(df)
+    out = []
+    marker = "windowspecdefinition("
+    i = 0
+    while True:
+        i = plan.find(marker, i)
+        if i < 0:
+            break
+        j = i + len(marker)
+        depth, start = 1, j
+        first_arg = None
+        while j < len(plan) and depth > 0:
+            c = plan[j]
+            if c == "(":
+                depth += 1
+            elif c == ")":
+                depth -= 1
+            elif c == "," and depth == 1 and first_arg is None:
+                first_arg = plan[start:j]
+            j += 1
+        if first_arg is None:
+            first_arg = plan[start:j - 1]
+        if " ASC NULLS" in first_arg or " DESC NULLS" in first_arg:
+            out.append(plan[i:j])
+        i = j
+    return sorted(set(out))

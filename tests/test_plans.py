@@ -391,3 +391,18 @@ def test_gopher_repetition_zero_shuffle_in_array(spark):
     assert plans.count_python_stages(df) == 0
     assert "Join" not in p
     assert "Window" not in p
+
+
+def test_no_unpartitioned_windows_in_tiny_window_queries(spark):
+    """Repo convention: no window runs with an empty partition spec —
+    provably tiny domains (post-limit DSIR head, the |days| calendar
+    spine) carry a constant non-foldable key instead, so the
+    `WindowExec: No Partition Defined` WARN channel stays clean for
+    catching genuinely unbounded global windows."""
+    import __spark_entry__ as se
+
+    qs = se.queries()
+    for name in ("dsir_select", "peak_concurrency", "mixture_weights"):
+        df = qs[name](spark, SF)
+        bad = plans.unpartitioned_window_specs(df)
+        assert bad == [], (name, bad)
