@@ -75,6 +75,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semantic_dedup": q.q_semantic_dedup,
         "ann_sq8_topk": q.q_ann_sq8_topk,
         "ann_pq_topk": q.q_ann_pq_topk,
+        "ann_ivfpq_topk": q.q_ann_ivfpq_topk,
         "hll_distinct": q.q_hll_distinct,
         "cms_topk": q.q_cms_topk,
         "bloom_probe": q.q_bloom_probe,

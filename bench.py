@@ -50,6 +50,7 @@ BENCH_QUERIES = (
     "quality_classifier",
     "semantic_dedup",
     "ann_sq8_topk",
+    "ann_ivfpq_topk",
     "hll_distinct",
     "cms_topk",
     "winnow_pairs",

@@ -161,69 +161,6 @@ def ocr_media_map(media_spans: Column, provider: Column, burn: int = 0) -> Colum
     return fn(offsets, refs, provider)
 
 
-_SPAN_ARRAY = T.ArrayType(
-    T.StructType(
-        [
-            T.StructField("kind", T.StringType()),
-            T.StructField("text", T.StringType()),
-            T.StructField("media_ref", T.StringType()),
-            T.StructField("offset", T.IntegerType()),
-        ]
-    )
-)
-
-
-@F.pandas_udf(_SPAN_ARRAY)
-def _fill_spans_arrow(spans: pd.Series, chunk_maps: pd.Series) -> pd.Series:
-    """``fill_media_text`` as an Arrow stage, for MEGA rows only: merge
-    the per-chunk offset→text maps into one Python dict (O(1) lookup)
-    and rebuild the span array in one linear pass.
-
-    Exists because no JVM form survives a 20k-media document in ONE
-    row: Spark's GetMapValue is a linear key scan (merged map →
-    O(spans·entries), ~25 s measured) and a chunk-bucketed JVM lookup
-    still pays O(chunks + chunk) interpreted HOF steps per span
-    (~14 s measured on the same monster). A hash dict does the same
-    row in milliseconds. The extra Arrow boundary is input-gated:
-    non-mega rows ship EMPTY spans/maps (zero-cost batch entries), so
-    the normal path's payload discipline — only media refs cross the
-    boundary — is preserved.
-    """
-    out = []
-    for sp, ms in zip(spans, chunk_maps):
-        if sp is None or len(sp) == 0:
-            out.append([])
-            continue
-        merged: dict = {}
-        if ms is not None:
-            for m in ms:
-                if m is not None:
-                    merged.update(m)
-        filled = []
-        for s in sp:
-            if s["kind"] in MEDIA_KINDS:
-                txt = merged.get(s["offset"], "")
-                filled.append(
-                    {
-                        "kind": s["kind"],
-                        "text": "" if txt is None else txt,
-                        "media_ref": s["media_ref"],
-                        "offset": s["offset"],
-                    }
-                )
-            else:
-                filled.append(s)
-        out.append(filled)
-    return pd.Series(out)
-
-
-def fill_media_text_mega(sorted_spans: Column, chunk_maps: Column) -> Column:
-    """Gated Arrow fill for the mega path — see ``_fill_spans_arrow``.
-    Callers gate the INPUT (empty arrays for non-mega rows), never the
-    output: Python UDFs are hoisted out of CASE WHEN."""
-    return _fill_spans_arrow(sorted_spans, chunk_maps)
-
-
 def fill_media_text(sorted_spans: Column, ocr_map: Column) -> Column:
     """Rebuild the span array with media texts from the OCR map —
     pure JVM higher-order function; pass ocr_map as a materialized

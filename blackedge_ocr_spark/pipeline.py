@@ -29,9 +29,7 @@ from blackedge_ocr_spark.constants import (
 )
 from blackedge_ocr_spark.functions.problems import problems_array
 from blackedge_ocr_spark.operators.ocr import (
-    _is_media as _is_media_span,
     fill_media_text,
-    fill_media_text_mega,
     filter_media,
     first_per_offset,
     ocr_media_map,
@@ -81,72 +79,257 @@ def _map_literal(col: Column, mapping: dict, default=None) -> Column:
     return out.otherwise(F.lit(default))
 
 
-def _chunked(arr: Column, size: int) -> Column:
-    """array<x> → array<array<x>> of ``size``-sized slices (last one
-    ragged). ``arr`` must be a materialized column attribute — the
-    lambda indexes back into it per element."""
-    n = F.ceil(F.size(arr) / F.lit(size)).cast("int")
-    return F.transform(
-        F.sequence(F.lit(0), F.greatest(n, F.lit(1)) - 1),
-        lambda i: F.slice(arr, i * size + 1, size),
-    )
-
-
-def _ocr_map_chunked(
-    df: DataFrame,
-    media_col: str,
-    provider: Column,
-    media_map,
+def _extract_mega_chunked(
+    mega: DataFrame,
     chunk: int,
-    maps_col: str,
+    media_map,
+    secondary_provider: Column,
+    validating: Column,
+    similarity_method: str,
 ) -> DataFrame:
-    """Mega-document straggler defense: split one document's media
-    array into ``chunk``-sized slices, explode them to rows, shuffle
-    on (doc_id, chunk_idx) so the slices of ONE document land in
-    DIFFERENT tasks, run the Arrow OCR stage per slice, and regroup.
+    """Mega-document straggler defense, covering EVERY per-span stage.
 
-    Returns (doc_id, ``maps_col``: array<map<int,string>> in chunk
-    order) for exactly the rows of ``df`` — NOT one merged map: a
-    JVM merge (aggregate + map_concat) re-copies the accumulator per
-    fold step, O(chunks²·chunk); the downstream Arrow fill merges the
-    chunk dicts in Python in one O(entries) pass instead.
+    Round-3 chunking split only the OCR inference; content assembly,
+    problem regexes and similarity still serialized a ~MB document
+    into one task (BENCH/SKEW.md's 4.45 s residual). This path
+    explodes a mega document's sorted spans into ``chunk``-sized
+    slices, runs ALL span-linear stages per slice in separate tasks —
+    OCR fill, problem detection, content segment assembly, similarity
+    feature extraction — and merges the results associatively, so the
+    only remaining single-task work per monster is O(n) concatenation.
 
-    Without this path, a 100k-media document is one Arrow batch entry
-    in one task — the whole stage waits on it; with it, p99 task time
-    is bounded by ``chunk`` model calls (BENCH/SKEW.md). The extra
-    shuffle moves only (doc_id, media slice) for the mega minority,
-    and the ride back is offset→text only.
+    Returns one row per input document:
+    (doc_id, _out_spans_m, _problems_m, _content_m, _content_sec_m
+    [, _sim_m when the method is number_frequency]).
+
+    Merge-parity arguments (each byte-checked by
+    tests/test_edge_cases.py::test_mega_media_chunk_parity):
+
+    - **Chunk boundaries never split an equal-offset run.** The
+      offset→text fill gives every span of an offset run the FIRST
+      ref's OCR text; a run straddling two chunks would let the
+      second chunk re-elect its own first ref. Chunk ids are
+      therefore min(floor(pos/chunk)) over the (doc_id, offset)
+      group — the whole run takes the run head's chunk. Positions
+      stay monotone across chunks (a pulled-back run tail has a
+      higher pos than everything already in its chunk), so flatten
+      in (ci, pos) order reproduces the global span order exactly.
+    - **Content.** concat_ws skips NULL texts, so the global join has
+      (non-null texts − 1) separators. Chunks with zero non-null
+      texts must contribute NOTHING (not an empty string, which
+      would add a separator) — the merge nulls them out and
+      concat_ws's null-skipping does the rest.
+    - **Similarity (number_frequency, the served default).** The
+      separator contains no digits, so per-chunk ``extract_numbers``
+      multisets concatenate exactly to the global multiset — and the
+      cosine itself is computed RELATIONALLY (count per (doc, value),
+      then one exact integer dot/magnitude agg) instead of the
+      in-row sort-merge fold, which on a 20k-transcript monster is
+      seconds of interpreted lambda work in one task. Counts are
+      integers < 2^53, so long-sum-then-divide is bit-identical to
+      the in-row float64 fold. Other methods fall back to the
+      in-row path over the merged content (documented one-row linear
+      cost; levenshtein is additionally 10k-truncated).
+
+    Scale shape: three shuffles move ONLY the mega minority's span
+    rows (ci assignment, chunk grouping, doc merge), plus the by-value
+    count exchange for similarity. The chunk table is persisted when
+    the similarity branch exists so the Arrow OCR stage never runs
+    twice (a real model would otherwise pay 2× inference).
     """
-    # EXPLICIT partition count: chunk rows are tiny (refs only), so
-    # AQE's small-partition coalescing would glue every chunk back
-    # into ONE task (measured: the whole monster's model work
-    # serialized again, 14 s task) — a user-specified repartition N
-    # is exempt from coalescing. Sized to spread chunks one-ish per
-    # core slot; model cost per task stays ~chunks_per_task × chunk.
-    npart = df.sparkSession.sparkContext.defaultParallelism * 4
-    chunks = df.select(
+    # EXPLICIT partition count: chunk rows are small, so AQE's
+    # small-partition coalescing would glue every chunk back into ONE
+    # task (measured: the whole monster's model work serialized
+    # again, 14 s task) — a user-specified repartition N is exempt
+    # from coalescing. Sized to spread chunks one-ish per core slot.
+    npart = mega.sparkSession.sparkContext.defaultParallelism * 4
+
+    ex = mega.select(
         "doc_id",
-        provider.alias("_prov"),
-        F.posexplode(_chunked(F.col(media_col), chunk)).alias("_ci", "_mchunk"),
-    ).repartition(npart, "doc_id", "_ci")
-    pmaps = chunks.select(
-        "doc_id",
-        "_ci",
-        media_map(F.col("_mchunk"), F.col("_prov")).alias("_pmap"),
+        F.col("provider").alias("_prov"),
+        secondary_provider.alias("_prov_sec"),
+        validating.alias("_val"),
+        F.posexplode("_sorted").alias("_pos", "_sp"),
     )
-    # comparator sort (structs holding maps are not naturally
-    # orderable); map_keys order == insertion order == offset order
-    agg = pmaps.groupBy("doc_id").agg(
-        F.array_sort(
-            F.collect_list(F.struct(F.col("_ci").alias("ci"), F.col("_pmap").alias("m"))),
-            lambda l, r: F.when(l["ci"] < r["ci"], -1)
-            .when(l["ci"] > r["ci"], 1)
-            .otherwise(0),
-        ).alias("_chunks")
+    from pyspark.sql.window import Window
+
+    # Run-safe chunk id: min over the offset group (no ordering — a
+    # plain group min, tiny groups, see parity argument above).
+    wrun = Window.partitionBy("doc_id", F.col("_sp")["offset"])
+    ex = ex.withColumn(
+        "_ci", F.min(F.floor(F.col("_pos") / F.lit(chunk))).over(wrun)
     )
-    return agg.select(
-        "doc_id", F.transform("_chunks", lambda c: c["m"]).alias(maps_col)
+
+    # Chunk ASSEMBLY (collect + in-array sort, cheap) runs on the
+    # agg's own shuffle; the HEAVY per-chunk work — OCR inference,
+    # fill, regexes — runs AFTER an explicit ROUND-ROBIN repartition,
+    # which deals chunks one-per-partition instead of by hash luck: a
+    # hash spread left ~6-chunk collision bins (measured 2.6 s max
+    # task vs ~1 s p50 at 79 chunks into 32 bins); round-robin is
+    # exact. The extra exchange moves chunk-sized slices of the mega
+    # minority only.
+    ch = (
+        ex.groupBy("doc_id", "_ci")
+        .agg(
+            F.array_sort(F.collect_list(F.struct("_pos", "_sp"))).alias("_ps"),
+            F.first("_prov").alias("_prov"),
+            F.first("_prov_sec").alias("_prov_sec"),
+            F.first("_val").alias("_val"),
+        )
+        .repartition(npart)
+        .withColumn("_cspans", F.transform("_ps", lambda x: x["_sp"]))
+        .withColumn("_cmedia", filter_media(F.col("_cspans")))
+        .withColumn("_cmedia", first_per_offset(F.col("_cmedia")))
     )
+    ch = ch.withColumn("_cmap", media_map(F.col("_cmedia"), F.col("_prov")))
+    # Secondary inference input-gated exactly like the main path: the
+    # Arrow UDF is hoisted out of CASE WHEN, so non-validating chunks
+    # ship an empty media array (zero model calls) instead.
+    ch = ch.withColumn(
+        "_cmedia_sec",
+        F.when(F.col("_val"), F.col("_cmedia")).otherwise(
+            F.slice(F.col("_cmedia"), 1, 0)
+        ),
+    ).withColumn("_cmap_sec", media_map(F.col("_cmedia_sec"), F.col("_prov_sec")))
+    ch = (
+        ch.withColumn(
+            "_cfilled", fill_media_text(F.col("_cspans"), F.col("_cmap"))
+        )
+        .withColumn(
+            "_cfilled_sec",
+            F.when(
+                F.col("_val"),
+                fill_media_text(F.col("_cspans"), F.col("_cmap_sec")),
+            ),
+        )
+        .withColumn("_cprob", span_problems(F.col("_cfilled")))
+        .withColumn("_ccont", assemble_content(F.col("_cfilled")))
+        .withColumn("_ccont_sec", assemble_content(F.col("_cfilled_sec")))
+        .withColumn(
+            "_cn",
+            F.size(F.filter(F.col("_cfilled"), lambda s: s["text"].isNotNull())),
+        )
+        .withColumn(
+            "_cn_sec",
+            F.coalesce(
+                F.size(
+                    F.filter(
+                        F.col("_cfilled_sec"), lambda s: s["text"].isNotNull()
+                    )
+                ),
+                F.lit(0),
+            ),
+        )
+    )
+
+    relational_sim = similarity_method == "number_frequency"
+    if relational_sim:
+        from blackedge_ocr_spark.functions.text import extract_numbers
+
+        ch = ch.withColumn(
+            "_cnum_a", F.when(F.col("_val"), extract_numbers(F.col("_ccont")))
+        ).withColumn(
+            "_cnum_b",
+            F.when(F.col("_val"), extract_numbers(F.col("_ccont_sec"))),
+        )
+        # Two consumers (doc merge + similarity agg) — persist so the
+        # OCR inference stage runs once. Mega rows are the skewed
+        # minority; the cache holds chunk-sized slices only.
+        ch = ch.persist()
+
+    merged = (
+        ch.groupBy("doc_id")
+        .agg(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        F.col("_ci").alias("ci"),
+                        F.col("_cfilled").alias("sp"),
+                        F.col("_cprob").alias("pr"),
+                        F.col("_ccont").alias("ca"),
+                        F.col("_ccont_sec").alias("cb"),
+                        F.col("_cn").alias("na"),
+                        F.col("_cn_sec").alias("nb"),
+                    )
+                ),
+                lambda l, r: F.when(l["ci"] < r["ci"], -1)
+                .when(l["ci"] > r["ci"], 1)
+                .otherwise(0),
+            ).alias("_chunks")
+        )
+        .select(
+            "doc_id",
+            F.flatten(F.transform("_chunks", lambda c: c["sp"])).alias(
+                "_out_spans_m"
+            ),
+            F.flatten(F.transform("_chunks", lambda c: c["pr"])).alias(
+                "_problems_m"
+            ),
+            F.concat_ws(
+                CONTENT_SEPARATOR,
+                F.transform(
+                    "_chunks", lambda c: F.when(c["na"] > 0, c["ca"])
+                ),
+            ).alias("_content_m"),
+            F.concat_ws(
+                CONTENT_SEPARATOR,
+                F.transform(
+                    "_chunks", lambda c: F.when(c["nb"] > 0, c["cb"])
+                ),
+            ).alias("_content_sec_m"),
+        )
+    )
+
+    if relational_sim:
+        tag = lambda arr, a, b: F.transform(
+            arr,
+            lambda x: F.struct(
+                x.alias("k"),
+                F.lit(a).alias("ca"),
+                F.lit(b).alias("cb"),
+            ),
+        )
+        # concat null-propagates for non-validating chunks (their
+        # number arrays are NULL) — explode then drops them, which is
+        # the gate: only validating docs reach the count agg.
+        pairs = ch.select(
+            "doc_id",
+            F.explode(
+                F.concat(tag(F.col("_cnum_a"), 1, 0), tag(F.col("_cnum_b"), 0, 1))
+            ).alias("e"),
+        ).select(
+            "doc_id",
+            F.col("e")["k"].alias("k"),
+            F.col("e")["ca"].cast("long").alias("ca"),
+            F.col("e")["cb"].cast("long").alias("cb"),
+        )
+        bykey = pairs.groupBy("doc_id", "k").agg(
+            F.sum("ca").alias("ca"), F.sum("cb").alias("cb")
+        )
+        ta, tb = F.col("ta"), F.col("tb")
+        mag = F.sqrt(F.col("ma").cast("double")) * F.sqrt(
+            F.col("mb").cast("double")
+        )
+        sim = (
+            bykey.groupBy("doc_id")
+            .agg(
+                F.sum(F.col("ca") * F.col("cb")).alias("dot"),
+                F.sum(F.col("ca") * F.col("ca")).alias("ma"),
+                F.sum(F.col("cb") * F.col("cb")).alias("mb"),
+                F.sum("ca").alias("ta"),
+                F.sum("cb").alias("tb"),
+            )
+            .select(
+                "doc_id",
+                F.when((ta == 0) & (tb == 0), F.lit(1.0))
+                .when((ta == 0) | (tb == 0), F.lit(0.0))
+                .when(mag == 0, F.lit(0.0))
+                .otherwise(F.col("dot").cast("double") / mag)
+                .alias("_sim_m"),
+            )
+        )
+        merged = merged.join(sim, "doc_id", "left")
+    return merged
 
 
 def extract_documents(
@@ -234,51 +417,45 @@ def extract_documents(
     )
 
     if mega_media_chunk:
-        # Straggler defense: docs above the media threshold get their
-        # OCR maps from the chunked split path and feed the direct UDF
-        # an EMPTY array (input gating — a CASE WHEN around the UDF
-        # would be hoisted and still run it). The join back is
-        # broadcast: mega docs are by definition the skewed minority.
+        # Straggler defense: docs above the span threshold run every
+        # span-linear stage through the chunked split path
+        # (_extract_mega_chunked) and feed the direct UDF an EMPTY
+        # array (input gating — a CASE WHEN around the UDF would be
+        # hoisted and still run it).
         #
-        # _is_mega counts media in the RAW spans array, NOT in _media:
-        # a Filter predicate cannot reference projection outputs, so
-        # pushdown would substitute _media's full derivation into the
-        # condition — and first_per_offset's self-referencing lambda
-        # then re-evaluates filter_media(sort_spans(spans)) PER
-        # ELEMENT, O(n² log n) on every row (thread-dumped: ArraySort
-        # under ArrayFilter inside the filter predicate). The raw
-        # count is a single O(n) pass, and pre-dedup vs post-dedup
-        # only shifts which path borderline docs take — both paths
-        # are byte-identical. It is a MATERIALIZED, multi-referenced
-        # column: a once-referenced boolean expression would be
-        # inlined into the fill transform by projection collapsing and
-        # re-evaluated per span element — O(spans·spans) on a mega
-        # row (thread-dumped as ArrayFilter/In under the fill lambda,
-        # ~100 s on a 20k-media document with the model cost at zero).
+        # _is_mega triggers on TOTAL span count (round 4): the chunked
+        # path now parallelizes content assembly, problem regexes and
+        # similarity too, so a text-heavy monster with few media spans
+        # also benefits. It tests the RAW spans array (O(1) array
+        # length — a Filter predicate cannot reference projection
+        # outputs, so a _media-based predicate would substitute the
+        # whole derivation into the condition) and is a MATERIALIZED,
+        # multi-referenced column: a once-referenced boolean
+        # expression would be inlined into the fill transform by
+        # projection collapsing and re-evaluated per span element —
+        # O(spans·spans) on a mega row (thread-dumped as
+        # ArrayFilter/In under the fill lambda, ~100 s on a 20k-media
+        # document with the model cost at zero).
         df = df.withColumn(
-            "_is_mega",
-            F.size(F.filter(F.col("spans"), _is_media_span)) > mega_media_chunk,
+            "_is_mega", F.size(F.col("spans")) > mega_media_chunk
         )
         is_mega = F.col("_is_mega")
         mega = df.filter(is_mega)
-        maps = _ocr_map_chunked(
-            mega, "_media", F.col("provider"), media_map,
-            mega_media_chunk, "_maps_pri",
-        ).join(
-            _ocr_map_chunked(
-                mega.filter(validating), "_media", secondary_provider,
-                media_map, mega_media_chunk, "_maps_sec",
-            ),
-            "doc_id",
-            "left",
+        merged = _extract_mega_chunked(
+            mega,
+            mega_media_chunk,
+            media_map,
+            secondary_provider,
+            validating,
+            similarity_method,
         )
-        # NO broadcast hint: the mega maps carry the LARGEST
-        # transcripts in the job (a 100k-media doc is ~20 MB per
+        # NO broadcast hint: the merged rows carry the LARGEST
+        # documents in the job (a 100k-media doc is ~20 MB per
         # provider) — forcing a broadcast would collect exactly that
-        # to the driver. AQE broadcasts at runtime while the maps are
-        # small and falls back to a shuffled join when they are not;
-        # mega rows are few either way.
-        df = df.join(maps, "doc_id", "left")
+        # to the driver. AQE broadcasts at runtime while the merged
+        # side is small and falls back to a shuffled join when it is
+        # not; mega rows are few either way.
+        df = df.join(merged, "doc_id", "left")
         gated_media = F.when(~is_mega, F.col("_media")).otherwise(
             F.slice(F.col("_media"), 1, 0)
         )
@@ -290,26 +467,14 @@ def extract_documents(
         "_ocr_direct", media_map(F.col("_media_pri"), F.col("provider"))
     )
     # The fill branches OUTSIDE the transform (CASE WHEN picks one
-    # whole-array fill per row, lazily): the mega branch reads the
-    # Arrow-filled spans, the normal branch the direct UDF map. The
-    # mega fill is itself a Python UDF with a GATED INPUT (non-mega
-    # rows ship empty arrays — the UDF is hoisted out of the CASE and
-    # runs for every row, but empty batch entries cost nothing); no
-    # JVM fill survives a 20k-entry map in one row, see
-    # operators.ocr._fill_spans_arrow.
+    # whole-array value per row, lazily — CaseWhen is a JVM lazy
+    # expression, so mega rows never evaluate the direct fill's
+    # per-span transform): the mega branch reads the chunk-merged
+    # spans from the join, the normal branch the direct UDF map.
     out_spans_col = fill_media_text(F.col("_sorted"), F.col("_ocr_direct"))
     if mega_media_chunk:
-        df = df.withColumn(
-            "_mega_filled_pri",
-            fill_media_text_mega(
-                F.when(is_mega, F.col("_sorted")).otherwise(
-                    F.slice(F.col("_sorted"), 1, 0)
-                ),
-                F.col("_maps_pri"),
-            ),
-        )
         out_spans_col = F.when(
-            is_mega, F.col("_mega_filled_pri")
+            is_mega, F.col("_out_spans_m")
         ).otherwise(out_spans_col)
     df = df.withColumn("out_spans", out_spans_col)
 
@@ -328,26 +493,27 @@ def extract_documents(
         "_ocr_sec_direct", media_map(F.col("_media_sec"), secondary_provider)
     )
     sec_spans_col = F.when(
-        validating, fill_media_text(F.col("_sorted"), F.col("_ocr_sec_direct"))
+        validating & ~is_mega,
+        fill_media_text(F.col("_sorted"), F.col("_ocr_sec_direct")),
     )
-    if mega_media_chunk:
-        df = df.withColumn(
-            "_mega_filled_sec",
-            fill_media_text_mega(
-                F.when(validating & is_mega, F.col("_sorted")).otherwise(
-                    F.slice(F.col("_sorted"), 1, 0)
-                ),
-                F.col("_maps_sec"),
-            ),
-        )
-        sec_spans_col = F.when(
-            validating & is_mega, F.col("_mega_filled_sec")
-        ).otherwise(sec_spans_col)
     df = df.withColumn("_secondary_spans", sec_spans_col)
 
+    # Mega rows take the chunk-merged content/problems from the join —
+    # the per-span regex battery and the assembly fold must not re-run
+    # over the monster row (that WAS the residual straggler). CaseWhen
+    # evaluates lazily, so non-mega branches cost mega rows nothing.
     primary_content = assemble_content(F.col("out_spans"))
     secondary_content = assemble_content(F.col("_secondary_spans"))
     problems = span_problems(F.col("out_spans"))
+    if mega_media_chunk:
+        primary_content = F.when(is_mega, F.col("_content_m")).otherwise(
+            primary_content
+        )
+        secondary_content = F.when(
+            is_mega,
+            F.when(validating, F.col("_content_sec_m")).otherwise(F.lit("")),
+        ).otherwise(secondary_content)
+        problems = F.when(is_mega, F.col("_problems_m")).otherwise(problems)
 
     df = (
         df.withColumn("problems", problems)
@@ -367,17 +533,39 @@ def extract_documents(
     from blackedge_ocr_spark.functions import similarity as S
 
     sim_gate = validating & ~has_problems
+    # Mega rows with the number_frequency method read the RELATIONAL
+    # cosine from the chunk path's join (_sim_m) — the in-row
+    # sort-merge fold over a monster's ~10⁵ numbers is seconds of
+    # interpreted lambda work in one task. A validating mega doc
+    # absent from the sim agg had zero numbers on both sides → 1.0
+    # (the both-empty rule), hence the coalesce. Other methods run
+    # the ordinary in-row path over the (merged) contents — a
+    # documented one-row linear cost on the non-default methods.
+    mega_relational_sim = bool(mega_media_chunk) and (
+        similarity_method == "number_frequency"
+    )
+    sim_prep_gate = sim_gate & ~is_mega if mega_relational_sim else sim_gate
     df = df.withColumn(
         "_sim_a",
-        F.when(sim_gate, S.prepare(F.col("_primary_content"), similarity_method)),
+        F.when(
+            sim_prep_gate, S.prepare(F.col("_primary_content"), similarity_method)
+        ),
     ).withColumn(
         "_sim_b",
-        F.when(sim_gate, S.prepare(F.col("_secondary_content"), similarity_method)),
+        F.when(
+            sim_prep_gate,
+            S.prepare(F.col("_secondary_content"), similarity_method),
+        ),
     )
     similarity = F.when(
         sim_gate,
         S.from_prepared(F.col("_sim_a"), F.col("_sim_b"), similarity_method),
     )
+    if mega_relational_sim:
+        similarity = F.when(
+            is_mega,
+            F.when(sim_gate, F.coalesce(F.col("_sim_m"), F.lit(1.0))),
+        ).otherwise(similarity)
     df = df.withColumn("similarity", similarity)
 
     used_secondary = validating & (

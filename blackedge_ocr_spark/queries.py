@@ -2867,6 +2867,19 @@ def q_ann_pq_topk(spark, sf_dir) -> DataFrame:
     return ann.pq_topk(spark, sf_dir)
 
 
+def q_ann_ivfpq_topk(spark, sf_dir) -> DataFrame:
+    """IVF+PQ serving composition (round 4): k-means coarse lists →
+    partition-pruned probe → ADC over PQ-coded RESIDUAL
+    reconstructions inside the probed lists → exact re-rank of the
+    short-list. Codebooks broadcast, encode is one map-side pass,
+    search touches ~probe/C of the corpus and fetches full-precision
+    vectors for O(|Q|·shortlist) rows only — the configuration a
+    10⁹-vector fleet runs."""
+    from blackedge_ocr_spark.analysis import ann
+
+    return ann.ivfpq_topk(spark, sf_dir)
+
+
 def q_dsir_weights(spark, sf_dir) -> DataFrame:
     """DSIR log importance weights (Xie et al. 2023): ONE conditional
     256-bucket hash agg trains target+raw hashed-n-gram models, the

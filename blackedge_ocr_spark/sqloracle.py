@@ -729,6 +729,7 @@ def build_oracles() -> dict[str, str]:
         "semantic_dedup": sql_semantic_dedup(),
         "ann_sq8_topk": sql_ann_sq8_topk(),
         "ann_pq_topk": sql_ann_pq_topk(),
+        "ann_ivfpq_topk": sql_ann_ivfpq_topk(),
         "hll_distinct": sql_hll_distinct(),
         "cms_topk": sql_cms_topk(),
         "bloom_probe": sql_bloom_probe(),
@@ -1136,6 +1137,7 @@ SELECT q_id, rank, neighbor_id, cos FROM (
 def _kmeans_assigned_parts(
     centroid_every: int | None = None, iters: int = 3, train_every: int = 4,
     prefix: str = "", vexpr: str = "v", include_emb: bool = True,
+    src: str = "e",
 ) -> list[str]:
     """Shared CTE chain ending in ``scored``/``assigned``: the
     k-means-TRAINED centroids and the full-corpus nearest-centroid
@@ -1161,9 +1163,9 @@ def _kmeans_assigned_parts(
     P = prefix
     parts = [EMB] if include_emb else []
     parts += [
-        f"{P}eq AS (SELECT vec_id, {vexpr} AS v, {quant} AS qv FROM e "
+        f"{P}eq AS (SELECT vec_id, {vexpr} AS v, {quant} AS qv FROM {src} "
         f"WHERE vec_id % {train_every} = 0)",
-        f"{P}c0 AS (SELECT vec_id AS cid, {vexpr} AS cv FROM e "
+        f"{P}c0 AS (SELECT vec_id AS cid, {vexpr} AS cv FROM {src} "
         f"WHERE vec_id % {_stride_expr(centroid_every)} = 0)",
         f"{P}carr0 AS (SELECT list(struct_pack(cid := cid, cv := cv) "
         f"ORDER BY cid) AS cents FROM {P}c0)",
@@ -1186,7 +1188,7 @@ def _kmeans_assigned_parts(
         ]
     parts += [
         f"{P}scored AS (SELECT vec_id, v, cents, {sims} AS sims "
-        f"FROM (SELECT vec_id, {vexpr} AS v FROM e), {P}carr{iters})",
+        f"FROM (SELECT vec_id, {vexpr} AS v FROM {src}), {P}carr{iters})",
         f"""{P}assigned AS (
   SELECT vec_id, v,
          (cents[list_position(sims, list_max(sims))]).cid AS cid
@@ -1309,6 +1311,87 @@ SELECT q_id, rank, neighbor_id, cos FROM (
   FROM s) WHERE rank <= {k}"""
 
 
+def sql_ann_ivfpq_topk(
+    k: int = 5, query_every: int = 50, centroid_every: int | None = None,
+    probe: int = 3, shortlist: int = 40, iters: int = 3,
+    train_every: int = 4, dims: int = 64,
+) -> str:
+    """analysis.ann.ivfpq_topk mirror — IVF+PQ serving composition:
+    the coarse k-means chain (shared builder) assigns lists; residuals
+    (v − coarse centroid, per-index double subtract) feed PQ_M
+    independent residual-codebook chains (the SAME builder over the
+    ``res`` source); recon = coarse centroid + concatenated assigned
+    residual sub-centroids; queries probe the ``probe`` closest
+    coarse lists, ADC-score the probed lists against recon (fold-order
+    cosine, rounded), keep a ``shortlist``-deep short-list per query,
+    and exact-re-rank it on the raw vectors."""
+    from blackedge_ocr_spark.analysis.ann import PQ_M
+
+    sub = dims // PQ_M
+    parts = _kmeans_assigned_parts(centroid_every, iters, train_every)
+    parts += [
+        # MATERIALIZED: four residual-codebook chains reference res in
+        # three CTEs each — DuckDB inlines plain CTEs per reference,
+        # re-running the whole coarse chain ~12x (measured 230 s vs
+        # <1 s materialized).
+        f"""res AS MATERIALIZED (
+  SELECT a.vec_id, a.v, a.cid,
+         list_transform(range(len(a.v)), i -> a.v[i + 1] - c.cv[i + 1]) AS r
+  FROM assigned a JOIN c{iters} c ON c.cid = a.cid)""",
+    ]
+    for m in range(PQ_M):
+        lo, hi = m * sub + 1, (m + 1) * sub
+        parts += _kmeans_assigned_parts(
+            centroid_every, iters, train_every,
+            prefix=f"r{m}_", vexpr=f"r[{lo}:{hi}]", include_emb=False,
+            src="res",
+        )
+    joins = " ".join(
+        f"JOIN r{m}_assigned a{m} ON a{m}.vec_id = a0.vec_id"
+        for m in range(1, PQ_M)
+    )
+    cvj = " ".join(
+        f"JOIN r{m}_c{iters} rc{m} ON rc{m}.cid = a{m}.cid"
+        for m in range(PQ_M)
+    )
+    rv = " || ".join(f"rc{m}.cv" for m in range(PQ_M))
+    parts += [
+        f"rcodes AS (SELECT a0.vec_id, {rv} AS rv "
+        f"FROM r0_assigned a0 {joins} {cvj})",
+        f"""reconf AS (
+  SELECT res.vec_id, res.cid, res.v,
+         list_transform(range(len(res.v)),
+                        i -> c.cv[i + 1] + rc.rv[i + 1]) AS recon
+  FROM res JOIN c{iters} c ON c.cid = res.cid
+           JOIN rcodes rc ON rc.vec_id = res.vec_id)""",
+        f"""qp AS (
+  SELECT vec_id AS q_id, v AS qv,
+         unnest(list_transform(
+           list_sort(list_transform(range(len(sims)),
+             i -> struct_pack(ns := -sims[i + 1], cid := (cents[i + 1]).cid)
+           ))[1:{probe}],
+           s -> s.cid)) AS cid
+  FROM scored WHERE vec_id % {query_every} = 0)""",
+        f"""sa AS (SELECT q_id, r.vec_id AS neighbor_id, qv, r.v,
+             round({cosine_sql('qv', 'recon')}, 6) AS adc
+      FROM reconf r JOIN qp ON r.cid = qp.cid
+      WHERE r.vec_id != qp.q_id)""",
+        f"""sl AS (SELECT q_id, neighbor_id, qv, v FROM (
+  SELECT *, row_number() OVER (PARTITION BY q_id
+            ORDER BY adc DESC, neighbor_id) AS srank
+  FROM sa) WHERE srank <= {shortlist})""",
+        f"""s AS (SELECT q_id, neighbor_id,
+             round({cosine_sql('qv', 'v')}, 6) AS cos FROM sl)""",
+    ]
+    ctes = ",\n".join(parts)
+    return f"""
+WITH {ctes}
+SELECT q_id, rank, neighbor_id, cos FROM (
+  SELECT *, row_number() OVER (PARTITION BY q_id
+            ORDER BY cos DESC, neighbor_id) AS rank
+  FROM s) WHERE rank <= {k}"""
+
+
 def sql_semantic_dedup(
     threshold: float | None = None, cluster_cap: int | None = None,
 ) -> str:
@@ -1364,6 +1447,7 @@ ivf AS (SELECT q_id, neighbor_id FROM ({sql_ann_ivf_topk(k)})),
 ivfk AS (SELECT q_id, neighbor_id FROM ({sql_ann_ivf_kmeans_topk(k)})),
 sq8 AS (SELECT q_id, neighbor_id FROM ({sql_ann_sq8_topk(k)})),
 pq AS (SELECT q_id, neighbor_id FROM ({sql_ann_pq_topk(k)})),
+ivfpq AS (SELECT q_id, neighbor_id FROM ({sql_ann_ivfpq_topk(k)})),
 u AS (SELECT 'lsh' AS method, q_id, neighbor_id FROM lsh
       UNION ALL
       SELECT 'ivf' AS method, q_id, neighbor_id FROM ivf
@@ -1372,8 +1456,11 @@ u AS (SELECT 'lsh' AS method, q_id, neighbor_id FROM lsh
       UNION ALL
       SELECT 'sq8' AS method, q_id, neighbor_id FROM sq8
       UNION ALL
-      SELECT 'pq' AS method, q_id, neighbor_id FROM pq),
-methods AS (SELECT unnest(['lsh', 'ivf', 'ivf_kmeans', 'sq8', 'pq'])
+      SELECT 'pq' AS method, q_id, neighbor_id FROM pq
+      UNION ALL
+      SELECT 'ivfpq' AS method, q_id, neighbor_id FROM ivfpq),
+methods AS (SELECT unnest(['lsh', 'ivf', 'ivf_kmeans', 'sq8', 'pq',
+                           'ivfpq'])
             AS method),
 hit0 AS (SELECT method, count(*)::bigint AS hits
          FROM u SEMI JOIN exact USING (q_id, neighbor_id)

@@ -101,14 +101,29 @@ def test_mega_media_chunk_parity(spark):
     # duplicate offset vs the image span already at offset 0 —
     # exercises first-wins dedup ahead of the chunk split
     mega_spans.append(("image", "", "m-dup-late", 0))
+    # Straddle doc: an equal-offset media run sits EXACTLY on the
+    # chunk=8 boundary (positions 7 and 8 share offset 7) — the
+    # chunked path must still give the run's second span the FIRST
+    # ref's OCR text (run-safe chunk ids), byte-matching the base
+    # path's global first-wins fill.
+    straddle_spans = [
+        ("text", f"lead text value {i} here", "", i) for i in range(7)
+    ] + [
+        ("image", "", "m-straddle-first", 7),
+        ("image", "", "m-straddle-second", 7),
+    ] + [
+        ("text", f"tail text value {i} and more", "", i) for i in range(8, 20)
+    ]
     rows = [
         ("mega1", mega_spans, "extract data", None),          # validates (mistral)
         ("mega2", mega_spans[:60], "plain text only", None),  # text_extraction: never validates
+        ("straddle", straddle_spans, "extract data", None),
         ("small", [("image", "", "m-sm-0", 0), ("text", "tiny body", "", 1)], "extract data", None),
         ("empty", [], "extract data", None),
     ]
     df = _df(spark, rows)
-    cols = ["doc_id", "content", "used_secondary", "similarity", "reason", "pages", "provider"]
+    cols = ["doc_id", "out_spans", "problems", "content", "used_secondary",
+            "similarity", "reason", "pages", "provider"]
     base = {r["doc_id"]: r for r in extract_documents(df, query_col="query").select(*cols).collect()}
     split = {r["doc_id"]: r for r in extract_documents(
         df, query_col="query", mega_media_chunk=8
@@ -116,6 +131,11 @@ def test_mega_media_chunk_parity(spark):
     assert base.keys() == split.keys()
     for k in base:
         assert base[k] == split[k], k
+    # the straddle run really did take the first ref's text on BOTH spans
+    st = split["straddle"]["out_spans"]
+    run = [s for s in st if s["offset"] == 7]
+    assert len(run) == 2 and run[0]["text"] == run[1]["text"]
+    assert "m-straddle-first" in run[0]["text"]
 
 
 def test_duplicate_offset_media_oracle_parity(spark):
@@ -173,3 +193,26 @@ def test_control_separator_whitespace_parity(spark):
     }
     for i, t in enumerate(texts):
         assert got[i] == oracle.normalize_text(t), repr(t)
+
+
+def test_mega_chunk_parity_other_sim_methods(spark):
+    """Non-default similarity methods on a mega doc take the in-row
+    path over the chunk-MERGED contents — must still byte-match the
+    unchunked pipeline."""
+    spans = []
+    for i in range(40):
+        if i % 4 == 0:
+            spans.append(("image", "", f"m-os-{i}", i))
+        else:
+            spans.append(("text", f"steady prose segment {i} with words", "", i))
+    df = _df(spark, [("m1", spans, "extract data", None)])
+    cols = ["doc_id", "content", "similarity", "used_secondary", "reason"]
+    for method in ("word_overlap", "cosine", "levenshtein"):
+        base = extract_documents(
+            df, query_col="query", similarity_method=method
+        ).select(*cols).collect()[0]
+        split = extract_documents(
+            df, query_col="query", similarity_method=method,
+            mega_media_chunk=8,
+        ).select(*cols).collect()[0]
+        assert base == split, method

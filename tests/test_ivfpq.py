@@ -1,0 +1,73 @@
+"""IVF+PQ serving composition: residual algebra, shortlist/re-rank
+semantics, determinism, and the ADC-vs-exact ordering contract."""
+
+from __future__ import annotations
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_residual_frame_algebra(spark):
+    """r = v − coarse centroid, elementwise; adding the centroid back
+    recovers v exactly (pure double subtract/add, no quantization in
+    the residual itself)."""
+    import pyspark.sql.functions as F
+
+    from blackedge_ocr_spark.analysis import ann
+
+    n = ann._corpus_count(spark, SF)
+    corpus = ann._load(spark, SF)
+    cents = ann.kmeans_centroids(
+        corpus, ann.KMEANS_ITERS, ann.centroid_stride(n),
+        ann.TRAIN_EVERY, n=n,
+    )
+    res = ann._residual_frame(corpus, cents)
+    cdf = cents.select("cid", "cv")
+    # (v − cv) + cv is not bit-equal to v in IEEE doubles; bound the
+    # round-trip error instead (values are O(1), so 1e-12 is ~2 ulp).
+    dev = res.join(F.broadcast(cdf), "cid").select(
+        F.array_max(
+            F.zip_with(
+                F.zip_with("r", "cv", lambda a, b: a + b),
+                F.col("v"),
+                lambda x, y: F.abs(x - y),
+            )
+        ).alias("d")
+    )
+    worst = dev.agg(F.max("d")).collect()[0][0]
+    assert worst < 1e-12, worst
+    assert res.count() == n
+
+
+def test_ivfpq_topk_contract_shape_and_determinism(spark):
+    from blackedge_ocr_spark.analysis import ann
+
+    a = ann.ivfpq_topk(spark, SF).collect()
+    b = ann.ivfpq_topk(spark, SF).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    by_q: dict = {}
+    for r in a:
+        by_q.setdefault(r["q_id"], []).append(r)
+        assert r["neighbor_id"] != r["q_id"]
+        assert -1.000001 <= r["cos"] <= 1.000001
+    for q, rows in by_q.items():
+        assert sorted(r["rank"] for r in rows) == list(
+            range(1, len(rows) + 1)
+        )
+        # ranks order by EXACT cosine desc (ties by neighbor_id):
+        # the re-rank stage scores the short-list full-precision
+        srt = sorted(rows, key=lambda r: r["rank"])
+        for x, y in zip(srt, srt[1:]):
+            assert (x["cos"], -x["neighbor_id"]) >= (y["cos"], -y["neighbor_id"])
+
+
+def test_ivfpq_shortlist_subset_of_probed_ivf_candidates(spark):
+    """Every IVF+PQ result must come from the SAME probed coarse
+    lists flat IVF(k-means) searches — the composition narrows the
+    candidate set (ADC shortlist), never widens it. With the
+    shortlist at corpus scale the result converges to ivf_kmeans
+    exactly (same probe, same exact scoring, same tie-break)."""
+    from blackedge_ocr_spark.analysis import ann
+
+    flat = ann.ivf_kmeans_topk(spark, SF).collect()
+    big = ann.ivfpq_topk(spark, SF, shortlist=10_000_000).collect()
+    assert sorted(map(tuple, big)) == sorted(map(tuple, flat))

@@ -268,18 +268,20 @@ def main() -> int:
         )
     md += [
         "",
-        "## OCR inference skew: one media-monster document",
+        "## Mega-document skew: one media-monster document (ALL stages chunked)",
         "",
         f"512 docs, doc 7 carries {media_monster} media spans (everyone",
         "else 10); per-page model latency emulated at ~1 ms via",
         "SPARK_GRAFT_OCR_BURN (the md5 stand-in alone finishes 20k pages",
         "in ~50 ms — nothing to defend against). Default path = the",
         "monster is ONE Arrow batch entry in one task; chunked path =",
-        "mega_media_chunk=256 splits it into 256-ref slices shuffled",
-        "across tasks (explicit partition count — AQE would coalesce",
-        "the tiny chunk rows back into one task) and rebuilds spans",
-        "via the gated Arrow fill (output",
-        "byte-identical, tests/test_edge_cases.py).",
+        "mega_media_chunk=256 explodes the sorted spans into 256-span",
+        "slices and runs EVERY span-linear stage per slice (OCR, fill,",
+        "problem regexes, content segments, similarity features),",
+        "merging associatively; chunks are dealt round-robin with an",
+        "explicit partition count (AQE would coalesce them back into",
+        "one task). Output byte-identical incl. out_spans/problems,",
+        "tests/test_edge_cases.py.",
         "",
         "| scenario | wall s | tasks | task p50 s | task p99 s | task max s |",
         "|---|---|---|---|---|---|",
