@@ -172,10 +172,17 @@ def pairwise_cosine(df: DataFrame, a: str, b: str, keep: list[str]) -> DataFrame
 
 
 def sign_bucket(vec: Column, weights: list[list[int]]) -> Column:
-    """Bit-string bucket: bit p = sign of <w_p, vec>."""
+    """Bit-string bucket: bit p = sign of <w_p, vec>.
+
+    The plane is sliced to the VECTOR's length before the fold: the
+    oracle (``sign_bucket_sql``) sums over ``range(len(v))``, and an
+    unsliced ``zip_with`` null-pads a shorter vector to plane width —
+    the whole projection null-propagates and every bucket bit
+    collapses to '0' (every vector lands in ONE bucket). Invisible on
+    the 64-dim corpora; caught by the 8-dim star-tail fixture."""
     bits = []
     for row in weights:
-        w = F.array(*[F.lit(v) for v in row])
+        w = F.slice(F.array(*[F.lit(v) for v in row]), 1, F.size(vec))
         proj = F.aggregate(
             F.zip_with(vec, w, lambda x, wv: x * wv.cast("double")),
             F.lit(0.0),

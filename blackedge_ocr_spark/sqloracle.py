@@ -942,17 +942,25 @@ hs AS (SELECT doc_id, shingles,
        {shingle_hashes_sql('shingles')} AS hs FROM sh),
 sig AS (SELECT doc_id, shingles, {minhash_sig_sql('hs')} AS sig FROM hs),
 banded AS ({band_rows}),
-capped AS (
-  SELECT * FROM (
-    SELECT doc_id, shingles, band, key,
-           row_number() OVER (PARTITION BY band, key ORDER BY doc_id) AS rn
-    FROM banded WHERE key IS NOT NULL)
-  WHERE rn <= {bucket_cap}),
+ranked AS (
+  SELECT doc_id, shingles, band, key,
+         row_number() OVER (PARTITION BY band, key ORDER BY doc_id) AS rn
+  FROM banded WHERE key IS NOT NULL),
+capped AS (SELECT * FROM ranked WHERE rn <= {bucket_cap}),
 pairs AS (
-  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
-         a.shingles AS sh_a, b.shingles AS sh_b
-  FROM capped a JOIN capped b ON a.band = b.band AND a.key = b.key
-  WHERE a.doc_id < b.doc_id
+  SELECT DISTINCT doc_a, doc_b, sh_a, sh_b FROM (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           a.shingles AS sh_a, b.shingles AS sh_b
+    FROM capped a JOIN capped b ON a.band = b.band AND a.key = b.key
+    WHERE a.doc_id < b.doc_id
+    UNION ALL
+    -- star tail: beyond-cap members pair with the bucket head
+    -- (rn = 1, the lowest id — banding.in_bucket_pairs mirror)
+    SELECT h.doc_id AS doc_a, t.doc_id AS doc_b,
+           h.shingles AS sh_a, t.shingles AS sh_b
+    FROM ranked t JOIN ranked h
+      ON h.band = t.band AND h.key = t.key AND h.rn = 1
+    WHERE t.rn > {bucket_cap})
 )
 SELECT doc_a, doc_b, round({jaccard_sql('sh_a', 'sh_b')}, 6) AS jaccard
 FROM pairs WHERE round({jaccard_sql('sh_a', 'sh_b')}, 6) >= {min_jaccard}"""
@@ -1810,16 +1818,23 @@ def _neardup_band_ctes(
     banded = " UNION ALL ".join(band_rows)
     return f"""
 banded AS ({banded}),
-capped AS (
-  SELECT * FROM (
-    SELECT vec_id, band, key,
-           row_number() OVER (PARTITION BY band, key ORDER BY vec_id) AS rn
-    FROM banded)
-  WHERE rn <= {bucket_cap}),
+ranked AS (
+  SELECT vec_id, band, key,
+         row_number() OVER (PARTITION BY band, key ORDER BY vec_id) AS rn
+  FROM banded),
+capped AS (SELECT * FROM ranked WHERE rn <= {bucket_cap}),
 pairs AS (
-  SELECT DISTINCT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b
-  FROM capped a JOIN capped b ON a.band = b.band AND a.key = b.key
-  WHERE a.vec_id < b.vec_id
+  SELECT DISTINCT vec_id_a, vec_id_b FROM (
+    SELECT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b
+    FROM capped a JOIN capped b ON a.band = b.band AND a.key = b.key
+    WHERE a.vec_id < b.vec_id
+    UNION ALL
+    -- star tail: beyond-cap members pair with the bucket head
+    -- (rn = 1, the lowest id — banding.in_bucket_pairs mirror)
+    SELECT h.vec_id AS vec_id_a, t.vec_id AS vec_id_b
+    FROM ranked t JOIN ranked h
+      ON h.band = t.band AND h.key = t.key AND h.rn = 1
+    WHERE t.rn > {bucket_cap})
 )"""
 
 
@@ -2163,17 +2178,25 @@ bx AS (SELECT doc_id, simhash, unnest(range({bands})) AS band FROM h),
 banded AS (SELECT doc_id, simhash,
                   band, substr(simhash, band * {width} + 1, {width}) AS key
            FROM bx),
-capped AS (
-  SELECT * FROM (
-    SELECT doc_id, simhash, band, key,
-           row_number() OVER (PARTITION BY band, key ORDER BY doc_id) AS rn
-    FROM banded)
-  WHERE rn <= {bucket_cap}),
+ranked AS (
+  SELECT doc_id, simhash, band, key,
+         row_number() OVER (PARTITION BY band, key ORDER BY doc_id) AS rn
+  FROM banded),
+capped AS (SELECT * FROM ranked WHERE rn <= {bucket_cap}),
 pairs AS (
-  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
-         a.simhash AS sa, b.simhash AS sb
-  FROM capped a JOIN capped b ON a.band = b.band AND a.key = b.key
-  WHERE a.doc_id < b.doc_id
+  SELECT DISTINCT doc_a, doc_b, sa, sb FROM (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           a.simhash AS sa, b.simhash AS sb
+    FROM capped a JOIN capped b ON a.band = b.band AND a.key = b.key
+    WHERE a.doc_id < b.doc_id
+    UNION ALL
+    -- star tail: beyond-cap members pair with the bucket head
+    -- (rn = 1, the lowest id — banding.in_bucket_pairs mirror)
+    SELECT h.doc_id AS doc_a, t.doc_id AS doc_b,
+           h.simhash AS sa, t.simhash AS sb
+    FROM ranked t JOIN ranked h
+      ON h.band = t.band AND h.key = t.key AND h.rn = 1
+    WHERE t.rn > {bucket_cap})
 )
 SELECT doc_a, doc_b, hamming FROM (
   SELECT doc_a, doc_b, {hamming} AS hamming FROM pairs

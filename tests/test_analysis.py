@@ -350,9 +350,18 @@ def test_ivf_kmeans_neighbors_exactly_scored(spark):
 def test_lsh_monster_bucket_capped(spark):
     """Adversarial duplicate mega-cluster: 300 bit-identical docs land
     in ONE bucket per band. Uncapped that is C(300,2) = 44,850 pairs
-    from a single group row; with bucket_cap=16 only the 16 lowest ids
-    enumerate — C(16,2) = 120 pairs — bounding per-bucket work at
-    O(cap²) regardless of cluster size."""
+    from a single group row; with bucket_cap=16:
+
+    - **intra-cap no-false-negatives**: ALL C(16,2) = 120 pairs among
+      the bucket's 16 lowest ids are enumerated — the cap never drops
+      a pair whose BOTH members are within the kept head;
+    - **star tail**: each of the 284 beyond-cap members pairs with
+      the bucket head (doc 0) exactly once — linear, and it keeps
+      every member connected to the head for duplicate-CLUSTER
+      assembly (union-find reaches the whole cluster).
+
+    Total 404 pairs: O(cap² + m) per bucket regardless of cluster
+    size, with full cluster connectivity."""
     from blackedge_ocr_spark.analysis import dedup
 
     docs = spark.range(300).select(
@@ -360,9 +369,16 @@ def test_lsh_monster_bucket_capped(spark):
         F.lit("alpha beta gamma delta epsilon zeta eta theta iota kappa").alias("text"),
     )
     pairs = dedup.lsh_candidate_pairs(docs, bucket_cap=16).collect()
-    assert len(pairs) == 120
-    assert all(r["doc_a"] < r["doc_b"] < 16 for r in pairs)
+    got = {(r["doc_a"], r["doc_b"]) for r in pairs}
+    intra = {p for p in got if p[1] < 16}
+    want_intra = {(a, b) for a in range(16) for b in range(a + 1, 16)}
+    assert intra == want_intra  # no intra-cap false negatives
+    star = got - intra
+    assert star == {(0, b) for b in range(16, 300)}
     assert all(r["jaccard"] == 1.0 for r in pairs)
+    # connectivity: every doc appears in >=1 verified pair
+    members = {d for p in got for d in p}
+    assert members == set(range(300))
 
 
 def test_centroid_stride_matches_duckdb_rule():
@@ -521,10 +537,11 @@ def test_neardup_recall_found_bounded_by_truth(spark):
 def test_neardup_bucket_cap_fires_exactly_like_oracle(spark, tmp_path):
     """Mirror-swamped bucket: 300 identical vectors land in ONE bucket
     per band, above the 256 cap — enumeration must keep exactly the
-    lowest 256 ids (C(256,2) pairs, members beyond the cap dropped:
-    the documented recall trade), and the DuckDB oracle's windowed
-    row_number form must produce the identical pair set on the same
-    parquet."""
+    lowest 256 ids fully paired (C(256,2)) PLUS one star pair
+    (head, member) for each beyond-cap member (round-4 star tail:
+    linear, keeps cluster connectivity), and the DuckDB oracle's
+    windowed row_number form must produce the identical pair set on
+    the same parquet."""
     import duckdb
 
     from blackedge_ocr_spark.analysis import ann
@@ -544,7 +561,8 @@ def test_neardup_bucket_cap_fires_exactly_like_oracle(spark, tmp_path):
         for r in ann.neardup_bucket_pairs_df(corpus, threshold=0.9).collect()
     }
     expect = {(a, b) for a in range(256) for b in range(a + 1, 256)}
-    assert got == expect  # ids 256..299 capped away in EVERY band
+    expect |= {(0, b) for b in range(256, 300)}  # star tail to the head
+    assert got == expect
 
     con = duckdb.connect()
     con.execute(
@@ -569,7 +587,7 @@ def test_ann_recall_reports_every_method_even_with_zero_hits(spark):
 
     rows = ann.recall_vs_exact(spark, SF).collect()
     assert {r["method"] for r in rows} == {
-        "lsh", "ivf", "ivf_kmeans", "sq8", "pq"
+        "lsh", "ivf", "ivf_kmeans", "sq8", "pq", "ivfpq"
     }
     for r in rows:
         assert 0 <= r["hits"] <= r["n_queries"] * 5
