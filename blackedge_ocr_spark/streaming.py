@@ -543,6 +543,7 @@ def stream_dedup(
     available_now: bool = True,
     max_files_per_trigger: int = 1,
     bloom_dir: str | None = None,
+    _crash_hook=None,
 ):
     """Streaming exact deduplication of continuous document ingest:
     first-arrival-wins on md5(comparison-normalized text), against a
@@ -567,14 +568,21 @@ def stream_dedup(
     hash — ADR-1's swap point — or a Bloom-fronted store; the
     watermark-bounded ``dropDuplicatesWithinWatermark`` only dedups
     redelivery inside the lateness window, a different guarantee).
-    Restart resumability: the registry persists, so a restarted query
-    (fresh OR same checkpoint) never re-emits a seen document —
-    re-appending an already-registered hash is anti-joined away, which
-    also makes retried micro-batches idempotent on the output side as
-    long as the registry write of the failed attempt survived. The
-    residual two-writes gap (output committed, registry append lost,
-    crash between) is the known non-transactional-sink window; ADR-1's
-    Iceberg swap closes it with a single atomic multi-table commit.
+    Restart resumability (round 4: idempotent at EVERY crash point,
+    fault-injected by tests/test_stream_fault.py): the output is a
+    batch_id dynamic-partition overwrite — a retried micro-batch
+    replaces its own partition instead of appending a duplicate —
+    and the write order is output → bloom → registry, so each gap
+    replays safely: crash before the registry append recomputes the
+    identical survivor set (registry unchanged) and overwrites the
+    same partition; crash after it replays to an EMPTY survivor set
+    (all hashes anti-joined) whose dynamic overwrite touches no
+    partitions, leaving the committed output intact. Bloom rows may
+    duplicate across a retry (appended before the registry so its
+    no-false-negative invariant — every registered hash is in the
+    bloom — survives any crash); the read path distincts them.
+    ``_crash_hook(stage, batch_id)`` is the fault-injection test
+    surface, invoked between the writes; production passes None.
 
     Bloom front (``bloom_dir``): the "Bloom-fronted store" above,
     implemented. A persistent (row, slot) occupancy table
@@ -678,8 +686,20 @@ def stream_dedup(
             else definitely_new.unionByName(checked)
         )
         fresh = fresh.persist()
-        fresh.write.mode("append").parquet(output_dir)
-        fresh.select("content_hash").write.mode("append").parquet(registry_dir)
+        # idempotent sink: retried batches replace their own partition
+        (
+            fresh.withColumn("batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(output_dir)
+        )
+        if _crash_hook is not None:
+            _crash_hook("after_output", batch_id)
+        # bloom BEFORE registry: a crash between them leaves bloom a
+        # superset of the registry (extra entries are FP-safe); the
+        # reverse order could leave a registered hash the bloom
+        # misses, breaking its no-false-negative gate.
         if bloom_dir is not None:
             from blackedge_ocr_spark.analysis.sketches import (
                 BLOOM_DEPTH,
@@ -703,6 +723,11 @@ def stream_dedup(
                 ).alias("k")
             ).select("k.row", "k.slot").distinct()
             new_bits.write.mode("append").parquet(bloom_dir)
+            if _crash_hook is not None:
+                _crash_hook("after_bloom", batch_id)
+        fresh.select("content_hash").write.mode("append").parquet(registry_dir)
+        if _crash_hook is not None:
+            _crash_hook("after_registry", batch_id)
         fresh.unpersist()
         if probed_cache is not None:
             probed_cache.unpersist()
@@ -726,6 +751,7 @@ def stream_neardup(
     bucket_cap: int = 128,
     available_now: bool = True,
     max_files_per_trigger: int = 1,
+    _crash_hook=None,
 ):
     """Streaming NEAR-duplicate suppression of continuous document
     ingest: MinHash-LSH band keys against a PERSISTENT band registry,
@@ -764,6 +790,18 @@ def stream_neardup(
     a fleet trades it for signature-only verification (estimated
     Jaccard) when storage dominates — kept exact here so the batch
     twin parity is bit-checkable.
+
+    Crash idempotence (round 4, fault-injected by
+    tests/test_stream_fault.py): ALL three writes — survivors,
+    shingle store, band registry — are batch_id dynamic-partition
+    overwrites, and both registry READS exclude the current batch's
+    partition. A retried micro-batch therefore sees exactly the
+    pre-batch registry state no matter which writes of the failed
+    attempt survived (in particular, a surviving band write cannot
+    double-count the batch's own docs into the global bucket-cap
+    positions), recomputes the identical survivor set, and replaces
+    its own partitions. ``_crash_hook(stage, batch_id)`` is the
+    fault-injection surface; production passes None.
     """
     from pyspark.sql import Window
     from pyspark.sql import functions as F
@@ -794,6 +832,26 @@ def stream_neardup(
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
+
+        def _read_prior(path: str):
+            """Registry state EXCLUDING this batch's own partition —
+            a retried batch must not see the failed attempt's
+            partial writes (a surviving band write would double-
+            count the batch into the cap positions)."""
+            t = _read_or_none(path)
+            if t is None:
+                return None
+            return t.filter(F.col("batch_id") != batch_id).drop("batch_id")
+
+        def _write_part(df: DataFrame, path: str) -> None:
+            (
+                df.withColumn("batch_id", F.lit(batch_id))
+                .write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("batch_id")
+                .parquet(path)
+            )
+
         sh = batch_df.withColumn(
             "shingles", word_shingles(F.col("text"))
         ).withColumn("sig", minhash_signature_arrow(F.col("shingles")))
@@ -806,7 +864,7 @@ def stream_neardup(
             .filter(F.col("key").isNotNull())
         )
 
-        prior_bands = _read_or_none(bands_dir)
+        prior_bands = _read_prior(bands_dir)
         if prior_bands is not None:
             counts = prior_bands.groupBy("band", "key").agg(
                 F.count("*").alias("n_prior")
@@ -849,7 +907,7 @@ def stream_neardup(
         pairs = pairs.persist()
 
         batch_sh = sh.select("doc_id", "shingles")
-        prior_sh = _read_or_none(sigs_dir)
+        prior_sh = _read_prior(sigs_dir)
         all_sh = (
             batch_sh
             if prior_sh is None
@@ -886,11 +944,17 @@ def stream_neardup(
         )
         dropped = verified.select(F.col("doc_b").alias("doc_id")).distinct()
         survivors = batch_df.join(dropped, "doc_id", "left_anti").select(*cols)
-        survivors.write.mode("append").parquet(output_dir)
+        _write_part(survivors, output_dir)
+        if _crash_hook is not None:
+            _crash_hook("after_output", batch_id)
         # ALL batch docs register (dropped docs still anchor future
         # pairs on their doc_a side, exactly like the batch pair set)
-        sh.select("doc_id", "shingles").write.mode("append").parquet(sigs_dir)
-        eligible.write.mode("append").parquet(bands_dir)
+        _write_part(sh.select("doc_id", "shingles"), sigs_dir)
+        if _crash_hook is not None:
+            _crash_hook("after_sigs", batch_id)
+        _write_part(eligible, bands_dir)
+        if _crash_hook is not None:
+            _crash_hook("after_bands", batch_id)
         for df in (cand_sh, pairs, eligible, sh):
             df.unpersist()
 
@@ -910,6 +974,7 @@ def stream_incremental_extract(
     registry_dir: str,
     available_now: bool = True,
     max_files_per_trigger: int = 1,
+    _crash_hook=None,
 ):
     """Streaming CDC extraction over continuous re-crawl ingest: the
     streaming twin of ``incremental.incremental_extract``. Each
@@ -930,10 +995,14 @@ def stream_incremental_extract(
 
     State/scale notes mirror ``stream_dedup``: the registry is a disk
     table, not streaming state (unbounded history; at fleet scale an
-    Iceberg table bucketed by doc_id — ADR-1's swap point — closing
-    the non-transactional two-writes window with one atomic commit).
-    Restarts are idempotent on the output as long as the registry
-    append of the failed attempt survived.
+    Iceberg table bucketed by doc_id — ADR-1's swap point — makes
+    the two writes one atomic commit). Crash idempotence at every
+    gap (fault-injected by tests/test_stream_fault.py): output is a
+    batch_id dynamic-partition overwrite BEFORE the registry append,
+    so a retry either recomputes the identical delta and replaces
+    its own partition (registry append lost) or replays to an empty
+    delta that writes nothing (registry append survived).
+    ``_crash_hook(stage, batch_id)`` is the fault-injection surface.
     """
     from pyspark.sql import functions as F
     from pyspark.sql.utils import AnalysisException
@@ -979,9 +1048,13 @@ def stream_incremental_extract(
                 .partitionBy("batch_id")
                 .parquet(output_dir)
             )
+            if _crash_hook is not None:
+                _crash_hook("after_output", batch_id)
             delta.select("doc_id", SRC_HASH_COL).write.mode(
                 "append"
             ).parquet(registry_dir)
+            if _crash_hook is not None:
+                _crash_hook("after_registry", batch_id)
         delta.unpersist()
 
     writer = raw.writeStream.foreachBatch(process_batch).option(
