@@ -218,6 +218,7 @@ def brute_force_topk(
     k: int = DEFAULT_K,
     query_every: int = QUERY_EVERY,
     dims: int | None = None,
+    queries: DataFrame | None = None,
 ) -> DataFrame:
     """Exact cosine top-k per query vector (self excluded) — block
     matrix math, not per-pair expressions.
@@ -253,11 +254,22 @@ def brute_force_topk(
         corpus = corpus.select(
             "vec_id", F.slice("v", 1, dims).alias("v")
         )
-    qrows = (
+    # queries: an EXTERNAL (vec_id, v) table — the serving shape,
+    # where |Q| is fixed and tiny regardless of corpus size. The
+    # default derives the contract fixture from the corpus (a
+    # 1/query_every slice), which at a 100 TB corpus would not fit
+    # on the driver — the collect below is O(|Q|) either way, but
+    # only the external table keeps |Q| corpus-independent.
+    qsrc = (
         corpus.filter(F.col("vec_id") % query_every == 0)
-        .select(F.col("vec_id").alias("q_id"), F.col("v").alias("qv"))
-        .collect()
+        if queries is None
+        else queries
     )
+    if queries is not None and dims is not None:
+        qsrc = qsrc.select("vec_id", F.slice("v", 1, dims).alias("v"))
+    qrows = qsrc.select(
+        F.col("vec_id").alias("q_id"), F.col("v").alias("qv")
+    ).collect()
     q_ids = np.array([r["q_id"] for r in qrows], dtype=np.int64)
     Q = np.array([r["qv"] for r in qrows], dtype=np.float64)
     bq = spark.sparkContext.broadcast((q_ids, Q))
@@ -353,7 +365,11 @@ def sq8_codes(vec: Column) -> Column:
 
 
 def sq8_topk(
-    spark, sf_dir: str, k: int = DEFAULT_K, query_every: int = QUERY_EVERY
+    spark,
+    sf_dir: str,
+    k: int = DEFAULT_K,
+    query_every: int = QUERY_EVERY,
+    queries: DataFrame | None = None,
 ) -> DataFrame:
     """Approximate cosine top-k over int8-quantized codes — the
     memory-scale variant of ``brute_force_topk``: same broadcast-
@@ -377,11 +393,15 @@ def sq8_topk(
     corpus = _load(spark, sf_dir).select(
         "vec_id", sq8_codes(F.col("v")).alias("c")
     )
-    qrows = (
+    # external-query option: same rationale as brute_force_topk
+    qsrc = (
         corpus.filter(F.col("vec_id") % query_every == 0)
-        .select(F.col("vec_id").alias("q_id"), F.col("c").alias("qc"))
-        .collect()
+        if queries is None
+        else queries.select("vec_id", sq8_codes(F.col("v")).alias("c"))
     )
+    qrows = qsrc.select(
+        F.col("vec_id").alias("q_id"), F.col("c").alias("qc")
+    ).collect()
     q_ids = np.array([r["q_id"] for r in qrows], dtype=np.int64)
     Q = np.array([r["qc"] for r in qrows], dtype=np.int64)
     bq = spark.sparkContext.broadcast((q_ids, Q))
@@ -545,12 +565,19 @@ def _collect_centroids(cents: DataFrame):
     return cids, Cm
 
 
+# Centroid-block width for the corpus-side assignment kernel: bounds
+# per-worker peak memory at O(arrow_batch × CENT_BLOCK) doubles
+# regardless of C (which grows as 4·√n).
+CENT_BLOCK = 1024
+
+
 def assign_centroids(
     df: DataFrame,
     cents: DataFrame,
     keep: list[str],
     probe: int | None = None,
     vec_col: str = "v",
+    cent_block: int = CENT_BLOCK,
 ) -> DataFrame:
     """Nearest-centroid assignment as a numpy block kernel: returns
     ``df[keep]`` + ``cid`` (+ ``pcids``, the ``probe`` nearest list
@@ -584,36 +611,66 @@ def assign_centroids(
         fields.append(T.StructField("pcids", T.ArrayType(T.LongType())))
     out_schema = T.StructType(fields)
 
+    def _sims_block(V, vnorm, Cb):
+        """(rows × |Cb|) cosine block, dim-ordered — the fold whose
+        per-element op sequence every caller's bit-parity rests on.
+        Slicing the centroid axis does not touch any element's
+        arithmetic, so block results equal columns of the full-C
+        matrix exactly."""
+        n, dims = V.shape
+        cnorm = np.zeros(len(Cb))
+        for j in range(dims):
+            cnorm = cnorm + Cb[:, j] * Cb[:, j]
+        cnorm = np.sqrt(cnorm)
+        acc = np.zeros((n, len(Cb)))
+        # allocating form on purpose — see brute_force_topk NOTE
+        for j in range(dims):
+            acc = acc + np.multiply.outer(V[:, j], Cb[:, j])
+        denom = np.multiply.outer(vnorm, cnorm)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            return np.where(denom == 0.0, 0.0, acc / denom)
+
     def blocks(batches):
         cids, Cm = bc.value
         C, dims = Cm.shape
-        cnorm = np.zeros(C)
-        for j in range(dims):
-            cnorm = cnorm + Cm[:, j] * Cm[:, j]
-        cnorm = np.sqrt(cnorm)
         for pdf in batches:
             if len(pdf) == 0:
                 continue
             V = np.array(list(pdf[vec_col]), dtype=np.float64)
             n = len(pdf)
-            acc = np.zeros((n, C))
             vnorm = np.zeros(n)
-            # allocating form on purpose — see brute_force_topk NOTE
             for j in range(dims):
-                acc = acc + np.multiply.outer(V[:, j], Cm[:, j])
                 vnorm = vnorm + V[:, j] * V[:, j]
             vnorm = np.sqrt(vnorm)
-            denom = np.multiply.outer(vnorm, cnorm)
-            with np.errstate(invalid="ignore", divide="ignore"):
-                sims = np.where(denom == 0.0, 0.0, acc / denom)
             out = pdf[keep].copy()
-            out["cid"] = cids[np.argmax(sims, axis=1)]
             if probe:
-                # stable sort on -sim over cid-ascending columns ==
-                # array_sort(struct(-sim, cid)): ties break to the
-                # lower cid.
+                # query-side path: |rows| is the tiny query slice, so
+                # the full (rows × C) matrix is fine — and the probe
+                # ranking needs it whole. Stable sort on -sim over
+                # cid-ascending columns == array_sort(struct(-sim,
+                # cid)): ties break to the lower cid.
+                sims = _sims_block(V, vnorm, Cm)
+                out["cid"] = cids[np.argmax(sims, axis=1)]
                 order = np.argsort(-sims, axis=1, kind="stable")
                 out["pcids"] = list(cids[order[:, :probe]])
+            else:
+                # corpus-side path: C grows as 4·√n, so a full
+                # (batch × C) sims matrix is O(batch·√n) doubles PER
+                # WORKER — measured killing Python workers at sf30
+                # (1.5M vectors, C≈4900). Stream centroid BLOCKS and
+                # keep a running strictly-greater argmax: scanning
+                # blocks in cid order with strict > keeps the FIRST
+                # max, exactly np.argmax over the full row.
+                best = np.full(n, -np.inf)
+                besti = np.zeros(n, dtype=np.int64)
+                for c0 in range(0, C, cent_block):
+                    sims = _sims_block(V, vnorm, Cm[c0:c0 + cent_block])
+                    bi = np.argmax(sims, axis=1)
+                    bv = sims[np.arange(n), bi]
+                    upd = bv > best
+                    best[upd] = bv[upd]
+                    besti[upd] = bi[upd] + c0
+                out["cid"] = cids[besti]
             yield out
 
     return in_df.mapInPandas(blocks, schema=out_schema)
@@ -1015,7 +1072,11 @@ def pq_codebooks(
 
 
 def pq_topk(
-    spark, sf_dir: str, k: int = DEFAULT_K, query_every: int = QUERY_EVERY
+    spark,
+    sf_dir: str,
+    k: int = DEFAULT_K,
+    query_every: int = QUERY_EVERY,
+    queries: DataFrame | None = None,
 ) -> DataFrame:
     """Approximate cosine top-k over product-quantized vectors — the
     compressed-exhaustive-scan regime ``sq8_topk`` occupies, at a far
@@ -1045,9 +1106,13 @@ def pq_topk(
 
     books, n, sub = pq_codebooks(spark, sf_dir)
     corpus = _load(spark, sf_dir)
-    qrows = corpus.filter(F.col("vec_id") % query_every == 0).select(
-        "vec_id", "v"
-    ).collect()
+    # external-query option: same rationale as brute_force_topk
+    qsrc = (
+        corpus.filter(F.col("vec_id") % query_every == 0)
+        if queries is None
+        else queries
+    )
+    qrows = qsrc.select("vec_id", "v").collect()
     q_ids = np.array([r["vec_id"] for r in qrows], dtype=np.int64)
     Q = np.array([list(r["v"]) for r in qrows], dtype=np.float64)
     bq = spark.sparkContext.broadcast((q_ids, Q, books))
@@ -1418,6 +1483,7 @@ def prefix_topk(
     k: int = DEFAULT_K,
     query_every: int = QUERY_EVERY,
     cuts: tuple[int, ...] = DIM_RECALL_CUTS,
+    queries: DataFrame | None = None,
 ) -> DataFrame:
     """Exact cosine top-k at EVERY prefix cut AND at full dims in ONE
     corpus scan — the audit kernel behind ``dim_recall``.
@@ -1441,11 +1507,20 @@ def prefix_topk(
     import pandas as pd
 
     corpus = _load(spark, sf_dir)
-    qrows = (
+    # queries: an EXTERNAL (vec_id, v) table — the serving shape,
+    # where |Q| is fixed and tiny regardless of corpus size. The
+    # default derives the contract fixture from the corpus (a
+    # 1/query_every slice), which at a 100 TB corpus would not fit
+    # on the driver — the collect below is O(|Q|) either way, but
+    # only the external table keeps |Q| corpus-independent.
+    qsrc = (
         corpus.filter(F.col("vec_id") % query_every == 0)
-        .select(F.col("vec_id").alias("q_id"), F.col("v").alias("qv"))
-        .collect()
+        if queries is None
+        else queries
     )
+    qrows = qsrc.select(
+        F.col("vec_id").alias("q_id"), F.col("v").alias("qv")
+    ).collect()
     q_ids = np.array([r["q_id"] for r in qrows], dtype=np.int64)
     Q = np.array([r["qv"] for r in qrows], dtype=np.float64)
     cut_list = sorted({int(c) for c in cuts if c > 0})

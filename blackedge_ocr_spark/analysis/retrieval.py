@@ -60,7 +60,9 @@ def query_set(docs: DataFrame) -> DataFrame:
     )
 
 
-def bm25_topk(docs: DataFrame, k: int = BM25_TOP_K) -> DataFrame:
+def bm25_topk(
+    docs: DataFrame, k: int = BM25_TOP_K, queries: DataFrame | None = None
+) -> DataFrame:
     """Top-``k`` documents per query by BM25:
 
         score(q, d) = sum_t idf(t) * tf * (k1+1)
@@ -81,6 +83,15 @@ def bm25_topk(docs: DataFrame, k: int = BM25_TOP_K) -> DataFrame:
     + per-query top-k window run over matched rows only. A 100 TB
     corpus with a 1k-term query set moves only its matching postings
     through the last two exchanges.
+
+    ``queries``: an external (query_id, term) table — the serving
+    shape, where |Q| is FIXED and independent of the corpus. The
+    default (None) derives the contract fixture from the corpus
+    itself (1/mod sample), which makes |Q| grow WITH n: on a
+    replicated corpus the matched-postings volume then grows as
+    |Q|·docs-per-term ≈ K² — measured super-linear in the round-4
+    growth table (BENCH/BASELINE.md) and answered by this parameter,
+    exactly like the exact-ANN paths' fixture-derived query sets.
 
     Determinism: idf is micro-unit-rounded once per term (O(query
     terms) rows); each (term, doc) partial score is micro-unit-
@@ -107,7 +118,7 @@ def bm25_topk(docs: DataFrame, k: int = BM25_TOP_K) -> DataFrame:
             ).alias("avg_len"),
         )
     )
-    q = query_set(docs)
+    q = query_set(docs) if queries is None else queries
     qterms = F.broadcast(q.select("term").distinct())
     # matched postings are O(docs containing query terms) — small by
     # construction; persisted because both the df agg and the scoring

@@ -3,6 +3,8 @@ semantics, determinism, and the ADC-vs-exact ordering contract."""
 
 from __future__ import annotations
 
+import pyspark.sql.functions as F
+
 SF = "/root/testdata/sf0.001"
 
 
@@ -71,3 +73,51 @@ def test_ivfpq_shortlist_subset_of_probed_ivf_candidates(spark):
     flat = ann.ivf_kmeans_topk(spark, SF).collect()
     big = ann.ivfpq_topk(spark, SF, shortlist=10_000_000).collect()
     assert sorted(map(tuple, big)) == sorted(map(tuple, flat))
+
+
+def test_blocked_assignment_matches_full_matrix(spark):
+    """The centroid-block streaming argmax (memory-bounded corpus
+    path) must pick the IDENTICAL cid as one full (batch x C) matrix
+    — including first-max ties — for block widths that split C
+    unevenly."""
+    from blackedge_ocr_spark.analysis import ann
+
+    n = ann._corpus_count(spark, SF)
+    corpus = ann._load(spark, SF)
+    cents = corpus.filter((F.col("vec_id") % 17) == 0).select(
+        F.col("vec_id").alias("cid"), F.col("v").alias("cv")
+    )
+    full = {
+        r["vec_id"]: r["cid"]
+        for r in ann.assign_centroids(
+            corpus, cents, keep=["vec_id"], cent_block=1 << 30
+        ).collect()
+    }
+    for blk in (1, 7, 64):
+        got = {
+            r["vec_id"]: r["cid"]
+            for r in ann.assign_centroids(
+                corpus, cents, keep=["vec_id"], cent_block=blk
+            ).collect()
+        }
+        assert got == full, blk
+    assert len(full) == n
+
+
+def test_bm25_external_query_table_matches_fixture(spark):
+    """bm25_topk(queries=explicit table) must reproduce the default
+    corpus-derived fixture bit-for-bit when handed the same query
+    set — the serving-shape parameter changes the SOURCE of queries,
+    never the scoring."""
+    from blackedge_ocr_spark.analysis import retrieval
+
+    docs = (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .select("doc_id", "text")
+    )
+    base = retrieval.bm25_topk(docs).collect()
+    ext = retrieval.bm25_topk(
+        docs, queries=retrieval.query_set(docs)
+    ).collect()
+    assert sorted(map(tuple, base)) == sorted(map(tuple, ext))
+    assert len(base) > 0

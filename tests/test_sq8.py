@@ -51,7 +51,7 @@ def test_sq8_recall_row_present(spark):
     from blackedge_ocr_spark.analysis import ann
 
     rows = {r["method"]: r for r in ann.recall_vs_exact(spark, SF).collect()}
-    assert set(rows) == {"lsh", "ivf", "ivf_kmeans", "sq8", "pq"}
+    assert set(rows) == {"lsh", "ivf", "ivf_kmeans", "sq8", "pq", "ivfpq"}
     assert rows["sq8"]["recall"] >= 0.9
     assert all(rows["sq8"]["recall"] >= rows[m]["recall"]
                for m in ("lsh", "ivf", "ivf_kmeans"))
