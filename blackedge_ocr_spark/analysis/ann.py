@@ -565,10 +565,52 @@ def _collect_centroids(cents: DataFrame):
     return cids, Cm
 
 
-# Centroid-block width for the corpus-side assignment kernel: bounds
+# Centroid-block width for the corpus-side assignment kernels: bounds
 # per-worker peak memory at O(arrow_batch × CENT_BLOCK) doubles
 # regardless of C (which grows as 4·√n).
 CENT_BLOCK = 1024
+
+
+def _first_max_assign(V, Cm, block: int = CENT_BLOCK):
+    """First-max nearest-centroid assignment, streamed over centroid
+    BLOCKS: per block the usual dim-ordered cosine (identical
+    per-element arithmetic to the full matrix — slicing the centroid
+    axis touches nothing), then a running strictly-greater argmax.
+    Scanning blocks in index order with strict > keeps the FIRST
+    maximum, exactly ``np.argmax`` over the full row, at peak memory
+    O(rows × block) instead of O(rows × C). Shared by the IVF
+    assignment, the PQ subspace coders and the IVF-PQ encoder — one
+    implementation so the memory bound and the tie rule cannot
+    drift."""
+    import numpy as np
+
+    n, dims = V.shape
+    C = len(Cm)
+    vnorm = np.zeros(n)
+    for j in range(dims):
+        vnorm = vnorm + V[:, j] * V[:, j]
+    vnorm = np.sqrt(vnorm)
+    best = np.full(n, -np.inf)
+    besti = np.zeros(n, dtype=np.int64)
+    for c0 in range(0, C, block):
+        Cb = Cm[c0:c0 + block]
+        cnorm = np.zeros(len(Cb))
+        for j in range(dims):
+            cnorm = cnorm + Cb[:, j] * Cb[:, j]
+        cnorm = np.sqrt(cnorm)
+        acc = np.zeros((n, len(Cb)))
+        # allocating form on purpose — see brute_force_topk NOTE
+        for j in range(dims):
+            acc = acc + np.multiply.outer(V[:, j], Cb[:, j])
+        denom = np.multiply.outer(vnorm, cnorm)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            sims = np.where(denom == 0.0, 0.0, acc / denom)
+        bi = np.argmax(sims, axis=1)
+        bv = sims[np.arange(n), bi]
+        upd = bv > best
+        best[upd] = bv[upd]
+        besti[upd] = bi[upd] + c0
+    return besti
 
 
 def assign_centroids(
@@ -638,10 +680,6 @@ def assign_centroids(
                 continue
             V = np.array(list(pdf[vec_col]), dtype=np.float64)
             n = len(pdf)
-            vnorm = np.zeros(n)
-            for j in range(dims):
-                vnorm = vnorm + V[:, j] * V[:, j]
-            vnorm = np.sqrt(vnorm)
             out = pdf[keep].copy()
             if probe:
                 # query-side path: |rows| is the tiny query slice, so
@@ -649,6 +687,10 @@ def assign_centroids(
                 # ranking needs it whole. Stable sort on -sim over
                 # cid-ascending columns == array_sort(struct(-sim,
                 # cid)): ties break to the lower cid.
+                vnorm = np.zeros(n)
+                for j in range(dims):
+                    vnorm = vnorm + V[:, j] * V[:, j]
+                vnorm = np.sqrt(vnorm)
                 sims = _sims_block(V, vnorm, Cm)
                 out["cid"] = cids[np.argmax(sims, axis=1)]
                 order = np.argsort(-sims, axis=1, kind="stable")
@@ -657,20 +699,11 @@ def assign_centroids(
                 # corpus-side path: C grows as 4·√n, so a full
                 # (batch × C) sims matrix is O(batch·√n) doubles PER
                 # WORKER — measured killing Python workers at sf30
-                # (1.5M vectors, C≈4900). Stream centroid BLOCKS and
-                # keep a running strictly-greater argmax: scanning
-                # blocks in cid order with strict > keeps the FIRST
-                # max, exactly np.argmax over the full row.
-                best = np.full(n, -np.inf)
-                besti = np.zeros(n, dtype=np.int64)
-                for c0 in range(0, C, cent_block):
-                    sims = _sims_block(V, vnorm, Cm[c0:c0 + cent_block])
-                    bi = np.argmax(sims, axis=1)
-                    bv = sims[np.arange(n), bi]
-                    upd = bv > best
-                    best[upd] = bv[upd]
-                    besti[upd] = bi[upd] + c0
-                out["cid"] = cids[besti]
+                # (1.5M vectors, C≈4900). _first_max_assign streams
+                # centroid blocks with a running strictly-greater
+                # argmax — bit-identical to np.argmax over the full
+                # row, memory bounded by the block width.
+                out["cid"] = cids[_first_max_assign(V, Cm, cent_block)]
             yield out
 
     return in_df.mapInPandas(blocks, schema=out_schema)
@@ -1127,13 +1160,6 @@ def pq_topk(
         for j in range(dims):
             qn = qn + Qm[:, j] * Qm[:, j]
         qn = np.sqrt(qn)
-        # per-subspace centroid norms (dim-ordered, like the trainer)
-        cns = []
-        for _cids, Cm in bks:
-            cn = np.zeros(len(Cm))
-            for j in range(Cm.shape[1]):
-                cn = cn + Cm[:, j] * Cm[:, j]
-            cns.append(np.sqrt(cn))
         for pdf in batches:
             if len(pdf) == 0:
                 continue
@@ -1143,18 +1169,10 @@ def pq_topk(
             R = np.empty_like(V)
             for m, (_cids, Cm) in enumerate(bks):
                 Vm = V[:, m * sub:(m + 1) * sub]
-                C = len(Cm)
-                acc = np.zeros((nr, C))
-                vn = np.zeros(nr)
-                # allocating form on purpose — see brute_force_topk
-                for j in range(sub):
-                    acc = acc + np.multiply.outer(Vm[:, j], Cm[:, j])
-                    vn = vn + Vm[:, j] * Vm[:, j]
-                denom = np.multiply.outer(np.sqrt(vn), cns[m])
-                with np.errstate(invalid="ignore", divide="ignore"):
-                    sims = np.where(denom == 0.0, 0.0, acc / denom)
-                # first-max == array_position(sims, array_max(sims))
-                code = np.argmax(sims, axis=1)
+                # shared memory-bounded blocked first-max (identical
+                # to argmax over the full sims row — see
+                # _first_max_assign)
+                code = _first_max_assign(Vm, Cm)
                 R[:, m * sub:(m + 1) * sub] = Cm[code]
             # score queries against reconstructions: full dim order ==
             # DuckDB's fold over the concatenated centroid lists
@@ -1275,22 +1293,10 @@ def _encode_recon(res: DataFrame, cents: DataFrame, books, sub: int) -> DataFram
             Rhat = np.empty((nr, dims))
             for m, (_cids, Cm) in enumerate(bks):
                 Rm = Rv[:, m * sub:(m + 1) * sub]
-                C = len(Cm)
-                cn = np.zeros(C)
-                for j in range(sub):
-                    cn = cn + Cm[:, j] * Cm[:, j]
-                cn = np.sqrt(cn)
-                acc = np.zeros((nr, C))
-                vn = np.zeros(nr)
-                # allocating form on purpose — see brute_force_topk
-                for j in range(sub):
-                    acc = acc + np.multiply.outer(Rm[:, j], Cm[:, j])
-                    vn = vn + Rm[:, j] * Rm[:, j]
-                denom = np.multiply.outer(np.sqrt(vn), cn)
-                with np.errstate(invalid="ignore", divide="ignore"):
-                    sims = np.where(denom == 0.0, 0.0, acc / denom)
-                # first-max == array_position(sims, array_max(sims))
-                code = np.argmax(sims, axis=1)
+                # shared memory-bounded blocked first-max (identical
+                # to argmax over the full sims row — see
+                # _first_max_assign)
+                code = _first_max_assign(Rm, Cm)
                 Rhat[:, m * sub:(m + 1) * sub] = Cm[code]
             ci = np.searchsorted(ccids, pdf["cid"].to_numpy(dtype=np.int64))
             recon = Ccm[ci] + Rhat
