@@ -1403,6 +1403,229 @@ def ivfpq_topk(
     )
 
 
+def _encode_codes(res: DataFrame, books, sub: int) -> DataFrame:
+    """(vec_id, cid, codes: array<int>) — the stored representation of
+    the IVF-PQ index: PQ_M subspace centroid POSITIONS (~16 bytes)
+    instead of dims×8-byte raw vectors. One map-side pass, shared
+    blocked first-max assignment."""
+    import numpy as np
+    import pandas as pd
+
+    spark = res.sparkSession
+    bc = spark.sparkContext.broadcast(books)
+
+    def blocks(batches):
+        bks = bc.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            Rv = np.array(list(pdf["r"]), dtype=np.float64)
+            out = pdf[["vec_id", "cid"]].copy()
+            codes = np.empty((len(pdf), len(bks)), dtype=np.int64)
+            for m, (_cids, Cm) in enumerate(bks):
+                codes[:, m] = _first_max_assign(
+                    Rv[:, m * sub:(m + 1) * sub], Cm
+                )
+            out["codes"] = [
+                [int(x) for x in row] for row in codes
+            ]
+            yield out
+
+    return res.mapInPandas(
+        blocks, schema="vec_id long, cid long, codes array<int>"
+    )
+
+
+def write_ivfpq_index(
+    spark,
+    sf_dir: str,
+    path: str,
+    iters: int = KMEANS_ITERS,
+    train_every: int = TRAIN_EVERY,
+) -> None:
+    """Materialize the IVF-PQ index the way a 10⁹-vector fleet stores
+    it: a CODES table parquet-partitioned BY coarse LIST (``cid=…/``
+    directories, PQ_M small ids per vector — the ~16-byte
+    representation that fits a fleet's RAM/disk budget), the coarse
+    centroid table, the PQ_M residual codebooks, and the raw vectors
+    (the re-rank fetch source — in production, the original corpus
+    storage). Probing then partition-PRUNES the code scan to the
+    probed lists and touches full-precision vectors only for the ADC
+    short-list (``probe_ivfpq_index``)."""
+    n = _corpus_count(spark, sf_dir)
+    corpus = _load(spark, sf_dir)
+    dims = len(corpus.select("v").first()["v"])
+    cents = kmeans_centroids(
+        corpus, iters, centroid_stride(n), train_every, n=n
+    )
+    res = _residual_frame(corpus, cents)
+    books, sub = ivfpq_codebooks(res, n, dims, iters, train_every)
+    base = path.rstrip("/")
+    _encode_codes(res, books, sub).write.mode("overwrite").partitionBy(
+        "cid"
+    ).parquet(f"{base}/codes")
+    cents.write.mode("overwrite").parquet(f"{base}/centroids")
+    book_rows = [
+        (m, int(cids[i]), [float(x) for x in Cm[i]])
+        for m, (cids, Cm) in enumerate(books)
+        for i in range(len(cids))
+    ]
+    spark.createDataFrame(
+        book_rows, "m int, cid long, cv array<double>"
+    ).write.mode("overwrite").parquet(f"{base}/codebooks")
+    corpus.write.mode("overwrite").parquet(f"{base}/vectors")
+
+
+def probe_ivfpq_index(
+    spark,
+    path: str,
+    k: int = DEFAULT_K,
+    query_every: int = QUERY_EVERY,
+    probe: int = PROBE_LISTS,
+    shortlist: int = IVFPQ_SHORTLIST,
+) -> DataFrame:
+    """Search a ``write_ivfpq_index`` table: plan the probe set
+    driver-side (O(|Q|·C) on collected centroids, like
+    ``probe_ivf_index``), scan ONLY the probed ``cid=…`` partitions
+    of the CODES table (PartitionFilters — plan-asserted), ADC-score
+    the codes against the queries via one Arrow kernel (reconstruct =
+    coarse centroid + concatenated codebook rows, the identical
+    doubles the in-memory path scores), keep a ``shortlist``-deep ADC
+    short-list per query, and exact-re-rank it against the raw
+    vectors — fetched for the short-list alone. Results are
+    bit-identical to the in-memory ``ivfpq_topk`` (pytest)."""
+    import numpy as np
+    import pandas as pd
+
+    base = path.rstrip("/")
+    cents = sorted(
+        spark.read.parquet(f"{base}/centroids").collect(),
+        key=lambda r: r["cid"],
+    )
+    ccids = np.array([r["cid"] for r in cents], dtype=np.int64)
+    Ccm = np.array([list(r["cv"]) for r in cents], dtype=np.float64)
+    brows = spark.read.parquet(f"{base}/codebooks").collect()
+    n_m = 1 + max(r["m"] for r in brows)
+    books = []
+    for m in range(n_m):
+        rows = sorted(
+            (r for r in brows if r["m"] == m), key=lambda r: r["cid"]
+        )
+        books.append(
+            (
+                np.array([r["cid"] for r in rows], dtype=np.int64),
+                np.array([list(r["cv"]) for r in rows], dtype=np.float64),
+            )
+        )
+    sub = books[0][1].shape[1]
+
+    vec = spark.read.parquet(f"{base}/vectors")
+    qrows = vec.filter(F.col("vec_id") % query_every == 0).select(
+        "vec_id", "v"
+    ).collect()
+    # driver-side probe plan, the shared fold (== assign_centroids)
+    plan = []
+    for r in qrows:
+        sims = [(-_fold_cos(r["v"], c["cv"]), c["cid"]) for c in cents]
+        for _, cid in sorted(sims)[:probe]:
+            plan.append((int(r["vec_id"]), int(cid)))
+    probe_cids = sorted({cid for _, cid in plan})
+    q_ids = np.array([r["vec_id"] for r in qrows], dtype=np.int64)
+    Qm = np.array([list(r["v"]) for r in qrows], dtype=np.float64)
+    qprobe = {}
+    for qid, cid in plan:
+        qprobe.setdefault(int(cid), []).append(int(qid))
+    bq = spark.sparkContext.broadcast(
+        (q_ids, Qm, ccids, Ccm, books, qprobe)
+    )
+
+    pruned = spark.read.parquet(f"{base}/codes").filter(
+        F.col("cid").isin(probe_cids)
+    )
+
+    def adc_blocks(batches):
+        ids, Q, ccid_a, Ccm_b, bks, qp = bq.value
+        nq, dims = Q.shape
+        qn = np.zeros(nq)
+        for j in range(dims):
+            qn = qn + Q[:, j] * Q[:, j]
+        qn = np.sqrt(qn)
+        qpos = {int(q): i for i, q in enumerate(ids)}
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            vid = pdf["vec_id"].to_numpy(dtype=np.int64)
+            cid = pdf["cid"].to_numpy(dtype=np.int64)
+            codes = np.array(list(pdf["codes"]), dtype=np.int64)
+            nr = len(vid)
+            # reconstruct: coarse centroid + concatenated codebook rows
+            R = np.empty((nr, dims))
+            ci = np.searchsorted(ccid_a, cid)
+            base_c = Ccm_b[ci]
+            for m, (_c, Cm) in enumerate(bks):
+                R[:, m * sub:(m + 1) * sub] = Cm[codes[:, m]]
+            R = base_c + R
+            # ADC cosine, dim-ordered (== pairwise_cosine's kernel)
+            acc = np.zeros((nq, nr))
+            rn = np.zeros(nr)
+            for j in range(dims):
+                acc = acc + np.multiply.outer(Q[:, j], R[:, j])
+                rn = rn + R[:, j] * R[:, j]
+            rn = np.sqrt(rn)
+            denom = np.multiply.outer(qn, rn)
+            with np.errstate(invalid="ignore", divide="ignore"):
+                cos = np.where(denom == 0.0, 0.0, acc / denom)
+            # emit only (query, vector) pairs whose vector sits in a
+            # list the query probed — the in-memory path's join-on-cid
+            out_q, out_v, out_c = [], [], []
+            for r_i in range(nr):
+                for qid in qp.get(int(cid[r_i]), ()):  # probed queries
+                    if qid == int(vid[r_i]):
+                        continue
+                    q_i = qpos[qid]
+                    out_q.append(qid)
+                    out_v.append(int(vid[r_i]))
+                    out_c.append(cos[q_i, r_i])
+            yield pd.DataFrame(
+                {"q_id": out_q, "neighbor_id": out_v, "adc": out_c}
+            )
+
+    adc = pruned.mapInPandas(
+        adc_blocks, schema="q_id long, neighbor_id long, adc double"
+    ).select("q_id", "neighbor_id", F.round(F.col("adc"), 6).alias("adc"))
+    wa = Window.partitionBy("q_id").orderBy(
+        F.col("adc").desc(), F.col("neighbor_id").asc()
+    )
+    short = adc.withColumn("srank", F.row_number().over(wa)).filter(
+        F.col("srank") <= shortlist
+    )
+    qvs = spark.createDataFrame(
+        [(int(r["vec_id"]), list(r["v"])) for r in qrows],
+        "q_id long, qv array<double>",
+    )
+    fetch = vec.join(
+        F.broadcast(short.select(F.col("neighbor_id").alias("vec_id"))
+                    .distinct()),
+        "vec_id",
+    ).select(F.col("vec_id").alias("neighbor_id"), "v")
+    exact = pairwise_cosine(
+        short.select("q_id", "neighbor_id")
+        .join(F.broadcast(qvs), "q_id")
+        .join(F.broadcast(fetch), "neighbor_id"),
+        "qv",
+        "v",
+        keep=["q_id", "neighbor_id"],
+    ).select("q_id", "neighbor_id", F.round(F.col("cos"), 6).alias("cos"))
+    w = Window.partitionBy("q_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        exact.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "rank", "neighbor_id", "cos")
+    )
+
+
 def recall_vs_exact(
     spark, sf_dir: str, k: int = DEFAULT_K, query_every: int = QUERY_EVERY
 ) -> DataFrame:

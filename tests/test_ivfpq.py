@@ -121,3 +121,38 @@ def test_bm25_external_query_table_matches_fixture(spark):
     ).collect()
     assert sorted(map(tuple, base)) == sorted(map(tuple, ext))
     assert len(base) > 0
+
+
+def test_ivfpq_index_probe_prunes_partitions_and_matches_inmemory(
+    spark, tmp_path
+):
+    """The materialized IVF-PQ index: codes stored partitionBy(cid)
+    must partition-prune to the probed lists (PartitionFilters in the
+    scan, probed directories only), and the pruned ADC + short-list +
+    raw-vector re-rank must reproduce the in-memory ``ivfpq_topk``
+    bit-for-bit."""
+    from blackedge_ocr_spark import plans
+    from blackedge_ocr_spark.analysis import ann
+
+    idx = str(tmp_path / "ivfpq")
+    ann.write_ivfpq_index(spark, SF, idx)
+
+    codes = spark.read.parquet(f"{idx}/codes")
+    all_cids = sorted(
+        r["cid"] for r in codes.select("cid").distinct().collect()
+    )
+    one = codes.filter(F.col("cid") == all_cids[0])
+    files = [
+        r[0] for r in one.select(F.input_file_name()).distinct().collect()
+    ]
+    assert files and all(f"cid={all_cids[0]}/" in f for f in files)
+    assert len(files) < len(codes.inputFiles())
+    fp = plans.formatted_plan(one)
+    assert "PartitionFilters" in fp
+
+    got = ann.probe_ivfpq_index(spark, idx).collect()
+    want = ann.ivfpq_topk(spark, SF).collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, want))
+    # codes really are the compact representation: PQ_M small ids
+    row = codes.select("codes").first()
+    assert len(row["codes"]) == ann.PQ_M
