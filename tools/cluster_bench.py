@@ -1,4 +1,4 @@
-"""REAL two-cluster-size scaling evidence → BENCH/logs/cluster_r3.jsonl.
+"""REAL two-cluster-size scaling evidence → BENCH/logs/cluster_r4.jsonl.
 
 The north rule's criterion is throughput scaling efficiency >= 0.8
 between a cluster of N executors and one of 4N. local[K] models this
@@ -37,7 +37,7 @@ import sys
 
 HERE = os.path.dirname(os.path.abspath(__file__))
 REPO = os.path.dirname(HERE)
-LOG = os.path.join(REPO, "BENCH", "logs", "cluster_r3.jsonl")
+LOG = os.path.join(REPO, "BENCH", "logs", "cluster_r4.jsonl")
 
 # Same per-query corpus blow-up as tools/scaling_bench.py, halved:
 # the 4-core small cluster must finish in sane wall time.
