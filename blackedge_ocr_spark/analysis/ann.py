@@ -1090,6 +1090,13 @@ def pq_codebooks(
     stride = centroid_stride(n)
     corpus = _load_raw(spark, sf_dir)
     dims = len(corpus.select("v").first()["v"])
+    if dims % PQ_M:
+        # the subspace slicing silently drops tail dimensions and the
+        # reconstruction buffers fill only PQ_M·(dims//PQ_M) columns
+        # (uninitialized memory beyond) — fail loudly instead
+        raise ValueError(
+            f"PQ requires dims divisible by PQ_M={PQ_M}; got {dims}"
+        )
     sub = dims // PQ_M
     books = []
     for m in range(PQ_M):
@@ -1252,6 +1259,10 @@ def ivfpq_codebooks(
     distortion than PQ over raw vectors. Stride follows the shared
     adaptive rule (C ≈ 4·√n per subspace)."""
     stride = centroid_stride(n)
+    if dims % PQ_M:
+        raise ValueError(
+            f"IVF-PQ requires dims divisible by PQ_M={PQ_M}; got {dims}"
+        )
     sub = dims // PQ_M
     books = []
     for m in range(PQ_M):
@@ -1347,7 +1358,14 @@ def ivfpq_topk(
     cents = kmeans_centroids(
         corpus, iters, centroid_stride(n), train_every, n=n
     )
-    res = _residual_frame(corpus, cents)
+    # PERSIST the residual frame: codebook training collects a
+    # sampled slice of it PQ_M times and the encode pass reads it
+    # again (~6 actions) — uncached, each replays the O(n·C) coarse
+    # assignment over the whole corpus (the exact re-derivation the
+    # DuckDB mirror materializes its `res` CTE to avoid, measured
+    # 230 s → <1 s there). Evictable cache; CacheManager dedups
+    # repeated identical plans.
+    res = _residual_frame(corpus, cents).persist()
     books, sub = ivfpq_codebooks(res, n, dims, iters, train_every)
     recon = _encode_recon(res, cents, books, sub)
 
@@ -1458,12 +1476,13 @@ def write_ivfpq_index(
     cents = kmeans_centroids(
         corpus, iters, centroid_stride(n), train_every, n=n
     )
-    res = _residual_frame(corpus, cents)
+    res = _residual_frame(corpus, cents).persist()  # see ivfpq_topk
     books, sub = ivfpq_codebooks(res, n, dims, iters, train_every)
     base = path.rstrip("/")
     _encode_codes(res, books, sub).write.mode("overwrite").partitionBy(
         "cid"
     ).parquet(f"{base}/codes")
+    res.unpersist()
     cents.write.mode("overwrite").parquet(f"{base}/centroids")
     book_rows = [
         (m, int(cids[i]), [float(x) for x in Cm[i]])
@@ -1596,8 +1615,13 @@ def probe_ivfpq_index(
     wa = Window.partitionBy("q_id").orderBy(
         F.col("adc").desc(), F.col("neighbor_id").asc()
     )
-    short = adc.withColumn("srank", F.row_number().over(wa)).filter(
-        F.col("srank") <= shortlist
+    # persisted: consumed by BOTH the neighbor fetch and the exact
+    # re-rank join — uncached, the pruned codes scan + ADC kernel +
+    # shortlist window would execute twice
+    short = (
+        adc.withColumn("srank", F.row_number().over(wa))
+        .filter(F.col("srank") <= shortlist)
+        .persist()
     )
     qvs = spark.createDataFrame(
         [(int(r["vec_id"]), list(r["v"])) for r in qrows],

@@ -234,7 +234,13 @@ def _extract_mega_chunked(
         )
         # Two consumers (doc merge + similarity agg) — persist so the
         # OCR inference stage runs once. Mega rows are the skewed
-        # minority; the cache holds chunk-sized slices only.
+        # minority; the cache holds chunk-sized slices only. Cache
+        # lifecycle: the returned plan still references this table,
+        # so it cannot be unpersisted here — repeated calls over the
+        # SAME corpus are deduped by Spark's CacheManager (one entry
+        # per distinct plan, the lsh_candidate_pairs discipline) and
+        # the level is evictable MEMORY_AND_DISK, so distinct-corpus
+        # sessions degrade to recompute, never to OOM.
         ch = ch.persist()
 
     merged = (
@@ -355,12 +361,15 @@ def extract_documents(
     for benchmarking the non-inference stages in isolation).
 
     ``mega_media_chunk``: when set, documents with more than this many
-    media spans take a split-process-reassemble OCR path (explode into
-    chunks, infer per chunk across tasks, merge in the Arrow fill — see
-    ``_ocr_map_chunked``) instead of one Arrow batch entry in one
-    task. Output is IDENTICAL (pytest parity); the default keeps the
-    zero-shuffle single-projection plan. Size it to the per-task model
-    budget — e.g. 256 on a cluster where one model call is ~50 ms.
+    TOTAL spans take the split path (``_extract_mega_chunked``,
+    round 4): their sorted spans explode into chunk-sized slices and
+    EVERY span-linear stage — OCR inference, media fill, problem
+    regexes, content segments, similarity features — runs per slice
+    across tasks, merged associatively. Output is IDENTICAL (pytest
+    parity); the default keeps the zero-shuffle single-projection
+    plan. The value is both the trigger threshold and the slice
+    size — size it to the per-task model budget, e.g. 256 on a
+    cluster where one model call is ~50 ms (BENCH/SKEW.md).
 
     ``ocr_burn``: bench-only per-page latency emulation for the md5
     stand-in (see ``operators.ocr.fake_ocr_text``); 0 = production.

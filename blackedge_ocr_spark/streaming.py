@@ -31,6 +31,28 @@ RAW_DOCUMENTS_SCHEMA = T.StructType(
 )
 
 
+
+def _run_token(checkpoint_dir: str) -> str:
+    """Stable per-logical-stream partition namespace. Batch ids
+    restart at 0 for a FRESH checkpoint, so keying partitions on
+    batch_id alone would let a new run's dynamic overwrite REPLACE a
+    previous run's committed ``batch_id=0`` partitions in a kept
+    output/registry dir. Partitions are therefore
+    ``run=<md5(checkpoint)>/batch_id=N``: a same-checkpoint restart
+    keeps the token (retried batches overwrite exactly their own
+    partition — the crash-idempotence contract), while a fresh
+    checkpoint gets a fresh namespace and old partitions survive as
+    history. Re-using a CLEARED checkpoint path re-uses the token;
+    start fresh runs with a fresh checkpoint dir (standard streaming
+    practice, and what every test/harness here does)."""
+    import hashlib
+    import os
+
+    return hashlib.md5(
+        os.path.abspath(checkpoint_dir).encode("utf-8")
+    ).hexdigest()[:12]
+
+
 def stream_extract(
     spark: SparkSession,
     input_dir: str,
@@ -66,10 +88,11 @@ def stream_extract(
         # re-executed micro-batch REPLACES its own partition instead
         # of appending a duplicate copy of every row.
         (
-            result.withColumn("batch_id", F.lit(batch_id))
+            result.withColumn("run", F.lit(_run_token(checkpoint_dir)))
+            .withColumn("batch_id", F.lit(batch_id))
             .write.mode("overwrite")
             .option("partitionOverwriteMode", "dynamic")
-            .partitionBy("batch_id")
+            .partitionBy("run", "batch_id")
             .parquet(output_dir)
         )
 
@@ -686,12 +709,14 @@ def stream_dedup(
             else definitely_new.unionByName(checked)
         )
         fresh = fresh.persist()
-        # idempotent sink: retried batches replace their own partition
+        # idempotent sink: retried batches replace their own
+        # run-namespaced partition (see _run_token)
         (
-            fresh.withColumn("batch_id", F.lit(batch_id))
+            fresh.withColumn("run", F.lit(_run_token(checkpoint_dir)))
+            .withColumn("batch_id", F.lit(batch_id))
             .write.mode("overwrite")
             .option("partitionOverwriteMode", "dynamic")
-            .partitionBy("batch_id")
+            .partitionBy("run", "batch_id")
             .parquet(output_dir)
         )
         if _crash_hook is not None:
@@ -833,22 +858,28 @@ def stream_neardup(
         if batch_df.isEmpty():
             return
 
+        token = _run_token(checkpoint_dir)
+
         def _read_prior(path: str):
             """Registry state EXCLUDING this batch's own partition —
             a retried batch must not see the failed attempt's
             partial writes (a surviving band write would double-
-            count the batch into the cap positions)."""
+            count the batch into the cap positions). Other runs'
+            partitions are valid history and stay visible."""
             t = _read_or_none(path)
             if t is None:
                 return None
-            return t.filter(F.col("batch_id") != batch_id).drop("batch_id")
+            return t.filter(
+                ~((F.col("run") == token) & (F.col("batch_id") == batch_id))
+            ).drop("run", "batch_id")
 
         def _write_part(df: DataFrame, path: str) -> None:
             (
-                df.withColumn("batch_id", F.lit(batch_id))
+                df.withColumn("run", F.lit(token))
+                .withColumn("batch_id", F.lit(batch_id))
                 .write.mode("overwrite")
                 .option("partitionOverwriteMode", "dynamic")
-                .partitionBy("batch_id")
+                .partitionBy("run", "batch_id")
                 .parquet(path)
             )
 
@@ -875,9 +906,11 @@ def stream_neardup(
         else:
             banded = banded.withColumn("n_prior", F.lit(0))
         w = Window.partitionBy("band", "key").orderBy("doc_id")
+        positioned = banded.withColumn(
+            "pos", F.row_number().over(w) + F.col("n_prior")
+        ).persist()
         eligible = (
-            banded.withColumn("pos", F.row_number().over(w) + F.col("n_prior"))
-            .filter(F.col("pos") <= bucket_cap)
+            positioned.filter(F.col("pos") <= bucket_cap)
             .select("band", "key", "doc_id")
             .persist()
         )
@@ -887,6 +920,39 @@ def stream_neardup(
         in_batch = in_bucket_pairs(
             eligible, "doc_id", "doc_a", "doc_b", bucket_cap
         )
+        # STAR TAIL (the batch rule's round-4 addition, mirrored):
+        # batch members BEYOND the cap pair with the bucket HEAD —
+        # the lowest id the bucket has ever seen (prior min, else
+        # batch min; with in-id-order arrival that IS the batch
+        # twin's global head). Without it a mirror-scale hot bucket
+        # silently un-suppresses every beyond-cap copy and the
+        # streamed survivor set diverges from the batch keeper set.
+        beyond = positioned.filter(F.col("pos") > bucket_cap).select(
+            "band", "key", F.col("doc_id").alias("doc_new")
+        )
+        batch_heads = positioned.groupBy("band", "key").agg(
+            F.min("doc_id").alias("head")
+        )
+        if prior_bands is not None:
+            prior_heads = prior_bands.groupBy("band", "key").agg(
+                F.min("doc_id").alias("head")
+            )
+            heads = (
+                batch_heads.unionByName(prior_heads)
+                .groupBy("band", "key")
+                .agg(F.min("head").alias("head"))
+            )
+        else:
+            heads = batch_heads
+        star = (
+            beyond.join(heads, ["band", "key"])
+            .filter(F.col("head") != F.col("doc_new"))
+            .select(
+                F.least("head", "doc_new").alias("doc_a"),
+                F.greatest("head", "doc_new").alias("doc_b"),
+            )
+        )
+        pairs = in_batch.unionByName(star)
         if prior_bands is not None:
             cross = (
                 prior_bands.join(
@@ -901,10 +967,8 @@ def stream_neardup(
                     F.greatest("doc_id", "doc_new").alias("doc_b"),
                 )
             )
-            pairs = in_batch.unionByName(cross).distinct()
-        else:
-            pairs = in_batch
-        pairs = pairs.persist()
+            pairs = pairs.unionByName(cross)
+        pairs = pairs.distinct().persist()
 
         batch_sh = sh.select("doc_id", "shingles")
         prior_sh = _read_prior(sigs_dir)
@@ -955,7 +1019,7 @@ def stream_neardup(
         _write_part(eligible, bands_dir)
         if _crash_hook is not None:
             _crash_hook("after_bands", batch_id)
-        for df in (cand_sh, pairs, eligible, sh):
+        for df in (cand_sh, pairs, eligible, positioned, sh):
             df.unpersist()
 
     writer = raw.writeStream.foreachBatch(process_batch).option(
@@ -1042,10 +1106,13 @@ def stream_incremental_extract(
             # replaces its own output partition (idempotent even when
             # the registry append of the failed attempt was lost).
             (
-                result.withColumn("batch_id", F.lit(batch_id))
+                result.withColumn(
+                    "run", F.lit(_run_token(checkpoint_dir))
+                )
+                .withColumn("batch_id", F.lit(batch_id))
                 .write.mode("overwrite")
                 .option("partitionOverwriteMode", "dynamic")
-                .partitionBy("batch_id")
+                .partitionBy("run", "batch_id")
                 .parquet(output_dir)
             )
             if _crash_hook is not None:

@@ -112,3 +112,41 @@ def test_stream_neardup_matches_batch_pairs_and_survives_restart(
     } - _batch_dropped(full2)
     assert got2 == expect2
     assert 4_000_000 in got2
+
+
+def test_stream_neardup_monster_bucket_star_tail(spark, tmp_path):
+    """A hot bucket BEYOND the cap must not leak duplicates through
+    the stream (the round-4 star-tail parity): 30 identical docs with
+    bucket_cap=8 — in-batch beyond-cap copies AND a later batch's
+    copies all pair with the bucket head and are suppressed, exactly
+    like the batch path's capped+star enumeration."""
+    from blackedge_ocr_spark.streaming import stream_neardup
+
+    text = (
+        "quarterly revenue summary table northern region adjusted "
+        "operating margin headcount detail prepared by finance"
+    )
+    other = "entirely different content about rivers gardens and stars"
+    rows1 = [(i, text, "en", "crawl", len(text)) for i in range(20)]
+    rows1.append((90, other, "en", "crawl", len(other)))
+    rows2 = [(100 + i, text, "en", "crawl", len(text)) for i in range(10)]
+    schema = "doc_id long, text string, lang string, source string, n_chars long"
+    inp = tmp_path / "in"
+    _write_in_order(
+        tmp_path,
+        inp,
+        [spark.createDataFrame(rows1, schema),
+         spark.createDataFrame(rows2, schema)],
+    )
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    bands, sigs = str(tmp_path / "bands"), str(tmp_path / "sigs")
+    q = stream_neardup(
+        spark, str(inp), out, ckpt, bands, sigs, bucket_cap=8
+    )
+    q.awaitTermination()
+    got = sorted(
+        r["doc_id"] for r in spark.read.parquet(out).select("doc_id").collect()
+    )
+    # head 0 survives; every other copy — within cap (1..7), beyond
+    # cap in-batch (8..19), and cross-batch (100..109) — suppressed
+    assert got == [0, 90], got
