@@ -993,6 +993,66 @@ def ivf_kmeans_topk(
     return _ivf_rank(corpus, cents, k, query_every, probe)
 
 
+def _plan_probes(qrows, cents, probe: int) -> list[tuple[int, int]]:
+    """Driver-side probe planner, vectorized (round 5): one numpy
+    |Q|×C cosine with the dim-ordered accumulation discipline — the
+    same sequence of IEEE mul+adds as the scalar ``_fold_cos`` fold
+    it replaces, so the floats are bit-identical — then a per-query
+    stable lexsort on ``(-cos, cid)``, the identical tie rule. The
+    scalar loop was O(|Q|·C·dims) interpreted Python on the driver;
+    with C ≈ 4·√n that becomes the serving bottleneck at corpus
+    scale (round-4 advice). Degenerate query rows (NULL vector or a
+    length that disagrees with the centroid dims) fall back to the
+    scalar fold row-by-row, preserving its exact semantics.
+
+    ``qrows``: Row(vec_id, v); ``cents``: cid-sorted Row(cid, cv).
+    Returns [(q_id, cid), ...] grouped per query, probe-rank order.
+    """
+    import numpy as np
+
+    ccid = np.array([c["cid"] for c in cents], dtype=np.int64)
+    Cm = np.array([list(c["cv"]) for c in cents], dtype=np.float64)
+    nc, dims = Cm.shape
+    cn = np.zeros(nc)
+    for j in range(dims):
+        cn = cn + Cm[:, j] * Cm[:, j]
+    cn = np.sqrt(cn)
+    good_idx = [
+        i
+        for i, r in enumerate(qrows)
+        if r["v"] is not None and len(r["v"]) == dims
+    ]
+    cos_by_row: dict[int, object] = {}
+    if good_idx:
+        Q = np.array(
+            [list(qrows[i]["v"]) for i in good_idx], dtype=np.float64
+        )
+        nq = len(good_idx)
+        acc = np.zeros((nq, nc))
+        qn = np.zeros(nq)
+        for j in range(dims):
+            acc = acc + np.multiply.outer(Q[:, j], Cm[:, j])
+            qn = qn + Q[:, j] * Q[:, j]
+        denom = np.multiply.outer(np.sqrt(qn), cn)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            cos = np.where(denom == 0.0, 0.0, acc / denom)
+        for pos, i in enumerate(good_idx):
+            cos_by_row[i] = cos[pos]
+    plan: list[tuple[int, int]] = []
+    for i, r in enumerate(qrows):
+        row = cos_by_row.get(i)
+        if row is not None:
+            # lexsort: primary = last key (-cos asc == cos desc),
+            # secondary cid asc — exactly sorted([(-cos, cid)])
+            for t in np.lexsort((ccid, -row))[:probe]:
+                plan.append((int(r["vec_id"]), int(ccid[t])))
+        else:
+            sims = [(-_fold_cos(r["v"], c["cv"]), c["cid"]) for c in cents]
+            for _, cid in sorted(sims)[:probe]:
+                plan.append((int(r["vec_id"]), int(cid)))
+    return plan
+
+
 def write_ivf_index(
     corpus: DataFrame, cents: DataFrame, path: str
 ) -> None:
@@ -1034,12 +1094,13 @@ def probe_ivf_index(
     qrows = vec.filter(F.col("vec_id") % query_every == 0).select(
         "vec_id", "v"
     ).collect()
-    plan = []  # (q_id, cid, qv) — driver-side probe plan (the shared
-    # _fold_cos keeps it equal to the in-engine assignment fold)
-    for r in qrows:
-        sims = [(-_fold_cos(r["v"], c["cv"]), c["cid"]) for c in cents]
-        for _, cid in sorted(sims)[:probe]:
-            plan.append((r["vec_id"], cid, list(r["v"])))
+    # driver-side probe plan: vectorized numpy planner, bit-equal to
+    # the in-engine assignment fold (see _plan_probes)
+    qv_by_id = {int(r["vec_id"]): list(r["v"]) for r in qrows}
+    plan = [
+        (q_id, cid, qv_by_id[q_id])
+        for q_id, cid in _plan_probes(qrows, cents, probe)
+    ]
     probe_cids = sorted({cid for _, cid, _v in plan})
 
     qdf = spark.createDataFrame(
@@ -1363,8 +1424,8 @@ def ivfpq_topk(
     # again (~6 actions) — uncached, each replays the O(n·C) coarse
     # assignment over the whole corpus (the exact re-derivation the
     # DuckDB mirror materializes its `res` CTE to avoid, measured
-    # 230 s → <1 s there). Evictable cache; CacheManager dedups
-    # repeated identical plans.
+    # 230 s → <1 s there). Unpersisted below, once the ADC
+    # short-list is materialized — nothing leaks past the call.
     res = _residual_frame(corpus, cents).persist()
     books, sub = ivfpq_codebooks(res, n, dims, iters, train_every)
     recon = _encode_recon(res, cents, books, sub)
@@ -1396,8 +1457,22 @@ def ivfpq_topk(
     wa = Window.partitionBy("q_id").orderBy(
         F.col("adc").desc(), F.col("neighbor_id").asc()
     )
-    short = adc.withColumn("srank", F.row_number().over(wa)).filter(
-        F.col("srank") <= shortlist
+    # MATERIALIZE the ADC short-list (round 5): O(|Q|·shortlist)
+    # rows, the working set a serving node holds anyway. This lets
+    # the persisted residual frame be UNPERSISTED here instead of
+    # leaking an evictable cache entry past the call (round-4
+    # advice) — the returned re-rank plan touches only this local
+    # short-list and the tiny query table, never `res` again.
+    short_rows = [
+        (int(r["q_id"]), int(r["neighbor_id"]), list(r["v"]))
+        for r in adc.withColumn("srank", F.row_number().over(wa))
+        .filter(F.col("srank") <= shortlist)
+        .select("q_id", "neighbor_id", "v")
+        .collect()
+    ]
+    res.unpersist()
+    short = spark.createDataFrame(
+        short_rows, "q_id long, neighbor_id long, v array<double>"
     )
     # Full-precision re-rank of the short-list only: O(|Q|·shortlist)
     # rows — the query vectors rejoin via a broadcast of the tiny
@@ -1542,12 +1617,9 @@ def probe_ivfpq_index(
     qrows = vec.filter(F.col("vec_id") % query_every == 0).select(
         "vec_id", "v"
     ).collect()
-    # driver-side probe plan, the shared fold (== assign_centroids)
-    plan = []
-    for r in qrows:
-        sims = [(-_fold_cos(r["v"], c["cv"]), c["cid"]) for c in cents]
-        for _, cid in sorted(sims)[:probe]:
-            plan.append((int(r["vec_id"]), int(cid)))
+    # driver-side probe plan: vectorized numpy planner, bit-equal to
+    # the in-memory assignment fold (see _plan_probes)
+    plan = _plan_probes(qrows, cents, probe)
     probe_cids = sorted({cid for _, cid in plan})
     q_ids = np.array([r["vec_id"] for r in qrows], dtype=np.int64)
     Qm = np.array([list(r["v"]) for r in qrows], dtype=np.float64)
@@ -1615,13 +1687,23 @@ def probe_ivfpq_index(
     wa = Window.partitionBy("q_id").orderBy(
         F.col("adc").desc(), F.col("neighbor_id").asc()
     )
-    # persisted: consumed by BOTH the neighbor fetch and the exact
-    # re-rank join — uncached, the pruned codes scan + ADC kernel +
-    # shortlist window would execute twice
-    short = (
-        adc.withColumn("srank", F.row_number().over(wa))
+    # MATERIALIZE the short-list (round 5, was .persist()): it feeds
+    # BOTH the neighbor fetch and the exact re-rank join — uncached,
+    # the pruned codes scan + ADC kernel + shortlist window would
+    # execute twice; persisted, the entry leaked past the call in a
+    # long-lived serving session (round-4 advice). The collect is
+    # O(|Q|·shortlist) ids — corpus-independent, the thing a serving
+    # node holds in memory anyway — and the ADC scan runs exactly
+    # once, with no cache entry left behind.
+    short_rows = [
+        (int(r["q_id"]), int(r["neighbor_id"]))
+        for r in adc.withColumn("srank", F.row_number().over(wa))
         .filter(F.col("srank") <= shortlist)
-        .persist()
+        .select("q_id", "neighbor_id")
+        .collect()
+    ]
+    short = spark.createDataFrame(
+        short_rows, "q_id long, neighbor_id long"
     )
     qvs = spark.createDataFrame(
         [(int(r["vec_id"]), list(r["v"])) for r in qrows],

@@ -61,8 +61,21 @@ def stream_extract(
     available_now: bool = True,
 ):
     """Watch ``input_dir`` for document parquet files, run the
-    spansify + extract pipeline per micro-batch, append results as
-    parquet. Returns the StreamingQuery (await with .awaitTermination).
+    spansify + extract pipeline per micro-batch, write results as
+    parquet partitioned by ``run=<token>/batch_id=N`` (idempotent
+    dynamic-partition overwrite — see ``_run_token``). Returns the
+    StreamingQuery (await with .awaitTermination).
+
+    READ-SIDE CONTRACT (applies to the outputs of ``stream_extract``,
+    ``stream_dedup`` and ``stream_neardup`` alike): the sink carries
+    two extra partition columns, ``run`` and ``batch_id``, that are
+    bookkeeping, not payload — select the payload columns when
+    consuming. A RE-RUN with a FRESH checkpoint into a KEPT output
+    dir gets a fresh ``run=`` namespace, so the previous run's
+    partitions remain as history and a naive full-directory read
+    sees both runs' rows. Either scope reads to one run partition
+    (``.filter(col("run") == <token>)``), or start fresh runs with a
+    fresh output dir (what every test/harness here does).
     """
     from pyspark.sql import functions as F
 
@@ -621,6 +634,14 @@ def stream_dedup(
     saturation — at which load a production job re-sizes the slot
     width), mergeable by union, and appended per batch like the
     registry.
+
+    Read-side contract of the survivor sink: partitioned by
+    ``run=<token>/batch_id=N`` — bookkeeping columns, not payload;
+    select the payload columns on read, and scope reads to one
+    ``run=`` partition (or use a fresh output dir per run) because a
+    fresh-checkpoint rerun into a kept dir ADDS a new run namespace
+    beside the old one's history. Full statement at
+    ``stream_extract``'s docstring.
     """
     from pyspark.sql import functions as F
     from pyspark.sql.utils import AnalysisException
@@ -869,6 +890,13 @@ def stream_neardup(
             t = _read_or_none(path)
             if t is None:
                 return None
+            if "run" not in t.columns or "batch_id" not in t.columns:
+                # pre-round-4 plain-append registry layout: no
+                # partition columns to exclude, and nothing written
+                # by THIS run can be in it — the whole table is
+                # valid prior history (format-migration guard,
+                # round-4 advice).
+                return t
             return t.filter(
                 ~((F.col("run") == token) & (F.col("batch_id") == batch_id))
             ).drop("run", "batch_id")

@@ -150,3 +150,68 @@ def test_stream_neardup_monster_bucket_star_tail(spark, tmp_path):
     # head 0 survives; every other copy — within cap (1..7), beyond
     # cap in-batch (8..19), and cross-batch (100..109) — suppressed
     assert got == [0, 90], got
+
+
+def test_stream_neardup_reads_legacy_plain_append_registries(
+    spark, tmp_path
+):
+    """Pre-round-4 registries were plain ``mode('append')`` parquet
+    with NO run/batch_id partition columns; ``_read_prior`` must
+    treat such a table as pure prior history (nothing in it can be a
+    failed attempt of THIS run) instead of raising an
+    unresolved-column AnalysisException (round-4 advice)."""
+    from blackedge_ocr_spark.analysis.dedup import (
+        lsh_band_keys,
+        minhash_signature_arrow,
+        word_shingles,
+    )
+    from blackedge_ocr_spark.streaming import stream_neardup
+
+    text = (
+        "annual compliance report southern district itemized expense "
+        "ledger reviewed by the audit committee in closed session"
+    )
+    other = "fresh unrelated prose about tidepools lanterns and maps"
+    schema = (
+        "doc_id long, text string, lang string, source string, "
+        "n_chars long"
+    )
+    seed = spark.createDataFrame(
+        [(1, text, "en", "crawl", len(text))], schema
+    )
+    bands, sigs = str(tmp_path / "lbands"), str(tmp_path / "lsigs")
+    # register the seed doc in the LEGACY layout (no partitions)
+    sh = seed.withColumn(
+        "shingles", word_shingles(F.col("text"))
+    ).withColumn("sig", minhash_signature_arrow(F.col("shingles")))
+    sh.select("doc_id", "shingles").write.mode("append").parquet(sigs)
+    (
+        sh.select(
+            "doc_id", F.explode(lsh_band_keys(F.col("sig"))).alias("bk")
+        )
+        .select("bk.band", "bk.key", "doc_id")
+        .filter(F.col("key").isNotNull())
+        .write.mode("append")
+        .parquet(bands)
+    )
+
+    # stream a copy of the registered doc plus one genuinely new doc
+    batch = spark.createDataFrame(
+        [
+            (50, text, "en", "crawl", len(text)),
+            (60, other, "en", "crawl", len(other)),
+        ],
+        schema,
+    )
+    inp = tmp_path / "lin"
+    _write_in_order(tmp_path, inp, [batch])
+    out, ckpt = str(tmp_path / "lout"), str(tmp_path / "lckpt")
+    q = stream_neardup(spark, str(inp), out, ckpt, bands, sigs)
+    q.awaitTermination()
+    got = sorted(
+        r["doc_id"]
+        for r in spark.read.parquet(out).select("doc_id").collect()
+    )
+    # the copy of the legacy-registered doc is suppressed; the new
+    # doc survives — and no AnalysisException was raised
+    assert got == [60], got
