@@ -59,6 +59,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": q.q_dedup_simhash,
         "ngram_jaccard": q.q_ngram_jaccard,
         "ann_topk": q.q_ann_topk,
+        "ann_topk_served": q.q_ann_topk_served,
         "ann_lsh_topk": q.q_ann_lsh_topk,
         "ann_ivf_topk": q.q_ann_ivf_topk,
         "ann_ivf_kmeans_topk": q.q_ann_ivf_kmeans_topk,

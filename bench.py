@@ -50,7 +50,7 @@ BENCH_QUERIES = (
     "quality_classifier",
     "semantic_dedup",
     "ann_sq8_topk",
-    "ann_ivfpq_topk",
+    "ann_ivfpq_probe",
     "hll_distinct",
     "cms_topk",
     "winnow_pairs",
@@ -139,6 +139,27 @@ def main() -> None:
     # Warm up the JVM + Python workers once (tiny scale).
     run_noop(qs["pipeline_extract"](spark, "/root/testdata/sf0.001"))
 
+    # IVF-PQ: bench the SERVING path, not codebook training (round-5
+    # item — the r4 ann_ivfpq_topk row was ~all build cost, which a
+    # deployment amortizes over the index lifetime). Build the
+    # materialized index ONCE here, report its wall separately as
+    # ivfpq_build_sec, and let the per-pass row time
+    # probe_ivfpq_index against the pre-built index — the cost a
+    # query actually pays.
+    import shutil
+    import tempfile
+
+    from blackedge_ocr_spark.analysis import ann
+
+    ivfpq_dir = tempfile.mkdtemp(prefix="bench_ivfpq_")
+    t0 = time.time()
+    ann.write_ivfpq_index(spark, sf_dir, ivfpq_dir)
+    ivfpq_build_sec = round(time.time() - t0, 3)
+    qs = dict(qs)
+    qs["ann_ivfpq_probe"] = (
+        lambda s, _sf: ann.probe_ivfpq_index(s, ivfpq_dir)
+    )
+
     # Best of 2 passes per query: this VM shows bursty steal time that
     # can 3x a single measurement; the minimum is the least-noise
     # estimate of the engine's actual cost. Passes are INTERLEAVED
@@ -156,6 +177,8 @@ def main() -> None:
                 times[name] = sec
     times = {k: round(v, 3) for k, v in times.items()}
 
+    shutil.rmtree(ivfpq_dir, ignore_errors=True)
+
     flagship = times["pipeline_extract"]
     out = {
         "metric": "e2e_extraction_seconds",
@@ -166,6 +189,10 @@ def main() -> None:
         "n_docs": n_docs,
         "docs_per_sec": round(n_docs / flagship, 1) if flagship else None,
         "parallelism": cpus,
+        # one-time index construction, amortized in deployment — kept
+        # OUT of `queries` so the serving probe row is not misread as
+        # training cost (BENCH/ANN.md has the build-vs-probe split)
+        "ivfpq_build_sec": ivfpq_build_sec,
     }
     print(json.dumps(out))
 

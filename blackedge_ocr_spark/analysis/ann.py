@@ -337,6 +337,36 @@ def brute_force_topk(
     )
 
 
+SERVED_Q_N = 8          # external fixture query count (|Q|)
+SERVED_Q_BASE = 1_000_000  # q_ids disjoint from every corpus vec_id
+
+
+def served_query_set(spark, n: int = SERVED_Q_N, dims: int = 64) -> DataFrame:
+    """The EXTERNAL query-table fixture for the serving-shaped ANN
+    contract row (round-5 item): |Q| fixed query vectors that do NOT
+    derive from the corpus — the deployment shape, where query
+    traffic is its own stream and |Q| stays constant as the corpus
+    grows to 10^12 vectors (the corpus-derived contract default
+    collects corpus/50 rows, which at 100 TB would not fit on a
+    driver).
+
+    Deterministic and engine-exact by construction: component j of
+    query i is ``((i·37 + j·11) mod 19 − 9) / 9.0`` — pure integer
+    arithmetic then one correctly-rounded double division, so the
+    DuckDB oracle (``sql_ann_topk_served``) rebuilds bit-identical
+    vectors from the same formula with no float literals to drift.
+    q_ids start at SERVED_Q_BASE, disjoint from corpus vec_ids, so
+    the self-exclusion rule never fires for served queries."""
+    rows = [
+        (
+            SERVED_Q_BASE + i,
+            [((i * 37 + j * 11) % 19 - 9) / 9.0 for j in range(dims)],
+        )
+        for i in range(n)
+    ]
+    return spark.createDataFrame(rows, "vec_id long, v array<double>")
+
+
 SQ8_SCALE = 127  # int8 code range: codes land in [-127, 127]
 
 

@@ -495,6 +495,20 @@ def q_ann_topk(spark, sf_dir) -> DataFrame:
                     "neighbor_id", "cos")
 
 
+def q_ann_topk_served(spark, sf_dir) -> DataFrame:
+    """Brute-force cosine top-5 for an EXTERNAL query table — the
+    serving shape: |Q| is a fixed fixture set (ann.served_query_set),
+    corpus-independent end-to-end, so nothing in this plan collects
+    O(corpus) rows at any scale (round-5 contract row)."""
+    from blackedge_ocr_spark.analysis import ann
+
+    r = ann.brute_force_topk(
+        spark, sf_dir, queries=ann.served_query_set(spark)
+    )
+    return r.select("q_id", F.col("rank").cast("long").alias("rank"),
+                    "neighbor_id", "cos")
+
+
 def q_ann_lsh_topk(spark, sf_dir) -> DataFrame:
     """Hyperplane-LSH bucketed approximate top-5."""
     from blackedge_ocr_spark.analysis import ann

@@ -713,6 +713,7 @@ def build_oracles() -> dict[str, str]:
         "dedup_simhash": sql_dedup_simhash(),
         "ngram_jaccard": sql_ngram_jaccard(),
         "ann_topk": sql_ann_topk(),
+        "ann_topk_served": sql_ann_topk_served(),
         "ann_lsh_topk": sql_ann_lsh_topk(),
         "ann_ivf_topk": sql_ann_ivf_topk(),
         "ann_ivf_kmeans_topk": sql_ann_ivf_kmeans_topk(),
@@ -1045,6 +1046,28 @@ def sql_ann_topk(k: int = 5, query_every: int = 50) -> str:
     return f"""
 WITH {EMB},
 q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id % {query_every} = 0),
+s AS (SELECT q_id, vec_id AS neighbor_id, round({cosine_sql('qv', 'v')}, 6) AS cos
+      FROM e, q WHERE vec_id != q_id)
+SELECT q_id, rank, neighbor_id, cos FROM (
+  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, neighbor_id) AS rank
+  FROM s) WHERE rank <= {k}"""
+
+
+def sql_ann_topk_served(
+    k: int = 5, n_q: int = 8, dims: int = 64, base: int = 1_000_000
+) -> str:
+    """Mirror of queries.q_ann_topk_served: the EXTERNAL query table
+    is rebuilt from the same integer formula as ann.served_query_set
+    (((i·37 + j·11) mod 19 − 9) / 9.0) — pure bigint arithmetic then
+    one double division, bit-identical in both engines. q_ids are
+    corpus-disjoint, so no self-exclusion predicate is needed (kept
+    anyway for form parity with sql_ann_topk)."""
+    return f"""
+WITH {EMB},
+q AS (SELECT {base} + i AS q_id,
+             list_transform(range({dims}),
+                            j -> (((i*37 + j*11) % 19) - 9) / 9.0) AS qv
+      FROM range({n_q}) t(i)),
 s AS (SELECT q_id, vec_id AS neighbor_id, round({cosine_sql('qv', 'v')}, 6) AS cos
       FROM e, q WHERE vec_id != q_id)
 SELECT q_id, rank, neighbor_id, cos FROM (
