@@ -601,17 +601,41 @@ def _collect_centroids(cents: DataFrame):
 CENT_BLOCK = 1024
 
 
+def _cos_block(V, vnorm, Cb):
+    """(rows × |Cb|) cosine block, dim-ordered — the ONE fold whose
+    per-element op sequence every assignment kernel's bit-parity
+    rests on (one IEEE mul+add per dimension step, sqrt/mul/divide
+    the same correctly-rounded ops, zero denominators → 0.0).
+    Slicing either axis — contiguous centroid blocks OR an arbitrary
+    gathered candidate subset — touches no element's arithmetic, so
+    block results equal the corresponding entries of the full (rows
+    × C) matrix exactly."""
+    import numpy as np
+
+    n, dims = V.shape
+    cnorm = np.zeros(len(Cb))
+    for j in range(dims):
+        cnorm = cnorm + Cb[:, j] * Cb[:, j]
+    cnorm = np.sqrt(cnorm)
+    acc = np.zeros((n, len(Cb)))
+    # allocating form on purpose — see brute_force_topk NOTE
+    for j in range(dims):
+        acc = acc + np.multiply.outer(V[:, j], Cb[:, j])
+    denom = np.multiply.outer(vnorm, cnorm)
+    with np.errstate(invalid="ignore", divide="ignore"):
+        return np.where(denom == 0.0, 0.0, acc / denom)
+
+
 def _first_max_assign(V, Cm, block: int = CENT_BLOCK):
     """First-max nearest-centroid assignment, streamed over centroid
-    BLOCKS: per block the usual dim-ordered cosine (identical
-    per-element arithmetic to the full matrix — slicing the centroid
-    axis touches nothing), then a running strictly-greater argmax.
-    Scanning blocks in index order with strict > keeps the FIRST
-    maximum, exactly ``np.argmax`` over the full row, at peak memory
-    O(rows × block) instead of O(rows × C). Shared by the IVF
-    assignment, the PQ subspace coders and the IVF-PQ encoder — one
-    implementation so the memory bound and the tie rule cannot
-    drift."""
+    BLOCKS: per block the usual dim-ordered cosine (``_cos_block`` —
+    identical per-element arithmetic to the full matrix), then a
+    running strictly-greater argmax. Scanning blocks in index order
+    with strict > keeps the FIRST maximum, exactly ``np.argmax``
+    over the full row, at peak memory O(rows × block) instead of
+    O(rows × C). Shared by the IVF assignment, the PQ subspace
+    coders and the IVF-PQ encoder — one implementation so the memory
+    bound and the tie rule cannot drift."""
     import numpy as np
 
     n, dims = V.shape
@@ -623,23 +647,159 @@ def _first_max_assign(V, Cm, block: int = CENT_BLOCK):
     best = np.full(n, -np.inf)
     besti = np.zeros(n, dtype=np.int64)
     for c0 in range(0, C, block):
-        Cb = Cm[c0:c0 + block]
-        cnorm = np.zeros(len(Cb))
-        for j in range(dims):
-            cnorm = cnorm + Cb[:, j] * Cb[:, j]
-        cnorm = np.sqrt(cnorm)
-        acc = np.zeros((n, len(Cb)))
-        # allocating form on purpose — see brute_force_topk NOTE
-        for j in range(dims):
-            acc = acc + np.multiply.outer(V[:, j], Cb[:, j])
-        denom = np.multiply.outer(vnorm, cnorm)
-        with np.errstate(invalid="ignore", divide="ignore"):
-            sims = np.where(denom == 0.0, 0.0, acc / denom)
+        sims = _cos_block(V, vnorm, Cm[c0:c0 + block])
         bi = np.argmax(sims, axis=1)
         bv = sims[np.arange(n), bi]
         upd = bv > best
         best[upd] = bv[upd]
         besti[upd] = bi[upd] + c0
+    return besti
+
+
+# Epsilon slack on the triangle-inequality group prune: distances are
+# O(1) on the unit sphere and their float rounding error is ~1e-15,
+# so 1e-7 is ~10^8 × safety against wrongly pruning a winner (equal-
+# cosine ties have distance gap exactly 0 and are NEVER prunable),
+# while costing nothing — no real candidate sits within 1e-7 of a
+# prune boundary without also being scanned.
+PRUNE_EPS = 1e-7
+
+
+def _build_centroid_groups(Cm, n_groups: int | None = None, iters: int = 5):
+    """Driver-side grouping of the centroid set for the exact-pruned
+    assignment (round-5 item: semantic_dedup's O(n·C) = O(n^1.5)
+    assignment term). Groups the C centroids into G ≈ √C clusters (a
+    tiny numpy Lloyd over the NORMALIZED centroids — deterministic:
+    strided init in cid order, argmin assignment) and records, per
+    group, a representative point and its covering radius
+    r_j = max d(rep_j, ĉ) over member centroids on the unit sphere.
+
+    The grouping affects ONLY performance, never results: the prune
+    in ``_pruned_first_max_assign`` is a triangle-inequality bound
+    that provably retains every centroid whose cosine could equal or
+    exceed the winner's (see its docstring), for ANY grouping.
+    Zero-norm centroids score 0.0 against everything (outside the
+    distance⇔cosine correspondence), so they bypass grouping via the
+    ``always``-scanned list."""
+    import numpy as np
+
+    C, dims = Cm.shape
+    norms = np.sqrt(np.einsum("ij,ij->i", Cm, Cm))
+    always = np.nonzero(norms == 0.0)[0].astype(np.int64)
+    nzi = np.nonzero(norms > 0.0)[0]
+    nC = len(nzi)
+    if nC == 0:
+        return {
+            "reps": np.zeros((0, dims)),
+            "radii": np.zeros(0),
+            "gidx": [],
+            "always": always,
+        }
+    P = Cm[nzi] / norms[nzi][:, None]
+    G = n_groups or max(1, int(np.sqrt(nC)))
+    sel = np.linspace(0, nC - 1, G).round().astype(int)
+    reps = P[sel].copy()
+
+    def _d2(reps_):
+        rn2 = np.einsum("ij,ij->i", reps_, reps_)
+        return np.maximum(0.0, 1.0 + rn2[None, :] - 2.0 * (P @ reps_.T))
+
+    for _ in range(iters):
+        a = np.argmin(_d2(reps), axis=1)
+        counts = np.bincount(a, minlength=G)
+        sums = np.zeros_like(reps)
+        np.add.at(sums, a, P)
+        nzg = counts > 0
+        reps[nzg] = sums[nzg] / counts[nzg][:, None]
+    d2 = _d2(reps)
+    a = np.argmin(d2, axis=1)
+    d = np.sqrt(d2[np.arange(nC), a])
+    gidx, radii, reps_out = [], [], []
+    for j in range(G):
+        m = a == j
+        if not m.any():
+            continue
+        gidx.append(np.sort(nzi[m]).astype(np.int64))
+        radii.append(float(d[m].max()))
+        reps_out.append(reps[j])
+    return {
+        "reps": np.array(reps_out),
+        "radii": np.array(radii),
+        "gidx": gidx,
+        "always": always,
+    }
+
+
+def _pruned_first_max_assign(V, Cm, groups):
+    """EXACT first-max assignment with triangle-inequality group
+    pruning — returns indices identical to ``_first_max_assign(V,
+    Cm)`` while evaluating the cosine for only the centroids that
+    could win (round-5: cuts semantic_dedup's n·C assignment term to
+    n·(√C + candidates)).
+
+    Correctness: max cosine ⇔ min Euclidean distance between the
+    normalized vector x̂ and normalized centroid ĉ (d² = 2 − 2cos on
+    the unit sphere). With B = min_j(d(x̂, rep_j) + r_j) an upper
+    bound on the winner's distance, any centroid c in group j with
+    d(x̂, rep_j) − r_j > B satisfies d(x̂, ĉ) ≥ d(x̂, rep_j) − r_j >
+    B ≥ d_winner — strictly farther, so neither a winner nor an
+    equal-cosine tie (ties have distance gap exactly 0). Groups are
+    pruned only on that condition plus PRUNE_EPS slack for the
+    distance arithmetic's own rounding. Every surviving candidate's
+    cosine is computed by the SAME dim-ordered ``_cos_block`` as the
+    full scan — bit-equal values — and the running update keeps
+    (greater cos) | (equal cos AND lower index), which equals the
+    full scan's first-max rule regardless of group visit order.
+    Zero-norm vectors (cos 0.0 everywhere, outside the
+    correspondence) fall back to the full block scan; zero-norm
+    centroids are always scanned."""
+    import numpy as np
+
+    n, dims = V.shape
+    besti = np.zeros(n, dtype=np.int64)
+    vnorm = np.zeros(n)
+    for j in range(dims):
+        vnorm = vnorm + V[:, j] * V[:, j]
+    vnorm = np.sqrt(vnorm)
+    zero = vnorm == 0.0
+    if zero.any():
+        besti[zero] = _first_max_assign(V[zero], Cm)
+    nz = np.nonzero(~zero)[0]
+    if len(nz) == 0:
+        return besti
+    Vn = V[nz]
+    vn = vnorm[nz]
+    reps, radii = groups["reps"], groups["radii"]
+    gidx, always = groups["gidx"], groups["always"]
+    m = len(Vn)
+    best = np.full(m, -np.inf)
+    bi = np.full(m, np.iinfo(np.int64).max, dtype=np.int64)
+
+    def scan(rows, cidx):
+        sims = _cos_block(Vn[rows], vn[rows], Cm[cidx])
+        loc = np.argmax(sims, axis=1)  # first max; cidx ascending
+        bv = sims[np.arange(len(rows)), loc]
+        gi = cidx[loc]
+        cur_b, cur_i = best[rows], bi[rows]
+        upd = (bv > cur_b) | ((bv == cur_b) & (gi < cur_i))
+        ridx = rows[upd]
+        best[ridx] = bv[upd]
+        bi[ridx] = gi[upd]
+
+    if len(always):
+        scan(np.arange(m), always)
+    if len(reps):
+        Xh = Vn / vn[:, None]
+        rn2 = np.einsum("ij,ij->i", reps, reps)
+        Dg = np.sqrt(
+            np.maximum(0.0, 1.0 + rn2[None, :] - 2.0 * (Xh @ reps.T))
+        )
+        B = np.min(Dg + radii[None, :], axis=1)
+        for j in range(len(reps)):
+            rows = np.nonzero(Dg[:, j] - radii[j] <= B + PRUNE_EPS)[0]
+            if len(rows):
+                scan(rows, gidx[j])
+    besti[nz] = bi
     return besti
 
 
@@ -650,6 +810,7 @@ def assign_centroids(
     probe: int | None = None,
     vec_col: str = "v",
     cent_block: int = CENT_BLOCK,
+    prune: bool = False,
 ) -> DataFrame:
     """Nearest-centroid assignment as a numpy block kernel: returns
     ``df[keep]`` + ``cid`` (+ ``pcids``, the ``probe`` nearest list
@@ -667,14 +828,24 @@ def assign_centroids(
     ``array_position(sims, array_max(sims))``. Tie order inside
     ``pcids`` is stable-argsort over cid-sorted columns == the JVM
     ``array_sort(struct(-sim, cid))``. The centroid matrix is
-    O(C·dims) — driver-collected and broadcast, never joined."""
+    O(C·dims) — driver-collected and broadcast, never joined.
+
+    ``prune=True`` (corpus path only): route the per-batch argmax
+    through ``_pruned_first_max_assign`` — triangle-inequality group
+    pruning over a driver-built √C grouping, results provably
+    identical (see its docstring). Used by semantic_dedup, whose
+    C ≈ 4√n makes the full scan the pipeline's n^1.5 term."""
     import numpy as np
     import pandas as pd
 
     from pyspark.sql import types as T
 
     spark = df.sparkSession
-    bc = spark.sparkContext.broadcast(_collect_centroids(cents))
+    cids_, Cm_ = _collect_centroids(cents)
+    groups_ = (
+        _build_centroid_groups(Cm_) if (prune and not probe) else None
+    )
+    bc = spark.sparkContext.broadcast((cids_, Cm_, groups_))
 
     in_df = df.select(*keep) if vec_col in keep else df.select(*keep, vec_col)
     fields = [in_df.schema[c] for c in keep]
@@ -683,27 +854,8 @@ def assign_centroids(
         fields.append(T.StructField("pcids", T.ArrayType(T.LongType())))
     out_schema = T.StructType(fields)
 
-    def _sims_block(V, vnorm, Cb):
-        """(rows × |Cb|) cosine block, dim-ordered — the fold whose
-        per-element op sequence every caller's bit-parity rests on.
-        Slicing the centroid axis does not touch any element's
-        arithmetic, so block results equal columns of the full-C
-        matrix exactly."""
-        n, dims = V.shape
-        cnorm = np.zeros(len(Cb))
-        for j in range(dims):
-            cnorm = cnorm + Cb[:, j] * Cb[:, j]
-        cnorm = np.sqrt(cnorm)
-        acc = np.zeros((n, len(Cb)))
-        # allocating form on purpose — see brute_force_topk NOTE
-        for j in range(dims):
-            acc = acc + np.multiply.outer(V[:, j], Cb[:, j])
-        denom = np.multiply.outer(vnorm, cnorm)
-        with np.errstate(invalid="ignore", divide="ignore"):
-            return np.where(denom == 0.0, 0.0, acc / denom)
-
     def blocks(batches):
-        cids, Cm = bc.value
+        cids, Cm, groups = bc.value
         C, dims = Cm.shape
         for pdf in batches:
             if len(pdf) == 0:
@@ -721,10 +873,14 @@ def assign_centroids(
                 for j in range(dims):
                     vnorm = vnorm + V[:, j] * V[:, j]
                 vnorm = np.sqrt(vnorm)
-                sims = _sims_block(V, vnorm, Cm)
+                sims = _cos_block(V, vnorm, Cm)
                 out["cid"] = cids[np.argmax(sims, axis=1)]
                 order = np.argsort(-sims, axis=1, kind="stable")
                 out["pcids"] = list(cids[order[:, :probe]])
+            elif groups is not None:
+                # exact-pruned corpus path (round 5): identical ids,
+                # only winner-eligible centroids evaluated
+                out["cid"] = cids[_pruned_first_max_assign(V, Cm, groups)]
             else:
                 # corpus-side path: C grows as 4·√n, so a full
                 # (batch × C) sims matrix is O(batch·√n) doubles PER

@@ -93,6 +93,22 @@ def bm25_topk(
     growth table (BENCH/BASELINE.md) and answered by this parameter,
     exactly like the exact-ANN paths' fixture-derived query sets.
 
+    Round 5 (the sf100 spill wall, BENCH/BASELINE.md note 3): the
+    full O(distinct (doc, term)) postings table is never
+    materialized here at all. The two things it used to provide are
+    derivable without it — doc lengths are ``size(tokens(text))``
+    per doc (identical to sum-of-tf by construction: postings IS the
+    grouped token explode; docs with no tokens appear in neither),
+    and the query-term prune now runs BEFORE the (doc, term) agg, so
+    the one exploded-token shuffle carries only MATCHED partials,
+    O(docs containing query terms), not O(corpus vocabulary). Peak
+    state is bounded by the match volume at any corpus size — the
+    24 GB single-JVM sf100 run that died in spill against the
+    500M-row postings persist completes in linear time (measured,
+    BENCH/BASELINE.md). For a reusable on-disk index — repeated
+    query workloads over a fixed corpus — see
+    ``write_postings_index`` / ``bm25_topk_indexed``.
+
     Determinism: idf is micro-unit-rounded once per term (O(query
     terms) rows); each (term, doc) partial score is micro-unit-
     rounded once; per-(query, doc) totals are exact long sums —
@@ -100,15 +116,14 @@ def bm25_topk(
     IEEE arithmetic over exact integers (tf, len_d) and the one
     shared avg_len double, written identically in the DuckDB oracle.
     """
-    # The inverted index is materialized once and read by three
-    # consumers (doc lengths, query pruning, scoring) — persisting it
-    # is exactly what a production search stack does (the postings
-    # table IS the index); evictable MEMORY_AND_DISK, O(distinct
-    # (doc, term)) not O(raw tokens).
-    post = postings(docs).persist()
-    # doc length table, reduced from postings (not a second corpus
-    # pass); avg_len as ONE double division of two exact longs
-    dlen = post.groupBy("doc_id").agg(F.sum("tf").alias("len_d"))
+    # doc length table: one narrow projection, no token explode
+    # reaches any shuffle. size(tokens) == sum(tf over the doc's
+    # postings); docs with zero tokens (or NULL text → size -1) have
+    # no postings rows and are excluded from n_docs/avg_len exactly
+    # as before.
+    dlen = docs.select(
+        "doc_id", F.size(tokens(F.col("text"))).alias("len_d")
+    ).filter(F.col("len_d") > 0)
     n_avg = F.broadcast(
         dlen.agg(
             F.count("*").alias("n_docs"),
@@ -120,10 +135,20 @@ def bm25_topk(
     )
     q = query_set(docs) if queries is None else queries
     qterms = F.broadcast(q.select("term").distinct())
-    # matched postings are O(docs containing query terms) — small by
-    # construction; persisted because both the df agg and the scoring
-    # join read them
-    matched = post.join(qterms, "term", "left_semi").persist()
+    # matched postings: broadcast-semi-join the exploded token stream
+    # BEFORE the combinable (doc, term) agg — unmatched tokens die
+    # map-side and the exchange carries O(matched) partial counts;
+    # persisted because both the df agg and the scoring join read
+    # them (bounded by the match volume, not the vocabulary)
+    matched = (
+        docs.select(
+            "doc_id", F.explode(tokens(F.col("text"))).alias("term")
+        )
+        .join(qterms, "term", "left_semi")
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+        .persist()
+    )
     # df over the PRUNED postings (a term's df is identical either
     # way — postings hold every doc containing it)
     idf_micro = F.floor(
@@ -153,6 +178,145 @@ def bm25_topk(
         matched.join(dlen, "doc_id")
         .join(idf, "term")
         .join(F.broadcast(q), "term")
+        .select("query_id", "doc_id", part_u.alias("part_u"))
+        .groupBy("query_id", "doc_id")
+        .agg(F.sum("part_u").alias("s_u"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("s_u").desc(), F.col("doc_id")
+    )
+    return (
+        scored.select(
+            "query_id",
+            "doc_id",
+            F.row_number().over(w).alias("rank"),
+            (F.col("s_u").cast("double") / 1e6).alias("score"),
+        )
+        .filter(F.col("rank") <= k)
+    )
+
+
+# Term-hash shard count for the on-disk postings index. 16 bounds
+# per-shard state at sf100 (~500M postings / 16 ≈ 31M rows/shard)
+# while keeping the scorer's partition-pruned scan coarse enough to
+# batch well; a fleet sizes this to its executor memory the same way.
+POSTINGS_SHARDS = 16
+
+
+def _term_shard(term: Column, shards: int) -> Column:
+    """Owning shard of a term: pmod(xxhash64(term), shards). xxhash64
+    is seed-fixed in Spark, so the assignment is stable across runs,
+    cluster layouts, and build/query sessions."""
+    return F.pmod(F.xxhash64(term), F.lit(shards))
+
+
+def write_postings_index(
+    docs: DataFrame, path: str, shards: int = POSTINGS_SHARDS
+) -> None:
+    """Materialize the inverted index the way a production search
+    stack stores it (round-5 item: the term-range-sharded build that
+    closes the sf100 single-JVM spill wall): the postings table
+    parquet-partitioned by ``shard=pmod(xxhash64(term), shards)``
+    plus the doc-length table alongside.
+
+    Scale shape: ONE exploded-token pass; the (doc, term) agg's
+    exchange hash-partitions partials across the cluster with
+    map-side combine, and each reduce task streams its rows straight
+    into at most ``shards`` open parquet writers — no persist, no
+    O(vocabulary) state held anywhere; shuffle spill is disk-native.
+    Doc lengths reduce from a second narrow projection
+    (``size(tokens)``, no explode through a shuffle). Scoring then
+    reads ONLY the shards owning query terms (``bm25_topk_indexed``,
+    PartitionFilters-pruned), which for a k-term query touches
+    ≤ min(k, shards)/shards of the index."""
+    base = path.rstrip("/")
+    (
+        postings(docs)
+        .withColumn("shard", _term_shard(F.col("term"), shards))
+        .write.mode("overwrite")
+        .partitionBy("shard")
+        .parquet(f"{base}/postings")
+    )
+    (
+        docs.select(
+            "doc_id", F.size(tokens(F.col("text"))).alias("len_d")
+        )
+        .filter(F.col("len_d") > 0)
+        .write.mode("overwrite")
+        .parquet(f"{base}/doclens")
+    )
+
+
+def bm25_topk_indexed(
+    spark,
+    path: str,
+    queries: DataFrame,
+    k: int = BM25_TOP_K,
+    shards: int = POSTINGS_SHARDS,
+) -> DataFrame:
+    """BM25 top-k against a ``write_postings_index`` table — the
+    repeated-query serving shape: the corpus is tokenized once at
+    build time; each query workload pays only a partition-PRUNED
+    scan of the shards owning its terms plus O(matched) joins.
+    Output is identical to ``bm25_topk(docs, queries=...)`` on the
+    same corpus (pytest parity): same micro-unit idf/partial
+    rounding, same exact long sums, same (score desc, doc_id asc)
+    rank rule."""
+    base = path.rstrip("/")
+    dlen = spark.read.parquet(f"{base}/doclens")
+    n_avg = F.broadcast(
+        dlen.agg(
+            F.count("*").alias("n_docs"),
+            (
+                F.sum("len_d").cast("double")
+                / F.count("*").cast("double")
+            ).alias("avg_len"),
+        )
+    )
+    qterms = F.broadcast(queries.select("term").distinct())
+    # shards owning any query term: computed Spark-side with the same
+    # hash, collected as O(distinct query terms) ints, inlined as a
+    # literal IN so the file-source planner prunes unowned shard
+    # directories from the scan
+    q_shards = sorted(
+        r["s"]
+        for r in queries.select(
+            _term_shard(F.col("term"), shards).alias("s")
+        )
+        .distinct()
+        .collect()
+    )
+    post = spark.read.parquet(f"{base}/postings").filter(
+        F.col("shard").isin(q_shards)
+    )
+    matched = post.join(qterms, "term", "left_semi").persist()
+    idf_micro = F.floor(
+        F.log(
+            (F.col("n_docs").cast("double") - F.col("df").cast("double") + 0.5)
+            / (F.col("df").cast("double") + 0.5)
+            + 1.0
+        )
+        * 1e6
+        + F.lit(0.5)
+    ).cast("long")
+    idf = F.broadcast(
+        matched.groupBy("term")
+        .agg(F.count("*").alias("df"))
+        .crossJoin(n_avg)
+        .select("term", idf_micro.alias("idf_u"), "avg_len")
+    )
+    tf_d = F.col("tf").cast("double")
+    denom = tf_d + BM25_K1 * (
+        1.0 - BM25_B + BM25_B * F.col("len_d").cast("double") / F.col("avg_len")
+    )
+    part_u = F.floor(
+        F.col("idf_u").cast("double") * (tf_d * (BM25_K1 + 1.0) / denom)
+        + F.lit(0.5)
+    ).cast("long")
+    scored = (
+        matched.join(dlen, "doc_id")
+        .join(idf, "term")
+        .join(F.broadcast(queries), "term")
         .select("query_id", "doc_id", part_u.alias("part_u"))
         .groupBy("query_id", "doc_id")
         .agg(F.sum("part_u").alias("s_u"))

@@ -75,8 +75,18 @@ def semantic_dedup_df(
     subtree (observed as 3× MapInPandas in the physical plan; the
     assignment is the corpus × centroids hot loop, so that triples
     the dominant cost). MEMORY_AND_DISK default = the disk-backed
-    staging a fleet would use."""
-    assigned = assign_centroids(corpus, cents, keep=["vec_id", "v"]).persist()
+    staging a fleet would use.
+
+    ``prune=True`` (round 5): the assignment — this pipeline's
+    n^1.5 term at C ≈ 4√n, measured 221.9 s at sf30 — runs through
+    the exact triangle-inequality group prune
+    (``ann._pruned_first_max_assign``): O(√C) group distances per
+    vector plus only the winner-eligible candidate scans, results
+    provably identical to the full scan (contract row still
+    hash-green; growth re-measured in BENCH/BASELINE.md)."""
+    assigned = assign_centroids(
+        corpus, cents, keep=["vec_id", "v"], prune=True
+    ).persist()
 
     # Cap each cluster to its lowest ids before pairing — identical
     # rule to banding.in_bucket_pairs, expressed as a window so the

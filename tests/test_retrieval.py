@@ -187,3 +187,45 @@ def test_cooccur_and_bm25_random_parity(spark):
             if r["query_id"] == qid
         ]
         assert got_docs == topk, qid
+
+
+def test_bm25_indexed_matches_direct_and_prunes_shards(spark, tmp_path):
+    """bm25_topk_indexed over a write_postings_index table must equal
+    bm25_topk(docs, queries=...) row-for-row, and its postings scan
+    must be partition-pruned to the shards owning query terms
+    (round-5 sf100 item: the reusable on-disk index form)."""
+    import pyspark.sql.functions as F
+
+    sf = "/root/testdata/sf0.001"
+    d = spark.read.parquet(f"{sf}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    q = retrieval.query_set(d)
+    path = str(tmp_path / "bmix")
+    retrieval.write_postings_index(d, path)
+
+    direct = sorted(
+        map(tuple, retrieval.bm25_topk(d, queries=q).collect())
+    )
+    indexed = sorted(
+        map(tuple, retrieval.bm25_topk_indexed(spark, path, q).collect())
+    )
+    assert indexed == direct and len(direct) > 0
+
+    # pruning: with a single-term query the scan touches exactly the
+    # one shard owning that term — the shard filter must appear as a
+    # PartitionFilter in the postings scan node (same proof shape as
+    # the IVF index pruning test)
+    one = q.limit(1)
+    term = one.collect()[0]["term"]
+    owned = spark.createDataFrame([(term,)], "term string").select(
+        retrieval._term_shard(F.col("term"), retrieval.POSTINGS_SHARDS)
+        .alias("s")
+    ).collect()[0]["s"]
+    from blackedge_ocr_spark import plans
+
+    fp = plans.formatted_plan(retrieval.bm25_topk_indexed(spark, path, one))
+    assert "PartitionFilters" in fp
+    assert re.search(rf"shard#\d+ IN \({owned}\)", fp) or re.search(
+        rf"shard#\d+ = {owned}", fp
+    ), fp[:4000]
