@@ -53,6 +53,203 @@ def _run_token(checkpoint_dir: str) -> str:
     ).hexdigest()[:12]
 
 
+_COMPACT_RUN = "compact"  # reserved run namespace (never an md5 hex-12)
+_COMPACT_MANIFEST = "_compaction.json"
+
+
+def _read_compaction_manifest(path: str):
+    """(blessed_gen, covered) for a partitioned registry: the
+    generation readers may trust and the (run, batch_id) source
+    partitions it superseded. Missing manifest → (None, empty)."""
+    import json
+    import os
+
+    try:
+        with open(os.path.join(path, _COMPACT_MANIFEST)) as f:
+            m = json.load(f)
+        return int(m["gen"]), {(r, int(b)) for r, b in m["covered"]}
+    except FileNotFoundError:
+        return None, set()
+
+
+def _blessed_view(t: DataFrame, gen, covered) -> DataFrame:
+    """The rows of a run/batch_id-partitioned registry a reader may
+    trust: hide UNBLESSED ``run=compact`` partitions (a compaction
+    that crashed before its manifest rename — its data is a
+    duplicate of still-present sources) and hide COVERED source
+    partitions (folded into the blessed generation; their dirs may
+    linger until the delete step completes). Pure partition-column
+    predicates — the scan prunes, no data moves."""
+    from pyspark.sql import functions as F
+
+    if gen is None:
+        cond = F.col("run") != _COMPACT_RUN
+    else:
+        cond = (F.col("run") != _COMPACT_RUN) | (F.col("batch_id") == gen)
+    if covered:
+        key = F.concat_ws("/", F.col("run"), F.col("batch_id").cast("string"))
+        cond = cond & ~key.isin([f"{r}/{b}" for r, b in covered])
+    return t.filter(cond)
+
+
+def compact_stream_registry(
+    spark: SparkSession,
+    path: str,
+    exclude: tuple[str, int] | None = None,
+    _crash_hook=None,
+    batch_id: int = -1,
+) -> None:
+    """Crash-safe compaction of a run/batch_id-partitioned streaming
+    registry (round-5 item: the per-batch dynamic-overwrite layout
+    accumulates one parquet directory per batch, so a long-running
+    stream's registry reads degrade over O(batches) small files).
+
+    Protocol — every window idempotent, readers always see exactly
+    one copy of every row:
+
+    1. WRITE the blessed view (current compacted generation + all
+       uncovered source partitions, minus ``exclude`` — the calling
+       batch's own partition, which a retry must still be able to
+       exclude by id) into ``run=compact/batch_id=<gen+1>`` via
+       dynamic-partition overwrite. Crash here: the new generation
+       is unblessed (no manifest names it) and invisible; sources
+       untouched; a retry overwrites a fresh generation.
+    2. Atomically RENAME a manifest naming the new generation and
+       every folded (run, batch_id) pair. This single POSIX rename
+       is the commit point: before it readers use the old view,
+       after it the new — never both copies of a row. Covered
+       entries whose directories are already gone are pruned here,
+       so the manifest stays O(partitions since last compaction).
+    3. DELETE covered source directories and stale/orphaned compact
+       generations. Idempotent; any crash prefix is invisible to
+       readers (covered partitions are already hidden).
+
+    The reserved run token 'compact' cannot collide with real run
+    namespaces (those are md5 hex-12). Legacy plain-append layouts
+    (no run/batch_id columns) are left untouched. At fleet scale
+    this whole dance is one Iceberg rewrite-data-files commit —
+    ADR-1's swap point; the manifest here is the minimal filesystem
+    stand-in for that table's snapshot pointer.
+    """
+    import json
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.utils import AnalysisException
+
+    try:
+        t = spark.read.parquet(path)
+    except AnalysisException as e:
+        if (e.getErrorClass() or "") != "PATH_NOT_FOUND":
+            raise
+        return
+    if "run" not in t.columns or "batch_id" not in t.columns:
+        return  # legacy plain-append layout: nothing to fold safely
+    gen, covered = _read_compaction_manifest(path)
+    view = _blessed_view(t, gen, covered)
+    if exclude is not None:
+        view = view.filter(
+            ~(
+                (F.col("run") == exclude[0])
+                & (F.col("batch_id") == int(exclude[1]))
+            )
+        )
+    pairs = {
+        (r["run"], int(r["batch_id"]))
+        for r in view.select("run", "batch_id").distinct().collect()
+    }
+    if len(pairs) <= 1:
+        return  # a single partition (or none): nothing to fold
+    orphan_gens = {
+        int(r["batch_id"])
+        for r in t.filter(F.col("run") == _COMPACT_RUN)
+        .select("batch_id")
+        .distinct()
+        .collect()
+    }
+    new_gen = max(
+        [gen + 1 if gen is not None else 0]
+        + [o + 1 for o in orphan_gens]
+    )
+    payload = [c for c in t.columns if c not in ("run", "batch_id")]
+    (
+        view.select(*payload)
+        .withColumn("run", F.lit(_COMPACT_RUN))
+        .withColumn("batch_id", F.lit(new_gen))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("run", "batch_id")
+        .parquet(path)
+    )
+    if _crash_hook is not None:
+        _crash_hook("compact_write", batch_id)
+
+    def _pdir(r: str, b: int) -> str:
+        return os.path.join(path, f"run={r}", f"batch_id={b}")
+
+    new_covered = sorted(
+        p for p in (covered | pairs) if os.path.isdir(_pdir(*p))
+    )
+    tmp = os.path.join(path, _COMPACT_MANIFEST + ".tmp")
+    with open(tmp, "w") as f:
+        json.dump({"gen": new_gen, "covered": new_covered}, f)
+    os.rename(tmp, os.path.join(path, _COMPACT_MANIFEST))  # commit
+    if _crash_hook is not None:
+        _crash_hook("compact_manifest", batch_id)
+    for r, b in new_covered:
+        shutil.rmtree(_pdir(r, b), ignore_errors=True)
+    for o in orphan_gens | ({gen} if gen is not None else set()):
+        if o != new_gen:
+            shutil.rmtree(_pdir(_COMPACT_RUN, o), ignore_errors=True)
+    if _crash_hook is not None:
+        _crash_hook("compact_delete", batch_id)
+
+
+def compact_flat_registry(
+    spark: SparkSession, path: str, _crash_hook=None, batch_id: int = -1
+) -> None:
+    """Crash-safe compaction of a flat SET-semantics registry (the
+    exact-dedup content-hash store, the bloom bit table, the CDC
+    fingerprint store — all consumed via anti-join/distinct, so
+    DUPLICATE ROWS ARE HARMLESS on every read path). That property
+    makes the protocol manifest-free: snapshot the current data
+    files, append ONE distinct() rewrite of them, then delete the
+    snapshot files. Crash after the append: readers see rewrite +
+    sources (duplicates — harmless; a retry re-snapshots whatever
+    remains). Crash mid-delete: same, smaller. Only complete task
+    files are ever visible (the committer renames outputs into
+    place), so a partial job is just a partial-duplicate superset."""
+    import os
+
+    if not os.path.isdir(path):
+        return
+    snap = [
+        os.path.join(path, f)
+        for f in os.listdir(path)
+        if f.endswith(".parquet")
+        and os.path.isfile(os.path.join(path, f))
+    ]
+    if len(snap) <= 1:
+        return
+    spark.read.parquet(*snap).distinct().write.mode("append").parquet(path)
+    if _crash_hook is not None:
+        _crash_hook("compact_write", batch_id)
+    for f in snap:
+        for victim in (
+            f,
+            os.path.join(
+                os.path.dirname(f), "." + os.path.basename(f) + ".crc"
+            ),
+        ):
+            try:
+                os.remove(victim)
+            except FileNotFoundError:
+                pass
+    if _crash_hook is not None:
+        _crash_hook("compact_delete", batch_id)
+
+
 def stream_extract(
     spark: SparkSession,
     input_dir: str,
@@ -580,6 +777,7 @@ def stream_dedup(
     max_files_per_trigger: int = 1,
     bloom_dir: str | None = None,
     _crash_hook=None,
+    compact_every: int | None = None,
 ):
     """Streaming exact deduplication of continuous document ingest:
     first-arrival-wins on md5(comparison-normalized text), against a
@@ -658,6 +856,21 @@ def stream_dedup(
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
+        # periodic registry compaction (round 5): the hash registry
+        # and bloom table append one file set per batch; fold them
+        # into one distinct rewrite every ``compact_every`` batches.
+        # Set semantics make every crash window a harmless
+        # duplicate-superset (see compact_flat_registry).
+        if compact_every and batch_id > 0 and batch_id % compact_every == 0:
+            compact_flat_registry(
+                spark, registry_dir, _crash_hook=_crash_hook,
+                batch_id=batch_id,
+            )
+            if bloom_dir is not None:
+                compact_flat_registry(
+                    spark, bloom_dir, _crash_hook=_crash_hook,
+                    batch_id=batch_id,
+                )
         h = batch_df.withColumn(
             "content_hash", F.md5(normalize_for_comparison(F.col("text")))
         )
@@ -798,6 +1011,7 @@ def stream_neardup(
     available_now: bool = True,
     max_files_per_trigger: int = 1,
     _crash_hook=None,
+    compact_every: int | None = None,
 ):
     """Streaming NEAR-duplicate suppression of continuous document
     ingest: MinHash-LSH band keys against a PERSISTENT band registry,
@@ -881,6 +1095,22 @@ def stream_neardup(
 
         token = _run_token(checkpoint_dir)
 
+        # periodic registry compaction (round 5), BEFORE this batch's
+        # own writes: the current batch's partition is excluded so a
+        # retried batch can still subtract its failed attempt by id
+        # (folding it would make it unexcludable and double-count the
+        # bucket-cap positions). ``compact_every=None`` (default)
+        # keeps the per-batch layout untouched.
+        if compact_every and batch_id > 0 and batch_id % compact_every == 0:
+            for reg in (bands_dir, sigs_dir):
+                compact_stream_registry(
+                    spark,
+                    reg,
+                    exclude=(token, batch_id),
+                    _crash_hook=_crash_hook,
+                    batch_id=batch_id,
+                )
+
         def _read_prior(path: str):
             """Registry state EXCLUDING this batch's own partition —
             a retried batch must not see the failed attempt's
@@ -897,6 +1127,10 @@ def stream_neardup(
                 # valid prior history (format-migration guard,
                 # round-4 advice).
                 return t
+            # compaction blessing (round 5): hide unblessed compact
+            # generations and covered source partitions, so a
+            # mid-compaction crash never shows a row twice
+            t = _blessed_view(t, *_read_compaction_manifest(path))
             return t.filter(
                 ~((F.col("run") == token) & (F.col("batch_id") == batch_id))
             ).drop("run", "batch_id")
@@ -1067,6 +1301,7 @@ def stream_incremental_extract(
     available_now: bool = True,
     max_files_per_trigger: int = 1,
     _crash_hook=None,
+    compact_every: int | None = None,
 ):
     """Streaming CDC extraction over continuous re-crawl ingest: the
     streaming twin of ``incremental.incremental_extract``. Each
@@ -1111,6 +1346,14 @@ def stream_incremental_extract(
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
+        # periodic fingerprint-registry compaction (round 5): the
+        # (doc_id, src_md5) store is anti-join set semantics, so the
+        # flat protocol's duplicate windows are harmless.
+        if compact_every and batch_id > 0 and batch_id % compact_every == 0:
+            compact_flat_registry(
+                spark, registry_dir, _crash_hook=_crash_hook,
+                batch_id=batch_id,
+            )
         cur = with_src_hash(_spansify_batch(batch_df))
         try:
             seen = spark.read.parquet(registry_dir)

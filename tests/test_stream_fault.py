@@ -192,3 +192,135 @@ def test_stream_cdc_crash_between_writes(spark, tmp_path, stage):
     for d, _h in keys:
         by_doc[str(d)] = by_doc.get(str(d), 0) + 1
     assert by_doc == {"0": 1, "1": 2}, by_doc
+
+
+def _crash_once_at(stage: str, at_batch: int):
+    fired = {"done": False}
+
+    def hook(s, batch_id):
+        if s == stage and batch_id == at_batch and not fired["done"]:
+            fired["done"] = True
+            raise RuntimeError(f"injected crash {s}@{batch_id}")
+
+    return hook, fired
+
+
+NEARDUP_COMPACT_BATCHES = [
+    [_row(0, NEAR_BASE + " variant one"),
+     _row(1, "completely different content about gardens and rivers flowing")],
+    [_row(10, NEAR_BASE + " variant one"),  # dup of 0 -> suppressed
+     _row(11, "another unrelated text on astronomy telescopes and optics")],
+    # batch 2: compaction fires here (compact_every=2) BEFORE the
+    # batch's writes — folds batches 0-1 of both registries
+    [_row(20, "completely different content about gardens and rivers flowing"),  # dup of 1
+     _row(21, "third standalone passage regarding volcanoes basalt and ash")],
+    # batch 3: dup of a doc registered AFTER the compaction
+    [_row(30, "third standalone passage regarding volcanoes basalt and ash"),  # dup of 21
+     _row(31, "final novel entry describing glaciers moraines and firn")],
+]
+NEARDUP_COMPACT_SURVIVORS = {0, 1, 11, 21, 31}
+
+
+@pytest.mark.parametrize(
+    "stage", ["compact_write", "compact_manifest", "compact_delete"]
+)
+def test_stream_neardup_crash_across_compaction(spark, tmp_path, stage):
+    """Round-5: a crash at ANY stage of the registry compaction must
+    neither lose nor duplicate registry history — the restarted
+    stream suppresses dups of pre-compaction docs exactly as an
+    uncompacted run would."""
+    from blackedge_ocr_spark.streaming import stream_neardup
+
+    inp = tmp_path / "in"
+    _write_batches(spark, tmp_path, inp, NEARDUP_COMPACT_BATCHES)
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    bands, sigs = str(tmp_path / "bands"), str(tmp_path / "sigs")
+    hook, fired = _crash_once_at(stage, 2)
+
+    crashed = _run_to_end(
+        lambda: stream_neardup(
+            spark, str(inp), out, ckpt, bands, sigs,
+            _crash_hook=hook, compact_every=2,
+        )
+    )
+    assert crashed and fired["done"], "injection did not fire"
+    ids = [r["doc_id"] for r in spark.read.parquet(out).select("doc_id").collect()]
+    assert sorted(ids) == sorted(set(ids)), "duplicated survivor rows"
+    assert set(ids) == NEARDUP_COMPACT_SURVIVORS, sorted(ids)
+    # registries converged: exactly one shingle row per doc through
+    # the blessed view (the raw table may transiently hold covered
+    # duplicates only BETWEEN manifest and delete — not at rest)
+    from blackedge_ocr_spark.streaming import (
+        _blessed_view,
+        _read_compaction_manifest,
+    )
+
+    sig_t = spark.read.parquet(sigs)
+    blessed = _blessed_view(sig_t, *_read_compaction_manifest(sigs))
+    counts = blessed.groupBy("doc_id").count().collect()
+    assert all(r["count"] == 1 for r in counts), "duplicate shingle rows"
+
+
+def test_stream_registries_file_count_bounded(spark, tmp_path):
+    """Round-5 'Done' criterion: over a many-batch run with periodic
+    compaction, registry file/partition counts stay bounded instead
+    of growing O(batches), and the survivor set equals an
+    uncompacted reference run on the same input."""
+    import glob
+
+    from blackedge_ocr_spark.streaming import stream_dedup, stream_neardup
+
+    texts = [
+        "alpha seed text with sufficient words for banding one",
+        "beta seed text with sufficient words for banding two",
+        "gamma seed text with sufficient words for banding three",
+    ]
+    batches = []
+    for b in range(10):
+        rows = []
+        for j, t in enumerate(texts):
+            # doc re-sent every batch: only batch-0 copies survive
+            rows.append(_row(100 * b + j, t))
+        rows.append(_row(100 * b + 50, f"novel content number {b} about topic {b} entirely distinct"))
+        batches.append(rows)
+
+    inp = tmp_path / "in"
+    _write_batches(spark, tmp_path, inp, batches)
+
+    # exact dedup, compacted vs reference
+    outc, ckc = str(tmp_path / "oc"), str(tmp_path / "cc")
+    regc, bloomc = str(tmp_path / "rc"), str(tmp_path / "bc")
+    q = stream_dedup(
+        spark, str(inp), outc, ckc, regc, bloom_dir=bloomc, compact_every=3
+    )
+    q.awaitTermination()
+    outr, ckr = str(tmp_path / "or"), str(tmp_path / "cr")
+    regr = str(tmp_path / "rr")
+    q = stream_dedup(spark, str(inp), outr, ckr, regr)
+    q.awaitTermination()
+    got = sorted(r["doc_id"] for r in spark.read.parquet(outc).select("doc_id").collect())
+    ref = sorted(r["doc_id"] for r in spark.read.parquet(outr).select("doc_id").collect())
+    assert got == ref and len(got) == 3 + 10
+    n_compacted = len(glob.glob(f"{regc}/*.parquet"))
+    n_plain = len(glob.glob(f"{regr}/*.parquet"))
+    assert n_compacted < n_plain, (n_compacted, n_plain)
+
+    # near-dup, compacted vs reference; partition dirs bounded
+    outn, ckn = str(tmp_path / "on"), str(tmp_path / "cn")
+    bandsn, sigsn = str(tmp_path / "bn"), str(tmp_path / "sn")
+    q = stream_neardup(
+        spark, str(inp), outn, ckn, bandsn, sigsn, compact_every=3
+    )
+    q.awaitTermination()
+    outm, ckm = str(tmp_path / "om"), str(tmp_path / "cm")
+    bandsm, sigsm = str(tmp_path / "bm"), str(tmp_path / "sm")
+    q = stream_neardup(spark, str(inp), outm, ckm, bandsm, sigsm)
+    q.awaitTermination()
+    gotn = sorted(r["doc_id"] for r in spark.read.parquet(outn).select("doc_id").collect())
+    refn = sorted(r["doc_id"] for r in spark.read.parquet(outm).select("doc_id").collect())
+    assert gotn == refn
+    comp_dirs = len(glob.glob(f"{bandsn}/run=*/batch_id=*"))
+    plain_dirs = len(glob.glob(f"{bandsm}/run=*/batch_id=*"))
+    # last compaction at batch 9 folds batches <9: leaves the
+    # compacted gen + batch 9 (+ nothing else)
+    assert comp_dirs <= 3 < plain_dirs, (comp_dirs, plain_dirs)
