@@ -4,16 +4,16 @@ Both LSH front-ends — MinHash band keys over shingled documents
 (``dedup.lsh_candidate_pairs``) and sign-hyperplane buckets over
 embeddings (``ann.neardup_bucket_pairs``) — reduce to the same
 discipline once (band, key, id) rows exist: group buckets, cap each
-to its lowest ids (the monster-bucket skew defense — sort→slice here,
-the windowed ``row_number ≤ cap`` in the DuckDB oracles), enumerate
-in-bucket pairs with an array comprehension, distinct across bands.
-One implementation keeps the cap/determinism rules from drifting
-between the two call sites.
+to its lowest ids (the monster-bucket skew defense — the windowed
+``row_number ≤ cap``, exactly the rule the DuckDB oracles apply),
+enumerate in-bucket pairs with an array comprehension, distinct
+across bands. One implementation keeps the cap/determinism rules
+from drifting between the two call sites.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -41,47 +41,65 @@ def in_bucket_pairs(
       assembly (union-find over verified pairs) still reaches the
       whole cluster — cluster recall is what dedup keeps, pair
       enumeration stays O(cap² + m) per bucket.
+
+    Round 5 (hot-bucket state bound): the cap used to be applied by
+    slicing an ``array_sort(collect_list(ids))`` — ONE ROW holding
+    every id of the bucket, O(m) concentrated state that a 10⁸-member
+    pathological bucket would turn into a multi-GB array row. The
+    rank is now a ``row_number`` window over (band, key) ordered by
+    id: the bucket's rows stay ROWS (Spark's window sort is external
+    and spills), only the ≤ cap head set is ever collected into an
+    array (for the C(cap, 2) comprehension), and the star tail
+    streams as (head × beyond-cap row) join output without any array
+    at all. Same pairs, bit-for-bit — the window rule IS the rule
+    the oracles state. The window, the capped re-group and the star
+    join all share one hash(band, key) partitioning, so the change
+    adds no corpus-sized exchange.
     """
-    buckets = (
+    ranked = (
         banded.filter(F.col("key").isNotNull())
-        .groupBy("band", "key")
-        .agg(F.array_sort(F.collect_list(id_col)).alias("ids"))
-        .filter(F.size("ids") > 1)
-        # materialized, multi-referenced column: an inlined slice
-        # expression would be re-copied per lambda element (O(cap³)
-        # per bucket) — the house HOF discipline
-        .withColumn("ids_c", F.slice(F.col("ids"), 1, bucket_cap))
-    )
-    capped = F.col("ids_c")
-    full_enum = F.flatten(
-        F.transform(
-            capped,
-            lambda x: F.filter(
-                F.transform(
-                    capped,
-                    lambda y: F.struct(x.alias(a_col), y.alias(b_col)),
-                ),
-                lambda p: p[a_col] < p[b_col],
+        .withColumn(
+            "_rn",
+            F.row_number().over(
+                Window.partitionBy("band", "key").orderBy(F.col(id_col))
             ),
         )
     )
-    head = F.element_at(F.col("ids"), 1)
-    if bucket_cap + 1 < (1 << 31):
-        star = F.transform(
-            F.slice(
-                F.col("ids"),
-                bucket_cap + 1,
-                F.greatest(F.size("ids") - bucket_cap, F.lit(0)),
-            ),
-            lambda x: F.struct(head.alias(a_col), x.alias(b_col)),
+    capped = ranked.filter(F.col("_rn") <= bucket_cap)
+    ids_c = F.col("ids_c")
+    full_enum = (
+        capped.groupBy("band", "key")
+        .agg(F.array_sort(F.collect_list(id_col)).alias("ids_c"))
+        .filter(F.size("ids_c") > 1)
+        .select(
+            F.explode(
+                F.flatten(
+                    F.transform(
+                        ids_c,
+                        lambda x: F.filter(
+                            F.transform(
+                                ids_c,
+                                lambda y: F.struct(
+                                    x.alias(a_col), y.alias(b_col)
+                                ),
+                            ),
+                            lambda p: p[a_col] < p[b_col],
+                        ),
+                    )
+                )
+            ).alias("p")
         )
-        pair_arr = F.concat(full_enum, star)
-    else:
-        # "uncapped" sentinel (cap ≥ INT_MAX): no tail can exist, and
-        # the slice start would overflow the INT argument
-        pair_arr = full_enum
-    return (
-        buckets.select(F.explode(pair_arr).alias("p"))
         .select(f"p.{a_col}", f"p.{b_col}")
-        .distinct()
     )
+    # star tail: head = rank-1 id; beyond-cap ids are already > head
+    # (rank order), so (head, id) is (a < b) by construction
+    heads = capped.filter(F.col("_rn") == 1).select(
+        "band", "key", F.col(id_col).alias(a_col)
+    )
+    star = (
+        ranked.filter(F.col("_rn") > bucket_cap)
+        .select("band", "key", F.col(id_col).alias(b_col))
+        .join(heads, ["band", "key"])
+        .select(a_col, b_col)
+    )
+    return full_enum.unionByName(star).distinct()

@@ -95,19 +95,24 @@ def bm25_topk(
 
     Round 5 (the sf100 spill wall, BENCH/BASELINE.md note 3): the
     full O(distinct (doc, term)) postings table is never
-    materialized here at all. The two things it used to provide are
-    derivable without it — doc lengths are ``size(tokens(text))``
-    per doc (identical to sum-of-tf by construction: postings IS the
-    grouped token explode; docs with no tokens appear in neither),
-    and the query-term prune now runs BEFORE the (doc, term) agg, so
-    the one exploded-token shuffle carries only MATCHED partials,
-    O(docs containing query terms), not O(corpus vocabulary). Peak
-    state is bounded by the match volume at any corpus size — the
-    24 GB single-JVM sf100 run that died in spill against the
-    500M-row postings persist completes in linear time (measured,
-    BENCH/BASELINE.md). For a reusable on-disk index — repeated
-    query workloads over a fixed corpus — see
-    ``write_postings_index`` / ``bm25_topk_indexed``.
+    materialized here at all. The corpus is tokenized ONCE; each
+    token maps to ``(doc_id, mterm)`` where mterm = the term if it
+    is a query term (InSet literal over the collected query-term
+    list — the fixed serving-shape budget) else NULL, and ONE
+    whole-stage-codegen hash count over that pair collapses every
+    unmatched token of a doc into a single NULL row. The exchange
+    therefore carries O(docs + matched (doc, term) pairs) partial
+    counts — never the vocabulary — with full map-side combining
+    (no collect_list: typed-imperative aggs fall back to sort-based
+    aggregation past 128 groups/task and were measured 2× slower
+    here). Doc length = sum of the doc's counts (identical to
+    sum-of-tf: the pair table IS the grouped explode; docs with no
+    tokens appear in neither); tf = the non-null rows. Peak state is
+    bounded at any corpus size — the 24 GB single-JVM sf100 run
+    that died in spill against the 500M-row postings persist
+    completes linearly (measured, BENCH/BASELINE.md). For a
+    reusable on-disk index — repeated query workloads over a fixed
+    corpus — see ``write_postings_index`` / ``bm25_topk_indexed``.
 
     Determinism: idf is micro-unit-rounded once per term (O(query
     terms) rows); each (term, doc) partial score is micro-unit-
@@ -116,14 +121,22 @@ def bm25_topk(
     IEEE arithmetic over exact integers (tf, len_d) and the one
     shared avg_len double, written identically in the DuckDB oracle.
     """
-    # doc length table: one narrow projection, no token explode
-    # reaches any shuffle. size(tokens) == sum(tf over the doc's
-    # postings); docs with zero tokens (or NULL text → size -1) have
-    # no postings rows and are excluded from n_docs/avg_len exactly
-    # as before.
-    dlen = docs.select(
-        "doc_id", F.size(tokens(F.col("text"))).alias("len_d")
-    ).filter(F.col("len_d") > 0)
+    q = query_set(docs) if queries is None else queries
+    qlist = [r["term"] for r in q.select("term").distinct().collect()]
+    in_q = F.col("term").isin(qlist) if qlist else F.lit(False)
+    # ONE corpus tokenize; one codegen hash agg; O(docs + matched)
+    # rows out. Persisted: doc lengths, df and the scoring slice all
+    # derive from it — the bounded working set.
+    base = (
+        docs.select(
+            "doc_id", F.explode(tokens(F.col("text"))).alias("term")
+        )
+        .select("doc_id", F.when(in_q, F.col("term")).alias("mterm"))
+        .groupBy("doc_id", "mterm")
+        .agg(F.count("*").alias("c"))
+        .persist()
+    )
+    dlen = base.groupBy("doc_id").agg(F.sum("c").alias("len_d"))
     n_avg = F.broadcast(
         dlen.agg(
             F.count("*").alias("n_docs"),
@@ -133,21 +146,12 @@ def bm25_topk(
             ).alias("avg_len"),
         )
     )
-    q = query_set(docs) if queries is None else queries
-    qterms = F.broadcast(q.select("term").distinct())
-    # matched postings: broadcast-semi-join the exploded token stream
-    # BEFORE the combinable (doc, term) agg — unmatched tokens die
-    # map-side and the exchange carries O(matched) partial counts;
-    # persisted because both the df agg and the scoring join read
-    # them (bounded by the match volume, not the vocabulary)
+    # len_d joins back onto the matched slice only — both sides
+    # derive from the persisted base, O(matched) × O(docs) rows
     matched = (
-        docs.select(
-            "doc_id", F.explode(tokens(F.col("text"))).alias("term")
-        )
-        .join(qterms, "term", "left_semi")
-        .groupBy("doc_id", "term")
-        .agg(F.count("*").alias("tf"))
-        .persist()
+        base.filter(F.col("mterm").isNotNull())
+        .select("doc_id", F.col("mterm").alias("term"), F.col("c").alias("tf"))
+        .join(dlen, "doc_id")
     )
     # df over the PRUNED postings (a term's df is identical either
     # way — postings hold every doc containing it)
@@ -175,8 +179,7 @@ def bm25_topk(
         + F.lit(0.5)
     ).cast("long")
     scored = (
-        matched.join(dlen, "doc_id")
-        .join(idf, "term")
+        matched.join(idf, "term")  # len_d rides matched — no dlen join
         .join(F.broadcast(q), "term")
         .select("query_id", "doc_id", part_u.alias("part_u"))
         .groupBy("query_id", "doc_id")
@@ -210,8 +213,71 @@ def _term_shard(term: Column, shards: int) -> Column:
     return F.pmod(F.xxhash64(term), F.lit(shards))
 
 
+def bm25_topk_sharded(
+    docs: DataFrame,
+    queries: DataFrame,
+    scratch_dir: str,
+    k: int = BM25_TOP_K,
+    shards: int = 4,
+    index_path: str | None = None,
+) -> DataFrame:
+    """BM25 top-k with BOUNDED peak scratch: loop over ``shards``
+    disjoint QUERY ranges, score each range as its own Spark action
+    (writing its top-k — O(|range|·k) rows — to ``scratch_dir``),
+    and union the per-range results. Queries are independent in
+    BM25 — df/idf/avg_len depend only on the corpus and the term —
+    so the union is EXACTLY ``bm25_topk(docs, queries=queries)``
+    row-for-row (pytest parity).
+
+    Why (round-5, the sf100 measured wall): at high match density
+    the scoring tail materializes O(Σ_q |docs matching q|) scored
+    pairs — ~10⁹ rows for 1000 dense queries over 5M docs — whose
+    shuffle + window sort needs more scratch disk than one sandbox
+    box has (two measured ENOSPC crashes at ~76 GB). On a cluster
+    that volume spreads over executors and no loop is needed; in a
+    bounded box, breaking the work into per-range ACTIONS lets
+    Spark's ContextCleaner reclaim each range's shuffle files before
+    the next range runs, capping peak scratch at ~1/shards of the
+    single-action run. The corpus is re-tokenized per range — the
+    measured tokenize pass is ~3 s per 500k docs, noise against the
+    scoring tail it bounds.
+
+    ``index_path``: score ranges against a ``write_postings_index``
+    table instead of the raw corpus (partition-pruned scan per
+    range; same output, pytest-pinned)."""
+    import gc
+
+    spark = docs.sparkSession
+    base = scratch_dir.rstrip("/")
+    w = F.pmod(F.xxhash64(F.col("query_id")), F.lit(shards))
+    for s in range(shards):
+        qs = queries.filter(w == s)
+        part = (
+            bm25_topk_indexed(spark, index_path, qs, k)
+            if index_path is not None
+            else bm25_topk(docs, k, queries=qs)
+        )
+        part.write.mode("overwrite").parquet(f"{base}/qshard={s}")
+        # drop refs and nudge the JVM so ContextCleaner reclaims this
+        # range's shuffle files before the next range begins — the
+        # whole point of the loop. clearCache also drops the range's
+        # internal `base` persist (NOTE: clears the session's cache
+        # wholesale — callers re-cache cheap inputs afterwards; the
+        # alternative is accumulating one spilled base per range,
+        # exactly the scratch this helper exists to bound).
+        del part, qs
+        spark.catalog.clearCache()
+        gc.collect()
+        spark.sparkContext._jvm.System.gc()
+    out = spark.read.parquet(*[f"{base}/qshard={s}" for s in range(shards)])
+    return out.select("query_id", "doc_id", "rank", "score")
+
+
 def write_postings_index(
-    docs: DataFrame, path: str, shards: int = POSTINGS_SHARDS
+    docs: DataFrame,
+    path: str,
+    shards: int = POSTINGS_SHARDS,
+    loop_groups: int = 1,
 ) -> None:
     """Materialize the inverted index the way a production search
     stack stores it (round-5 item: the term-range-sharded build that
@@ -228,15 +294,39 @@ def write_postings_index(
     (``size(tokens)``, no explode through a shuffle). Scoring then
     reads ONLY the shards owning query terms (``bm25_topk_indexed``,
     PartitionFilters-pruned), which for a k-term query touches
-    ≤ min(k, shards)/shards of the index."""
+    ≤ min(k, shards)/shards of the index.
+
+    ``loop_groups`` (round-5 bounded-scratch knob): split the build
+    into that many sequential ACTIONS, each aggregating and writing
+    only the term shards it owns. The full one-pass build shuffles
+    every distinct (doc, term) pair at once — ~10⁹ rows at sf100,
+    measured ENOSPC against this box's ~76 GB scratch — while the
+    loop caps in-flight shuffle at ~1/loop_groups (previous groups'
+    shuffle files are reclaimed between actions) for loop_groups
+    extra tokenize passes (~3 s per 500k docs each). On a cluster,
+    scratch scales with executors and loop_groups=1 is right."""
+    import gc
+
     base = path.rstrip("/")
-    (
-        postings(docs)
-        .withColumn("shard", _term_shard(F.col("term"), shards))
-        .write.mode("overwrite")
-        .partitionBy("shard")
-        .parquet(f"{base}/postings")
+    sharded = postings(docs).withColumn(
+        "shard", _term_shard(F.col("term"), shards)
     )
+    if loop_groups <= 1:
+        sharded.write.mode("overwrite").partitionBy("shard").parquet(
+            f"{base}/postings"
+        )
+    else:
+        spark = docs.sparkSession
+        for g in range(loop_groups):
+            (
+                sharded.filter(F.col("shard") % loop_groups == g)
+                .write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("shard")
+                .parquet(f"{base}/postings")
+            )
+            gc.collect()
+            spark.sparkContext._jvm.System.gc()
     (
         docs.select(
             "doc_id", F.size(tokens(F.col("text"))).alias("len_d")

@@ -229,3 +229,47 @@ def test_bm25_indexed_matches_direct_and_prunes_shards(spark, tmp_path):
     assert re.search(rf"shard#\d+ IN \({owned}\)", fp) or re.search(
         rf"shard#\d+ = {owned}", fp
     ), fp[:4000]
+
+
+def test_bm25_sharded_matches_direct(spark, tmp_path):
+    """bm25_topk_sharded (query-range loop, bounded scratch) must
+    union to EXACTLY bm25_topk's rows — queries are independent in
+    BM25, so sharding them changes nothing. Also pins the
+    loop-built index (loop_groups>1) against the one-pass build."""
+    sf = "/root/testdata/sf0.001"
+    d = spark.read.parquet(f"{sf}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    q = retrieval.query_set(d)
+    direct = sorted(map(tuple, retrieval.bm25_topk(d, queries=q).collect()))
+    sharded = sorted(
+        map(
+            tuple,
+            retrieval.bm25_topk_sharded(
+                d, q, str(tmp_path / "scratch"), shards=3
+            ).collect(),
+        )
+    )
+    assert sharded == direct and len(direct) > 0
+
+    # loop-built index == one-pass index, and sharded-over-index ==
+    # direct too
+    p1, p2 = str(tmp_path / "ix1"), str(tmp_path / "ix2")
+    retrieval.write_postings_index(d, p1)
+    retrieval.write_postings_index(d, p2, loop_groups=4)
+    a = sorted(
+        map(tuple, spark.read.parquet(f"{p1}/postings").collect())
+    )
+    b = sorted(
+        map(tuple, spark.read.parquet(f"{p2}/postings").collect())
+    )
+    assert a == b
+    via_ix = sorted(
+        map(
+            tuple,
+            retrieval.bm25_topk_sharded(
+                d, q, str(tmp_path / "scr2"), shards=2, index_path=p2
+            ).collect(),
+        )
+    )
+    assert via_ix == direct
