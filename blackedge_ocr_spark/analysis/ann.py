@@ -577,6 +577,30 @@ def centroid_stride(
     return max(floor_stride, int(math.floor(n / denom)))
 
 
+TRAIN_PER_STRIDE = 16  # adaptive training sample: ~16·C vectors
+
+
+def train_stride(n: int, floor_every: int | None = None) -> int:
+    """Adaptive Lloyd TRAINING stride (round 5): every T-th vector
+    with T = max(TRAIN_EVERY, floor(stride/16)) — algebraically a
+    sample of ~TRAIN_PER_STRIDE·C vectors (n/T = 16·n/stride =
+    16·C), so per-iteration training work is 16·C² = O(n) at
+    C ≈ 4√n instead of the fixed-stride sample's O(n·C) = O(n^1.5).
+    Below the crossover (stride < 5·16, i.e. n ≲ 100k) T stays at
+    TRAIN_EVERY and nothing changes — every contract corpus
+    (≤ 20k vectors) is far below it. stride/16.0
+    is an exact binary division of an int, so floor-over-double is
+    bit-identical to the DuckDB mirror (TRAIN_STRIDE_SQL)."""
+    import math
+
+    if floor_every is None:
+        floor_every = TRAIN_EVERY  # defined below (module layout)
+    return max(
+        floor_every,
+        int(math.floor(centroid_stride(n) / float(TRAIN_PER_STRIDE))),
+    )
+
+
 def _corpus_count(spark, sf_dir: str) -> int:
     """Row count straight off the parquet (no repartition in the
     plan — a column-free metadata-cheap scan)."""
@@ -803,6 +827,67 @@ def _pruned_first_max_assign(V, Cm, groups):
     return besti
 
 
+def _two_level_structure(cids, Cm):
+    """Driver-side build of the deterministic 2-level (coarse→fine)
+    quantizer over a trained centroid set (round 5; the public
+    inverted-multi-index / hierarchical-k-means decomposition,
+    Babenko & Lempitsky 2012): coarse reps are every
+    ``ceil(sqrt(C))``-th centroid in cid order (positions 0, CS,
+    2·CS, …), each centroid belongs to its first-max-cosine coarse
+    rep, and group index lists are ascending. Everything is a pure
+    function of the centroid table, so the DuckDB oracle rebuilds
+    the identical structure from the same trained centroids."""
+    import math
+
+    import numpy as np
+
+    C = len(Cm)
+    cs = int(math.ceil(math.sqrt(C)))
+    rep_pos = np.arange(0, C, cs, dtype=np.int64)
+    reps = Cm[rep_pos]
+    member = _first_max_assign(Cm, reps)
+    # each group always contains its OWN rep centroid (union, then
+    # dedup): with exactly-duplicated trained centroids the rep's
+    # first-max membership can land in an earlier group, which would
+    # otherwise leave a coarse-reachable group empty — the rule below
+    # is the one the DuckDB oracle mirrors (membership ∪ rep-self)
+    gidx = [
+        np.unique(
+            np.append(np.nonzero(member == g)[0], rep_pos[g])
+        ).astype(np.int64)
+        for g in range(len(rep_pos))
+    ]
+    return reps, gidx
+
+
+def _two_level_assign(V, Cm, reps, gidx):
+    """Coarse→fine first-max assignment: pick the first-max-cosine
+    coarse rep (O(√C) evals), then the first-max-cosine centroid
+    WITHIN that rep's member group (O(C/√C) expected). Total
+    O(2·√C) cosine evals per vector instead of C — and unlike the
+    triangle-inequality prune, the win does not depend on the data
+    being clustered (measured: the exact prune recovers nothing on
+    the near-isotropic synthetic embeddings, where all pairwise
+    distances concentrate — BENCH/BASELINE.md round-5 note). The
+    trade is semantic: assignment is the 2-level quantizer's, not
+    the flat argmax — mirrored exactly by the DuckDB oracle, which
+    defines the contract. All cosine evals share ``_cos_block``'s
+    dim-ordered arithmetic; both levels take the first max (lowest
+    cid on exact ties), so both engines agree bit-for-bit."""
+    import numpy as np
+
+    coarse = _first_max_assign(V, reps)
+    out = np.zeros(len(V), dtype=np.int64)
+    for g in range(len(reps)):
+        rows = np.nonzero(coarse == g)[0]
+        if len(rows) == 0:
+            continue
+        members = gidx[g]  # never empty: always contains its rep
+        local = _first_max_assign(V[rows], Cm[members])
+        out[rows] = members[local]
+    return out
+
+
 def assign_centroids(
     df: DataFrame,
     cents: DataFrame,
@@ -811,6 +896,7 @@ def assign_centroids(
     vec_col: str = "v",
     cent_block: int = CENT_BLOCK,
     prune: bool = False,
+    two_level: bool = False,
 ) -> DataFrame:
     """Nearest-centroid assignment as a numpy block kernel: returns
     ``df[keep]`` + ``cid`` (+ ``pcids``, the ``probe`` nearest list
@@ -845,7 +931,12 @@ def assign_centroids(
     groups_ = (
         _build_centroid_groups(Cm_) if (prune and not probe) else None
     )
-    bc = spark.sparkContext.broadcast((cids_, Cm_, groups_))
+    tl_ = (
+        _two_level_structure(cids_, Cm_)
+        if (two_level and not probe)
+        else None
+    )
+    bc = spark.sparkContext.broadcast((cids_, Cm_, groups_, tl_))
 
     in_df = df.select(*keep) if vec_col in keep else df.select(*keep, vec_col)
     fields = [in_df.schema[c] for c in keep]
@@ -855,7 +946,7 @@ def assign_centroids(
     out_schema = T.StructType(fields)
 
     def blocks(batches):
-        cids, Cm, groups = bc.value
+        cids, Cm, groups, tl = bc.value
         C, dims = Cm.shape
         for pdf in batches:
             if len(pdf) == 0:
@@ -877,6 +968,11 @@ def assign_centroids(
                 out["cid"] = cids[np.argmax(sims, axis=1)]
                 order = np.argsort(-sims, axis=1, kind="stable")
                 out["pcids"] = list(cids[order[:, :probe]])
+            elif tl is not None:
+                # 2-level coarse→fine quantizer (round 5): O(2·√C)
+                # evals per vector; the oracle mirrors the 2-level
+                # rule, which defines the assignment semantics
+                out["cid"] = cids[_two_level_assign(V, Cm, *tl)]
             elif groups is not None:
                 # exact-pruned corpus path (round 5): identical ids,
                 # only winner-eligible centroids evaluated

@@ -1117,6 +1117,14 @@ STRIDE_SQL = (
     "(SELECT greatest(37, CAST(floor(count(*) / "
     "(4 * floor(sqrt(count(*))))) AS BIGINT)) FROM e)"
 )
+# ann.train_stride mirror (round 5, semdedup only): T = max(4,
+# floor(stride / 16.0)) — stride/16.0 is an exact binary division of
+# the integral stride, so floor-over-double matches Python exactly.
+TRAIN_STRIDE_SQL = (
+    "(SELECT greatest(4, CAST(floor(greatest(37, CAST(floor(count(*) / "
+    "(4 * floor(sqrt(count(*))))) AS BIGINT))::DOUBLE / 16.0) AS BIGINT)) "
+    "FROM e)"
+)
 # ann.centroid_stride mirror: C capped at ~4·sqrt(n) lists. The same
 # floor-over-double-division ops in the same order — count(*) and
 # floor(sqrt(n)) are integral doubles (exact < 2^53), so the divide
@@ -1166,9 +1174,10 @@ SELECT q_id, rank, neighbor_id, cos FROM (
 
 
 def _kmeans_assigned_parts(
-    centroid_every: int | None = None, iters: int = 3, train_every: int = 4,
+    centroid_every: int | None = None, iters: int = 3,
+    train_every: int | str = 4,
     prefix: str = "", vexpr: str = "v", include_emb: bool = True,
-    src: str = "e",
+    src: str = "e", include_assign: bool = True,
 ) -> list[str]:
     """Shared CTE chain ending in ``scored``/``assigned``: the
     k-means-TRAINED centroids and the full-corpus nearest-centroid
@@ -1217,14 +1226,15 @@ def _kmeans_assigned_parts(
             f"{P}carr{i} AS (SELECT list(struct_pack(cid := cid, cv := cv) "
             f"ORDER BY cid) AS cents FROM {P}c{i})",
         ]
-    parts += [
-        f"{P}scored AS (SELECT vec_id, v, cents, {sims} AS sims "
-        f"FROM (SELECT vec_id, {vexpr} AS v FROM {src}), {P}carr{iters})",
-        f"""{P}assigned AS (
+    if include_assign:
+        parts += [
+            f"{P}scored AS (SELECT vec_id, v, cents, {sims} AS sims "
+            f"FROM (SELECT vec_id, {vexpr} AS v FROM {src}), {P}carr{iters})",
+            f"""{P}assigned AS (
   SELECT vec_id, v,
          (cents[list_position(sims, list_max(sims))]).cid AS cid
   FROM {P}scored)""",
-    ]
+        ]
     return parts
 
 
@@ -1446,13 +1456,60 @@ def sql_semantic_dedup(
         if cluster_cap is not None
         else semdedup.SEMDEDUP_CLUSTER_CAP
     )
-    parts = _kmeans_assigned_parts()
+    # Round 5: assignment is the deterministic 2-LEVEL quantizer
+    # (ann._two_level_structure / _two_level_assign — coarse reps =
+    # every ceil(√C)-th trained centroid in cid order; membership =
+    # first-max cosine vs reps, ∪ each rep itself; vector = first-max
+    # coarse rep, then first-max centroid within that rep's members).
+    # Both levels use the same fold-order cosine and first-max tie
+    # rule as the flat argmax they replace, so the mirror is exact.
+    parts = _kmeans_assigned_parts(
+        include_assign=False, train_every=TRAIN_STRIDE_SQL
+    )
     parts += [
+        """params AS (
+  SELECT CAST(ceil(sqrt(len(cents)::DOUBLE)) AS BIGINT) AS cs
+  FROM carr3)""",
+        """cent AS (
+  SELECT pos, (cents[pos]).cid AS cid, (cents[pos]).cv AS cv
+  FROM (SELECT unnest(range(1, len(cents) + 1)) AS pos, cents
+        FROM carr3))""",
+        """reparr AS (
+  SELECT list(struct_pack(g := (pos - 1) // cs, cv := cv)
+              ORDER BY pos) AS reps
+  FROM cent, params WHERE (pos - 1) % cs = 0)""",
+        f"""member AS (
+  SELECT DISTINCT pos, g FROM (
+    SELECT pos,
+           (reps[list_position(rsims, list_max(rsims))]).g AS g
+    FROM (SELECT pos, reps,
+                 list_transform(reps, r -> {cosine_sql('cv', 'r.cv')})
+                   AS rsims
+          FROM cent, reparr)
+    UNION ALL
+    SELECT pos, (pos - 1) // cs AS g
+    FROM cent, params WHERE (pos - 1) % cs = 0))""",
+        f"""vcoarse AS (
+  SELECT vec_id, v,
+         (reps[list_position(vs, list_max(vs))]).g AS g
+  FROM (SELECT vec_id, v, reps,
+               list_transform(reps, r -> {cosine_sql('v', 'r.cv')}) AS vs
+        FROM (SELECT vec_id, v FROM e), reparr))""",
+        f"""assigned2 AS (
+  SELECT vec_id, v, cid FROM (
+    SELECT vc.vec_id, vc.v, ct.cid,
+           row_number() OVER (PARTITION BY vc.vec_id
+             ORDER BY {cosine_sql('vc.v', 'ct.cv')} DESC, ct.cid ASC)
+             AS rn
+    FROM vcoarse vc
+    JOIN member m ON m.g = vc.g
+    JOIN cent ct ON ct.pos = m.pos)
+  WHERE rn = 1)""",
         f"""capped AS (
   SELECT vec_id, v, cid FROM (
     SELECT vec_id, v, cid,
            row_number() OVER (PARTITION BY cid ORDER BY vec_id) AS rn
-    FROM assigned) WHERE rn <= {cap})""",
+    FROM assigned2) WHERE rn <= {cap})""",
         f"""dup AS (
   SELECT DISTINCT b.vec_id
   FROM capped a JOIN capped b
@@ -1463,7 +1520,7 @@ def sql_semantic_dedup(
     return f"""
 WITH {ctes}
 SELECT a.vec_id, a.cid, (dup.vec_id IS NOT NULL) AS is_dup
-FROM assigned a LEFT JOIN dup ON a.vec_id = dup.vec_id"""
+FROM assigned2 a LEFT JOIN dup ON a.vec_id = dup.vec_id"""
 
 
 def sql_ann_recall(k: int = 5) -> str:

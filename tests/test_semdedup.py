@@ -110,3 +110,33 @@ def test_pruned_assign_identical_to_full_scan():
         got = ann._pruned_first_max_assign(V, Cm, groups)
         want = ann._first_max_assign(V, Cm)
         assert (got == want).all(), (trial, np.nonzero(got != want)[0][:5])
+
+
+def test_train_stride_sql_parity():
+    """ann.train_stride's arithmetic == TRAIN_STRIDE_SQL's, for n
+    spanning both sides of every floor/crossover — the cross-engine
+    contract the adaptive Lloyd sample rests on (the big-n corpora
+    where the stride actually adapts are too large for the DuckDB
+    list oracle to execute end-to-end, so the arithmetic is pinned
+    directly)."""
+    import duckdb
+
+    from blackedge_ocr_spark.analysis import ann
+
+    for n in [1, 10, 500, 2000, 21904, 22500, 102_399, 102_401,
+              200_000, 500_000, 1_500_000, 5_000_000, 123_456_789]:
+        sql = (
+            "SELECT greatest(4, CAST(floor(greatest(37, "
+            "CAST(floor(cnt / (4 * floor(sqrt(cnt)))) AS BIGINT)"
+            ")::DOUBLE / 16.0) AS BIGINT)) "
+            f"FROM (SELECT {n}::BIGINT AS cnt)"
+        )
+        got = duckdb.sql(sql).fetchone()[0]
+        assert got == ann.train_stride(n), (n, got, ann.train_stride(n))
+        stride_sql = (
+            "SELECT greatest(37, CAST(floor(cnt / "
+            "(4 * floor(sqrt(cnt)))) AS BIGINT)) "
+            f"FROM (SELECT {n}::BIGINT AS cnt)"
+        )
+        got_s = duckdb.sql(stride_sql).fetchone()[0]
+        assert got_s == ann.centroid_stride(n), (n, got_s)
